@@ -1,0 +1,149 @@
+"""Spanish "millones"-context monetary parser -> integer CLP.
+
+Behavioral contract (golden cases in reference
+tests/test_monetary_parser.py:7-55; semantics at
+polla_app/sources/pozos.py:60-145):
+
+* the page quotes amounts in MILLIONS: bare ``"690"`` means CLP
+  690,000,000; explicit units override — ``MM``/``millones``/``M`` keep
+  the x1e6 scale, trailing ``mil`` means x1e3;
+* ``.`` and ``,`` are disambiguated as thousands-vs-decimal separators
+  by 3-digit group validation: ``"4.300"`` -> 4300 (thousands) but
+  ``"4,75"`` -> 4.75 (decimal); mixed ``"1.234,56"`` -> 1234.56;
+  malformed groupings (``"1.2.3.4"``) are parse errors;
+* empty / non-numeric input is a parse error.
+
+Two surfaces:
+
+* :func:`parse_millones_clp` — scalar, raises :class:`ParseError`
+  (driver-side use and golden tests);
+* :func:`money_parse_cols` — Spark-side Arrow-batched kernel that
+  returns ``(clp BIGINT, parse_error STRING)`` columns. Errors become
+  data, not task failures, so one malformed row cannot fail a 100 TB
+  job (SURVEY.md §7.4#2); enforce aggregate guards downstream.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..errors import ParseError
+
+MILLION = 1_000_000
+THOUSAND = 1_000
+
+_GROUP_LEN = 3
+
+
+def _split_unit(text: str) -> tuple[str, int]:
+    """Peel an optional unit suffix off the lowercased raw string.
+
+    Unit detection happens before currency/whitespace stripping, in the
+    same precedence order the golden cases pin down: MM / "millones"
+    first, then "mil", then a bare trailing "m".
+    """
+    scale = MILLION
+    if text.endswith("mm") or "millones" in text:
+        text = text.replace("millones", "").replace("mm", "")
+    elif text.endswith("mil"):
+        scale = THOUSAND
+        text = text[: -len("mil")]
+    elif text.endswith("m"):
+        text = text.rstrip("m")
+    return text.strip(), scale
+
+
+def _degroup(num: str) -> str:
+    """Resolve ``.``/``,`` roles; return a float()-ready string.
+
+    Raises ValueError on malformed groupings. Mirrors the reference's
+    decision tree (pozos.py:95-134) exactly — including its quirks —
+    because the golden tests are the contract.
+    """
+    dotted, commaed = "." in num, "," in num
+    if dotted and commaed:
+        # dots must be 3-digit thousands groups; the final dot-group's
+        # prefix (before the comma) must also be 3 digits
+        segs = num.split(".")
+        interior_ok = all(len(s) == _GROUP_LEN for s in segs[1:-1])
+        tail_ok = len(segs[-1].partition(",")[0]) == _GROUP_LEN
+        if not (interior_ok and tail_ok):
+            raise ValueError(f"bad mixed grouping: {num!r}")
+        return num.replace(".", "").replace(",", ".")
+    for sep in (",", "."):
+        if sep not in num:
+            continue
+        segs = num.split(sep)
+        if len(segs) > 2:
+            if any(len(s) != _GROUP_LEN for s in segs[1:]):
+                raise ValueError(f"bad repeated separator: {num!r}")
+            return "".join(segs)
+        if len(segs[1]) == _GROUP_LEN:
+            return "".join(segs)  # lone 3-digit group reads as thousands
+        return segs[0] + "." + segs[1] if sep == "," else num
+    return num
+
+
+def parse_millones_clp(raw: str | None) -> int:
+    """Scalar parse; raises ParseError exactly where the reference does."""
+    text = (raw or "").strip().lower()
+    if not text:
+        raise ParseError("Empty monetary value", context={"raw": raw})
+    text, scale = _split_unit(text)
+    text = text.replace("$", "").replace(" ", "")
+    try:
+        value = float(_degroup(text))
+    except ValueError as exc:
+        raise ParseError(
+            f"Unable to parse monetary value: {raw}",
+            original_error=exc,
+            context={"raw": raw},
+        ) from exc
+    return int(round(value * scale))
+
+
+# ---------------------------------------------------------------------------
+# Spark surface
+# ---------------------------------------------------------------------------
+
+_RESULT_TYPE = T.StructType(
+    [
+        T.StructField("clp", T.LongType(), True),
+        T.StructField("parse_error", T.StringType(), True),
+    ]
+)
+
+
+def _parse_batch(series: pd.Series) -> pd.DataFrame:
+    clp: list[int | None] = []
+    errs: list[str | None] = []
+    for raw in series:
+        try:
+            clp.append(parse_millones_clp(raw))
+            errs.append(None)
+        except ParseError as exc:
+            clp.append(None)
+            errs.append(exc.message)
+    return pd.DataFrame({"clp": pd.array(clp, dtype="Int64"), "parse_error": errs})
+
+
+@F.pandas_udf(_RESULT_TYPE)
+def _money_udf(series: pd.Series) -> pd.DataFrame:
+    # Arrow-batched: one Python call per ~10k-row batch, not per row.
+    return _parse_batch(series)
+
+
+def money_parse_cols(raw: Column) -> Column:
+    """``struct(clp BIGINT, parse_error STRING)`` for a raw money string.
+
+    Usage::
+
+        df.withColumn("parsed", money_parse_cols(F.col("raw")))
+          .select("*", "parsed.clp", "parsed.parse_error")
+    """
+    return _money_udf(raw)

@@ -1,0 +1,80 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Methodology: one shared SparkSession (startup excluded — it is fixed
+cost, not throughput); each query timed end-to-end including the
+count()/collect-to-driver action that forces the full plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from polla_spark.plans import registry  # noqa: E402
+from polla_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline set: one per operator family, weighted toward the heavy
+#: shapes (scan-agg, star join, windows, consensus, dedup, knn).
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_topk_orders",
+    "q04_join_inner",
+    "q10_broadcast_star",
+    "q11_range_join",
+    "q12_multi_agg",
+    "q18_window_rank",
+    "q20_window_frames",
+    "q30_json_funcs",
+    "q40_consensus_winner",
+    "q44_consensus_decision",
+    "q50_exact_dedup",
+    "q52_minhash_signatures",
+    "q53_lsh_candidate_pairs",
+    "q56_quality_scores",
+    "q58_knn_exact",
+    "q70_tumbling",
+    "q72_sessionize",
+]
+
+
+def main() -> None:
+    reg = registry()
+    spark = get_spark("polla_spark_bench")
+    # warm the JVM + parquet footers with one tiny action
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+    times: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        q = reg[name]
+        t0 = time.perf_counter()
+        n = q.spark(spark, SF_DIR).count()
+        dt = time.perf_counter() - t0
+        times[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,429 @@
+"""LLM-training-data pipeline operators over documents/embeddings.
+
+North-star extensions (BASELINE.json): dedup families, similarity
+search, text analysis, multimodal columns — designed for 100 TB:
+
+- every dedup is a pure shuffle-on-key plan (hash/fingerprint ->
+  groupBy), no pairwise comparison except inside LSH buckets;
+- MinHash uses portable md5-based hash functions so the oracle can
+  recompute signatures bit-for-bit in DuckDB;
+- similarity search: brute-force exact top-k (the oracle-checkable
+  baseline; at scale the same plan shards by embedding partition and
+  k-merges); the LSH-bucketed variant is the scale path (rows-only);
+- float math is either floor-quantized to BIGINT or a single
+  division, so no cross-engine accumulation-order drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import Query
+from .relational import t
+
+TOKS = "regexp_split_to_array(text, '\\s+')"  # duckdb side tokenizer
+
+
+def _toks():
+    return F.split(F.col("text"), "\\s+")
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+def q50_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: sha256(text) -> group -> survivor = min(doc_id).
+
+    The 100 TB shape: single shuffle on the 64-hex hash; skew-free
+    because the key is uniform.
+    """
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("sha", F.sha2("text", 256))
+        .groupBy("sha")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("survivor"))
+        .orderBy("sha")
+    )
+
+
+O50 = """
+SELECT sha256(text) AS sha, COUNT(*) AS n_copies, MIN(doc_id) AS survivor
+FROM documents GROUP BY sha ORDER BY sha
+"""
+
+
+def q51_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-fingerprint dedup (case/whitespace-insensitive md5),
+    reported per source."""
+    d = t(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    return (
+        d.withColumn("fp", fp)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.countDistinct("fp").alias("n_unique"))
+        .orderBy("source")
+    )
+
+
+O51 = """
+SELECT source, COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS n_unique
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def _shingles_expr() -> str:
+    """3-token shingles via 0-based Spark array indexing."""
+    return (
+        "transform(sequence(0, greatest(size(_toks) - 3, 0)), "
+        "i -> concat_ws(' ', _toks[i], _toks[i+1], _toks[i+2]))"
+    )
+
+
+def _minhash_col(band: int):
+    return F.array_min(
+        F.transform(
+            F.col("_shingles"), lambda s: F.md5(F.concat(F.lit(str(band)), F.lit("|"), s))
+        )
+    ).alias(f"mh{band}")
+
+
+def with_minhash(d: DataFrame, bands: int = 4) -> DataFrame:
+    """Portable MinHash: h_i(s) = md5(i || '|' || s), min lexicographic.
+
+    One signature per band (bands x 1 rows scheme). md5 is available
+    and bit-identical in both engines, so signatures are oracle-exact.
+    """
+    return (
+        d.withColumn("_toks", _toks())
+        .withColumn("_shingles", F.expr(_shingles_expr()))
+        .select("*", *[_minhash_col(b) for b in range(bands)])
+        .drop("_toks", "_shingles")
+    )
+
+
+_DUCK_SHINGLES = (
+    f"list_transform(generate_series(1, greatest(len({TOKS}) - 2, 1)), "
+    f"i -> concat_ws(' ', {TOKS}[i], {TOKS}[i+1], {TOKS}[i+2]))"
+)
+
+
+def _duck_mh(band: int) -> str:
+    return (
+        f"list_min(list_transform({_DUCK_SHINGLES}, s -> md5('{band}' || '|' || s)))"
+    )
+
+
+def q52_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 4-band MinHash signature table."""
+    d = t(spark, sf_dir, "documents")
+    return with_minhash(d).select("doc_id", "mh0", "mh1", "mh2", "mh3").orderBy("doc_id")
+
+
+O52 = f"""
+SELECT doc_id, {_duck_mh(0)} AS mh0, {_duck_mh(1)} AS mh1,
+       {_duck_mh(2)} AS mh2, {_duck_mh(3)} AS mh3
+FROM documents ORDER BY doc_id
+"""
+
+
+def q53_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: docs sharing any band signature become candidates.
+
+    Self-equi-join per band on the signature — each band is a shuffle
+    join on a short hex key; the union dedups. No all-pairs scan:
+    at 100 TB this is the only feasible near-dup join shape.
+    """
+    d = with_minhash(t(spark, sf_dir, "documents")).select("doc_id", "mh0", "mh1", "mh2", "mh3")
+    pairs = None
+    for b in range(4):
+        left = d.select(F.col("doc_id").alias("id_a"), F.col(f"mh{b}").alias("sig"))
+        right = d.select(F.col("doc_id").alias("id_b"), F.col(f"mh{b}").alias("sig"))
+        p = left.join(right, "sig").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+        pairs = p if pairs is None else pairs.unionAll(p)
+    return pairs.distinct().orderBy("id_a", "id_b")
+
+
+O53 = f"""
+WITH sigs AS (
+  SELECT doc_id, {_duck_mh(0)} AS mh0, {_duck_mh(1)} AS mh1,
+         {_duck_mh(2)} AS mh2, {_duck_mh(3)} AS mh3
+  FROM documents
+), long AS (
+  SELECT doc_id, mh0 AS sig FROM sigs UNION ALL SELECT doc_id, mh1 FROM sigs
+  UNION ALL SELECT doc_id, mh2 FROM sigs UNION ALL SELECT doc_id, mh3 FROM sigs
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM long a JOIN long b ON a.sig = b.sig AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
+def q54_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard for a deterministic sample of doc pairs
+    (every 50th doc): |A∩B| / |A∪B| over distinct shingle sets."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 50 == 0)
+        .withColumn("_toks", _toks())
+        .withColumn("sh", F.array_distinct(F.expr(_shingles_expr())))
+        .select("doc_id", "sh")
+    )
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            inter.alias("n_common"),
+            F.round(inter / union, 4).alias("jaccard"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+O54 = f"""
+WITH sample AS (
+  SELECT doc_id, list_distinct({_DUCK_SHINGLES}) AS sh
+  FROM documents WHERE doc_id % 50 = 0
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_intersect(a.sh, b.sh)) AS n_common,
+       ROUND(len(list_intersect(a.sh, b.sh)) /
+             CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 4) AS jaccard
+FROM sample a, sample b WHERE a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_EN_STOP = ("the", "a", "of", "and", "to")
+
+
+def q55_lang_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword language-ID heuristic vs the labeled lang."""
+    d = t(spark, sf_dir, "documents").withColumn("_toks", _toks())
+    stop_n = F.size(F.filter("_toks", lambda x: x.isin(*_EN_STOP)))
+    ratio = stop_n / F.size("_toks")
+    pred = F.when(ratio > 0.08, "en_like").otherwise("other")
+    return (
+        d.select("lang", pred.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+_DUCK_STOP = "('the', 'a', 'of', 'and', 'to')"
+
+O55 = f"""
+SELECT lang,
+       CASE WHEN len(list_filter({TOKS}, x -> x IN {_DUCK_STOP}))
+                 / CAST(len({TOKS}) AS DOUBLE) > 0.08
+            THEN 'en_like' ELSE 'other' END AS predicted,
+       COUNT(*) AS n
+FROM documents GROUP BY 1, 2 ORDER BY lang, predicted
+"""
+
+
+def q56_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality metrics per lang: exact decimal averages of
+    length/token/stopword ratios."""
+    d = t(spark, sf_dir, "documents").withColumn("_toks", _toks())
+    n_toks = F.size("_toks")
+    stop_n = F.size(F.filter("_toks", lambda x: x.isin(*_EN_STOP)))
+    return (
+        d.select(
+            "lang",
+            F.col("n_chars"),
+            n_toks.alias("n_toks"),
+            stop_n.alias("stop_n"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.round(
+                F.sum(F.col("n_chars").cast("decimal(18,4)")) / F.sum("n_toks"), 2
+            ).cast("double").alias("chars_per_token"),
+            F.round(
+                F.sum(F.col("stop_n").cast("decimal(18,4)")) / F.sum("n_toks"), 4
+            ).cast("double").alias("stopword_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+O56 = f"""
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(len({TOKS})) AS BIGINT) AS total_tokens,
+       CAST(ROUND(SUM(CAST(n_chars AS DECIMAL(18,4))) / SUM(len({TOKS})), 2) AS DOUBLE) AS chars_per_token,
+       CAST(ROUND(SUM(CAST(len(list_filter({TOKS}, x -> x IN {_DUCK_STOP})) AS DECIMAL(18,4)))
+             / SUM(len({TOKS})), 4) AS DOUBLE) AS stopword_ratio
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q57_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish (letters|digits|other) token counts per doc."""
+    d = t(spark, sf_dir, "documents")
+    bpeish = F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), F.lit(0)))
+    return d.select(
+        "doc_id",
+        F.size(_toks()).alias("n_ws_tokens"),
+        bpeish.alias("n_bpeish"),
+        F.length("text").alias("n_chars_actual"),
+    ).orderBy("doc_id")
+
+
+O57 = f"""
+SELECT doc_id, len({TOKS}) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpeish,
+       length(text) AS n_chars_actual
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_QUERY_IDS = (0, 1, 2)
+
+
+def _dot(a, b):
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def q58_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 3 query vectors.
+
+    Query side is broadcast; the scan side streams once — the exact
+    baseline every ANN variant is measured against. Scores are
+    computed with an identical left-to-right fold in both engines.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    pairs = e.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    cos = _dot(F.col("embedding"), F.col("qv")) / (
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    )
+    scored = pairs.select("query_id", "vec_id", F.round(cos, 4).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "rn", "vec_id", "cosine")
+        .orderBy("query_id", "rn")
+    )
+
+
+_DDOT = (
+    "list_reduce(list_transform(generate_series(1, 64), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+O58 = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id IN (0, 1, 2)
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND({_DDOT.format(a='e.embedding', b='q.qv')} /
+               (sqrt({_DDOT.format(a='e.embedding', b='e.embedding')}) *
+                sqrt({_DDOT.format(a='q.qv', b='q.qv')})), 4) AS cosine
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, rn, vec_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM scored
+) WHERE rn <= 5 ORDER BY query_id, rn
+"""
+
+
+def q59_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components (floor-quantized exact sums)."""
+    e = t(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(F.floor(F.col("x").cast("double") * 1000000).cast("long")).alias("qsum"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("label", "pos")
+    )
+
+
+O59 = """
+SELECT label, i - 1 AS pos,
+       CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS qsum,
+       COUNT(*) AS n
+FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) s
+GROUP BY label, pos ORDER BY label, pos
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns
+# ---------------------------------------------------------------------------
+
+def q60_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary modeling: text bytes stand in for media payloads.
+
+    Real Spark-side plumbing (binary column, byte lengths, modality
+    partitioning); the decode step is the stubbed part (see
+    polla_spark.operators.multimodal).
+    """
+    d = t(spark, sf_dir, "documents")
+    modality = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    content = F.encode(F.col("text"), "UTF-8")
+    return (
+        d.select(modality.alias("modality"), F.length(content).alias("n_bytes"))
+        .groupBy("modality")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.max("n_bytes").alias("max_bytes"),
+        )
+        .orderBy("modality")
+    )
+
+
+O60 = """
+SELECT ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+       COUNT(*) AS n_assets,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       MAX(octet_length(encode(text))) AS max_bytes
+FROM documents GROUP BY modality ORDER BY modality
+"""
+
+
+QUERIES = [
+    Query("q50_exact_dedup", q50_exact_dedup, O50, "sha256 exact dedup"),
+    Query("q51_fingerprint_dedup", q51_fingerprint_dedup, O51, "normalized fingerprint dedup"),
+    Query("q52_minhash_signatures", q52_minhash_signatures, O52, "portable MinHash"),
+    Query("q53_lsh_candidate_pairs", q53_lsh_candidate_pairs, O53, "LSH band join"),
+    Query("q54_ngram_jaccard", q54_ngram_jaccard, O54, "n-gram Jaccard"),
+    Query("q55_lang_heuristic", q55_lang_heuristic, O55, "language-ID heuristic"),
+    Query("q56_quality_scores", q56_quality_scores, O56, "quality scoring"),
+    Query("q57_token_counts", q57_token_counts, O57, "token counting"),
+    Query("q58_knn_exact", q58_knn_exact, O58, "exact cosine top-k"),
+    Query("q59_centroids", q59_centroids, O59, "embedding centroids"),
+    Query("q60_multimodal_stats", q60_multimodal_stats, O60, "multimodal binary stats"),
+]

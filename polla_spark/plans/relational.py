@@ -1,0 +1,961 @@
+"""Core relational inventory: scans, joins, aggs, windows, set ops,
+scalar functions — each as a Spark DataFrame plan + DuckDB oracle SQL.
+
+Scale notes embedded per query; the common ones:
+- filters/projections sit directly on the parquet scan so Catalyst
+  pushes them into the reader (verified via explain in tests);
+- dimension joins (region/nation/supplier/part at TPC-H shape) are
+  broadcast — no shuffle of the fact table;
+- aggregates use partial (map-side) aggregation for free because all
+  agg functions used are algebraic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import Query
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ..session import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+def dec(c, scale: int = 4):
+    return F.col(c).cast(f"decimal(18,{scale})") if isinstance(c, str) else c.cast(f"decimal(18,{scale})")
+
+
+def as_money(c):
+    """Exact decimal -> rounded double: identical across engines."""
+    return F.round(c, 2).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Aggregation / scan
+# ---------------------------------------------------------------------------
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-agg, 8 aggregates, 2 group keys.
+
+    Plan: parquet scan with pushed date filter -> partial agg ->
+    exchange on (returnflag, linestatus) [6 groups] -> final agg.
+    At 100 TB the pre-shuffle partial agg reduces each task's output
+    to <=6 rows, so the shuffle is negligible regardless of input size.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = dec("l_extendedprice") * (1 - dec("l_discount"))
+    charge = dec("l_extendedprice") * (1 - dec("l_discount")) * (1 + dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            as_money(F.sum(dec("l_quantity"))).alias("sum_qty"),
+            as_money(F.sum(dec("l_extendedprice"))).alias("sum_base_price"),
+            as_money(F.sum(disc_price)).alias("sum_disc_price"),
+            as_money(F.sum(charge)).alias("sum_charge"),
+            as_money(F.sum(dec("l_quantity")) / F.count("*")).alias("avg_qty"),
+            as_money(F.sum(dec("l_extendedprice")) / F.count("*")).alias("avg_price"),
+            F.round(F.sum(dec("l_discount")) / F.count("*"), 4).cast("double").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+O01 = """
+SELECT l_returnflag, l_linestatus,
+  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) * (1 + CAST(l_tax AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_charge,
+  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))) / COUNT(*), 2) AS DOUBLE) AS avg_qty,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) / COUNT(*), 2) AS DOUBLE) AS avg_price,
+  CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(18,4))) / COUNT(*), 4) AS DOUBLE) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q02_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: orderBy+limit -> TakeOrderedAndProject (no full sort).
+
+    Unique tie-break on o_orderkey keeps the k-th row deterministic.
+    """
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            as_money(dec("o_totalprice")).alias("total"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+    )
+
+
+O02 = """
+SELECT o_orderkey, o_custkey,
+  CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)), 2) AS DOUBLE) AS total,
+  strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q03_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive + rlike + isin predicates, projection pruning.
+
+    All three predicates and the 4-column projection reach the parquet
+    scan (PushedFilters / ReadSchema) — the scan reads 4 of 6 columns.
+    """
+    p = t(spark, sf_dir, "part")
+    return (
+        p.filter(
+            (F.col("p_size") >= 10)
+            & F.col("p_type").isin("ECONOMY", "SMALL")
+            & F.col("p_name").rlike("^(red|blue) ")
+        )
+        .select("p_partkey", "p_name", "p_type", "p_size")
+        .orderBy("p_partkey")
+    )
+
+
+O03 = """
+SELECT p_partkey, p_name, p_type, p_size
+FROM part
+WHERE p_size >= 10 AND p_type IN ('ECONOMY','SMALL')
+  AND regexp_matches(p_name, '^(red|blue) ')
+ORDER BY p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+def q04_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join orders x customer; revenue per market segment.
+
+    customer is the small side -> Catalyst broadcasts it (verified);
+    orders never shuffles.
+    """
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            as_money(F.sum(dec("o_totalprice"))).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+O04 = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q05_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join: every customer, zero-order customers included."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+O05 = """
+SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey ORDER BY c_custkey
+"""
+
+
+def q06_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join: lineitem RIGHT JOIN part keeps unsold parts."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"], "right")
+        .groupBy("p_partkey")
+        .agg(
+            F.count("l_orderkey").alias("n_lines"),
+            as_money(F.coalesce(F.sum(dec("l_quantity")), F.lit(0).cast("decimal(18,4)"))).alias("qty"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+O06 = """
+SELECT p_partkey, COUNT(l_orderkey) AS n_lines,
+  CAST(ROUND(COALESCE(SUM(CAST(l_quantity AS DECIMAL(18,4))), 0), 2) AS DOUBLE) AS qty
+FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey
+GROUP BY p_partkey ORDER BY p_partkey
+"""
+
+
+def q07_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two per-nation aggregates."""
+    c = t(spark, sf_dir, "customer").groupBy("c_nationkey").agg(F.count("*").alias("n_cust"))
+    s = t(spark, sf_dir, "supplier").groupBy("s_nationkey").agg(F.count("*").alias("n_supp"))
+    return (
+        c.join(s, c["c_nationkey"] == s["s_nationkey"], "full")
+        .select(
+            F.coalesce(c["c_nationkey"], s["s_nationkey"]).alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+O07 = """
+WITH c AS (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey),
+     s AS (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey)
+SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+       COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+ORDER BY nationkey
+"""
+
+
+def q08_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi: customers having at least one finished ('F') order."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+O08 = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+ORDER BY c_custkey
+"""
+
+
+def q09_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti: customers with no orders at all."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .select("c_custkey", "c_nationkey")
+        .orderBy("c_custkey")
+    )
+
+
+O09 = """
+SELECT c_custkey, c_nationkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def q10_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join with explicit broadcast of both dimensions.
+
+    lineitem (fact) joins supplier then nation, both broadcast: zero
+    fact-side shuffles before the final 25-group aggregate. This is
+    the 100 TB-safe shape — only the tiny dims move.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_lines"),
+            as_money(F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))).alias("revenue"),
+        )
+        .orderBy("n_name")
+    )
+
+
+O10 = """
+SELECT n_name, COUNT(*) AS n_lines,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def q11_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta BETWEEN) join: parts within a supplier's size band.
+
+    Spark plans this as BroadcastNestedLoopJoin with the 100-row
+    supplier side broadcast — the right physical choice; an equi-bucket
+    prejoin would be the rewrite if both sides were large.
+    """
+    s = t(spark, sf_dir, "supplier").select(
+        "s_suppkey", (F.col("s_suppkey") % 40).alias("lo"), (F.col("s_suppkey") % 40 + 5).alias("hi")
+    )
+    p = t(spark, sf_dir, "part")
+    return (
+        p.join(F.broadcast(s), (p["p_size"] >= s["lo"]) & (p["p_size"] <= s["hi"]))
+        .groupBy("s_suppkey")
+        .agg(F.count("*").alias("n_parts_in_band"))
+        .orderBy("s_suppkey")
+    )
+
+
+O11 = """
+SELECT s_suppkey, COUNT(*) AS n_parts_in_band
+FROM part JOIN (SELECT s_suppkey, s_suppkey % 40 AS lo, s_suppkey % 40 + 5 AS hi FROM supplier) s
+  ON p_size BETWEEN lo AND hi
+GROUP BY s_suppkey ORDER BY s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Aggregation variants
+# ---------------------------------------------------------------------------
+
+def q12_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count / exact count-distinct / min / max / avg in one pass."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            as_money(F.min(dec("o_totalprice"))).alias("min_price"),
+            as_money(F.max(dec("o_totalprice"))).alias("max_price"),
+            as_money(F.sum(dec("o_totalprice")) / F.count("*")).alias("avg_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+O12 = """
+SELECT o_orderpriority, COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS n_customers,
+  CAST(ROUND(MIN(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS min_price,
+  CAST(ROUND(MAX(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS max_price,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) / COUNT(*), 2) AS DOUBLE) AS avg_price
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q13_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list with pinned ordering (sort_array), emitted as a
+    joined string so both engines hash identically."""
+    s = t(spark, sf_dir, "supplier")
+    return (
+        s.groupBy("s_nationkey")
+        .agg(F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias("suppliers"))
+        .orderBy("s_nationkey")
+    )
+
+
+O13 = """
+SELECT s_nationkey, string_agg(s_name, ',' ORDER BY s_name) AS suppliers
+FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+"""
+
+
+def q14_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over region -> nation with grouping indicators."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    joined = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.grouping("r_name").cast("int").alias("g_region"),
+            F.grouping("n_name").cast("int").alias("g_nation"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("(all)")).alias("region"),
+            F.coalesce("n_name", F.lit("(all)")).alias("nation"),
+            "g_region",
+            "g_nation",
+            "n_cust",
+        )
+        .orderBy("region", "nation", "g_region", "g_nation")
+    )
+
+
+O14 = """
+SELECT COALESCE(r_name, '(all)') AS region, COALESCE(n_name, '(all)') AS nation,
+       CAST(GROUPING(r_name) AS INT) AS g_region, CAST(GROUPING(n_name) AS INT) AS g_nation,
+       COUNT(*) AS n_cust
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+ORDER BY region, nation, g_region, g_nation
+"""
+
+
+def q15_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over order priority x status."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            "g_priority",
+            "g_status",
+            "n",
+        )
+        .orderBy("priority", "status", "g_priority", "g_status")
+    )
+
+
+O15 = """
+SELECT COALESCE(o_orderpriority, '(all)') AS priority, COALESCE(o_orderstatus, '(all)') AS status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority, CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       COUNT(*) AS n
+FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+ORDER BY priority, status, g_priority, g_status
+"""
+
+
+def q16_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((status),(priority,status),())."""
+    o = t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderpriority,'(all)') AS priority,
+               COALESCE(o_orderstatus,'(all)') AS status,
+               COUNT(*) AS n
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority, o_orderstatus), ())
+        ORDER BY priority, status, n
+        """
+    )
+
+
+O16 = """
+SELECT COALESCE(o_orderpriority,'(all)') AS priority,
+       COALESCE(o_orderstatus,'(all)') AS status,
+       COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority, o_orderstatus), ())
+ORDER BY priority, status, n
+"""
+
+
+def q17_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING: parts whose total ordered quantity exceeds 120."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(as_money(F.sum(dec("l_quantity"))).alias("total_qty"))
+        .filter(F.col("total_qty") > 120)
+        .orderBy("l_partkey")
+    )
+
+
+O17 = """
+SELECT l_partkey, CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_qty
+FROM lineitem GROUP BY l_partkey
+HAVING CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) > 120
+ORDER BY l_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+def q18_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank; top-3 parts per brand.
+
+    rank/dense_rank order by a coarse key (real ties); row_number gets
+    a unique tie-break so the cut is deterministic.
+    """
+    p = t(spark, sf_dir, "part")
+    w_ties = Window.partitionBy("p_brand").orderBy(F.desc("p_size"))
+    w_total = Window.partitionBy("p_brand").orderBy(F.desc("p_size"), F.asc("p_partkey"))
+    return (
+        p.withColumn("rnk", F.rank().over(w_ties))
+        .withColumn("drnk", F.dense_rank().over(w_ties))
+        .withColumn("rn", F.row_number().over(w_total))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "rn", "rnk", "drnk", "p_partkey", "p_size")
+        .orderBy("p_brand", "rn")
+    )
+
+
+O18 = """
+SELECT p_brand, rn, rnk, drnk, p_partkey, p_size FROM (
+  SELECT p_brand, p_partkey, p_size,
+    RANK() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS rnk,
+    DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS drnk,
+    ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_size DESC, p_partkey ASC) AS rn
+  FROM part
+) WHERE rn <= 3 ORDER BY p_brand, rn
+"""
+
+
+def q19_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead + day gap between consecutive orders per customer."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lag(F.col("o_orderdate").cast("date")).over(w),
+            ).alias("days_since_prev"),
+            as_money(F.lag(dec("o_totalprice")).over(w)).alias("prev_price"),
+            as_money(F.lead(dec("o_totalprice")).over(w)).alias("next_price"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+O19 = """
+SELECT o_custkey, o_orderkey,
+  datediff('day',
+    LAG(CAST(o_orderdate AS DATE)) OVER w,
+    CAST(o_orderdate AS DATE)) AS days_since_prev,
+  CAST(ROUND(LAG(CAST(o_totalprice AS DECIMAL(18,4))) OVER w, 2) AS DOUBLE) AS prev_price,
+  CAST(ROUND(LEAD(CAST(o_totalprice AS DECIMAL(18,4))) OVER w, 2) AS DOUBLE) AS next_price
+FROM orders WHERE o_custkey < 200
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def q20_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frames: running sum (unbounded..current) + moving 3-row average."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 5)
+    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    moving = w.rowsBetween(-2, Window.currentRow)
+    return (
+        li.select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            as_money(F.sum(dec("l_quantity")).over(running)).alias("running_qty"),
+            as_money(
+                F.sum(dec("l_quantity")).over(moving) / F.count("*").over(moving)
+            ).alias("moving_avg_qty"),
+        )
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    )
+
+
+O20 = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_qty,
+  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+     / COUNT(*) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS moving_avg_qty
+FROM lineitem WHERE l_suppkey <= 5
+ORDER BY l_suppkey, l_orderkey, l_linenumber
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+def q21_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(F.col("c_name").alias("name"), F.lit("customer").alias("kind"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_name").alias("name"), F.lit("supplier").alias("kind"))
+    return c.unionAll(s).orderBy("kind", "name")
+
+
+O21 = """
+SELECT c_name AS name, 'customer' AS kind FROM customer
+UNION ALL
+SELECT s_name AS name, 'supplier' AS kind FROM supplier
+ORDER BY kind, name
+"""
+
+
+def q22_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct().orderBy("nationkey")
+
+
+O22 = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey FROM supplier
+ORDER BY nationkey
+"""
+
+
+def q23_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: nations present among both low-key customers and suppliers."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 400).select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = t(spark, sf_dir, "supplier").filter(F.col("s_suppkey") < 40).select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s).orderBy("nationkey")
+
+
+O23 = """
+SELECT c_nationkey AS nationkey FROM customer WHERE c_custkey < 400
+INTERSECT
+SELECT s_nationkey FROM supplier WHERE s_suppkey < 40
+ORDER BY nationkey
+"""
+
+
+def q24_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set semantics -> subtract): customer nations not served
+    by any low-key supplier."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") < 40)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return c.subtract(s).orderBy("nationkey")
+
+
+O24 = """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey FROM supplier WHERE s_suppkey < 40
+ORDER BY nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Scalar function families
+# ---------------------------------------------------------------------------
+
+def q25_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("lower_name"),
+        F.upper("p_type").alias("upper_type"),
+        F.substring("p_name", 1, 4).alias("prefix4"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("vowels_up"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.regexp_extract("p_brand", "#(\\d+)$", 1).cast("int").alias("brand_num"),
+    ).orderBy("p_partkey")
+
+
+O25 = """
+SELECT p_partkey,
+  lower(p_name) AS lower_name,
+  upper(p_type) AS upper_type,
+  substr(p_name, 1, 4) AS prefix4,
+  length(p_name) AS name_len,
+  concat_ws('|', p_brand, p_type) AS brand_type,
+  string_split(p_name, ' ')[1] AS first_word,
+  translate(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+  CAST(regexp_extract(p_brand, '#(\\d+)$', 1) AS INT) AS brand_num
+FROM part WHERE p_partkey < 200 ORDER BY p_partkey
+"""
+
+
+def q26_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dom"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d).alias("days_to_2002"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("plus30"),
+        F.date_format(F.make_date(F.year(d), F.month(d), F.lit(1)), "yyyy-MM-dd").alias("made_first"),
+    ).orderBy("o_orderkey")
+
+
+O26 = """
+SELECT o_orderkey,
+  year(CAST(o_orderdate AS DATE)) AS yr,
+  month(CAST(o_orderdate AS DATE)) AS mo,
+  day(CAST(o_orderdate AS DATE)) AS dom,
+  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+  datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+  strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+  strftime(make_date(year(CAST(o_orderdate AS DATE)), month(CAST(o_orderdate AS DATE)), 1), '%Y-%m-%d') AS made_first
+FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey
+"""
+
+
+def q27_math_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(dec("l_extendedprice"), 0).cast("long").alias("price_rounded"),
+        F.abs(F.col("l_quantity") - 25).cast("double").alias("qty_dev"),
+        F.floor("l_extendedprice").cast("long").alias("price_floor"),
+        F.pow(F.lit(2), F.col("l_linenumber")).cast("long").alias("two_pow_line"),
+        F.when(F.col("l_discount") > 0.05, "high").otherwise("low").alias("disc_band"),
+        F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("none")).alias("flag_or_none"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+O27 = """
+SELECT l_orderkey, l_linenumber,
+  CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4)), 0) AS BIGINT) AS price_rounded,
+  CAST(abs(l_quantity - 25) AS DOUBLE) AS qty_dev,
+  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+  CAST(power(2, l_linenumber) AS BIGINT) AS two_pow_line,
+  CASE WHEN l_discount > 0.05 THEN 'high' ELSE 'low' END AS disc_band,
+  COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS flag_or_none
+FROM lineitem WHERE l_orderkey < 300 ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def q28_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sha2-256 + md5 content hashes (the reference's dedup primitive,
+    net.py:36-38)."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    return c.select(
+        "c_custkey",
+        F.sha2(F.col("c_name"), 256).alias("sha"),
+        F.md5(F.col("c_name")).alias("md5h"),
+    ).orderBy("c_custkey")
+
+
+O28 = """
+SELECT c_custkey, sha256(c_name) AS sha, md5(c_name) AS md5h
+FROM customer WHERE c_custkey < 300 ORDER BY c_custkey
+"""
+
+
+def q29_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array ops over tokenized document text: size, sort, exists,
+    filter, transform."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), "\\s+")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.array_join(F.slice(F.array_sort(F.array_distinct(toks)), 1, 5), ",").alias("first5_sorted"),
+        F.exists(toks, lambda x: x == F.lit("spark")).alias("has_spark"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("n_long"),
+        F.array_join(F.slice(F.transform(F.array_sort(F.array_distinct(toks)), lambda x: F.upper(x)), 1, 3), ",").alias("up3"),
+    ).orderBy("doc_id")
+
+
+O29 = """
+SELECT doc_id,
+  len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
+  len(list_distinct(regexp_split_to_array(text, '\\s+'))) AS n_distinct,
+  array_to_string(list_sort(list_distinct(regexp_split_to_array(text, '\\s+')))[1:5], ',') AS first5_sorted,
+  list_contains(regexp_split_to_array(text, '\\s+'), 'spark') AS has_spark,
+  len(list_filter(regexp_split_to_array(text, '\\s+'), x -> length(x) > 4)) AS n_long,
+  array_to_string(list_transform(list_sort(list_distinct(regexp_split_to_array(text, '\\s+'))), x -> upper(x))[1:3], ',') AS up3
+FROM documents ORDER BY doc_id
+"""
+
+
+def q30_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over events.props (get_json_object / from_json)."""
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+            F.count(F.when(k > 50, 1)).alias("n_k_gt_50"),
+        )
+        .orderBy("event_type")
+    )
+
+
+O30 = """
+SELECT event_type,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+  COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 THEN 1 END) AS n_k_gt_50
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q31_explode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode/unnest: word frequencies over part names, top 20."""
+    p = t(spark, sf_dir, "part")
+    return (
+        p.select(F.explode(F.split("p_name", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(20)
+    )
+
+
+O31 = """
+SELECT word, COUNT(*) AS n
+FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+GROUP BY word ORDER BY n DESC, word ASC LIMIT 20
+"""
+
+
+def q32_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event types to columns (quantized exact sums)."""
+    e = t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    q = F.floor(F.col("value") * 100).cast("long")
+    return (
+        e.withColumn("vq", q)
+        .withColumn("bucket", (F.col("user_id") % 10).cast("int"))
+        .groupBy("bucket")
+        .pivot("event_type", types)
+        .sum("vq")
+        .select(
+            "bucket",
+            *[F.coalesce(F.col(ty), F.lit(0)).alias(f"sum_{ty}") for ty in types],
+        )
+        .orderBy("bucket")
+    )
+
+
+O32 = """
+SELECT CAST(user_id % 10 AS INT) AS bucket,
+  CAST(COALESCE(SUM(CASE WHEN event_type='click' THEN CAST(floor(value*100) AS BIGINT) END), 0) AS BIGINT) AS sum_click,
+  CAST(COALESCE(SUM(CASE WHEN event_type='error' THEN CAST(floor(value*100) AS BIGINT) END), 0) AS BIGINT) AS sum_error,
+  CAST(COALESCE(SUM(CASE WHEN event_type='purchase' THEN CAST(floor(value*100) AS BIGINT) END), 0) AS BIGINT) AS sum_purchase,
+  CAST(COALESCE(SUM(CASE WHEN event_type='signup' THEN CAST(floor(value*100) AS BIGINT) END), 0) AS BIGINT) AS sum_signup,
+  CAST(COALESCE(SUM(CASE WHEN event_type='view' THEN CAST(floor(value*100) AS BIGINT) END), 0) AS BIGINT) AS sum_view
+FROM events GROUP BY bucket ORDER BY bucket
+"""
+
+
+def q33_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.select("o_orderpriority", "o_orderstatus").dropDuplicates().orderBy(
+        "o_orderpriority", "o_orderstatus"
+    )
+
+
+O33 = """
+SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders
+ORDER BY o_orderpriority, o_orderstatus
+"""
+
+
+def q34_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic systematic sample (key mod) — the reproducible
+    stand-in for .sample(), which is seed/partitioning-dependent."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 97 == 0)
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        as_money(F.sum(dec("l_extendedprice"))).alias("sampled_price"),
+    ).orderBy("l_returnflag")
+
+
+O34 = """
+SELECT l_returnflag, COUNT(*) AS n,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sampled_price
+FROM lineitem WHERE l_orderkey % 97 = 0
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q35_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above the global average price (scalar-subquery shape;
+    expressed as a broadcast cross-join of the 1-row aggregate)."""
+    o = t(spark, sf_dir, "orders")
+    avg_df = o.agg((F.sum(dec("o_totalprice")) / F.count("*")).alias("_avg"))
+    return (
+        o.crossJoin(F.broadcast(avg_df))
+        .filter(dec("o_totalprice") > F.col("_avg"))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_above_avg"))
+        .orderBy("o_orderpriority")
+    )
+
+
+O35 = """
+SELECT o_orderpriority, COUNT(*) AS n_above_avg
+FROM orders
+WHERE CAST(o_totalprice AS DECIMAL(18,4)) >
+  (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,4))) / COUNT(*) FROM orders)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+QUERIES = [
+    Query("q01_pricing_summary", q01_pricing_summary, O01, "TPC-H Q1 scan+agg"),
+    Query("q02_topk_orders", q02_topk_orders, O02, "global top-k"),
+    Query("q03_filter_predicates", q03_filter_predicates, O03, "pushdown filters"),
+    Query("q04_join_inner", q04_join_inner, O04, "inner equi-join"),
+    Query("q05_join_left", q05_join_left, O05, "left outer join"),
+    Query("q06_join_right", q06_join_right, O06, "right outer join"),
+    Query("q07_join_full", q07_join_full, O07, "full outer join"),
+    Query("q08_semi_join", q08_semi_join, O08, "left-semi EXISTS"),
+    Query("q09_anti_join", q09_anti_join, O09, "left-anti NOT EXISTS"),
+    Query("q10_broadcast_star", q10_broadcast_star, O10, "broadcast star join"),
+    Query("q11_range_join", q11_range_join, O11, "non-equi BETWEEN join"),
+    Query("q12_multi_agg", q12_multi_agg, O12, "multi-aggregate"),
+    Query("q13_collect_sorted", q13_collect_sorted, O13, "ordered collect_list"),
+    Query("q14_rollup", q14_rollup, O14, "ROLLUP"),
+    Query("q15_cube", q15_cube, O15, "CUBE"),
+    Query("q16_grouping_sets", q16_grouping_sets, O16, "GROUPING SETS"),
+    Query("q17_having", q17_having, O17, "HAVING"),
+    Query("q18_window_rank", q18_window_rank, O18, "ranking windows"),
+    Query("q19_window_lag_lead", q19_window_lag_lead, O19, "lag/lead"),
+    Query("q20_window_frames", q20_window_frames, O20, "window frames"),
+    Query("q21_union_all", q21_union_all, O21, "UNION ALL"),
+    Query("q22_union_distinct", q22_union_distinct, O22, "UNION DISTINCT"),
+    Query("q23_intersect", q23_intersect, O23, "INTERSECT"),
+    Query("q24_except", q24_except, O24, "EXCEPT"),
+    Query("q25_string_funcs", q25_string_funcs, O25, "string functions"),
+    Query("q26_date_funcs", q26_date_funcs, O26, "date functions"),
+    Query("q27_math_conditional", q27_math_conditional, O27, "math+conditional"),
+    Query("q28_hash_funcs", q28_hash_funcs, O28, "sha2/md5"),
+    Query("q29_array_funcs", q29_array_funcs, O29, "array lambda ops"),
+    Query("q30_json_funcs", q30_json_funcs, O30, "JSON extraction"),
+    Query("q31_explode_wordcount", q31_explode_wordcount, O31, "explode/unnest"),
+    Query("q32_pivot", q32_pivot, O32, "pivot"),
+    Query("q33_distinct", q33_distinct, O33, "distinct"),
+    Query("q34_systematic_sample", q34_systematic_sample, O34, "deterministic sample"),
+    Query("q35_scalar_subquery", q35_scalar_subquery, O35, "scalar subquery"),
+]

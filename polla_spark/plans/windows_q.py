@@ -1,0 +1,152 @@
+"""Time-window aggregations over the events table (batch forms).
+
+Each has a streaming twin in polla_spark.streaming verified
+streaming==batch in tests; the batch form is what the DuckDB oracle
+checks. Window starts are emitted as formatted strings; float values
+are floor-quantized to BIGINT so sums are exact and order-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import Query
+from .relational import t
+
+FMT = "yyyy-MM-dd HH:mm:ss"
+VQ = lambda: F.floor(F.col("value") * 100).cast("long")  # noqa: E731
+
+
+def q70_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling windows per event_type (F.window).
+
+    Spark aligns window starts to the epoch; the oracle reproduces the
+    alignment with floor(epoch/300)*300.
+    """
+    e = t(spark, sf_dir, "events")
+    return (
+        e.withColumn("vq", VQ())
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("vq").alias("sum_vq"))
+        .select(
+            F.date_format(F.col("w.start"), FMT).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_vq",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+O70 = """
+SELECT strftime(to_timestamp(floor(epoch(ts) / 300) * 300), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_vq
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q71_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding by 5: every event lands in 2 windows."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.withColumn("vq", VQ())
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.sum("vq").alias("sum_vq"))
+        .select(F.date_format(F.col("w.start"), FMT).alias("window_start"), "n", "sum_vq")
+        .orderBy("window_start")
+    )
+
+
+O71 = """
+SELECT strftime(to_timestamp(floor(epoch(ts) / 300) * 300 - off.o * 300), '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS n, CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_vq
+FROM events CROSS JOIN (SELECT unnest([0, 1]) AS o) off
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q72_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: 30-minute inactivity gap per user.
+
+    lag + cumulative-sum-of-gap-flags — the classic shuffle-once plan:
+    one exchange on user_id, both windows reuse the same sort.
+    """
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = (
+        e.withColumn("new_sess", new_sess)
+        .withColumn("session_id", F.sum("new_sess").over(w))
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.date_format(F.min("ts"), FMT).alias("session_start"),
+            F.count("*").alias("n_events"),
+            (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+                "duration_sec"
+            ),
+        )
+        .select("user_id", "session_id", "session_start", "n_events", "duration_sec")
+        .orderBy("user_id", "session_id")
+    )
+
+
+O72 = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER w IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT) - LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       COUNT(*) AS n_events,
+       CAST(MAX(sec) - MIN(sec) AS BIGINT) AS duration_sec
+FROM sess GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+def q73_event_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily rollup with distinct users — the dashboard query shape."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(VQ()).alias("sum_vq"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+O73 = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_vq
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+QUERIES = [
+    Query("q70_tumbling", q70_tumbling, O70, "tumbling window"),
+    Query("q71_sliding", q71_sliding, O71, "sliding window"),
+    Query("q72_sessionize", q72_sessionize, O72, "session windows (batch)"),
+    Query("q73_event_type_daily", q73_event_type_daily, O73, "daily rollup"),
+]

@@ -39,6 +39,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # testdata events.parquet stores TIMESTAMP(NANOS); Spark has no
+        # nanos type — read as long and rebuild micros (see read_table)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
@@ -48,6 +51,22 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one testdata parquet, normalizing nano-timestamps.
+
+    ``events.ts`` is INT64 TIMESTAMP(NANOS) on disk; with
+    ``nanosAsLong`` it scans as BIGINT nanoseconds. Rebuild a proper
+    timestamp via integer division (``div`` — a double round-trip
+    would lose precision above 2^53 ns).
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
@@ -72,7 +91,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            df = spark.read.parquet(path)
+            df = read_table(spark, sf_dir, name)
             df.createOrReplaceTempView(name)
             out[name] = df
     return out

@@ -4,8 +4,9 @@ Prints ONE JSON line:
   {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
 
 Methodology: one shared SparkSession (startup excluded — it is fixed
-cost, not throughput); each query timed end-to-end including the
-count()/collect-to-driver action that forces the full plan.
+cost, not throughput); each query is forced through the noop sink so
+EVERY column is materialized — a bare count() lets Catalyst prune
+expensive projections and understates the work.
 """
 
 from __future__ import annotations
@@ -56,12 +57,13 @@ def main() -> None:
     total = 0.0
     for name in HEADLINE:
         q = reg[name]
+        df = q.spark(spark, SF_DIR)
         t0 = time.perf_counter()
-        n = q.spark(spark, SF_DIR).count()
+        df.write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
         times[name] = round(dt, 3)
         total += dt
-        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+        print(f"# {name}: {dt:.2f}s", file=sys.stderr)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(

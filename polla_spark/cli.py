@@ -1,0 +1,189 @@
+"""CLI mirroring the reference's entry points (SURVEY.md §2.7):
+
+  python -m polla_spark run      — ingest + consensus + decide
+  python -m polla_spark publish  — artifacts -> Google Sheets
+  python -m polla_spark pozos    — print per-source payloads
+  python -m polla_spark health   — offline/online probe
+
+Deprecated reference flags are kept with warnings (``--include-pozos``)
+for CLI parity; ``--fail-fast`` is honored (the reference threads it
+through without reading it — documented dead surface, SURVEY.md §7.5).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+import warnings
+
+import click
+
+DEFAULT_TIMEOUT = 30
+DEFAULT_RETRIES = 3
+SANITY_CAP = 50_000_000_000
+
+
+def _spark():
+    from .session import get_spark
+
+    return get_spark("polla_spark_cli")
+
+
+@click.group()
+def cli() -> None:
+    """polla_spark — PySpark-native pozo pipeline."""
+
+
+def _parse_overrides(pairs: tuple[str, ...]) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for pair in pairs:
+        if "=" not in pair:
+            raise click.BadParameter(f"expected source=url, got {pair!r}")
+        k, v = pair.split("=", 1)
+        out[k.strip().lower()] = v.strip()
+    return out
+
+
+@cli.command()
+@click.option("--sources", default="all", help="csv: pozos/openloto/polla/all")
+@click.option("--source-url", "source_urls", multiple=True, help="source=url override (or source=skip)")
+@click.option("--retries", default=DEFAULT_RETRIES, type=click.IntRange(min=1))
+@click.option("--timeout", default=DEFAULT_TIMEOUT, type=click.IntRange(min=1))
+@click.option("--fail-fast/--no-fail-fast", default=False)
+@click.option("--raw-dir", default="artifacts/raw")
+@click.option("--normalized", default="artifacts/normalized.jsonl")
+@click.option("--comparison-report", default="artifacts/comparison_report.json")
+@click.option("--summary", default="artifacts/run_summary.json")
+@click.option("--state-file", default="pipeline_state/last_run.jsonl")
+@click.option("--mismatch-threshold", default=0.25, type=float)
+@click.option("--include-pozos/--no-include-pozos", default=True,
+              help="deprecated no-op (reference __main__.py:167-173)")
+@click.option("--force-publish", is_flag=True, default=False)
+def run(sources, source_urls, retries, timeout, fail_fast, raw_dir, normalized,
+        comparison_report, summary, state_file, mismatch_threshold,
+        include_pozos, force_publish) -> None:
+    """Ingest sources, merge with consensus, decide, write artifacts."""
+    if not include_pozos:
+        warnings.warn("--include-pozos is deprecated and has no effect",
+                      DeprecationWarning, stacklevel=1)
+    from .pipeline import run_pipeline
+    from .sinks.slack import SlackNotifier
+
+    result = run_pipeline(
+        _spark(),
+        sources=[s for s in sources.split(",") if s.strip()],
+        source_overrides=_parse_overrides(source_urls),
+        raw_dir=raw_dir,
+        normalized_path=normalized,
+        comparison_report_path=comparison_report,
+        summary_path=summary,
+        state_path=state_file,
+        timeout=timeout,
+        retries=retries,
+        fail_fast=fail_fast,
+        mismatch_threshold=mismatch_threshold,
+        force_publish=force_publish,
+        notifier=SlackNotifier(),
+    )
+    click.echo(json.dumps(result, ensure_ascii=False, indent=2))
+
+
+@cli.command()
+@click.option("--normalized", default="artifacts/normalized.jsonl")
+@click.option("--comparison-report", default="artifacts/comparison_report.json")
+@click.option("--summary", "summary_path", default=None)
+@click.option("--worksheet", default="Normalized")
+@click.option("--discrepancy-tab", default="Discrepancies")
+@click.option("--dry-run", is_flag=True, default=False)
+@click.option("--force-publish", is_flag=True, default=False)
+@click.option("--allow-quarantine", is_flag=True, default=False)
+@click.option("--spreadsheet-key", envvar="POLLA_SPREADSHEET_KEY", default=None)
+def publish(normalized, comparison_report, summary_path, worksheet,
+            discrepancy_tab, dry_run, force_publish, allow_quarantine,
+            spreadsheet_key) -> None:
+    """Publish normalized artifacts to Google Sheets."""
+    from .sinks.sheets import publish_to_google_sheets
+
+    summary = None
+    if summary_path:
+        summary = json.loads(open(summary_path, encoding="utf-8").read())
+    result = publish_to_google_sheets(
+        normalized_path=normalized,
+        comparison_report_path=comparison_report,
+        summary=summary,
+        worksheet=worksheet,
+        discrepancy_tab=discrepancy_tab,
+        dry_run=dry_run,
+        force_publish=force_publish,
+        allow_quarantine=allow_quarantine,
+        spreadsheet_key=spreadsheet_key,
+    )
+    if dry_run:
+        click.echo(result.get("diff", ""))
+    click.echo(json.dumps({k: v for k, v in result.items() if k != "diff"},
+                          ensure_ascii=False, indent=2, default=str))
+
+
+@cli.command()
+@click.option("--timeout", default=DEFAULT_TIMEOUT, type=click.IntRange(min=1))
+@click.option("--retries", default=DEFAULT_RETRIES, type=click.IntRange(min=1))
+def pozos(timeout, retries) -> None:
+    """Print per-source payloads (or structured errors)."""
+    from .sources.pozos import SOURCE_LOADERS
+
+    out = {}
+    for name, loader in SOURCE_LOADERS.items():
+        try:
+            payload = loader(timeout=timeout, retries=retries)
+            payload.pop("montos_html", None)
+            out[name] = payload
+        except Exception as exc:  # noqa: BLE001
+            out[name] = {"error": type(exc).__name__, "message": str(exc)[:300]}
+    click.echo(json.dumps(out, ensure_ascii=False, indent=2, default=str))
+
+
+@cli.command()
+@click.option("--online/--offline", default=False)
+@click.option("--timeout", default=DEFAULT_TIMEOUT, type=click.IntRange(min=1))
+def health(online, timeout) -> None:
+    """JSON health probe (reference __main__.py:294-373)."""
+    import pyspark
+
+    checks: dict[str, dict] = {
+        "python": {"status": "pass", "version": sys.version.split()[0]},
+        "pyspark": {"status": "pass", "version": pyspark.__version__},
+    }
+    status = "pass"
+    if online:
+        from .sources.pozos import SOURCE_LOADERS
+
+        failures = 0
+        for name, loader in SOURCE_LOADERS.items():
+            t0 = time.perf_counter()
+            try:
+                payload = loader(timeout=timeout, retries=1)
+                ok = any(
+                    0 < v < SANITY_CAP for v in (payload.get("montos") or {}).values()
+                )
+                checks[name] = {
+                    "status": "pass" if ok else "fail",
+                    "ms": round((time.perf_counter() - t0) * 1000, 1),
+                }
+                failures += 0 if ok else 1
+            except Exception as exc:  # noqa: BLE001
+                checks[name] = {
+                    "status": "fail",
+                    "error": str(exc)[:200],
+                    "ms": round((time.perf_counter() - t0) * 1000, 1),
+                }
+                failures += 1
+        n = len(SOURCE_LOADERS)
+        status = "pass" if failures == 0 else ("degraded" if failures < n else "fail")
+    click.echo(json.dumps({"status": status, "checks": checks}, indent=2))
+    if status == "fail":
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    cli()

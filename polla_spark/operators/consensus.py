@@ -221,7 +221,12 @@ def category_order(long: DataFrame) -> DataFrame:
 
 
 def resolved_map(categories: DataFrame, long: DataFrame) -> DataFrame:
-    """Per run: ``pozos_proximo`` map with reference key order."""
+    """Per run: ``pozos_proximo`` map, entries ordered by first_seen.
+
+    Note: map entry order does not survive every transport (the
+    Python->JVM dict conversion hashes it), so artifact writers pin
+    their own canonical order; this ordering is best-effort only.
+    """
     order = category_order(long)
     return (
         categories.join(order, ["run_id", "categoria"])

@@ -83,24 +83,29 @@ def _shingles_expr() -> str:
 
 
 def _minhash_col(band: int):
+    # slice the single per-shingle md5 into an independent 8-hex
+    # (32-bit) hash per band; min is lexicographic = numeric on
+    # fixed-width lowercase hex, identical in both engines
     return F.array_min(
-        F.transform(
-            F.col("_shingles"), lambda s: F.md5(F.concat(F.lit(str(band)), F.lit("|"), s))
-        )
+        F.transform(F.col("_md5s"), lambda h: F.substring(h, 1 + 8 * band, 8))
     ).alias(f"mh{band}")
 
 
 def with_minhash(d: DataFrame, bands: int = 4) -> DataFrame:
-    """Portable MinHash: h_i(s) = md5(i || '|' || s), min lexicographic.
+    """Portable MinHash: one md5 per shingle, sliced into ``bands``
+    independent 32-bit hex hashes (bands x 1 rows scheme).
 
-    One signature per band (bands x 1 rows scheme). md5 is available
-    and bit-identical in both engines, so signatures are oracle-exact.
+    One hash pass per shingle — not one per (shingle, band) — keeps
+    the kernel 4x cheaper; md5 is bit-identical in both engines, so
+    signatures are oracle-exact.
     """
+    assert bands <= 4  # 32 hex chars / 8
     return (
         d.withColumn("_toks", _toks())
         .withColumn("_shingles", F.expr(_shingles_expr()))
+        .withColumn("_md5s", F.transform("_shingles", lambda s: F.md5(s)))
         .select("*", *[_minhash_col(b) for b in range(bands)])
-        .drop("_toks", "_shingles")
+        .drop("_toks", "_shingles", "_md5s")
     )
 
 
@@ -112,7 +117,7 @@ _DUCK_SHINGLES = (
 
 def _duck_mh(band: int) -> str:
     return (
-        f"list_min(list_transform({_DUCK_SHINGLES}, s -> md5('{band}' || '|' || s)))"
+        f"list_min(list_transform({_DUCK_SHINGLES}, s -> substr(md5(s), {1 + 8 * band}, 8)))"
     )
 
 
@@ -132,18 +137,26 @@ FROM documents ORDER BY doc_id
 def q53_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding: docs sharing any band signature become candidates.
 
-    Self-equi-join per band on the signature — each band is a shuffle
-    join on a short hex key; the union dedups. No all-pairs scan:
-    at 100 TB this is the only feasible near-dup join shape.
+    Plan shape: compute the signature table ONCE, unpivot to
+    (doc_id, sig) long form, persist it (it is 4 rows/doc of short hex
+    strings — tiny relative to the corpus), then one self-equi-join on
+    sig. A naive per-band join loop recomputes the expensive
+    shingle+md5 projection once per band per side (8x); this shape
+    computes it once. No all-pairs scan: at 100 TB the bucket join is
+    the only feasible near-dup shape, and the persisted signature
+    table is what you would bucket/write by sig.
     """
     d = with_minhash(t(spark, sf_dir, "documents")).select("doc_id", "mh0", "mh1", "mh2", "mh3")
-    pairs = None
-    for b in range(4):
-        left = d.select(F.col("doc_id").alias("id_a"), F.col(f"mh{b}").alias("sig"))
-        right = d.select(F.col("doc_id").alias("id_b"), F.col(f"mh{b}").alias("sig"))
-        p = left.join(right, "sig").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-        pairs = p if pairs is None else pairs.unionAll(p)
-    return pairs.distinct().orderBy("id_a", "id_b")
+    long = d.selectExpr("doc_id", "stack(4, mh0, mh1, mh2, mh3) as sig").persist()
+    a = long.select(F.col("doc_id").alias("id_a"), "sig")
+    b = long.select(F.col("doc_id").alias("id_b"), "sig")
+    return (
+        a.join(b, "sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )
 
 
 O53 = f"""

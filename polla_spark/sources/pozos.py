@@ -1,0 +1,295 @@
+"""Source loaders: openloto (static text path) and polla (SPA DOM path).
+
+Parity targets (reference polla_app/sources/pozos.py):
+- openloto: fetch -> flatten to text -> label-regex amounts with
+  "Total estimado" dropped (``allow_total=False``, pozos.py:260-269)
+  -> sorteo/fecha extraction; ParseError when nothing extracted or the
+  amounts sum to zero (pozos.py:242-246);
+- polla: rendered-DOM walk (pozos.py:361-417): the li holding "POZO
+  TOTAL ESTIMADO" contributes the total via its .prize span; each
+  ``li.sub-game`` maps its img src fragment to a category
+  (loto_logo/recargado/revancha/desquite/jubilazo[-50]) with the
+  $1.000.000-vs-$500.000 variant chosen from the li's text chunks.
+
+The headless-browser fetch itself needs scrapling/playwright (not in
+this image) and is gated behind an import-try; the DOM *parsing* is a
+stdlib HTMLParser visitor, fully testable offline on fixture pages.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime as dt
+import hashlib
+from html.parser import HTMLParser
+from typing import Any
+
+from ..errors import ParseError
+from ..functions.dates import extract_proximo_info
+from ..functions.html import assert_nonzero_amounts, extract_amounts, html_to_text
+from ..functions.money import parse_millones_clp
+from .net import DEFAULT_RETRIES, DEFAULT_TIMEOUT, DEFAULT_UA, fetch_html
+
+OPENLOTO_URL = "https://www.openloto.cl/pozo-del-loto.html"
+POLLA_URL = "https://www.polla.cl/es/"
+
+
+def build_payload(*, fuente: str, html: str, user_agent: str,
+                  montos: dict[str, int], fetched_at: dt.datetime | None = None,
+                  sorteo: int | None, fecha: dt.date | None) -> dict[str, Any]:
+    return {
+        "fuente": fuente,
+        "fetched_at": (fetched_at or dt.datetime.now(dt.timezone.utc)).isoformat(),
+        "sha256": hashlib.sha256(html.encode("utf-8")).hexdigest(),
+        "estimado": True,
+        "montos": montos,
+        "user_agent": user_agent,
+        "sorteo": sorteo,
+        "fecha": fecha.isoformat() if fecha else None,
+    }
+
+
+# ---------------------------------------------------------------------------
+# openloto — static text path
+# ---------------------------------------------------------------------------
+
+def parse_openloto_html(html: str, *, fuente: str = OPENLOTO_URL,
+                        user_agent: str = DEFAULT_UA) -> dict[str, Any]:
+    text = html_to_text(html)
+    montos = extract_amounts(text, allow_total=False)
+    assert_nonzero_amounts(montos, fuente)
+    sorteo, fecha = extract_proximo_info(text)
+    return build_payload(fuente=fuente, html=html, user_agent=user_agent,
+                         montos=montos, sorteo=sorteo, fecha=fecha)
+
+
+def get_pozo_openloto(url: str = OPENLOTO_URL, *, ua: str = DEFAULT_UA,
+                      timeout: int = DEFAULT_TIMEOUT,
+                      retries: int | None = None) -> dict[str, Any]:
+    meta = fetch_html(url, ua, timeout, retries=retries)
+    payload = parse_openloto_html(meta.html, fuente=url, user_agent=ua)
+    payload["fetched_at"] = meta.fetched_at.isoformat()
+    return payload
+
+
+# ---------------------------------------------------------------------------
+# polla — SPA DOM path
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class _LiRecord:
+    classes: set[str]
+    img_srcs: list[str]
+    texts: list[str]
+    prize_texts: list[str]
+    has_total_marker: bool = False
+
+
+class _PollaDomVisitor(HTMLParser):
+    """Collects per-<li> structure: classes, img srcs, text chunks and
+    .prize span texts — the exact signals the reference selectors use."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._li_stack: list[_LiRecord] = []
+        self._prize_depth = 0
+        self.lis: list[_LiRecord] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:  # noqa: ANN001
+        attrs = dict(attrs)
+        classes = set((attrs.get("class") or "").split())
+        if tag == "li":
+            rec = _LiRecord(classes=classes, img_srcs=[], texts=[], prize_texts=[])
+            self._li_stack.append(rec)
+            self.lis.append(rec)
+        elif tag == "img" and self._li_stack:
+            src = (attrs.get("src") or "").lower()
+            for rec in self._li_stack:
+                rec.img_srcs.append(src)
+        if "prize" in classes:
+            self._prize_depth += 1
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "li" and self._li_stack:
+            self._li_stack.pop()
+        # prize spans close with their element; a depth counter per tag
+        # would need full stack tracking — prize spans never nest in
+        # practice, so reset on any close while positive
+        if self._prize_depth > 0 and tag in ("span", "div", "p"):
+            self._prize_depth -= 1
+
+    def handle_data(self, data: str) -> None:
+        chunk = data.strip()
+        if not chunk:
+            return
+        for rec in self._li_stack:
+            rec.texts.append(chunk)
+            if self._prize_depth > 0:
+                rec.prize_texts.append(chunk)
+            if "POZO TOTAL ESTIMADO" in chunk:
+                rec.has_total_marker = True
+
+
+def _category_for(src: str, texts: list[str]) -> str | None:
+    if "loto_logo" in src:
+        return "Loto Clásico"
+    if "recargado" in src:
+        return "Recargado"
+    if "revancha" in src:
+        return "Revancha"
+    if "desquite" in src:
+        return "Desquite"
+    if "jubilazo" in src and "50" not in src:
+        if "$1.000.000" in texts:
+            return "Jubilazo $1.000.000"
+        if "$500.000" in texts:
+            return "Jubilazo $500.000"
+    if "jubilazo-50" in src:
+        if "$1.000.000" in texts:
+            return "Jubilazo 50 años $1.000.000"
+        if "$500.000" in texts:
+            return "Jubilazo 50 años $500.000"
+    return None
+
+
+def parse_polla_html(html: str, *, fuente: str = POLLA_URL,
+                     user_agent: str = "Scrapling/StealthyFetcher") -> dict[str, Any]:
+    visitor = _PollaDomVisitor()
+    visitor.feed(html)
+    amounts: dict[str, int] = {}
+
+    for rec in visitor.lis:
+        if rec.has_total_marker and rec.prize_texts:
+            try:
+                amounts["Total estimado"] = parse_millones_clp(" ".join(rec.prize_texts))
+            except ParseError:
+                pass
+            break
+
+    for rec in visitor.lis:
+        if "sub-game" not in rec.classes or not rec.img_srcs or not rec.prize_texts:
+            continue
+        try:
+            prize_val = parse_millones_clp(" ".join(rec.prize_texts))
+        except ParseError:
+            continue
+        category = _category_for(rec.img_srcs[0], rec.texts)
+        if category:
+            amounts[category] = prize_val
+
+    assert_nonzero_amounts(amounts, fuente)
+    text = html_to_text(html)
+    sorteo, fecha = extract_proximo_info(text)
+    return build_payload(fuente=fuente, html=html, user_agent=user_agent,
+                         montos=amounts, sorteo=sorteo, fecha=fecha)
+
+
+def get_pozo_polla(url: str = POLLA_URL, *, ua: str = DEFAULT_UA,
+                   timeout: int = DEFAULT_TIMEOUT,
+                   retries: int | None = None) -> dict[str, Any]:
+    """SPA fetch requires a headless browser; gated on scrapling."""
+    try:
+        from scrapling import StealthyFetcher  # noqa: F401
+    except ImportError as exc:
+        raise ParseError(
+            "scrapling must be installed to fetch from polla.cl"
+        ) from exc
+    raise NotImplementedError(
+        "browser rendering path requires a container with playwright; "
+        "use parse_polla_html on captured page content"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry + collection (reference pipeline.py:88-132, 582-588)
+# ---------------------------------------------------------------------------
+
+POZO_SOURCES = ("openloto", "polla")
+
+SOURCE_LOADERS = {
+    "openloto": get_pozo_openloto,
+    "polla": get_pozo_polla,
+}
+
+
+def normalize_sources(requested: list[str]) -> list[str]:
+    """Lowercase, dedupe, expand all/pozos, reject unknown
+    (reference pipeline.py:34-46)."""
+    out: list[str] = []
+    for name in requested:
+        low = name.strip().lower()
+        if low in ("all", "pozos"):
+            for s in POZO_SOURCES:
+                if s not in out:
+                    out.append(s)
+        elif low in SOURCE_LOADERS:
+            if low not in out:
+                out.append(low)
+        else:
+            raise ValueError(f"unknown source: {name}")
+    return out
+
+
+def collect_payloads(sources: list[str], overrides: dict[str, str] | None = None,
+                     *, timeout: int = DEFAULT_TIMEOUT,
+                     retries: int = DEFAULT_RETRIES,
+                     loaders: dict | None = None) -> tuple[list[dict], list[dict]]:
+    """Run each source loader with per-source failure isolation
+    (degraded mode, reference pipeline.py:104-132).
+
+    Returns (payloads-with-source_name, failures). An override value of
+    ``"skip"`` drops the source; any other value replaces its URL.
+    """
+    loaders = loaders or SOURCE_LOADERS
+    overrides = overrides or {}
+    collected: list[dict] = []
+    failures: list[dict] = []
+    for priority, name in enumerate(sources):
+        override = overrides.get(name)
+        if override == "skip":
+            continue
+        loader = loaders.get(name)
+        if loader is None:
+            continue
+        kwargs: dict[str, Any] = {"timeout": timeout, "retries": retries}
+        try:
+            if override:
+                payload = loader(override, **kwargs)
+            else:
+                payload = loader(**kwargs)
+            if payload.get("montos"):
+                payload = dict(payload)
+                payload["source_name"] = name
+                payload["source_priority"] = priority
+                collected.append(payload)
+        except Exception as exc:  # noqa: BLE001 — degraded mode
+            failures.append({"source_name": name, "error": str(exc)[:500]})
+    return collected, failures
+
+
+def payloads_to_df(spark, payloads: list[dict], run_id: str):
+    """Payload dicts -> SOURCE_PAYLOAD DataFrame (explicit schema)."""
+    from ..schemas import SOURCE_PAYLOAD
+
+    rows = []
+    for p in payloads:
+        rows.append(
+            {
+                "run_id": run_id,
+                "source_name": p["source_name"],
+                "source_priority": int(p["source_priority"]),
+                "fuente": p["fuente"],
+                "fetched_at": dt.datetime.fromisoformat(p["fetched_at"]).replace(tzinfo=None)
+                if isinstance(p["fetched_at"], str)
+                else p["fetched_at"],
+                "sha256": p["sha256"],
+                "estimado": bool(p.get("estimado", True)),
+                "user_agent": p.get("user_agent"),
+                "sorteo": p.get("sorteo"),
+                "fecha": dt.date.fromisoformat(p["fecha"])
+                if isinstance(p.get("fecha"), str)
+                else p.get("fecha"),
+                "montos": {str(k): int(v) for k, v in (p.get("montos") or {}).items()},
+            }
+        )
+    return spark.createDataFrame(rows, SOURCE_PAYLOAD)

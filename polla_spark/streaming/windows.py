@@ -1,0 +1,102 @@
+"""Streaming window operators over event streams.
+
+The reference is batch-only (daily cron — SURVEY.md §2.6); these are
+the engine-native streaming counterparts of plans/windows_q.py,
+verified streaming == batch on finite input in tests.
+
+Design notes for real deployments:
+- every aggregation carries a watermark so state is bounded — without
+  it a 100 TB/day stream grows state forever;
+- tumbling/sliding use ``F.window``; session gaps use
+  ``F.session_window`` (state-store backed merge of overlapping
+  sessions);
+- dedupe uses ``dropDuplicates`` scoped by watermark: exactly the
+  reference's SHA-256 content-dedup semantics (net.py:36-38) applied
+  to unbounded input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_WATERMARK = "30 minutes"
+
+
+def vq() -> F.Column:
+    return F.floor(F.col("value") * 100).cast("long")
+
+
+def tumbling_counts(events: DataFrame, width: str = "5 minutes",
+                    watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Per (5-min window, event_type): count + exact quantized sum."""
+    return (
+        events.withWatermark("ts", watermark)
+        .withColumn("vq", vq())
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("vq").alias("sum_vq"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_vq",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, width: str = "10 minutes",
+                   slide: str = "5 minutes",
+                   watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .withColumn("vq", vq())
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count("*").alias("n"), F.sum("vq").alias("sum_vq"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+            "sum_vq",
+        )
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes",
+                   watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Per (user, session) with a 30-minute inactivity gap.
+
+    ``session_window`` merges overlapping/adjacent state-store
+    sessions — semantically identical to the batch lag+cumsum plan
+    (plans/windows_q.q72_sessionize) on finite input.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def dedupe_stream(events: DataFrame, keys: list[str],
+                  watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Watermark-scoped exact dedupe (first event per key wins)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(keys)
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
+    """Drive a finite streaming source to completion into a memory
+    sink; returns the materialized result (test/smoke harness)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")

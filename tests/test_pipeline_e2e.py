@@ -1,0 +1,254 @@
+"""Pipeline integration: fixture sources -> artifacts -> decision ->
+publish (reference tests/test_pipeline.py / test_publish.py / test_e2e.py
+shapes)."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+from polla_spark.errors import ParseError
+from polla_spark.pipeline import run_pipeline
+from polla_spark.sinks import sheets as SH
+from polla_spark.sinks.slack import SlackNotifier
+from polla_spark.sources.pozos import parse_openloto_html, parse_polla_html
+
+FIXTURES = Path(__file__).parent / "fixtures" / "sources"
+
+
+def fixture_loaders(openloto_fails=False):
+    op_html = (FIXTURES / "openloto" / "page.html").read_text(encoding="utf-8")
+    po_html = (FIXTURES / "polla" / "page.html").read_text(encoding="utf-8")
+
+    def openloto(url=None, **kw):
+        if openloto_fails:
+            raise ParseError("boom")
+        return parse_openloto_html(op_html)
+
+    def polla(url=None, **kw):
+        return parse_polla_html(po_html)
+
+    return {"openloto": openloto, "polla": polla}
+
+
+def paths(tmp_path):
+    return dict(
+        raw_dir=tmp_path / "raw",
+        normalized_path=tmp_path / "normalized.jsonl",
+        comparison_report_path=tmp_path / "report.json",
+        summary_path=tmp_path / "summary.json",
+        state_path=tmp_path / "state.jsonl",
+    )
+
+
+def test_full_run_and_idempotency(spark, tmp_path):
+    kw = paths(tmp_path)
+    summary = run_pipeline(spark, sources=["all"], loaders=fixture_loaders(), **kw)
+    assert summary["decision"]["status"] == "quarantine" or summary["publish"] in (True, False)
+    # fixture sources disagree on every category -> quarantine
+    assert summary["decision"]["status"] == "quarantine"
+    assert summary["publish"] is False
+
+    record = json.loads(kw["normalized_path"].read_text().splitlines()[0])
+    assert record["api_version"] == "v1.2"
+    assert record["sorteo"] == 5322  # primary = openloto (priority 0)
+    assert record["pozos_proximo"]["Loto Clásico"] == 690_000_000
+    assert record["provenance"]["pozos"]["primary"]["source_name"] == "openloto"
+    assert len(record["provenance"]["pozos"]["alternatives"]) == 1
+    assert (kw["raw_dir"] / "www_openloto_cl.json").exists() or any(
+        kw["raw_dir"].iterdir()
+    )
+    report = json.loads(kw["comparison_report_path"].read_text())
+    assert report["decision"]["mismatched_categories"] > 0
+    assert report["api_version"] == "v1.2"
+
+    # second run, same state -> decision skip is NOT expected because
+    # first run quarantined but state was still written; same content
+    # -> unchanged -> skip
+    summary2 = run_pipeline(spark, sources=["all"], loaders=fixture_loaders(), **kw)
+    assert summary2["decision"]["status"] == "skip"
+    assert summary2["publish"] is False
+
+
+def test_agreeing_sources_publish(spark, tmp_path):
+    kw = paths(tmp_path)
+    op_html = (FIXTURES / "openloto" / "page.html").read_text(encoding="utf-8")
+    loaders = {
+        "openloto": lambda **kw2: parse_openloto_html(op_html),
+        "polla": lambda **kw2: parse_openloto_html(op_html, fuente="https://mirror"),
+    }
+    summary = run_pipeline(spark, sources=["all"], loaders=loaders, **kw)
+    assert summary["decision"]["status"] == "publish"
+    assert summary["publish"] is True
+    assert summary["decision"]["confidence"] == "full"
+
+
+def test_degraded_mode_one_source_fails(spark, tmp_path):
+    kw = paths(tmp_path)
+    summary = run_pipeline(
+        spark, sources=["all"], loaders=fixture_loaders(openloto_fails=True), **kw
+    )
+    assert summary["decision"]["confidence"] == "degraded"
+    assert summary["source_failures"][0]["source_name"] == "openloto"
+    record = json.loads(kw["normalized_path"].read_text().splitlines()[0])
+    assert record["provenance"]["pozos"]["primary"]["source_name"] == "polla"
+
+
+def test_all_sources_fail(spark, tmp_path):
+    kw = paths(tmp_path)
+    loaders = {
+        "openloto": lambda **k: (_ for _ in ()).throw(ParseError("x")),
+        "polla": lambda **k: (_ for _ in ()).throw(ParseError("y")),
+    }
+    with pytest.raises(RuntimeError, match="No sources returned data"):
+        run_pipeline(spark, sources=["all"], loaders=loaders, **kw)
+
+
+def test_source_skip_override(spark, tmp_path):
+    kw = paths(tmp_path)
+    summary = run_pipeline(
+        spark,
+        sources=["all"],
+        source_overrides={"polla": "skip"},
+        loaders=fixture_loaders(),
+        **kw,
+    )
+    # single source responding out of 2 requested -> degraded
+    assert summary["decision"]["confidence"] == "degraded"
+
+
+def test_force_publish_on_unchanged(spark, tmp_path):
+    kw = paths(tmp_path)
+    run_pipeline(spark, sources=["openloto"], loaders=fixture_loaders(), **kw)
+    summary = run_pipeline(
+        spark, sources=["openloto"], loaders=fixture_loaders(), force_publish=True, **kw
+    )
+    assert summary["decision"]["status"] == "publish_forced"
+    assert summary["publish"] is True
+
+
+# ---------------------------------------------------------------------------
+# Publish / sinks
+# ---------------------------------------------------------------------------
+
+class FakeWorksheet:
+    def __init__(self):
+        self.values: list[list] = []
+
+    def clear(self):
+        self.values = []
+
+    def update(self, rows):
+        self.values = rows
+
+    def get_all_values(self):
+        return self.values
+
+
+class FakeBook:
+    def __init__(self):
+        self.sheets: dict[str, FakeWorksheet] = {}
+
+    def worksheet(self, name):
+        if name not in self.sheets:
+            raise KeyError(name)
+        return self.sheets[name]
+
+    def add_worksheet(self, name, rows=0, cols=0):
+        self.sheets[name] = FakeWorksheet()
+        return self.sheets[name]
+
+
+class FakeClient:
+    def __init__(self):
+        self.book = FakeBook()
+
+    def open_by_key(self, key):
+        return self.book
+
+
+@pytest.fixture()
+def published_artifacts(spark, tmp_path):
+    kw = paths(tmp_path)
+    op_html = (FIXTURES / "openloto" / "page.html").read_text(encoding="utf-8")
+    loaders = {
+        "openloto": lambda **kw2: parse_openloto_html(op_html),
+        "polla": lambda **kw2: parse_openloto_html(op_html, fuente="https://mirror"),
+    }
+    run_pipeline(spark, sources=["all"], loaders=loaders, **kw)
+    return kw
+
+
+def test_publish_rows_and_header(published_artifacts):
+    record = SH.load_normalized(published_artifacts["normalized_path"])[0]
+    rows = SH.record_to_rows(record)
+    assert SH.header_for(rows) == SH.POZOS_HEADER  # premios empty -> 4-col
+    assert rows[0][2] == "Loto Clásico"
+    assert rows[0][3] == 690_000_000
+
+
+def test_publish_live_with_fake_client(published_artifacts):
+    client = FakeClient()
+    result = SH.publish_to_google_sheets(
+        normalized_path=published_artifacts["normalized_path"],
+        comparison_report_path=published_artifacts["comparison_report_path"],
+        client=client,
+        spreadsheet_key="k",
+    )
+    assert result["published"] is True
+    ws = client.book.sheets["Normalized"]
+    assert ws.values[0] == SH.POZOS_HEADER
+    assert ["Loto Clásico", 690_000_000] == ws.values[1][2:]
+
+
+def test_publish_dry_run_diff(published_artifacts):
+    result = SH.publish_to_google_sheets(
+        normalized_path=published_artifacts["normalized_path"],
+        comparison_report_path=published_artifacts["comparison_report_path"],
+        dry_run=True,
+    )
+    assert result["published"] is False
+    assert "Loto Clásico" in result["diff"]
+
+
+def test_quarantine_not_published_without_flag(spark, tmp_path):
+    kw = paths(tmp_path)
+    run_pipeline(spark, sources=["all"], loaders=fixture_loaders(), **kw)  # quarantine
+    client = FakeClient()
+    result = SH.publish_to_google_sheets(
+        normalized_path=kw["normalized_path"],
+        comparison_report_path=kw["comparison_report_path"],
+        client=client,
+        spreadsheet_key="k",
+    )
+    assert result["published"] is False
+    assert "Normalized" not in client.book.sheets
+    # force_publish overrides the gate (publish.py force semantics)
+    result2 = SH.publish_to_google_sheets(
+        normalized_path=kw["normalized_path"],
+        comparison_report_path=kw["comparison_report_path"],
+        client=client,
+        spreadsheet_key="k",
+        force_publish=True,
+    )
+    assert result2["published"] is True
+
+
+def test_slack_notifier_payloads():
+    sent = []
+    notifier = SlackNotifier(webhook_url="https://hooks.test/x",
+                             poster=lambda url, p: sent.append((url, p)))
+    payload = notifier.run_complete(
+        {"run_id": "abc12345", "decision": {"status": "publish", "confidence": "full"},
+         "publish": True}
+    )
+    assert "publish" in payload["text"]
+    mismatches = [{"categoria": f"c{i}", "consensus": {}, "disagreeing": {}} for i in range(20)]
+    q = notifier.quarantine({"run_id": "r", "publish_reason": "dev"}, mismatches)
+    # 15-mismatch truncation (reference notifiers.py:84)
+    section_blocks = [b for b in q["blocks"] if b["type"] == "section"]
+    assert len(section_blocks) == 1 + 15
+    assert "5 more" in q["blocks"][-1]["elements"][0]["text"]
+    assert len(sent) == 2

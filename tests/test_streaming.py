@@ -1,0 +1,152 @@
+"""Streaming == batch equivalence on finite input (SURVEY.md §2.6:
+streaming ops are verified against their own batch mode)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from polla_spark.streaming import windows as SW
+
+SF_DIR = "/root/testdata/sf0.001"
+
+RAW_EVENTS = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    os.symlink(f"{SF_DIR}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def _fix_ts(df):
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+@pytest.fixture()
+def stream_events(spark, stream_dir):
+    return _fix_ts(spark.readStream.schema(RAW_EVENTS).parquet(stream_dir))
+
+
+@pytest.fixture()
+def batch_events(spark):
+    from polla_spark.session import read_table
+
+    return read_table(spark, SF_DIR, "events")
+
+
+def _rows(df, keys):
+    return sorted(tuple(r[k] for k in keys) for r in df.collect())
+
+
+def test_tumbling_stream_equals_batch(spark, stream_events, batch_events):
+    stream_out = SW.run_to_memory(
+        SW.tumbling_counts(stream_events), "t_tumbling", "complete"
+    )
+    batch_out = SW.tumbling_counts(batch_events)
+    keys = ["window_start", "event_type", "n", "sum_vq"]
+    assert _rows(stream_out, keys) == _rows(batch_out, keys)
+
+
+def test_sliding_stream_equals_batch(spark, stream_events, batch_events):
+    stream_out = SW.run_to_memory(
+        SW.sliding_counts(stream_events), "t_sliding", "complete"
+    )
+    batch_out = SW.sliding_counts(batch_events)
+    keys = ["window_start", "n", "sum_vq"]
+    assert _rows(stream_out, keys) == _rows(batch_out, keys)
+
+
+def test_session_stream_equals_batch_sessionize(spark, stream_events):
+    """session_window streaming == the batch lag+cumsum plan (q72)."""
+    from polla_spark.plans.windows_q import q72_sessionize
+
+    stream_out = SW.run_to_memory(
+        SW.session_counts(stream_events), "t_session", "complete"
+    )
+    batch = q72_sessionize(spark, SF_DIR)
+    keys = ["user_id", "session_start", "n_events"]
+    assert _rows(stream_out, keys) == _rows(
+        batch.select("user_id", "session_start", "n_events"), keys
+    )
+
+
+def test_dedupe_stream(spark, stream_events, batch_events):
+    stream_out = SW.run_to_memory(
+        SW.dedupe_stream(stream_events, ["user_id", "event_type"]),
+        "t_dedupe",
+        "append",
+    )
+    # same cardinality as batch distinct; watermark never drops rows on
+    # ordered finite input
+    assert (
+        stream_out.select("user_id", "event_type").distinct().count()
+        == batch_events.select("user_id", "event_type").distinct().count()
+    )
+    assert stream_out.count() == stream_out.select("user_id", "event_type").distinct().count()
+
+
+def test_streaming_pipeline_decision_equals_batch(spark, tmp_path):
+    """foreachBatch consensus pipeline == direct batch invocation."""
+    import datetime as dt
+
+    from polla_spark.operators import consensus as C
+    from polla_spark.schemas import SOURCE_PAYLOAD, STATE_ROW
+    from polla_spark.streaming.pipeline import make_decision_batch_fn, run_payload_stream
+
+    rows = []
+    for run_i in range(3):
+        for prio, (name, val) in enumerate([("s1", 100 + run_i), ("s2", 100 + run_i + (run_i % 2))]):
+            rows.append(
+                {
+                    "run_id": f"r{run_i}",
+                    "source_name": name,
+                    "source_priority": prio,
+                    "fuente": f"https://x/{name}",
+                    "fetched_at": dt.datetime(2026, 4, 26, 12, 0, 0),
+                    "sha256": f"sha_{name}_r{run_i}",
+                    "estimado": True,
+                    "user_agent": "ua",
+                    "sorteo": 5000 + run_i,
+                    "fecha": dt.date(2026, 4, 28),
+                    "montos": {"Loto Clásico": val},
+                }
+            )
+    payloads = spark.createDataFrame(rows, SOURCE_PAYLOAD)
+    pdir = str(tmp_path / "payloads")
+    payloads.write.parquet(pdir)
+
+    empty_state = spark.createDataFrame([], STATE_ROW)
+    collected: list = []
+
+    def sink(df, epoch):
+        collected.extend(
+            (r["run_id"], r["status"], r["confidence"]) for r in df.collect()
+        )
+
+    stream = spark.readStream.schema(payloads.schema).parquet(pdir)
+    run_payload_stream(
+        stream,
+        make_decision_batch_fn(lambda: empty_state, sink, expected_sources=2),
+    )
+
+    batch = C.decide(
+        C.with_unchanged(C.normalized_records(payloads, 2), empty_state)
+    )
+    expected = sorted(
+        (r["run_id"], r["status"], r["confidence"]) for r in batch.collect()
+    )
+    assert sorted(collected) == expected

@@ -1,0 +1,205 @@
+"""Multimodal columns: opaque binary payloads + typed metadata, with
+decode / feature-extract / resize / frame-sample as Arrow-batched
+``mapInPandas`` kernels.
+
+Design for 100 TB (BASELINE.json north star):
+
+- media is an opaque ``binary`` column next to a typed metadata
+  struct — never decoded by Catalyst, so pruning a query down to
+  metadata-only never touches the bytes (parquet column pruning);
+- the expensive per-asset work runs in ``mapInPandas`` kernels that
+  see Arrow record batches (zero-copy into pandas), one Python worker
+  per task — the batch shape, schema contract, and partitioning are
+  the real scale machinery;
+- callers repartition on ``asset_id`` (uniform) before a kernel so
+  decode cost spreads evenly; modality-specific kernels filter first
+  so image work never scans video rows;
+- the codec step itself is STUBBED: the container has no image/audio
+  libs, so ``decode=`` defaults to a deterministic sha256-derived
+  fake. Pass a real decoder with the same signature when PIL/ffmpeg
+  exist. Every other part (schemas, batching, expansion) is real and
+  tested.
+
+The reference has no media handling (this is pure north-star
+surface); the binary+struct modeling follows SURVEY.md §2.6.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MODALITIES = ("image", "audio", "video")
+
+ASSET_META = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("codec", T.StringType()),
+    ]
+)
+
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("meta", ASSET_META),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("features", T.ArrayType(T.LongType())),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def documents_as_assets(documents: DataFrame) -> DataFrame:
+    """Model the ``documents`` table as a multimodal asset table.
+
+    Text bytes stand in for media payloads (the container ships no
+    codecs); modality is a deterministic function of ``doc_id`` so
+    the oracle can recompute it. The shape — binary content + typed
+    metadata struct — is the real production schema.
+    """
+    modality = F.element_at(
+        F.array(*[F.lit(m) for m in MODALITIES]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    content = F.encode(F.col("text"), "UTF-8")
+    meta = F.struct(
+        F.lit(64).alias("width"),
+        F.lit(64).alias("height"),
+        (F.length("text") * 10).cast("long").alias("duration_ms"),
+        F.lit("fake/v1").alias("codec"),
+    )
+    return documents.select(
+        F.col("doc_id").alias("asset_id"),
+        modality.alias("modality"),
+        content.alias("content"),
+        meta.alias("meta"),
+    )
+
+
+def fake_decode(content: bytes, modality: str, n_features: int = 4) -> list[int]:
+    """Deterministic stand-in for a codec: n 32-bit ints sliced from
+    sha256(content). Replace with a real decoder (same signature)
+    where image/audio libs exist; sha256 keeps it oracle-checkable
+    (DuckDB recomputes the identical value)."""
+    hx = hashlib.sha256(content).hexdigest()
+    return [int(hx[8 * k : 8 * k + 8], 16) for k in range(n_features)]
+
+
+def extract_features(
+    assets: DataFrame,
+    decode: Callable[[bytes, str], list[int]] | None = None,
+    *,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Per-asset feature extraction as a ``mapInPandas`` kernel.
+
+    Arrow moves each partition into pandas in record batches; the
+    kernel loops rows *within* a batch (the decode itself is
+    per-asset work) but amortizes interpreter/serialization overhead
+    across the batch. Repartitions on ``asset_id`` so decode cost is
+    uniform across tasks regardless of upstream layout.
+    """
+    dec = decode or fake_decode
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            feats = [
+                dec(bytes(c), m) if c is not None else None
+                for c, m in zip(pdf["content"], pdf["modality"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": [len(bytes(c)) if c is not None else 0 for c in pdf["content"]],
+                    "features": feats,
+                }
+            )
+
+    if parallelism:
+        assets = assets.repartition(parallelism, "asset_id")
+    return assets.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize kernel for ``modality = image`` rows only (filter is
+    pushed before the Python boundary, so audio/video bytes never
+    cross Arrow). The pixel work is stubbed: without an image lib the
+    kernel emits a deterministic fake payload of ``width*height``
+    bytes cycled from sha256(content), preserving the real schema and
+    metadata update."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        try:  # real path, if a codec ever exists in the image
+            import PIL.Image  # noqa: F401
+
+            raise NotImplementedError(
+                "real image resize not wired; plug a decoder into this kernel"
+            )
+        except ImportError:
+            pass
+
+        for pdf in batches:
+            out_content = []
+            for c in pdf["content"]:
+                seed = hashlib.sha256(bytes(c)).digest()
+                need = width * height
+                out_content.append((seed * (need // len(seed) + 1))[:need])
+            res = pdf.copy()
+            res["content"] = out_content
+            res["meta"] = [
+                {"width": width, "height": height, "duration_ms": None, "codec": "fake/resized"}
+                for _ in range(len(pdf))
+            ]
+            yield res
+
+    return assets.filter(F.col("modality") == "image").mapInPandas(kernel, ASSET_SCHEMA)
+
+
+def sample_frames(assets: DataFrame, every_bytes: int = 4096) -> DataFrame:
+    """Frame sampling for ``modality = video``: a 1→N row expansion
+    inside the kernel (one output row per sampled frame). The
+    demuxer is stubbed — frames are byte slices — but the expansion
+    batch shape (output batches larger than input batches) is the
+    real contract a video pipeline needs."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for aid, c in zip(pdf["asset_id"], pdf["content"]):
+                blob = bytes(c)
+                for k, off in enumerate(range(0, max(len(blob), 1), every_bytes)):
+                    ids.append(aid)
+                    idxs.append(k)
+                    frames.append(blob[off : off + every_bytes])
+            yield pd.DataFrame({"asset_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return assets.filter(F.col("modality") == "video").mapInPandas(kernel, FRAME_SCHEMA)

@@ -427,6 +427,290 @@ FROM documents GROUP BY modality ORDER BY modality
 """
 
 
+# ---------------------------------------------------------------------------
+# SimHash dedup family
+# ---------------------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+# SimHash over distinct tokens: for each of 64 bit positions, sum a
+# +1/-1 vote per token (bit p of the token's md5) and keep the sign.
+# All within-row array ops — zero shuffle until the final dedup
+# groupBy, which is the only viable shape at 100 TB.
+_SIMHASH_SPARK = f"""
+concat_ws('', transform(sequence(0, 63), p ->
+  case when aggregate(_md5s, 0, (acc, h) ->
+    acc + 2 * (shiftright(instr('{_HEX}', substring(h, (p div 4) + 1, 1)) - 1, p % 4) & 1) - 1
+  ) > 0 then '1' else '0' end))
+"""
+
+_DUCK_MD5S = (
+    f"list_transform(list_distinct({TOKS}), t -> md5(t))"
+)
+
+_SIMHASH_DUCK = f"""
+array_to_string(list_transform(generate_series(0, 63), p ->
+  CASE WHEN list_reduce(list_transform({_DUCK_MD5S}, h ->
+      2 * (((strpos('{_HEX}', substr(h, (p // 4) + 1, 1)) - 1) >> (p % 4)) & 1) - 1),
+    (x, y) -> x + y) > 0 THEN '1' ELSE '0' END), '')
+"""
+
+
+def _with_simhash(d: DataFrame) -> DataFrame:
+    return (
+        d.withColumn("_toks", F.array_distinct(_toks()))
+        .withColumn("_md5s", F.transform("_toks", lambda t_: F.md5(t_)))
+        .withColumn("simhash", F.expr(_SIMHASH_SPARK))
+        .drop("_toks", "_md5s")
+    )
+
+
+def q61_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 64-bit SimHash signature (bitstring form)."""
+    d = t(spark, sf_dir, "documents")
+    return _with_simhash(d).select("doc_id", "simhash").orderBy("doc_id")
+
+
+O61 = f"""
+SELECT doc_id, {_SIMHASH_DUCK} AS simhash
+FROM documents ORDER BY doc_id
+"""
+
+
+def q62_simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: any matching 16-bit band of the
+    64-bit signature (Hamming-distance LSH). Signature table computed
+    once, unpivoted, persisted, single self-equi-join — same scale
+    shape as q53 (the band join IS the 100 TB plan; banding makes
+    Hamming search a shuffle-on-key problem)."""
+    d = _with_simhash(t(spark, sf_dir, "documents")).select("doc_id", "simhash")
+    long = d.selectExpr(
+        "doc_id",
+        "stack(4, concat('0:', substring(simhash, 1, 16)), concat('1:', substring(simhash, 17, 16)),"
+        " concat('2:', substring(simhash, 33, 16)), concat('3:', substring(simhash, 49, 16))) as band",
+    ).persist()
+    a = long.select(F.col("doc_id").alias("id_a"), "band")
+    b = long.select(F.col("doc_id").alias("id_b"), "band")
+    return (
+        a.join(b, "band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )
+
+
+O62 = f"""
+WITH sigs AS (
+  SELECT doc_id, {_SIMHASH_DUCK} AS simhash FROM documents
+), long AS (
+  SELECT doc_id, '0:' || substr(simhash, 1, 16) AS band FROM sigs
+  UNION ALL SELECT doc_id, '1:' || substr(simhash, 17, 16) FROM sigs
+  UNION ALL SELECT doc_id, '2:' || substr(simhash, 33, 16) FROM sigs
+  UNION ALL SELECT doc_id, '3:' || substr(simhash, 49, 16) FROM sigs
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM long a JOIN long b ON a.band = b.band AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup + ANN scale path
+# ---------------------------------------------------------------------------
+
+def q63_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.45;
+    the synthetic vectors are near-orthogonal, max pairwise ~0.51).
+
+    Exact all-pairs is the oracle baseline; norms are precomputed
+    once per vector so the pair loop is a single fold. At 100 TB the
+    same rescore runs only inside q64's hyperplane buckets / q53-style
+    band groups — never all-pairs."""
+    e = t(spark, sf_dir, "embeddings")
+    n = e.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
+    a = n.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), F.col("norm").alias("na")
+    )
+    b = n.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), F.col("norm").alias("nb")
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
+        .filter(F.col("cosine") >= 0.45)
+        .orderBy("id_a", "id_b")
+    )
+
+
+O63 = f"""
+WITH n AS (
+  SELECT vec_id, embedding,
+         sqrt({_DDOT.format(a='embedding', b='embedding')}) AS norm
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({_DDOT.format(a='a.embedding', b='b.embedding')} / (a.norm * b.norm), 4) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE ROUND({_DDOT.format(a='a.embedding', b='b.embedding')} / (a.norm * b.norm), 4) >= 0.45
+ORDER BY id_a, id_b
+"""
+
+# Random-hyperplane LSH: 8 deterministic +/-1 hyperplanes derived from
+# md5(plane__dim); the 8-bit sign code is the bucket. Left-to-right
+# float fold is identical in both engines -> bit-stable codes.
+_CODE_SPARK = f"""
+concat_ws('', transform(sequence(0, 7), j ->
+  case when aggregate(transform(sequence(1, 64), i ->
+      cast(element_at(embedding, i) as double) *
+      (case when (instr('{_HEX}', substring(md5(concat(cast(j as string), '_', cast(i as string))), 1, 1)) - 1) % 2 = 1
+            then cast(1.0 as double) else cast(-1.0 as double) end)),
+    cast(0.0 as double), (acc, x) -> acc + x) > 0 then '1' else '0' end))
+"""
+
+_CODE_DUCK = f"""
+array_to_string(list_transform(generate_series(0, 7), j ->
+  CASE WHEN list_reduce(list_transform(generate_series(1, 64), i ->
+      CAST(embedding[i] AS DOUBLE) *
+      (CASE WHEN (strpos('{_HEX}', substr(md5(j::VARCHAR || '_' || i::VARCHAR), 1, 1)) - 1) % 2 = 1
+            THEN 1.0 ELSE -1.0 END)),
+    (x, y) -> x + y) > 0 THEN '1' ELSE '0' END), '')
+"""
+
+
+def q64_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: probe only the query's hyperplane bucket,
+    exact-rescore inside it, top-3 per query.
+
+    The 100 TB shape: the corpus is written bucketed/partitioned by
+    ``code`` (2^n_planes buckets), a query reads ONE partition —
+    IVF-style partition pruning instead of a full scan. Recall vs the
+    exact baseline (q58) is the LSH tradeoff; candidates are exact-
+    rescored so precision within the probed bucket is 1."""
+    e = t(spark, sf_dir, "embeddings").withColumn("code", F.expr(_CODE_SPARK))
+    q = e.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "code"
+    )
+    cand = e.join(F.broadcast(q), "code").filter(F.col("vec_id") != F.col("query_id"))
+    cos = _dot(F.col("embedding"), F.col("qv")) / (
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    )
+    scored = cand.select("query_id", "vec_id", F.round(cos, 4).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "rn", "vec_id", "cosine")
+        .orderBy("query_id", "rn")
+    )
+
+
+O64 = f"""
+WITH coded AS (
+  SELECT vec_id, embedding, {_CODE_DUCK} AS code FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv, code FROM coded WHERE vec_id IN (0, 1, 2)
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND({_DDOT.format(a='e.embedding', b='q.qv')} /
+               (sqrt({_DDOT.format(a='e.embedding', b='e.embedding')}) *
+                sqrt({_DDOT.format(a='q.qv', b='q.qv')})), 4) AS cosine
+  FROM coded e JOIN q ON e.code = q.code AND e.vec_id <> q.query_id
+)
+SELECT query_id, rn, vec_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM scored
+) WHERE rn <= 3 ORDER BY query_id, rn
+"""
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (rolling-hash document fingerprinting)
+# ---------------------------------------------------------------------------
+
+def q65_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (Schleimer et al. 2003): md5 over char 5-grams,
+    keep the min hash of each 4-gram window, distinct per doc.
+    Within-row array ops only — fingerprinting shuffles nothing; the
+    downstream dedup/groupBy on fingerprint is the only exchange."""
+    d = t(spark, sf_dir, "documents")
+    grams = "transform(sequence(1, greatest(length(text) - 4, 1)), i -> md5(substring(text, i, 5)))"
+    fps = (
+        "array_distinct(transform(sequence(1, greatest(size(_grams) - 3, 1)), "
+        "i -> array_min(slice(_grams, i, 4))))"
+    )
+    return (
+        d.withColumn("_grams", F.expr(grams))
+        .withColumn("_fps", F.expr(fps))
+        .select(
+            "doc_id",
+            F.size("_fps").alias("n_fp"),
+            F.array_min("_fps").alias("min_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+O65 = """
+WITH g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(length(text) - 4, 1)),
+                        i -> md5(substr(text, i, 5))) AS grams
+  FROM documents
+), w AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, greatest(len(grams) - 3, 1)),
+                                      i -> list_min(grams[i:i+3]))) AS fps
+  FROM g
+)
+SELECT doc_id, len(fps) AS n_fp, list_min(fps) AS min_fp FROM w ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal feature extraction (mapInPandas kernel)
+# ---------------------------------------------------------------------------
+
+def q66_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction through the real mapInPandas kernel
+    (operators/multimodal.py): documents modeled as binary assets,
+    Arrow-batched decode (deterministic sha256 fake), then a relational
+    aggregate over the kernel output. The oracle recomputes the fake
+    decode arithmetic in SQL — proving the Python kernel is
+    bit-deterministic, which is what makes it retry-safe at scale."""
+    from ..operators.multimodal import documents_as_assets, extract_features
+
+    assets = documents_as_assets(t(spark, sf_dir, "documents"))
+    feats = extract_features(assets)
+    return (
+        feats.groupBy("modality")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum(F.element_at("features", 1)).alias("qsum_f0"),
+        )
+        .orderBy("modality")
+    )
+
+
+O66 = f"""
+SELECT ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+       COUNT(*) AS n_assets,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(SUM(list_reduce(list_transform(generate_series(1, 8), i ->
+            strpos('{_HEX}', substr(sha256(text), i, 1)) - 1),
+            (x, y) -> x * 16 + y)) AS BIGINT) AS qsum_f0
+FROM documents GROUP BY modality ORDER BY modality
+"""
+
+
 QUERIES = [
     Query("q50_exact_dedup", q50_exact_dedup, O50, "sha256 exact dedup"),
     Query("q51_fingerprint_dedup", q51_fingerprint_dedup, O51, "normalized fingerprint dedup"),
@@ -439,4 +723,10 @@ QUERIES = [
     Query("q58_knn_exact", q58_knn_exact, O58, "exact cosine top-k"),
     Query("q59_centroids", q59_centroids, O59, "embedding centroids"),
     Query("q60_multimodal_stats", q60_multimodal_stats, O60, "multimodal binary stats"),
+    Query("q61_simhash", q61_simhash, O61, "64-bit SimHash signatures"),
+    Query("q62_simhash_bands", q62_simhash_bands, O62, "SimHash banding near-dup"),
+    Query("q63_cosine_near_dup", q63_cosine_near_dup, O63, "embedding-cosine near-dup"),
+    Query("q64_ann_hyperplane_lsh", q64_ann_hyperplane_lsh, O64, "hyperplane-LSH bucketed ANN"),
+    Query("q65_winnowing_fingerprints", q65_winnowing_fingerprints, O65, "winnowing rolling-hash fingerprints"),
+    Query("q66_multimodal_features", q66_multimodal_features, O66, "mapInPandas feature kernel"),
 ]

@@ -43,6 +43,10 @@ HEADLINE = [
     "q53_lsh_candidate_pairs",
     "q56_quality_scores",
     "q58_knn_exact",
+    "q62_simhash_bands",
+    "q64_ann_hyperplane_lsh",
+    "q65_winnowing_fingerprints",
+    "q66_multimodal_features",
     "q70_tumbling",
     "q72_sessionize",
 ]

@@ -437,11 +437,25 @@ _HEX = "0123456789abcdef"
 # +1/-1 vote per token (bit p of the token's md5) and keep the sign.
 # All within-row array ops — zero shuffle until the final dedup
 # groupBy, which is the only viable shape at 100 TB.
-_SIMHASH_SPARK = f"""
-concat_ws('', transform(sequence(0, 63), p ->
-  case when aggregate(_md5s, 0, (acc, h) ->
-    acc + 2 * (shiftright(instr('{_HEX}', substring(h, (p div 4) + 1, 1)) - 1, p % 4) & 1) - 1
-  ) > 0 then '1' else '0' end))
+#
+# Compute shape: decode each token's 16 hex nibbles ONCE into ints
+# (string work is the expensive part; 16 substring+instr per token,
+# not 64), expand nibbles to a 64-long +/-1 vote vector with integer
+# shifts, then element-wise-sum vote vectors across tokens.
+_NIBBLES_SPARK = f"""
+transform(_md5s, h ->
+  transform(sequence(1, 16), c -> instr('{_HEX}', substring(h, c, 1)) - 1))
+"""
+
+_SIMHASH_SPARK = """
+concat_ws('', transform(
+  aggregate(
+    transform(_nibs, nb ->
+      transform(sequence(0, 63), p ->
+        2 * (shiftright(element_at(nb, cast((p div 4) + 1 as int)), cast(p % 4 as int)) & 1) - 1)),
+    array_repeat(0, 64),
+    (acc, v) -> zip_with(acc, v, (a, b) -> a + b)),
+  s -> case when s > 0 then '1' else '0' end))
 """
 
 _DUCK_MD5S = (
@@ -460,8 +474,9 @@ def _with_simhash(d: DataFrame) -> DataFrame:
     return (
         d.withColumn("_toks", F.array_distinct(_toks()))
         .withColumn("_md5s", F.transform("_toks", lambda t_: F.md5(t_)))
+        .withColumn("_nibs", F.expr(_NIBBLES_SPARK))
         .withColumn("simhash", F.expr(_SIMHASH_SPARK))
-        .drop("_toks", "_md5s")
+        .drop("_toks", "_md5s", "_nibs")
     )
 
 
@@ -642,9 +657,12 @@ def q65_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream dedup/groupBy on fingerprint is the only exchange."""
     d = t(spark, sf_dir, "documents")
     grams = "transform(sequence(1, greatest(length(text) - 4, 1)), i -> md5(substring(text, i, 5)))"
+    # least() of 4 element_ats beats array_min(slice(...)): no
+    # per-window array allocation (~2x at sf0.1)
     fps = (
         "array_distinct(transform(sequence(1, greatest(size(_grams) - 3, 1)), "
-        "i -> array_min(slice(_grams, i, 4))))"
+        "i -> least(element_at(_grams, i), element_at(_grams, i + 1), "
+        "element_at(_grams, i + 2), element_at(_grams, i + 3))))"
     )
     return (
         d.withColumn("_grams", F.expr(grams))

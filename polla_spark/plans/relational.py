@@ -922,6 +922,117 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# Scan/sink round-trips (SURVEY §2.6 scan/sink family)
+# ---------------------------------------------------------------------------
+
+def q36_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet write -> read -> aggregate equals a direct scan.
+
+    The write partitions by l_returnflag (directory pruning on read)
+    and sorts within partitions by shipdate (row-group min/max
+    skipping) — the write-side layout decisions that make the 100 TB
+    read side cheap. The oracle aggregates the original table, so the
+    hash match proves byte-fidelity of the sink+scan pair.
+    """
+    import os
+    import tempfile
+
+    from ..sources.io import read_parquet, write_parquet
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), f"polla_rt_parquet_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}"
+    )
+    write_parquet(li, path, partition_by=["l_returnflag"], sort_by=["l_shipdate"])
+    back = read_parquet(spark, path)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            as_money(F.sum(dec("l_quantity"))).alias("sum_qty"),
+            F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("min_ship"),
+            F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("max_ship"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+O36 = """
+SELECT l_returnflag, COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+       strftime(MIN(l_shipdate), '%Y-%m-%d') AS min_ship,
+       strftime(MAX(l_shipdate), '%Y-%m-%d') AS max_ship
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q37_ndjson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDJSON write -> schema-enforced PERMISSIVE read -> aggregate
+    equals a direct scan (reference S9/S11 semantics: artifacts are
+    NDJSON; reads never infer and never fail on bad lines)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..sources.io import read_ndjson, write_ndjson
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), f"polla_rt_ndjson_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}"
+    )
+    write_ndjson(o, path)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+        ]
+    )
+    back = read_ndjson(spark, path, schema)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            as_money(F.sum(dec("o_totalprice"))).alias("sum_price"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_date"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+O37 = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price,
+       strftime(MAX(o_orderdate), '%Y-%m-%d') AS max_date
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def q38_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate per orderstatus (declared
+    NON-ORACLE in SURVEY §2.6: sketch values are implementation-
+    defined, so DuckDB cannot hash-match them; the exact form is
+    checked in q12/q33). The sketch is THE 100 TB shape for distinct
+    counts: fixed-size state, map-side combinable, no shuffle of
+    distinct values."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.approx_count_distinct("o_custkey", 0.01).alias("approx_custs"),
+            F.countDistinct("o_custkey").alias("exact_custs"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 QUERIES = [
     Query("q01_pricing_summary", q01_pricing_summary, O01, "TPC-H Q1 scan+agg"),
     Query("q02_topk_orders", q02_topk_orders, O02, "global top-k"),
@@ -958,4 +1069,8 @@ QUERIES = [
     Query("q33_distinct", q33_distinct, O33, "distinct"),
     Query("q34_systematic_sample", q34_systematic_sample, O34, "deterministic sample"),
     Query("q35_scalar_subquery", q35_scalar_subquery, O35, "scalar subquery"),
+    Query("q36_parquet_roundtrip", q36_parquet_roundtrip, O36, "parquet sink+scan round-trip"),
+    Query("q37_ndjson_roundtrip", q37_ndjson_roundtrip, O37, "NDJSON sink+scan round-trip"),
+    Query("q38_approx_count_distinct", q38_approx_count_distinct, None,
+          "HLL++ sketch (non-oracle by design)"),
 ]

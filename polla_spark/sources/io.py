@@ -1,0 +1,82 @@
+"""Distributed scan/sink surface: Parquet + JSON/NDJSON with explicit
+schemas (SURVEY.md §2.6 scan/sink family; reference S9-S11 semantics).
+
+Production rules baked in:
+
+- **never infer schemas** — every reader takes an explicit
+  ``StructType`` (inference is a full extra pass over 100 TB and can
+  silently flip types between runs);
+- NDJSON reads are PERMISSIVE with a ``_corrupt_record`` column:
+  blank/corrupt lines become data to count/quarantine, not task
+  failures (reference pipeline.py:71-78 skip-with-warning semantics);
+- parquet writes can bucket/partition so downstream joins co-locate
+  without a shuffle (the write-side half of a shuffle-free plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_ndjson(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    *,
+    keep_corrupt: bool = False,
+) -> DataFrame:
+    """Schema-enforced NDJSON scan; corrupt lines dropped (or kept as
+    a ``_corrupt_record`` column for quarantine accounting)."""
+    full = T.StructType(list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())])
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+    if keep_corrupt:
+        return df
+    return df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+
+
+def write_ndjson(df: DataFrame, path: str, *, partitions: int | None = None) -> None:
+    """NDJSON sink. ``partitions`` controls output file count — at
+    100 TB you want many files (one per task); for small artifact
+    tables coalesce(1) gives the reference's single-file shape."""
+    if partitions:
+        df = df.coalesce(partitions)
+    df.write.mode("overwrite").json(path)
+
+
+def read_parquet(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """Parquet scan; optional schema assertion (parquet is
+    self-describing, but pinning the schema catches silent drift
+    between pipeline versions)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: list[str] | None = None,
+    sort_by: list[str] | None = None,
+) -> None:
+    """Parquet sink. ``partition_by`` = directory partitioning (enables
+    partition pruning on read); ``sort_by`` = within-partition sort
+    (better row-group min/max skipping for range predicates)."""
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

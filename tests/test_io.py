@@ -1,0 +1,55 @@
+"""Scan/sink tests: schema-enforced NDJSON with corrupt-line
+quarantine (reference pipeline.py:71-78), parquet layout options."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from polla_spark.sources.io import (
+    CORRUPT_COL,
+    read_ndjson,
+    read_parquet,
+    write_ndjson,
+    write_parquet,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ]
+)
+
+
+def test_ndjson_corrupt_lines_become_data_not_failures(spark, tmp_path):
+    p = tmp_path / "in.jsonl"
+    p.write_text('{"id": 1, "name": "a"}\n{not json}\n{"id": 2, "name": "b"}\n')
+    clean = read_ndjson(spark, str(p), SCHEMA)
+    assert sorted((r["id"], r["name"]) for r in clean.collect()) == [(1, "a"), (2, "b")]
+    kept = read_ndjson(spark, str(p), SCHEMA, keep_corrupt=True)
+    corrupt = kept.filter(F.col(CORRUPT_COL).isNotNull()).collect()
+    assert len(corrupt) == 1 and "{not json}" in corrupt[0][CORRUPT_COL]
+
+
+def test_ndjson_roundtrip_preserves_values(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x"), (2, "ñandú")], SCHEMA)
+    out = str(tmp_path / "out")
+    write_ndjson(df, out, partitions=1)
+    back = read_ndjson(spark, out, SCHEMA)
+    assert sorted((r["id"], r["name"]) for r in back.collect()) == [(1, "x"), (2, "ñandú")]
+
+
+def test_parquet_partitioned_write_prunes_directories(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", "r1"), (2, "b", "r1"), (3, "c", "r2")],
+        "id long, name string, bucket string",
+    )
+    out = str(tmp_path / "pq")
+    write_parquet(df, out, partition_by=["bucket"], sort_by=["id"])
+    assert (tmp_path / "pq" / "bucket=r1").exists()
+    back = read_parquet(spark, out).filter(F.col("bucket") == "r2")
+    # partition pruning: only the r2 directory is in the scan
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert back.count() == 1
+    assert "bucket=r1" not in plan

@@ -56,12 +56,13 @@ def _parse_overrides(pairs: tuple[str, ...]) -> dict[str, str]:
 @click.option("--comparison-report", default="artifacts/comparison_report.json")
 @click.option("--summary", default="artifacts/run_summary.json")
 @click.option("--state-file", default="pipeline_state/last_run.jsonl")
+@click.option("--log-file", default=None, help="append-only JSONL event log")
 @click.option("--mismatch-threshold", default=0.25, type=float)
 @click.option("--include-pozos/--no-include-pozos", default=True,
               help="deprecated no-op (reference __main__.py:167-173)")
 @click.option("--force-publish", is_flag=True, default=False)
 def run(sources, source_urls, retries, timeout, fail_fast, raw_dir, normalized,
-        comparison_report, summary, state_file, mismatch_threshold,
+        comparison_report, summary, state_file, log_file, mismatch_threshold,
         include_pozos, force_publish) -> None:
     """Ingest sources, merge with consensus, decide, write artifacts."""
     if not include_pozos:
@@ -79,6 +80,7 @@ def run(sources, source_urls, retries, timeout, fail_fast, raw_dir, normalized,
         comparison_report_path=comparison_report,
         summary_path=summary,
         state_path=state_file,
+        log_path=log_file,
         timeout=timeout,
         retries=retries,
         fail_fast=fail_fast,

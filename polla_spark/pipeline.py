@@ -155,10 +155,15 @@ def run_pipeline(
     force_publish: bool = False,
     loaders: dict | None = None,
     notifier=None,
+    log_path: str | Path | None = None,
 ) -> dict[str, Any]:
     """Run one ingest cycle; returns the summary payload
     (reference run_pipeline, pipeline.py:531-578)."""
+    from .obs import JsonLogStream
+
     run_id = str(uuid.uuid4())
+    log = JsonLogStream(log_path, correlation_id=run_id)
+    log.emit("pipeline_started", sources=sources or ["all"])
     requested = normalize_sources(sources or ["all"])
     raw_dir, normalized_path = Path(raw_dir), Path(normalized_path)
     comparison_report_path, summary_path = Path(comparison_report_path), Path(summary_path)
@@ -167,7 +172,11 @@ def run_pipeline(
     payloads, failures = collect_payloads(
         requested, source_overrides, timeout=timeout, retries=retries, loaders=loaders
     )
+    for f in failures:
+        log.emit("source_failed", **f)
+    log.emit("ingestion_complete", n_payloads=len(payloads), n_failures=len(failures))
     if not payloads:
+        log.emit("pipeline_failed", reason="no_sources_returned_data")
         raise RuntimeError(f"No sources returned data for {requested}")
     if fail_fast and failures:
         raise RuntimeError(f"source failures with fail_fast: {failures}")
@@ -243,6 +252,11 @@ def run_pipeline(
         "api_version": API_VERSION,
     }
     _write_json(summary_path, summary)
+    log.emit("artifacts_written", normalized=str(normalized_path),
+             report=str(comparison_report_path), summary=str(summary_path))
+    log.emit("decision_made", **decision)
+    log.metric("pipeline_run",
+               tags={"decision": decision["status"], "publish": summary["publish"]})
 
     if notifier is not None:
         if decision["status"] == "quarantine":

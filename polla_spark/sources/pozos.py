@@ -63,9 +63,26 @@ def parse_openloto_html(html: str, *, fuente: str = OPENLOTO_URL,
                          montos=montos, sorteo=sorteo, fecha=fecha)
 
 
+def _local_html(url: str) -> str | None:
+    """file:// URLs and existing local paths are read directly —
+    offline/captured-page mode for tests, dry runs and replays."""
+    import pathlib
+    from urllib.parse import urlparse
+
+    if url.startswith("file://"):
+        return pathlib.Path(urlparse(url).path).read_text(encoding="utf-8")
+    p = pathlib.Path(url)
+    if "://" not in url and p.is_file():
+        return p.read_text(encoding="utf-8")
+    return None
+
+
 def get_pozo_openloto(url: str = OPENLOTO_URL, *, ua: str = DEFAULT_UA,
                       timeout: int = DEFAULT_TIMEOUT,
                       retries: int | None = None) -> dict[str, Any]:
+    local = _local_html(url)
+    if local is not None:
+        return parse_openloto_html(local, fuente=url, user_agent=ua)
     meta = fetch_html(url, ua, timeout, retries=retries)
     payload = parse_openloto_html(meta.html, fuente=url, user_agent=ua)
     payload["fetched_at"] = meta.fetched_at.isoformat()
@@ -187,7 +204,11 @@ def parse_polla_html(html: str, *, fuente: str = POLLA_URL,
 def get_pozo_polla(url: str = POLLA_URL, *, ua: str = DEFAULT_UA,
                    timeout: int = DEFAULT_TIMEOUT,
                    retries: int | None = None) -> dict[str, Any]:
-    """SPA fetch requires a headless browser; gated on scrapling."""
+    """SPA fetch requires a headless browser; gated on scrapling.
+    Captured pages (file:// / local path) parse without a browser."""
+    local = _local_html(url)
+    if local is not None:
+        return parse_polla_html(local, fuente=url, user_agent=ua)
     try:
         from scrapling import StealthyFetcher  # noqa: F401
     except ImportError as exc:

@@ -1,0 +1,92 @@
+"""Spark 4 Python DataSource: spark.read.format("pozos") over captured
+pages; degraded mode yields error rows, never task failures."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from polla_spark.sources.datasource import PozosDataSource
+
+FIXTURES = Path(__file__).parent / "fixtures" / "sources"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def register(spark):
+    spark.dataSource.register(PozosDataSource)
+
+
+def _read(spark, **opts):
+    r = spark.read.format("pozos")
+    for k, v in opts.items():
+        r = r.option(k.replace("_dot_", "."), v)
+    return r.load()
+
+
+def test_reads_both_sources_from_captured_pages(spark):
+    df = _read(
+        spark,
+        sources="all",
+        **{
+            "url.openloto": str(FIXTURES / "openloto" / "page.html"),
+            "url.polla": str(FIXTURES / "polla" / "page.html"),
+        },
+    )
+    rows = {r["source_name"]: r for r in df.collect()}
+    assert set(rows) == {"openloto", "polla"}
+    assert rows["openloto"]["error"] is None
+    assert rows["openloto"]["sorteo"] == 5322
+    assert rows["openloto"]["montos"]["Loto Clásico"] == 690_000_000
+    assert rows["polla"]["montos"]["Loto Clásico"] == 140_000_000
+    assert rows["polla"]["sorteo"] == 5417
+
+
+def test_skip_override_drops_partition(spark):
+    df = _read(
+        spark,
+        sources="all",
+        **{
+            "url.openloto": str(FIXTURES / "openloto" / "page.html"),
+            "url.polla": "skip",
+        },
+    )
+    assert [r["source_name"] for r in df.collect()] == ["openloto"]
+
+
+def test_failure_becomes_error_row_not_task_failure(spark):
+    df = _read(
+        spark,
+        sources="all",
+        **{
+            "url.openloto": str(FIXTURES / "openloto" / "page.html"),
+            "url.polla": "/nonexistent/really-not-here.html",
+        },
+    )
+    rows = {r["source_name"]: r for r in df.collect()}
+    assert rows["openloto"]["error"] is None
+    assert rows["polla"]["error"] is not None
+    assert rows["polla"]["montos"] is None
+    # degraded-confidence accounting downstream
+    n_ok = df.filter(F.col("error").isNull()).count()
+    assert n_ok == 1
+
+
+def test_all_sources_skipped_yields_empty_frame(spark):
+    df = _read(
+        spark, sources="all", **{"url.openloto": "skip", "url.polla": "skip"}
+    )
+    assert df.count() == 0
+    assert len(df.columns) == 10  # stable schema even when empty
+
+
+def test_strict_mode_raises(spark):
+    df = _read(
+        spark,
+        sources="openloto",
+        strict="true",
+        **{"url.openloto": "/nonexistent/really-not-here.html"},
+    )
+    with pytest.raises(Exception):
+        df.collect()

@@ -1033,6 +1033,39 @@ def q38_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q39_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted two-stage aggregation (operators/skew.py):
+    l_returnflag has only 3 values — the canonical hot-key shape — so
+    the naive groupBy funnels a third of 100 TB through one reducer.
+    The salted plan fans each key over 16 buckets then merges 16
+    partial rows/key. The oracle is the PLAIN group-by: the hash match
+    proves the rewrite is semantics-preserving."""
+    from ..operators.skew import salted_sum_count
+
+    li = t(spark, sf_dir, "lineitem")
+    out = salted_sum_count(
+        li.select("l_returnflag", "l_quantity"),
+        ["l_returnflag"],
+        dec("l_quantity"),
+        value_alias="sum_qty_dec",
+    )
+    return (
+        out.select(
+            "l_returnflag",
+            as_money(F.col("sum_qty_dec")).alias("sum_qty"),
+            "n",
+        ).orderBy("l_returnflag")
+    )
+
+
+O39 = """
+SELECT l_returnflag,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 QUERIES = [
     Query("q01_pricing_summary", q01_pricing_summary, O01, "TPC-H Q1 scan+agg"),
     Query("q02_topk_orders", q02_topk_orders, O02, "global top-k"),
@@ -1073,4 +1106,5 @@ QUERIES = [
     Query("q37_ndjson_roundtrip", q37_ndjson_roundtrip, O37, "NDJSON sink+scan round-trip"),
     Query("q38_approx_count_distinct", q38_approx_count_distinct, None,
           "HLL++ sketch (non-oracle by design)"),
+    Query("q39_salted_agg", q39_salted_agg, O39, "skew-safe salted aggregation"),
 ]

@@ -68,12 +68,19 @@ def run(sources, source_urls, retries, timeout, fail_fast, raw_dir, normalized,
     if not include_pozos:
         warnings.warn("--include-pozos is deprecated and has no effect",
                       DeprecationWarning, stacklevel=1)
+        click.echo("warning: --include-pozos is deprecated and has no effect",
+                   err=True)
     from .pipeline import run_pipeline
     from .sinks.slack import SlackNotifier
+    from .sources.pozos import normalize_sources
 
+    try:
+        requested = normalize_sources([s for s in sources.split(",") if s.strip()])
+    except ValueError as exc:  # clean CLI error (reference ConfigError path)
+        raise click.UsageError(str(exc)) from exc
     result = run_pipeline(
         _spark(),
-        sources=[s for s in sources.split(",") if s.strip()],
+        sources=requested,
         source_overrides=_parse_overrides(source_urls),
         raw_dir=raw_dir,
         normalized_path=normalized,
@@ -107,6 +114,11 @@ def publish(normalized, comparison_report, summary_path, worksheet,
     """Publish normalized artifacts to Google Sheets."""
     from .sinks.sheets import publish_to_google_sheets
 
+    import pathlib
+
+    for p in (normalized, comparison_report, summary_path):
+        if p and not pathlib.Path(p).exists():
+            raise click.UsageError(f"artifact not found: {p}")
     summary = None
     if summary_path:
         summary = json.loads(open(summary_path, encoding="utf-8").read())

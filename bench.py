@@ -55,14 +55,24 @@ HEADLINE = [
 def main() -> None:
     reg = registry()
     spark = get_spark("polla_spark_bench")
-    # warm the JVM + parquet footers with one tiny action
+    # warm the JVM + parquet footers with one tiny action, and pre-fork
+    # the Python UDF workers (one per core) so the first pandas-kernel
+    # query doesn't pay ~2s of process startup inside its measurement
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+
+    def _ident(it):
+        yield from it
+
+    (spark.range(256).repartition(64)
+     .mapInPandas(_ident, "id long").write.format("noop").mode("overwrite").save())
     times: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         q = reg[name]
-        df = q.spark(spark, SF_DIR)
+        # time construction + execution: some plans materialize an
+        # intermediate (eager persist) during construction
         t0 = time.perf_counter()
+        df = q.spark(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
         times[name] = round(dt, 3)

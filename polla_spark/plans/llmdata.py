@@ -29,6 +29,20 @@ def _toks():
     return F.split(F.col("text"), "\\s+")
 
 
+def _spread(spark: SparkSession, d: DataFrame) -> DataFrame:
+    """CPU-partition a scan feeding a compute-heavy kernel.
+
+    Parquet scan splitting is BYTE-based (maxPartitionBytes), which
+    under-parallelizes hash/text kernels: a 0.6 MB documents file is
+    one task but holds minutes of per-row md5 work, so 31 of 32 cores
+    idle. Repartitioning on the uniform doc key costs a shuffle of the
+    raw text — negligible next to the kernel — and engages every core.
+    At 100 TB the same rule holds per-file: CPU-bound stages want
+    ~defaultParallelism partitions, not bytes/128MB.
+    """
+    return d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Dedup family
 # ---------------------------------------------------------------------------
@@ -123,7 +137,7 @@ def _duck_mh(band: int) -> str:
 
 def q52_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 4-band MinHash signature table."""
-    d = t(spark, sf_dir, "documents")
+    d = _spread(spark, t(spark, sf_dir, "documents"))
     return with_minhash(d).select("doc_id", "mh0", "mh1", "mh2", "mh3").orderBy("doc_id")
 
 
@@ -146,8 +160,11 @@ def q53_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only feasible near-dup shape, and the persisted signature
     table is what you would bucket/write by sig.
     """
-    d = with_minhash(t(spark, sf_dir, "documents")).select("doc_id", "mh0", "mh1", "mh2", "mh3")
+    d = with_minhash(_spread(spark, t(spark, sf_dir, "documents"))).select("doc_id", "mh0", "mh1", "mh2", "mh3")
     long = d.selectExpr("doc_id", "stack(4, mh0, mh1, mh2, mh3) as sig").persist()
+    long.count()  # materialize BEFORE the self-join: otherwise both
+    # join branches race the cold cache and compute the expensive
+    # signature projection twice
     a = long.select(F.col("doc_id").alias("id_a"), "sig")
     b = long.select(F.col("doc_id").alias("id_b"), "sig")
     return (
@@ -482,7 +499,7 @@ def _with_simhash(d: DataFrame) -> DataFrame:
 
 def q61_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 64-bit SimHash signature (bitstring form)."""
-    d = t(spark, sf_dir, "documents")
+    d = _spread(spark, t(spark, sf_dir, "documents"))
     return _with_simhash(d).select("doc_id", "simhash").orderBy("doc_id")
 
 
@@ -498,12 +515,13 @@ def q62_simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     once, unpivoted, persisted, single self-equi-join — same scale
     shape as q53 (the band join IS the 100 TB plan; banding makes
     Hamming search a shuffle-on-key problem)."""
-    d = _with_simhash(t(spark, sf_dir, "documents")).select("doc_id", "simhash")
+    d = _with_simhash(_spread(spark, t(spark, sf_dir, "documents"))).select("doc_id", "simhash")
     long = d.selectExpr(
         "doc_id",
         "stack(4, concat('0:', substring(simhash, 1, 16)), concat('1:', substring(simhash, 17, 16)),"
         " concat('2:', substring(simhash, 33, 16)), concat('3:', substring(simhash, 49, 16))) as band",
     ).persist()
+    long.count()  # materialize before the self-join (see q53)
     a = long.select(F.col("doc_id").alias("id_a"), "band")
     b = long.select(F.col("doc_id").alias("id_b"), "band")
     return (
@@ -580,14 +598,34 @@ ORDER BY id_a, id_b
 # Random-hyperplane LSH: 8 deterministic +/-1 hyperplanes derived from
 # md5(plane__dim); the 8-bit sign code is the bucket. Left-to-right
 # float fold is identical in both engines -> bit-stable codes.
-_CODE_SPARK = f"""
-concat_ws('', transform(sequence(0, 7), j ->
-  case when aggregate(transform(sequence(1, 64), i ->
-      cast(element_at(embedding, i) as double) *
-      (case when (instr('{_HEX}', substring(md5(concat(cast(j as string), '_', cast(i as string))), 1, 1)) - 1) % 2 = 1
-            then cast(1.0 as double) else cast(-1.0 as double) end)),
-    cast(0.0 as double), (acc, x) -> acc + x) > 0 then '1' else '0' end))
-"""
+#
+# Spark side: the weights are row-independent, so they are computed
+# ONCE driver-side (hashlib md5 == Spark md5 == DuckDB md5) and
+# inlined as +/-1.0 literals — the per-row work is a pure
+# multiply-add fold, no hashing. The oracle recomputes the weights
+# with SQL md5, proving the inlined values right.
+def _hyperplane_weight(j: int, i: int) -> float:
+    import hashlib
+
+    h = hashlib.md5(f"{j}_{i}".encode()).hexdigest()
+    return 1.0 if (_HEX.index(h[0])) % 2 == 1 else -1.0
+
+
+def _code_spark_expr() -> str:
+    planes = []
+    for j in range(8):
+        terms = ", ".join(
+            f"cast({_hyperplane_weight(j, i)} as double)" for i in range(1, 65)
+        )
+        planes.append(
+            "case when aggregate(zip_with(embedding, "
+            f"array({terms}), (x, w) -> cast(x as double) * w), "
+            "cast(0.0 as double), (acc, x) -> acc + x) > 0 then '1' else '0' end"
+        )
+    return "concat(" + ", ".join(planes) + ")"
+
+
+_CODE_SPARK = _code_spark_expr()
 
 _CODE_DUCK = f"""
 array_to_string(list_transform(generate_series(0, 7), j ->
@@ -655,7 +693,7 @@ def q65_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep the min hash of each 4-gram window, distinct per doc.
     Within-row array ops only — fingerprinting shuffles nothing; the
     downstream dedup/groupBy on fingerprint is the only exchange."""
-    d = t(spark, sf_dir, "documents")
+    d = _spread(spark, t(spark, sf_dir, "documents"))
     grams = "transform(sequence(1, greatest(length(text) - 4, 1)), i -> md5(substring(text, i, 5)))"
     # least() of 4 element_ats beats array_min(slice(...)): no
     # per-window array allocation (~2x at sf0.1)
@@ -706,7 +744,7 @@ def q66_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import documents_as_assets, extract_features
 
     assets = documents_as_assets(t(spark, sf_dir, "documents"))
-    feats = extract_features(assets)
+    feats = extract_features(assets, parallelism=spark.sparkContext.defaultParallelism)
     return (
         feats.groupBy("modality")
         .agg(

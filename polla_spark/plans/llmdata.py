@@ -191,6 +191,108 @@ ORDER BY id_a, id_b
 """
 
 
+def q67_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: connected components over the MinHash-LSH
+    candidate graph via iterative min-label propagation — the step
+    that turns near-dup PAIRS into dedup GROUPS (survivor = component
+    min). The canonical iterative DataFrame algorithm:
+
+    - state = (doc_id, label), label initialized to doc_id;
+    - each round: every node takes min(own label, neighbors' labels)
+      (one join + one groupBy), then PATH-COMPRESSES label <-
+      label(label) (one self-join) — the compression makes
+      convergence O(log diameter) instead of O(diameter); the
+      testdata has a 132-doc chain-y component where pure
+      propagation needs ~5x the rounds;
+    - localCheckpoint per round truncates the lineage (without it,
+      round N replays rounds 1..N-1 and the DAG grows quadratically
+      — the classic iterative-Spark failure mode);
+    - driver checks a one-row convergence aggregate per round.
+
+    Oracle: DuckDB recursive-CTE transitive closure + MIN(reachable).
+    """
+    d = with_minhash(_spread(spark, t(spark, sf_dir, "documents"))).select(
+        "doc_id", "mh0", "mh1", "mh2", "mh3"
+    )
+    long = d.selectExpr("doc_id", "stack(4, mh0, mh1, mh2, mh3) as sig").persist()
+    long.count()
+    a = long.select(F.col("doc_id").alias("src"), "sig")
+    b = long.select(F.col("doc_id").alias("dst"), "sig")
+    pairs = (
+        a.join(b, "sig")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    edges = pairs.persist()
+    edges.count()
+
+    labels = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(20):  # converges in O(log diameter) w/ compression
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        merged = labels.withColumnRenamed("label", "_old").join(
+            neighbor_min, "doc_id", "left"
+        ).select(
+            "doc_id",
+            "_old",
+            F.least(F.col("_old"), F.coalesce("nmin", F.col("_old"))).alias("_mid"),
+        )
+        # path compression: follow the label pointer one hop
+        ptr = merged.select(
+            F.col("doc_id").alias("_pn"), F.col("_mid").alias("_pl")
+        )
+        new_labels = (
+            merged.join(ptr, merged["_mid"] == ptr["_pn"], "left")
+            .select(
+                "doc_id",
+                F.coalesce("_pl", "_mid").alias("label"),
+                (F.coalesce("_pl", "_mid") < F.col("_old")).alias("_changed"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint()  # truncate lineage
+        changed = new_labels.agg(
+            F.sum(F.when(F.col("_changed"), 1).otherwise(0))
+        ).collect()[0][0]
+        labels = new_labels.drop("_changed")
+        if not changed:
+            break
+    return labels.select(F.col("doc_id"), F.col("label").alias("component")).orderBy(
+        "doc_id"
+    )
+
+
+O67 = f"""
+WITH RECURSIVE sigs AS (
+  SELECT doc_id, {_duck_mh(0)} AS mh0, {_duck_mh(1)} AS mh1,
+         {_duck_mh(2)} AS mh2, {_duck_mh(3)} AS mh3
+  FROM documents
+), long AS (
+  SELECT doc_id, mh0 AS sig FROM sigs UNION ALL SELECT doc_id, mh1 FROM sigs
+  UNION ALL SELECT doc_id, mh2 FROM sigs UNION ALL SELECT doc_id, mh3 FROM sigs
+), edges AS MATERIALIZED (
+  -- MATERIALIZED: otherwise DuckDB inlines this CTE into the
+  -- recursive step and recomputes the md5 signature self-join on
+  -- EVERY iteration (~8s x diameter)
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM long a JOIN long b ON a.sig = b.sig AND a.doc_id <> b.doc_id
+), reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+)
+SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a ORDER BY doc_id
+"""
+
+
 def q54_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard for a deterministic sample of doc pairs
     (every 50th doc): |A∩B| / |A∪B| over distinct shingle sets."""
@@ -785,4 +887,6 @@ QUERIES = [
     Query("q64_ann_hyperplane_lsh", q64_ann_hyperplane_lsh, O64, "hyperplane-LSH bucketed ANN"),
     Query("q65_winnowing_fingerprints", q65_winnowing_fingerprints, O65, "winnowing rolling-hash fingerprints"),
     Query("q66_multimodal_features", q66_multimodal_features, O66, "mapInPandas feature kernel"),
+    Query("q67_dedup_components", q67_dedup_components, O67,
+          "iterative connected-components dedup clustering"),
 ]

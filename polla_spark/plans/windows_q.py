@@ -144,9 +144,90 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q74_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): for each purchase, the user's
+    most recent click at-or-before it. One exchange + one sort over
+    |L|+|R| rows — vs the O(matches) blowup of the naive theta join.
+    DuckDB's native ASOF JOIN is the oracle."""
+    from ..operators.asof import asof_join
+
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        VQ().alias("click_vq"),
+    )
+    out = asof_join(purchases, clicks, on="user_id", ts="ts",
+                    value_cols=["click_id", "click_vq"])
+    return out.select(
+        "user_id",
+        F.date_format("ts", FMT).alias("purchase_ts"),
+        "purchase_id",
+        "click_id",
+        "click_vq",
+    ).orderBy("user_id", "purchase_ts", "purchase_id")
+
+
+O74 = """
+WITH purchases AS (
+  SELECT user_id, ts, event_id AS purchase_id FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts, event_id AS click_id,
+         CAST(floor(value * 100) AS BIGINT) AS click_vq
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       p.purchase_id, c.click_id, c.click_vq
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.user_id, purchase_ts, purchase_id
+"""
+
+
+def q75_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate shape: hourly + daily +
+    total grains in ONE scan via GROUPING SETS over truncated
+    timestamps (the single-pass form of maintaining three rollup
+    tables). At 100 TB this is one shuffle instead of three."""
+    e = t(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("hour", "ts"), FMT).alias("hour"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        VQ().alias("vq"),
+    )
+    return (
+        e.groupingSets(
+            [["day", "hour"], ["day"], []],
+            "day", "hour",
+        )
+        .agg(F.count("*").alias("n"), F.sum("vq").alias("sum_vq"))
+        .orderBy(F.col("day").asc_nulls_first(), F.col("hour").asc_nulls_first())
+    )
+
+
+O75 = """
+SELECT day, hour, COUNT(*) AS n,
+       CAST(SUM(vq) AS BIGINT) AS sum_vq
+FROM (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(floor(value * 100) AS BIGINT) AS vq
+  FROM events
+)
+GROUP BY GROUPING SETS ((day, hour), (day), ())
+ORDER BY day ASC NULLS FIRST, hour ASC NULLS FIRST
+"""
+
+
 QUERIES = [
     Query("q70_tumbling", q70_tumbling, O70, "tumbling window"),
     Query("q71_sliding", q71_sliding, O71, "sliding window"),
     Query("q72_sessionize", q72_sessionize, O72, "session windows (batch)"),
     Query("q73_event_type_daily", q73_event_type_daily, O73, "daily rollup"),
+    Query("q74_asof_join", q74_asof_join, O74, "as-of (backward) join"),
+    Query("q75_multi_grain_rollup", q75_multi_grain_rollup, O75,
+          "multi-granularity GROUPING SETS rollup"),
 ]

@@ -80,3 +80,23 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    buckets: int,
+    key: str,
+    sort: bool = True,
+) -> None:
+    """Bucketed managed table: the write-side half of a shuffle-free
+    join. Two tables bucketed on the same key with the same bucket
+    count join with ZERO exchange — at 100 TB that turns the nightly
+    fact-to-fact join from the dominant shuffle into a local merge.
+    ``sort`` additionally orders within buckets so the join can be a
+    sort-merge without the sort step."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)

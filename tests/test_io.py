@@ -40,6 +40,33 @@ def test_ndjson_roundtrip_preserves_values(spark, tmp_path):
     assert sorted((r["id"], r["name"]) for r in back.collect()) == [(1, "x"), (2, "ñandú")]
 
 
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    from polla_spark.sources.io import write_bucketed
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    write_bucketed(orders, "b_orders", buckets=4, key="o_orderkey")
+    write_bucketed(li, "b_lineitem", buckets=4, key="o_orderkey")
+    a, b = spark.table("b_orders"), spark.table("b_lineitem")
+    # disable broadcast so the test exercises the bucketed path
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # co-located: zero shuffle
+        assert joined.count() == orders.join(
+            li.withColumnRenamed("o_orderkey", "x"), orders.o_orderkey == F.col("x")
+        ).count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
 def test_parquet_partitioned_write_prunes_directories(spark, tmp_path):
     df = spark.createDataFrame(
         [(1, "a", "r1"), (2, "b", "r1"), (3, "c", "r2")],

@@ -1066,6 +1066,37 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def q47_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (median/p90/p99) of order totals per status.
+
+    ``percentile`` is the EXACT interpolating form (full sort per
+    group) — matching DuckDB's ``quantile_cont`` bit-for-bit after
+    round(2). The 100 TB form is ``approx_percentile`` (KLL-sketch,
+    fixed memory, map-side combinable — q38's family); exact
+    percentile is the oracle baseline that bounds the sketch's error.
+    """
+    o = t(spark, sf_dir, "orders")
+    pcts = F.expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.element_at(pcts, 1), 2).alias("p50"),
+            F.round(F.element_at(pcts, 2), 2).alias("p90"),
+            F.round(F.element_at(pcts, 3), 2).alias("p99"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+O47 = """
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+       ROUND(quantile_cont(o_totalprice, 0.99), 2) AS p99
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 QUERIES = [
     Query("q01_pricing_summary", q01_pricing_summary, O01, "TPC-H Q1 scan+agg"),
     Query("q02_topk_orders", q02_topk_orders, O02, "global top-k"),
@@ -1107,4 +1138,5 @@ QUERIES = [
     Query("q38_approx_count_distinct", q38_approx_count_distinct, None,
           "HLL++ sketch (non-oracle by design)"),
     Query("q39_salted_agg", q39_salted_agg, O39, "skew-safe salted aggregation"),
+    Query("q47_percentiles", q47_percentiles, O47, "exact interpolated percentiles"),
 ]

@@ -36,6 +36,7 @@ HEADLINE = [
     "q18_window_rank",
     "q20_window_frames",
     "q30_json_funcs",
+    "q39_salted_agg",
     "q40_consensus_winner",
     "q44_consensus_decision",
     "q50_exact_dedup",
@@ -49,6 +50,7 @@ HEADLINE = [
     "q66_multimodal_features",
     "q70_tumbling",
     "q72_sessionize",
+    "q74_asof_join",
 ]
 
 

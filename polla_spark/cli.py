@@ -36,7 +36,20 @@ def cli() -> None:
 
 
 def _parse_overrides(pairs: tuple[str, ...]) -> dict[str, str]:
+    """CLI --source-url pairs merged over the ALT_SOURCE_URLS env JSON
+    (reference __main__.py:160-197: flags win over env)."""
+    import os
+
     out: dict[str, str] = {}
+    env = os.environ.get("ALT_SOURCE_URLS")
+    if env:
+        try:
+            parsed = json.loads(env)
+            if not isinstance(parsed, dict):
+                raise ValueError("must be a JSON object")
+            out.update({str(k).lower(): str(v) for k, v in parsed.items()})
+        except (json.JSONDecodeError, ValueError) as exc:
+            raise click.UsageError(f"invalid ALT_SOURCE_URLS JSON: {exc}") from exc
     for pair in pairs:
         if "=" not in pair:
             raise click.BadParameter(f"expected source=url, got {pair!r}")

@@ -11,14 +11,25 @@ import subprocess
 import sys
 
 
-def run_cli(*args: str) -> subprocess.CompletedProcess:
+def run_cli(*args: str, env: dict | None = None) -> subprocess.CompletedProcess:
+    import os
+
+    full_env = {**os.environ, **(env or {})}
     return subprocess.run(
         [sys.executable, "-m", "polla_spark", *args],
         capture_output=True,
         text=True,
         cwd="/root/repo",
         timeout=120,
+        env=full_env,
     )
+
+
+def test_alt_source_urls_env_bad_json_is_clean_error():
+    res = run_cli("run", env={"ALT_SOURCE_URLS": "{not json"})
+    assert res.returncode != 0
+    assert "invalid ALT_SOURCE_URLS JSON" in res.stderr
+    assert "Traceback" not in res.stderr
 
 
 def test_help_lists_all_commands():

@@ -869,6 +869,37 @@ FROM documents GROUP BY modality ORDER BY modality
 """
 
 
+def q68_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein edit distance for a deterministic pair sample
+    (prefixes — full-text O(n*m) DP is the reason near-dup at scale
+    uses LSH banding to cut candidates first; this exact kernel is
+    what runs INSIDE a candidate bucket)."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 100 == 0)
+        .select("doc_id", F.substring("text", 1, 120).alias("prefix"))
+    )
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("prefix").alias("pa"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("prefix").alias("pb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.levenshtein("pa", "pb").alias("edit_dist"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+O68 = """
+WITH sample AS (
+  SELECT doc_id, substr(text, 1, 120) AS prefix FROM documents WHERE doc_id % 100 = 0
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.prefix, b.prefix) AS edit_dist
+FROM sample a, sample b WHERE a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = [
     Query("q50_exact_dedup", q50_exact_dedup, O50, "sha256 exact dedup"),
     Query("q51_fingerprint_dedup", q51_fingerprint_dedup, O51, "normalized fingerprint dedup"),
@@ -889,4 +920,5 @@ QUERIES = [
     Query("q66_multimodal_features", q66_multimodal_features, O66, "mapInPandas feature kernel"),
     Query("q67_dedup_components", q67_dedup_components, O67,
           "iterative connected-components dedup clustering"),
+    Query("q68_edit_distance", q68_edit_distance, O68, "Levenshtein in-bucket rescore"),
 ]

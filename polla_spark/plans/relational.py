@@ -1097,6 +1097,90 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def q48_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-table join (customer ⋈ orders ⋈ lineitem)
+    with filters on all three sides, revenue agg, top-10.
+
+    Plan: customer (filtered, small) broadcasts into orders; the
+    orders⋈lineitem join shuffles on orderkey — the only exchange
+    that scales with data; top-10 via TakeOrdered, no global sort.
+    """
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    rev = dec("l_extendedprice") * (1 - dec("l_discount"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
+        .agg(as_money(F.sum(rev)).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+O48 = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                      (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q49_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-table star (region→nation→supplier +
+    customer + orders + lineitem) with the co-nation predicate.
+
+    All four dimension sides broadcast; the single data-scaling
+    exchange is the orders⋈lineitem shuffle on orderkey.
+    """
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = t(spark, sf_dir, "nation")
+    s = t(spark, sf_dir, "supplier")
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    rev = dec("l_extendedprice") * (1 - dec("l_discount"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .filter(s["s_nationkey"] == c["c_nationkey"])  # co-nation
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(as_money(F.sum(rev)).alias("revenue"))
+        .orderBy("n_name")
+    )
+
+
+O49 = """
+SELECT n_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                      (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND s_nationkey = c_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
 QUERIES = [
     Query("q01_pricing_summary", q01_pricing_summary, O01, "TPC-H Q1 scan+agg"),
     Query("q02_topk_orders", q02_topk_orders, O02, "global top-k"),
@@ -1139,4 +1223,6 @@ QUERIES = [
           "HLL++ sketch (non-oracle by design)"),
     Query("q39_salted_agg", q39_salted_agg, O39, "skew-safe salted aggregation"),
     Query("q47_percentiles", q47_percentiles, O47, "exact interpolated percentiles"),
+    Query("q48_shipping_priority", q48_shipping_priority, O48, "TPC-H Q3 3-table join"),
+    Query("q49_local_volume", q49_local_volume, O49, "TPC-H Q5 5-table star"),
 ]

@@ -8,6 +8,7 @@ Usage: python scripts/parity.py [name_substring ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -19,7 +20,7 @@ sys.path.insert(0, "/root/repo")
 from polla_spark.plans import registry  # noqa: E402
 from polla_spark.session import get_spark  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",

@@ -1181,6 +1181,152 @@ GROUP BY n_name ORDER BY n_name
 """
 
 
+def q45_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-column kernel (SURVEY §2.2 F10 / §1.3 `montos` mapping):
+    pack each order's lineitems into map<linenumber, qty> via
+    map_from_entries(sort_array(collect_list(struct))) — the sort
+    pins entry order, the reference-parity trap from SURVEY §4 #2 —
+    then consume the map with element_at / map_values / cardinality.
+
+    Scale: one shuffle on l_orderkey; the map never exceeds 7 entries
+    (TPC-H lineitem fan-out) so per-group state is O(1).
+    """
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 7 == 0)
+    # the generator repeats (orderkey, linenumber) pairs — pre-aggregate
+    # so map keys are unique (map_from_entries errors on duplicates)
+    per_line = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("qty")
+    )
+    entries = F.sort_array(
+        F.collect_list(
+            F.struct(F.col("l_linenumber").alias("k"), F.col("qty").alias("v"))
+        )
+    )
+    return (
+        per_line.groupBy("l_orderkey")
+        .agg(F.map_from_entries(entries).alias("m"))
+        .select(
+            "l_orderkey",
+            F.size(F.map_keys(F.col("m"))).alias("n_lines"),
+            F.element_at(F.col("m"), F.lit(1)).alias("first_qty"),
+            F.array_max(F.map_values(F.col("m"))).alias("max_qty"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+O45 = """
+WITH per_line AS (
+  SELECT l_orderkey, l_linenumber, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem WHERE l_orderkey % 7 = 0
+  GROUP BY l_orderkey, l_linenumber
+)
+SELECT l_orderkey,
+       COUNT(*) AS n_lines,
+       MAX(CASE WHEN l_linenumber = 1 THEN qty END) AS first_qty,
+       MAX(qty) AS max_qty
+FROM per_line GROUP BY l_orderkey ORDER BY l_orderkey
+"""
+
+
+def q46_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated aggregate subquery — lineitems
+    below 20% of their part's average quantity, for a filtered part
+    subset.
+
+    Plan: per-partkey partial agg of lineitem (sum, count) -> join
+    back to lineitem on l_partkey (both sides shuffle on the SAME
+    key, so AQE coalesces into one co-partitioned exchange each) ->
+    broadcast join against the filtered part dim. The 0.2*avg
+    comparison is cross-multiplied (5*qty*cnt < sum) so both engines
+    decide boundary rows with exact integer arithmetic — no decimal
+    division in a predicate.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") < 25).select("p_partkey", "p_brand")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("_sum_qty"),
+        F.count("*").alias("_cnt"),
+    )
+    return (
+        li.join(per_part, "l_partkey")
+        .filter(
+            F.col("l_quantity").cast("long") * 5 * F.col("_cnt") < F.col("_sum_qty")
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_cheap"),
+            as_money(F.sum(dec("l_extendedprice"))).alias("sum_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+O46 = """
+WITH per_part AS (
+  SELECT l_partkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty, COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p_brand, COUNT(*) AS n_cheap,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
+FROM lineitem
+JOIN per_part USING (l_partkey)
+JOIN part ON l_partkey = p_partkey
+WHERE p_size < 25 AND CAST(l_quantity AS BIGINT) * 5 * cnt < sum_qty
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def q69_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns
+    in one quarter — 4-table join, agg, ordered limit.
+
+    Plan: date filter pushed into the orders scan, returnflag filter
+    into the lineitem scan; orders⋈lineitem shuffles on orderkey;
+    customer joins on the already-aggregated 20-row side? No — at
+    TPC-H shape customer is large, so the join runs before the agg
+    and nation is broadcast. Top-20 is TakeOrderedAndProject: each
+    task keeps 20 rows, no global sort.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    rev = dec("l_extendedprice") * (1 - dec("l_discount"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            as_money(F.sum(rev)).alias("revenue"),
+            F.round(F.first("c_acctbal"), 2).alias("acctbal"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+O69 = """
+SELECT c_custkey, c_name, n_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                      (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
+       ROUND(MAX(c_acctbal), 2) AS acctbal
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
 QUERIES = [
     Query("q01_pricing_summary", q01_pricing_summary, O01, "TPC-H Q1 scan+agg"),
     Query("q02_topk_orders", q02_topk_orders, O02, "global top-k"),
@@ -1222,7 +1368,11 @@ QUERIES = [
     Query("q38_approx_count_distinct", q38_approx_count_distinct, None,
           "HLL++ sketch (non-oracle by design)"),
     Query("q39_salted_agg", q39_salted_agg, O39, "skew-safe salted aggregation"),
+    Query("q45_map_funcs", q45_map_funcs, O45, "map pack/consume kernel"),
+    Query("q46_small_quantity_revenue", q46_small_quantity_revenue, O46,
+          "TPC-H Q17 correlated aggregate subquery"),
     Query("q47_percentiles", q47_percentiles, O47, "exact interpolated percentiles"),
     Query("q48_shipping_priority", q48_shipping_priority, O48, "TPC-H Q3 3-table join"),
     Query("q49_local_volume", q49_local_volume, O49, "TPC-H Q5 5-table star"),
+    Query("q69_returned_items", q69_returned_items, O69, "TPC-H Q10 top-k returns"),
 ]

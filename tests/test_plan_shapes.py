@@ -1,0 +1,46 @@
+"""Physical-plan regression tests: the declared queries must keep the
+plan SHAPE that makes them viable at 100 TB, not just return correct
+rows. Each assertion pins one scale property from the query docstring
+(broadcast of dims, top-k without a global sort, window/groupBy sort
+reuse) so a refactor that silently degrades the plan fails here long
+before a benchmark would catch it.
+"""
+
+from __future__ import annotations
+
+from polla_spark.plans.relational import (
+    q46_small_quantity_revenue,
+    q69_returned_items,
+)
+from polla_spark.plans.windows_q import q72_sessionize
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q69_topk_without_global_sort(spark):
+    plan = _plan(q69_returned_items(spark, SF))
+    # orderBy+limit must compile to TakeOrderedAndProject (per-task
+    # top-20 then merge), never a full Sort of the aggregate output
+    assert "TakeOrderedAndProject" in plan
+    # nation is a broadcast dim: no shuffle of the fact side for it
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q46_broadcasts_part_dim(spark):
+    plan = _plan(q46_small_quantity_revenue(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # the p_size filter reaches the part scan, not a post-scan Filter only
+    assert "LessThan(p_size,25)" in plan
+
+
+def test_q72_single_hash_shuffle(spark):
+    plan = _plan(q72_sessionize(spark, SF))
+    # lag + cumulative sum + groupBy(user_id, session_id) must all ride
+    # ONE exchange on user_id: HashPartitioning(user_id) satisfies the
+    # grouping's ClusteredDistribution, and both windows share the sort
+    n_hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_hash_exchanges == 1, plan

@@ -900,6 +900,86 @@ ORDER BY id_a, id_b
 """
 
 
+def q76_trigram_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language ID — the real n-gram heuristic (vs
+    q55's stopword ratio): build a top-40-trigram profile per labeled
+    language from the corpus itself, score every document against
+    every profile by trigram hits, predict the argmax, and emit the
+    lang × predicted confusion matrix.
+
+    Plan: trigram explode is a map-side substring transform (no
+    shuffle); profiles aggregate to ≤40 rows/lang so the score join is
+    a broadcast; per-doc argmax is one window over the scored rows.
+    At 100 TB the profile build runs on a fixed sample instead of the
+    full corpus (profiles converge long before that) — the scoring
+    side, which dominates, keeps this exact shape.
+    """
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 3)
+        .select("doc_id", "lang", F.lower(F.col("text")).alias("txt"))
+    )
+    tri = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(txt) - 2), i -> substring(txt, i, 3))")
+        ).alias("g"),
+    )
+    counts = tri.groupBy("lang", "g").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("g"))
+    prof = (
+        counts.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 40)
+        .select(F.col("lang").alias("p_lang"), "g")
+    )
+    scored = (
+        tri.join(F.broadcast(prof), "g")
+        .groupBy("doc_id", "p_lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    wb = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("p_lang"))
+    best = (
+        scored.withColumn("r", F.row_number().over(wb))
+        .filter(F.col("r") == 1)
+        .select("doc_id", F.col("p_lang").alias("predicted"))
+    )
+    return (
+        d.join(best, "doc_id")
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+O76 = """
+WITH docs AS (
+  SELECT doc_id, lang, lower(text) AS txt FROM documents WHERE length(text) >= 3
+), tri AS (
+  SELECT doc_id, lang, substring(txt, CAST(i AS INTEGER), 3) AS g
+  FROM docs, UNNEST(range(1, length(txt) - 1)) AS u(i)
+), prof AS (
+  SELECT lang AS p_lang, g FROM (
+    SELECT lang, g,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, g) AS r
+    FROM tri GROUP BY lang, g
+  ) WHERE r <= 40
+), scored AS (
+  SELECT t.doc_id, p.p_lang, COUNT(*) AS hits
+  FROM tri t JOIN prof p USING (g)
+  GROUP BY 1, 2
+), best AS (
+  SELECT doc_id, p_lang AS predicted,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, p_lang) AS r
+  FROM scored
+)
+SELECT d.lang, b.predicted, COUNT(*) AS n
+FROM best b JOIN docs d USING (doc_id)
+WHERE b.r = 1
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = [
     Query("q50_exact_dedup", q50_exact_dedup, O50, "sha256 exact dedup"),
     Query("q51_fingerprint_dedup", q51_fingerprint_dedup, O51, "normalized fingerprint dedup"),
@@ -921,4 +1001,6 @@ QUERIES = [
     Query("q67_dedup_components", q67_dedup_components, O67,
           "iterative connected-components dedup clustering"),
     Query("q68_edit_distance", q68_edit_distance, O68, "Levenshtein in-bucket rescore"),
+    Query("q76_trigram_lang_id", q76_trigram_lang_id, O76,
+          "character-trigram language-ID (profile + argmax)"),
 ]

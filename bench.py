@@ -48,9 +48,11 @@ HEADLINE = [
     "q64_ann_hyperplane_lsh",
     "q65_winnowing_fingerprints",
     "q66_multimodal_features",
+    "q69_returned_items",
     "q70_tumbling",
     "q72_sessionize",
     "q74_asof_join",
+    "q76_trigram_lang_id",
 ]
 
 

@@ -919,7 +919,7 @@ def q76_trigram_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("text") >= 3)
         .select("doc_id", "lang", F.lower(F.col("text")).alias("txt"))
     )
-    tri = d.select(
+    tri = _spread(spark, d).select(
         "doc_id",
         "lang",
         F.explode(

@@ -1,47 +1,53 @@
-"""Physical IVF layout for ANN: corpus written partitioned by
-hyperplane-LSH code; a query probes ONE partition (directory pruning
-visible via inputFiles). This is the storage half of q64's logical
-plan — at 100 TB the probe reads 1/2^n_planes of the data.
+"""Physical IVF layout for ANN (operators/ann.py): corpus written
+partitioned by hyperplane-LSH code; a probe reads ONLY the queries'
+partitions (static pruning via a literal IN-list of codes) and its
+results match the logical bucketed plan (q64) exactly.
 
 Gotcha pinned here: directory-partition VALUES are type-inferred on
 read, so a bitstring code like "00111011" silently becomes the int
 111011 — and distinct codes ("00111011" vs "0111011") would collide.
-Partition keys must be non-numeric: prefix them.
+Partition keys must be non-numeric: with_code prefixes them.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from polla_spark.plans.llmdata import _CODE_SPARK
-from polla_spark.sources.io import write_parquet
+from polla_spark.operators.ann import probe_ivf, with_code, write_ivf_index
+from polla_spark.plans.llmdata import q64_ann_hyperplane_lsh
+
+SF = "/root/testdata/sf0.001"
 
 
-def test_ann_partition_pruning(spark, tmp_path):
-    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    coded = e.withColumn("code", F.concat(F.lit("c"), F.expr(_CODE_SPARK)))
+def test_ivf_write_probe_and_pruning(spark, tmp_path):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
     out = str(tmp_path / "ivf")
-    write_parquet(coded, out, partition_by=["code"])
+    write_ivf_index(e, out)
 
-    q_code = coded.filter(F.col("vec_id") == 0).first()["code"]
-    assert q_code.startswith("c")
-    probe = spark.read.parquet(out).filter(F.col("code") == q_code)
-
+    coded = with_code(e)
+    assert coded.filter(~F.col("code").startswith("c")).count() == 0
     n_buckets = coded.select("code").distinct().count()
     assert n_buckets > 4  # the hyperplane space really fans out
 
-    # directory pruning: the probe's scan reads ONLY the one partition.
-    # (inputFiles() lists the pre-pruning relation, so assert on the files
-    # actually touched at runtime via input_file_name.)
-    files = [
-        r["f"]
-        for r in probe.select(F.input_file_name().alias("f")).distinct().collect()
-    ]
-    assert files and all(f"code={q_code}" in f for f in files)
-    full_files = spark.read.parquet(out).inputFiles()
-    assert len(files) < len(full_files)
-    plan = probe._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan and q_code in plan
+    queries = e.filter(F.col("vec_id").isin(0, 1, 2))
+    probe = probe_ivf(spark, out, queries, k=3)
 
-    # the probe still finds the query vector itself
-    assert probe.filter(F.col("vec_id") == 0).count() == 1
+    # directory pruning: only the query cells are scanned. inputFiles()
+    # lists the pre-pruning relation, so assert on files actually
+    # touched at runtime and on the compiled PartitionFilters.
+    q_codes = {r["code"] for r in with_code(queries).select("code").collect()}
+    cells = spark.read.parquet(out).filter(
+        F.col("code").isin(list(q_codes))
+    )
+    files = [
+        r["f"] for r in cells.select(F.input_file_name().alias("f")).distinct().collect()
+    ]
+    assert files and all(any(f"code={c}" in f for c in q_codes) for f in files)
+    assert len(files) < len(spark.read.parquet(out).inputFiles())
+    plan = cells._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+    # the physical probe returns exactly the logical plan's answer
+    got = [tuple(r) for r in probe.collect()]
+    want = [tuple(r) for r in q64_ann_hyperplane_lsh(spark, SF).collect()]
+    assert got == want

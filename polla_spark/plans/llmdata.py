@@ -980,6 +980,82 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def _quant(col):
+    """float -> clamped int8 code: floor(x*127) in [-127, 127]."""
+    return F.transform(
+        col,
+        lambda x: F.greatest(
+            F.lit(-127), F.least(F.lit(127), F.floor(x.cast("double") * 127))
+        ),
+    )
+
+
+def _qdot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
+def q77_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized cosine top-3 — the memory-bandwidth half of
+    vector search at scale: a 100 TB float32 corpus becomes 25 TB of
+    int8 codes, scanned 4x faster, with candidates exact-rescored
+    (q58's kernel) only for the survivors. Here the quantized score
+    IS the output so the oracle can check it: integer dot products
+    are exact in both engines, and the final divide-by-norms is a
+    single deterministic float op.
+
+    Same plan shape as q58: broadcast query side, one streaming scan,
+    per-query top-k window."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _quant(F.col("embedding")).alias("qe")
+    )
+    q = e.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("qe").alias("qv")
+    )
+    pairs = e.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    qcos = _qdot(F.col("qe"), F.col("qv")).cast("double") / (
+        F.sqrt(_qdot(F.col("qe"), F.col("qe")).cast("double"))
+        * F.sqrt(_qdot(F.col("qv"), F.col("qv")).cast("double"))
+    )
+    scored = pairs.select("query_id", "vec_id", F.round(qcos, 4).alias("qcos"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "rn", "vec_id", "qcos")
+        .orderBy("query_id", "rn")
+    )
+
+
+_QUANT_DUCK = (
+    "list_transform({c}, x -> GREATEST(-127, LEAST(127, "
+    "CAST(floor(CAST(x AS DOUBLE) * 127) AS BIGINT))))"
+)
+_QDOT_DUCK = (
+    "list_reduce(list_transform(generate_series(1, 64), "
+    "i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+)
+
+O77 = f"""
+WITH coded AS (
+  SELECT vec_id, {_QUANT_DUCK.format(c='embedding')} AS qe FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, qe AS qv FROM coded WHERE vec_id IN (0, 1, 2)
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(CAST({_QDOT_DUCK.format(a='e.qe', b='q.qv')} AS DOUBLE) /
+               (sqrt(CAST({_QDOT_DUCK.format(a='e.qe', b='e.qe')} AS DOUBLE)) *
+                sqrt(CAST({_QDOT_DUCK.format(a='q.qv', b='q.qv')} AS DOUBLE))), 4) AS qcos
+  FROM coded e CROSS JOIN q WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, rn, vec_id, qcos FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qcos DESC, vec_id ASC) AS rn
+  FROM scored
+) WHERE rn <= 3 ORDER BY query_id, rn
+"""
+
+
 QUERIES = [
     Query("q50_exact_dedup", q50_exact_dedup, O50, "sha256 exact dedup"),
     Query("q51_fingerprint_dedup", q51_fingerprint_dedup, O51, "normalized fingerprint dedup"),
@@ -1003,4 +1079,6 @@ QUERIES = [
     Query("q68_edit_distance", q68_edit_distance, O68, "Levenshtein in-bucket rescore"),
     Query("q76_trigram_lang_id", q76_trigram_lang_id, O76,
           "character-trigram language-ID (profile + argmax)"),
+    Query("q77_quantized_knn", q77_quantized_knn, O77,
+          "int8-quantized cosine top-k (exact integer dot products)"),
 ]

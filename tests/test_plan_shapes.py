@@ -8,6 +8,7 @@ before a benchmark would catch it.
 
 from __future__ import annotations
 
+from polla_spark.plans.llmdata import q76_trigram_lang_id, q77_quantized_knn
 from polla_spark.plans.relational import (
     q46_small_quantity_revenue,
     q69_returned_items,
@@ -44,3 +45,18 @@ def test_q72_single_hash_shuffle(spark):
     # grouping's ClusteredDistribution, and both windows share the sort
     n_hash_exchanges = plan.count("Exchange hashpartitioning")
     assert n_hash_exchanges == 1, plan
+
+
+def test_q76_profile_join_is_broadcast(spark):
+    # the ≤40-rows-per-lang profile must broadcast to the trigram side;
+    # a shuffled join here would move the full exploded corpus twice
+    plan = _plan(q76_trigram_lang_id(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q77_query_side_is_broadcast(spark):
+    # 3 query vectors vs the corpus: the cross join must be a broadcast
+    # nested loop (stream the corpus once), never a shuffled cartesian
+    plan = _plan(q77_quantized_knn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan

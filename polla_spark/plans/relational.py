@@ -1327,6 +1327,40 @@ ORDER BY revenue DESC, c_custkey LIMIT 20
 """
 
 
+def q78_hot_key_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key split join (operators/skew.py) proven semantics-
+    preserving: declared hot orderkeys route through a broadcast join
+    of the filtered dim slice (their fact rows never shuffle), the
+    long tail through the regular shuffle join, then union. The
+    oracle is the PLAIN join + GROUP BY — the hash match shows the
+    exchange-layout rewrite changes nothing semantically. At 100 TB
+    this is the manual fallback for skew shapes AQE cannot rewrite
+    (broadcast-ineligible dims, non-sort-merge plans)."""
+    from ..operators.skew import hot_key_split_join
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    joined = hot_key_split_join(li, o, "l_orderkey", [7, 14, 21, 700, 1400])
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            as_money(F.sum(dec("l_quantity"))).alias("sum_qty"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+O78 = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 QUERIES = [
     Query("q01_pricing_summary", q01_pricing_summary, O01, "TPC-H Q1 scan+agg"),
     Query("q02_topk_orders", q02_topk_orders, O02, "global top-k"),
@@ -1375,4 +1409,6 @@ QUERIES = [
     Query("q48_shipping_priority", q48_shipping_priority, O48, "TPC-H Q3 3-table join"),
     Query("q49_local_volume", q49_local_volume, O49, "TPC-H Q5 5-table star"),
     Query("q69_returned_items", q69_returned_items, O69, "TPC-H Q10 top-k returns"),
+    Query("q78_hot_key_split_join", q78_hot_key_split_join, O78,
+          "skew-safe hot-key split join vs plain join"),
 ]

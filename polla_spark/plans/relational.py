@@ -1361,6 +1361,37 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def q79_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile / percent_rank / cume_dist
+    per order status. The window's ORDER BY carries a unique tie-break
+    (orderkey) so every rank — and therefore every (r-1)/(n-1) ratio —
+    is deterministic; the ratios are exact small-integer quotients, so
+    round(6) is bit-stable across engines."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+        )
+        .orderBy("o_orderstatus", "o_orderkey")
+    )
+
+
+O79 = """
+SELECT o_orderkey, o_orderstatus,
+       NTILE(4) OVER w AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+       ROUND(CUME_DIST() OVER w, 6) AS cd
+FROM orders WHERE o_orderkey % 97 = 0
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_orderstatus, o_orderkey
+"""
+
+
 QUERIES = [
     Query("q01_pricing_summary", q01_pricing_summary, O01, "TPC-H Q1 scan+agg"),
     Query("q02_topk_orders", q02_topk_orders, O02, "global top-k"),
@@ -1411,4 +1442,6 @@ QUERIES = [
     Query("q69_returned_items", q69_returned_items, O69, "TPC-H Q10 top-k returns"),
     Query("q78_hot_key_split_join", q78_hot_key_split_join, O78,
           "skew-safe hot-key split join vs plain join"),
+    Query("q79_distribution_windows", q79_distribution_windows, O79,
+          "ntile / percent_rank / cume_dist"),
 ]

@@ -1392,6 +1392,38 @@ ORDER BY o_orderstatus, o_orderkey
 """
 
 
+def q80_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional (FILTER-clause) aggregation: per-priority counts and
+    sums restricted by independent predicates, in ONE scan — the
+    idiom that replaces N filtered scans with one pass. Spark spells
+    it sum(when(...)); the oracle uses SQL's FILTER (WHERE ...). Both
+    are map-side partial-aggregable, so the 100 TB cost equals q01's:
+    one scan, one tiny shuffle."""
+    o = t(spark, sf_dir, "orders")
+    high = dec("o_totalprice") > 150000
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_f"),
+            as_money(F.sum(F.when(high, dec("o_totalprice")))).alias("sum_high"),
+            F.sum(F.when(high, 1).otherwise(0)).alias("n_high"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+O80 = """
+SELECT o_orderpriority, COUNT(*) AS n_total,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                  FILTER (WHERE CAST(o_totalprice AS DECIMAL(18,4)) > 150000), 2)
+            AS DOUBLE) AS sum_high,
+       CAST(COUNT(*) FILTER (WHERE CAST(o_totalprice AS DECIMAL(18,4)) > 150000) AS BIGINT) AS n_high
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 QUERIES = [
     Query("q01_pricing_summary", q01_pricing_summary, O01, "TPC-H Q1 scan+agg"),
     Query("q02_topk_orders", q02_topk_orders, O02, "global top-k"),
@@ -1444,4 +1476,6 @@ QUERIES = [
           "skew-safe hot-key split join vs plain join"),
     Query("q79_distribution_windows", q79_distribution_windows, O79,
           "ntile / percent_rank / cume_dist"),
+    Query("q80_filtered_agg", q80_filtered_agg, O80,
+          "conditional (FILTER-clause) aggregation"),
 ]

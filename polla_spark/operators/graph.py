@@ -1,0 +1,116 @@
+"""Connected components over a candidate-pair edge list — the step
+that turns near-dup PAIRS into dedup GROUPS (survivor = component min).
+
+Two regimes, picked by edge count (the GraphFrames / Pregel endgame
+pattern):
+
+- **distributed min-label propagation** with one-hop path compression
+  and per-round ``localCheckpoint`` lineage truncation — O(log
+  diameter) rounds, each a keyed join + groupBy. This is the 100 TB
+  path: state is (node, label), edges stay partitioned by key, the
+  only driver traffic is a 1-row convergence scalar per round.
+- **local union-find endgame**: after LSH banding the edge set is
+  orders of magnitude smaller than the corpus; once it fits under
+  ``local_threshold`` edges, collecting it and finishing with
+  union-find on the driver is both exact and ~free (microseconds for
+  10^5 edges), replacing ~6 shuffle rounds. Real systems (GraphFrames
+  connectedComponents, Pregel implementations) do exactly this
+  contraction endgame; the result joins back as a broadcast map.
+
+Semantics: component label = MIN(doc id reachable), matching the
+recursive-CTE oracle in plans/llmdata.py (O67).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _local_union_find(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Driver-side union-find over a bounded edge list; returns
+    (node, label) with label = min member of the component."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for src, dst in edges.select("src", "dst").toLocalIterator():
+        ra, rb = find(src), find(dst)
+        if ra != rb:
+            # union by min so the root IS the component label
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    touched = [(x, find(x)) for x in list(parent)]
+    spark = nodes.sparkSession
+    if not touched:
+        return nodes.select(F.col("node"), F.col("node").alias("label"))
+    mapping = spark.createDataFrame(touched, "node long, _mapped long")
+    return (
+        nodes.join(F.broadcast(mapping), "node", "left")
+        .select("node", F.coalesce("_mapped", "node").alias("label"))
+    )
+
+
+def _distributed_propagation(
+    nodes: DataFrame, edges: DataFrame, *, max_rounds: int
+) -> DataFrame:
+    """Iterative min-label propagation + one-hop path compression."""
+    labels = nodes.withColumn("label", F.col("node")).persist()
+    for _ in range(max_rounds):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        merged = labels.withColumnRenamed("label", "_old").join(
+            neighbor_min, "node", "left"
+        ).select(
+            "node",
+            "_old",
+            F.least(F.col("_old"), F.coalesce("nmin", F.col("_old"))).alias("_mid"),
+        )
+        # path compression: follow the label pointer one hop
+        ptr = merged.select(F.col("node").alias("_pn"), F.col("_mid").alias("_pl"))
+        new_labels = merged.join(ptr, merged["_mid"] == ptr["_pn"], "left").select(
+            "node",
+            F.coalesce("_pl", "_mid").alias("label"),
+            (F.coalesce("_pl", "_mid") < F.col("_old")).alias("_changed"),
+        )
+        # lineage truncation — without it round N replays rounds
+        # 1..N-1 and the DAG grows quadratically
+        new_labels = new_labels.localCheckpoint()
+        changed = new_labels.agg(
+            F.sum(F.when(F.col("_changed"), 1).otherwise(0))
+        ).collect()[0][0]
+        labels = new_labels.drop("_changed")
+        if not changed:
+            break
+    return labels
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    local_threshold: int = 100_000,
+    max_rounds: int = 20,
+) -> DataFrame:
+    """(node) x (src, dst) -> (node, label), label = component min.
+
+    ``local_threshold`` bounds the driver-side endgame: edge lists at
+    or under it are resolved with local union-find (exact, no shuffle
+    rounds); larger graphs run the distributed propagation loop.
+    Set it to 0 to force the distributed path (tests do).
+    """
+    edges = edges.persist()
+    n_edges = edges.count()
+    if n_edges <= local_threshold:
+        return _local_union_find(nodes, edges)
+    return _distributed_propagation(nodes, edges, max_rounds=max_rounds)

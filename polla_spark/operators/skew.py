@@ -67,13 +67,22 @@ def hot_key_split_join(
     broadcast join against the (filtered, tiny) dim slice; the long
     tail takes the normal shuffle join. Results == plain join.
 
+    Both sides are partitioned by hot-vs-cold key membership (null
+    keys route cold), so every key lives in exactly one branch and the
+    union is the plain join's row set for every ``how`` — including
+    right/full outer, where an unsplit dim side would re-emit hot dim
+    rows as unmatched nulls from the cold branch.
+
     ``hot_keys`` come from the caller (pipeline stats, a prior
     ``approx_count_distinct``/top-k pass, or domain knowledge).
     """
     hot = [F.lit(k) for k in hot_keys]
-    fact_hot = fact.filter(F.col(key).isin(*hot))
-    fact_cold = fact.filter(~F.col(key).isin(*hot) | F.col(key).isNull())
-    dim_hot = dim.filter(F.col(key).isin(*hot))
+    is_hot = F.col(key).isin(*hot)
+    is_cold = ~is_hot | F.col(key).isNull()
+    fact_hot = fact.filter(is_hot)
+    fact_cold = fact.filter(is_cold)
+    dim_hot = dim.filter(is_hot)
+    dim_cold = dim.filter(is_cold)
     joined_hot = fact_hot.join(F.broadcast(dim_hot), key, how)
-    joined_cold = fact_cold.join(dim, key, how)
+    joined_cold = fact_cold.join(dim_cold, key, how)
     return joined_hot.unionByName(joined_cold)

@@ -193,81 +193,34 @@ ORDER BY id_a, id_b
 
 def q67_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clustering: connected components over the MinHash-LSH
-    candidate graph via iterative min-label propagation — the step
-    that turns near-dup PAIRS into dedup GROUPS (survivor = component
-    min). The canonical iterative DataFrame algorithm:
-
-    - state = (doc_id, label), label initialized to doc_id;
-    - each round: every node takes min(own label, neighbors' labels)
-      (one join + one groupBy), then PATH-COMPRESSES label <-
-      label(label) (one self-join) — the compression makes
-      convergence O(log diameter) instead of O(diameter); the
-      testdata has a 132-doc chain-y component where pure
-      propagation needs ~5x the rounds;
-    - localCheckpoint per round truncates the lineage (without it,
-      round N replays rounds 1..N-1 and the DAG grows quadratically
-      — the classic iterative-Spark failure mode);
-    - driver checks a one-row convergence aggregate per round.
+    candidate graph (operators/graph.py). The edge set after banding
+    is orders smaller than the corpus, so the default plan is band
+    join -> bounded driver union-find endgame; past the edge bound
+    the same operator runs iterative min-label propagation with path
+    compression + localCheckpoint (the 100 TB path — exercised by
+    tests/test_components.py with local_threshold=0).
 
     Oracle: DuckDB recursive-CTE transitive closure + MIN(reachable).
     """
+    from ..operators.graph import connected_components
+
     d = with_minhash(_spread(spark, t(spark, sf_dir, "documents"))).select(
         "doc_id", "mh0", "mh1", "mh2", "mh3"
     )
-    long = d.selectExpr("doc_id", "stack(4, mh0, mh1, mh2, mh3) as sig").persist()
-    long.count()
+    long = d.selectExpr("doc_id", "stack(4, mh0, mh1, mh2, mh3) as sig")
     a = long.select(F.col("doc_id").alias("src"), "sig")
     b = long.select(F.col("doc_id").alias("dst"), "sig")
-    pairs = (
+    edges = (
         a.join(b, "sig")
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .distinct()
     )
-    edges = pairs.persist()
-    edges.count()
-
-    labels = (
-        t(spark, sf_dir, "documents")
-        .select("doc_id")
-        .withColumn("label", F.col("doc_id"))
-        .persist()
-    )
-    for _ in range(20):  # converges in O(log diameter) w/ compression
-        neighbor_min = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("label").alias("nmin"))
-        )
-        merged = labels.withColumnRenamed("label", "_old").join(
-            neighbor_min, "doc_id", "left"
-        ).select(
-            "doc_id",
-            "_old",
-            F.least(F.col("_old"), F.coalesce("nmin", F.col("_old"))).alias("_mid"),
-        )
-        # path compression: follow the label pointer one hop
-        ptr = merged.select(
-            F.col("doc_id").alias("_pn"), F.col("_mid").alias("_pl")
-        )
-        new_labels = (
-            merged.join(ptr, merged["_mid"] == ptr["_pn"], "left")
-            .select(
-                "doc_id",
-                F.coalesce("_pl", "_mid").alias("label"),
-                (F.coalesce("_pl", "_mid") < F.col("_old")).alias("_changed"),
-            )
-        )
-        new_labels = new_labels.localCheckpoint()  # truncate lineage
-        changed = new_labels.agg(
-            F.sum(F.when(F.col("_changed"), 1).otherwise(0))
-        ).collect()[0][0]
-        labels = new_labels.drop("_changed")
-        if not changed:
-            break
-    return labels.select(F.col("doc_id"), F.col("label").alias("component")).orderBy(
-        "doc_id"
-    )
+    nodes = t(spark, sf_dir, "documents").select(F.col("doc_id").alias("node"))
+    labels = connected_components(nodes, edges)
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
+    ).orderBy("doc_id")
 
 
 O67 = f"""

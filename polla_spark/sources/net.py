@@ -24,6 +24,15 @@ from ..errors import NetworkError, RobotsDisallowedError
 
 DEFAULT_UA = "PollaSparkBot/1.0 (+contact@example.com)"
 DEFAULT_TIMEOUT = 20
+
+
+def effective_user_agent(override: str | None = None) -> str:
+    """UA resolution order: explicit override > POLLA_USER_AGENT env >
+    default (reference polla_app/sources/pozos.py:227-232)."""
+    if override:
+        return override
+    return os.environ.get("POLLA_USER_AGENT") or DEFAULT_UA
+
 DEFAULT_RETRIES = 3
 BACKOFF_FACTOR = 1.5
 BACKOFF_CAP = 30.0

@@ -268,6 +268,7 @@ def provenance(payloads: DataFrame) -> DataFrame:
             "fuente",
             "fetched_at",
             "sha256",
+            "user_agent",  # reference descriptor carries the fetch UA
             "estimado",
             "sorteo",
             "fecha",

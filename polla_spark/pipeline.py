@@ -87,7 +87,7 @@ def _record_from_row(row: Row, run_id: str) -> dict[str, Any]:
             "fuente": d["fuente"],
             "fetched_at": d["fetched_at"].isoformat() if d["fetched_at"] else None,
             "sha256": d["sha256"],
-            "user_agent": None,
+            "user_agent": d["user_agent"],
             "estimado": d["estimado"],
             "sorteo": d["sorteo"],
             "fecha": d["fecha"].isoformat() if d["fecha"] else None,

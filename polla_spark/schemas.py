@@ -78,6 +78,7 @@ PROVENANCE_DESCRIPTOR = T.StructType(
         T.StructField("fuente", T.StringType(), False),
         T.StructField("fetched_at", T.TimestampType(), False),
         T.StructField("sha256", T.StringType(), False),
+        T.StructField("user_agent", T.StringType(), True),
         T.StructField("estimado", T.BooleanType(), False),
         T.StructField("sorteo", T.LongType(), True),
         T.StructField("fecha", T.DateType(), True),

@@ -93,12 +93,15 @@ def _rate_limit(host: str) -> None:
     _last_hit[host] = time.monotonic()
 
 
-def fetch_html(url: str, user_agent: str = DEFAULT_UA,
+def fetch_html(url: str, user_agent: str | None = None,
                timeout: int = DEFAULT_TIMEOUT, *,
                retries: int | None = None) -> FetchMetadata:
-    """GET with robots gate + rate limit + 429/5xx retry (net.py:86-177)."""
+    """GET with robots gate + rate limit + 429/5xx retry (net.py:86-177).
+
+    ``user_agent=None`` resolves POLLA_USER_AGENT then the default."""
     import requests
 
+    user_agent = effective_user_agent(user_agent)
     if not robots_allowed(url, user_agent):
         raise RobotsDisallowedError(f"robots.txt disallows {url}")
     attempts = retries if retries is not None else DEFAULT_RETRIES
@@ -131,7 +134,7 @@ def fetch_html(url: str, user_agent: str = DEFAULT_UA,
                        original_error=last)
 
 
-def fetch_udf_frame(urls_df, user_agent: str = DEFAULT_UA,
+def fetch_udf_frame(urls_df, user_agent: str | None = None,
                     timeout: int = DEFAULT_TIMEOUT):
     """Scale path: fetch a DataFrame of URLs on executors.
 

@@ -28,7 +28,13 @@ from ..errors import ParseError
 from ..functions.dates import extract_proximo_info
 from ..functions.html import assert_nonzero_amounts, extract_amounts, html_to_text
 from ..functions.money import parse_millones_clp
-from .net import DEFAULT_RETRIES, DEFAULT_TIMEOUT, DEFAULT_UA, fetch_html
+from .net import (
+    DEFAULT_RETRIES,
+    DEFAULT_TIMEOUT,
+    DEFAULT_UA,
+    effective_user_agent,
+    fetch_html,
+)
 
 OPENLOTO_URL = "https://www.openloto.cl/pozo-del-loto.html"
 POLLA_URL = "https://www.polla.cl/es/"
@@ -77,9 +83,10 @@ def _local_html(url: str) -> str | None:
     return None
 
 
-def get_pozo_openloto(url: str = OPENLOTO_URL, *, ua: str = DEFAULT_UA,
+def get_pozo_openloto(url: str = OPENLOTO_URL, *, ua: str | None = None,
                       timeout: int = DEFAULT_TIMEOUT,
                       retries: int | None = None) -> dict[str, Any]:
+    ua = effective_user_agent(ua)
     local = _local_html(url)
     if local is not None:
         return parse_openloto_html(local, fuente=url, user_agent=ua)
@@ -102,13 +109,26 @@ class _LiRecord:
     has_total_marker: bool = False
 
 
+#: Void elements never get an end tag — keep them off the open-tag stack.
+_VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta source track wbr".split()
+)
+
+
 class _PollaDomVisitor(HTMLParser):
     """Collects per-<li> structure: classes, img srcs, text chunks and
-    .prize span texts — the exact signals the reference selectors use."""
+    .prize span texts — the exact signals the reference selectors use.
+
+    Prize scoping tracks the real open-tag stack (tag, is_prize): text
+    is in-prize iff a .prize element is currently open, so nested
+    markup inside a prize span (or a prize div/p) scopes correctly —
+    the depth-counter heuristic this replaces mis-scoped on any nested
+    close."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self._li_stack: list[_LiRecord] = []
+        self._stack: list[tuple[str, bool]] = []  # (tag, is_prize)
         self._prize_depth = 0
         self.lis: list[_LiRecord] = []
 
@@ -123,17 +143,24 @@ class _PollaDomVisitor(HTMLParser):
             src = (attrs.get("src") or "").lower()
             for rec in self._li_stack:
                 rec.img_srcs.append(src)
-        if "prize" in classes:
-            self._prize_depth += 1
+        if tag not in _VOID_TAGS:
+            is_prize = "prize" in classes
+            self._stack.append((tag, is_prize))
+            if is_prize:
+                self._prize_depth += 1
 
     def handle_endtag(self, tag: str) -> None:
         if tag == "li" and self._li_stack:
             self._li_stack.pop()
-        # prize spans close with their element; a depth counter per tag
-        # would need full stack tracking — prize spans never nest in
-        # practice, so reset on any close while positive
-        if self._prize_depth > 0 and tag in ("span", "div", "p"):
-            self._prize_depth -= 1
+        # pop to the matching open tag (implicitly closing anything the
+        # markup left open); stray end tags leave the stack untouched
+        if any(t == tag for t, _ in self._stack):
+            while self._stack:
+                popped_tag, popped_prize = self._stack.pop()
+                if popped_prize:
+                    self._prize_depth -= 1
+                if popped_tag == tag:
+                    break
 
     def handle_data(self, data: str) -> None:
         chunk = data.strip()
@@ -201,24 +228,90 @@ def parse_polla_html(html: str, *, fuente: str = POLLA_URL,
                          montos=amounts, sorteo=sorteo, fecha=fecha)
 
 
-def get_pozo_polla(url: str = POLLA_URL, *, ua: str = DEFAULT_UA,
-                   timeout: int = DEFAULT_TIMEOUT,
-                   retries: int | None = None) -> dict[str, Any]:
-    """SPA fetch requires a headless browser; gated on scrapling.
-    Captured pages (file:// / local path) parse without a browser."""
-    local = _local_html(url)
-    if local is not None:
-        return parse_polla_html(local, fuente=url, user_agent=ua)
+@dataclasses.dataclass(frozen=True)
+class RenderedPage:
+    """What a browser fetcher returns: final status + serialized DOM."""
+
+    status: int
+    html: str
+
+
+def _scrapling_fetcher(timeout: int):
+    """Build the default browser fetcher (scrapling/playwright).
+
+    Renders the SPA, clicks 'VER DETALLE POR CATEGORÍA' to expand the
+    per-category prizes, waits for the binding animation, then
+    serializes the DOM before the session closes (reference
+    polla_app/sources/pozos.py:295-315). Raises ParseError when
+    scrapling is not importable — captured-page/injected-fetcher modes
+    keep working without it.
+    """
     try:
-        from scrapling import StealthyFetcher  # noqa: F401
+        from scrapling import StealthyFetcher
     except ImportError as exc:
         raise ParseError(
             "scrapling must be installed to fetch from polla.cl"
         ) from exc
-    raise NotImplementedError(
-        "browser rendering path requires a container with playwright; "
-        "use parse_polla_html on captured page content"
-    )
+
+    def fetch(url: str) -> RenderedPage:
+        shared: dict[str, str] = {}
+        ms = timeout * 1000
+
+        def expand_detalle(page) -> None:  # noqa: ANN001 — playwright page
+            try:
+                page.wait_for_selector(".jackpot-banner", timeout=ms)
+                page.locator("text=VER DETALLE POR CATEGORÍA").first.click(
+                    timeout=min(5000, ms)
+                )
+                page.wait_for_timeout(min(2000, ms // 2))
+            except Exception:  # noqa: BLE001 — banner variants; parse decides
+                pass
+            try:
+                # serialize inside the session: the fetcher's own DOM
+                # dump is sometimes empty after close
+                shared["html"] = page.content()
+            except Exception:  # noqa: BLE001
+                pass
+
+        engine = StealthyFetcher(headless=True)
+        page = engine.fetch(url, page_action=expand_detalle, timeout=timeout)
+        html = shared.get("html") or getattr(page, "text", "") or ""
+        return RenderedPage(status=getattr(page, "status", 0), html=html)
+
+    return fetch
+
+
+def get_pozo_polla(url: str = POLLA_URL, *, ua: str | None = None,
+                   timeout: int = DEFAULT_TIMEOUT,
+                   retries: int | None = None,
+                   fetcher=None) -> dict[str, Any]:
+    """SPA path: render -> expand categories -> parse the DOM.
+
+    ``fetcher`` is any ``(url) -> RenderedPage`` callable; when None
+    the scrapling/playwright fetcher is built (import-gated). Captured
+    pages (file:// / local path) parse without a browser at all.
+    """
+    ua = effective_user_agent(ua)
+    local = _local_html(url)
+    if local is not None:
+        return parse_polla_html(local, fuente=url, user_agent=ua)
+    if fetcher is None:
+        fetcher = _scrapling_fetcher(timeout)
+    attempts = retries if retries is not None else 1
+    last_exc: Exception | None = None
+    for attempt in range(1, attempts + 1):
+        try:
+            page = fetcher(url)
+            if page.status == 200 and page.html:
+                return parse_polla_html(page.html, fuente=url, user_agent=ua)
+            last_exc = ParseError(
+                f"polla.cl returned status {page.status}"
+            )
+        except ParseError as exc:
+            last_exc = exc
+    raise ParseError(
+        f"polla.cl fetch failed after {attempts} attempts: {url}"
+    ) from last_exc
 
 
 # ---------------------------------------------------------------------------

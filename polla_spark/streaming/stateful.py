@@ -96,15 +96,32 @@ def sessionize_stateful(
         qvals = [int(v) for v in (rows["value"] * 100).apply(__import__("math").floor)]
         types = rows["event_type"].tolist()
 
-        cur = list(state.get) if state.exists else None
-        for t_us, qv, et in zip(ts_us, qvals, types):
-            if cur is not None and t_us - cur[1] > gap_us:
-                yield session_row(cur)  # in-kernel gap split
-                cur = None
-            if cur is None:
-                cur = [t_us, t_us, 1, qv, et, et]
+        # Gap-interval merge: treat the stored state as one interval
+        # and each event as a point interval, sort by start, fold with
+        # the gap rule. A late-but-within-watermark event that lands
+        # inside/before the stored session merges via min/max (first/
+        # last types re-derived by (ts, type) — the batch oracle's
+        # struct ordering) instead of dragging the session end
+        # backwards; an event > gap older than the stored start closes
+        # as its own earlier session, exactly as the batch oracle
+        # groups it.
+        items = [list(state.get)] if state.exists else []
+        items.extend([t_us, t_us, 1, qv, et, et] for t_us, qv, et in zip(ts_us, qvals, types))
+        items.sort(key=lambda s: (s[0], s[4], s[1], s[5]))
+
+        cur = None
+        for it in items:
+            if cur is not None and it[0] - cur[1] <= gap_us:
+                if (it[0], it[4]) < (cur[0], cur[4]):
+                    cur[0], cur[4] = it[0], it[4]
+                if (it[1], it[5]) > (cur[1], cur[5]):
+                    cur[1], cur[5] = it[1], it[5]
+                cur[2] += it[2]
+                cur[3] += it[3]
             else:
-                cur[1], cur[2], cur[3], cur[5] = t_us, cur[2] + 1, cur[3] + qv, et
+                if cur is not None:
+                    yield session_row(cur)  # in-kernel gap split
+                cur = list(it)
         state.update(tuple(cur))
         # timeout fires when the event-time watermark passes this (ms)
         state.setTimeoutTimestamp(cur[1] // 1000 + gap_minutes * 60_000)

@@ -41,3 +41,23 @@ def test_hot_key_split_join_equals_plain_join(spark):
     # the hot slice really is broadcast
     plan = split._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_hot_key_split_join_outer_modes(spark):
+    """Non-inner hows: dim is split hot/cold too, so outer modes don't
+    re-emit hot dim rows as unmatched nulls from the cold branch."""
+    fact = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (None, "d")], "k int, fv string"
+    )
+    # dim has a hot key (1), a cold matched key (2), an unmatched key
+    # (9, exercises right/full null-fact emission) and a null key
+    dim = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (9, "z"), (None, "w")], "k int, dv string"
+    )
+    nullsafe = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+    for how in ("inner", "left", "right", "full", "semi", "anti"):
+        split = hot_key_split_join(fact, dim, "k", [1], how=how)
+        plain = fact.join(dim, "k", how)
+        got = sorted((tuple(r) for r in split.collect()), key=nullsafe)
+        want = sorted((tuple(r) for r in plain.collect()), key=nullsafe)
+        assert got == want, f"how={how}: {got} != {want}"

@@ -56,3 +56,59 @@ def test_invalid_date_still_parses_amounts():
     payload = parse_openloto_html(html)
     assert payload["montos"]["Loto Clásico"] == 690_000_000
     assert payload["fecha"] is None
+
+
+def test_polla_injected_fetcher_e2e():
+    """A browser fetcher injected into get_pozo_polla drives the full
+    render->parse path (no NotImplementedError, no scrapling needed)."""
+    from polla_spark.sources.pozos import RenderedPage, get_pozo_polla
+
+    html = (FIXTURES / "polla" / "page.html").read_text(encoding="utf-8")
+    expected = json.loads(
+        (FIXTURES / "polla" / "expected.json").read_text(encoding="utf-8")
+    )
+    calls: list[str] = []
+
+    def fake_fetcher(url: str) -> RenderedPage:
+        calls.append(url)
+        return RenderedPage(status=200, html=html)
+
+    payload = get_pozo_polla("https://www.polla.cl/es/", fetcher=fake_fetcher)
+    assert calls == ["https://www.polla.cl/es/"]
+    assert payload["montos"] == expected["montos"]
+
+
+def test_polla_fetcher_retries_then_fails():
+    from polla_spark.sources.pozos import RenderedPage, get_pozo_polla
+
+    calls: list[int] = []
+
+    def bad_fetcher(url: str) -> RenderedPage:
+        calls.append(1)
+        return RenderedPage(status=503, html="")
+
+    with pytest.raises(ParseError, match="after 3 attempts"):
+        get_pozo_polla("https://www.polla.cl/es/", retries=3, fetcher=bad_fetcher)
+    assert len(calls) == 3
+
+
+def test_nested_markup_inside_prize_span():
+    """Nested elements inside a .prize span stay in prize scope, and
+    text after the span closes is out of scope (tag-stack tracking)."""
+    html = """<body><ul>
+    <li class="sub-game"><img src="/img/loto_logo.png"/>
+      <span class="prize"><b>1.200</b><i> Millones</i></span>
+      <span>9.999 not a prize</span>
+    </li></ul></body>"""
+    payload = parse_polla_html(html)
+    assert payload["montos"] == {"Loto Clásico": 1_200_000_000}
+
+
+def test_user_agent_env_override(monkeypatch):
+    from polla_spark.sources.net import DEFAULT_UA, effective_user_agent
+
+    monkeypatch.delenv("POLLA_USER_AGENT", raising=False)
+    assert effective_user_agent(None) == DEFAULT_UA
+    monkeypatch.setenv("POLLA_USER_AGENT", "EnvBot/2.0")
+    assert effective_user_agent(None) == "EnvBot/2.0"
+    assert effective_user_agent("Explicit/1.0") == "Explicit/1.0"

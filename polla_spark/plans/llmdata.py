@@ -148,6 +148,27 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_a, id_b) distinct candidate pairs from the MinHash band
+    self-join — the shared front end of q53 and the in-bucket rescore
+    queries (q81/q83)."""
+    d = with_minhash(_spread(spark, t(spark, sf_dir, "documents"))).select(
+        "doc_id", "mh0", "mh1", "mh2", "mh3"
+    )
+    long = d.selectExpr("doc_id", "stack(4, mh0, mh1, mh2, mh3) as sig").persist()
+    long.count()  # materialize BEFORE the self-join: otherwise both
+    # join branches race the cold cache and compute the expensive
+    # signature projection twice
+    a = long.select(F.col("doc_id").alias("id_a"), "sig")
+    b = long.select(F.col("doc_id").alias("id_b"), "sig")
+    return (
+        a.join(b, "sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def q53_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding: docs sharing any band signature become candidates.
 
@@ -160,20 +181,7 @@ def q53_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only feasible near-dup shape, and the persisted signature
     table is what you would bucket/write by sig.
     """
-    d = with_minhash(_spread(spark, t(spark, sf_dir, "documents"))).select("doc_id", "mh0", "mh1", "mh2", "mh3")
-    long = d.selectExpr("doc_id", "stack(4, mh0, mh1, mh2, mh3) as sig").persist()
-    long.count()  # materialize BEFORE the self-join: otherwise both
-    # join branches race the cold cache and compute the expensive
-    # signature projection twice
-    a = long.select(F.col("doc_id").alias("id_a"), "sig")
-    b = long.select(F.col("doc_id").alias("id_b"), "sig")
-    return (
-        a.join(b, "sig")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-        .orderBy("id_a", "id_b")
-    )
+    return _minhash_band_candidates(spark, sf_dir).orderBy("id_a", "id_b")
 
 
 O53 = f"""
@@ -248,7 +256,11 @@ SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a ORDER BY doc_id
 
 def q54_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard for a deterministic sample of doc pairs
-    (every 50th doc): |A∩B| / |A∪B| over distinct shingle sets."""
+    (every 50th doc): |A∩B| / |A∪B| over distinct shingle sets.
+
+    BASELINE-ONLY: the sampled cross join grows quadratically with the
+    corpus; the production shape is q81_lsh_rescored_jaccard, which
+    runs this exact kernel only on LSH band candidates."""
     d = (
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 50 == 0)
@@ -611,10 +623,10 @@ def q63_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= 0.45;
     the synthetic vectors are near-orthogonal, max pairwise ~0.51).
 
-    Exact all-pairs is the oracle baseline; norms are precomputed
-    once per vector so the pair loop is a single fold. At 100 TB the
-    same rescore runs only inside q64's hyperplane buckets / q53-style
-    band groups — never all-pairs."""
+    BASELINE-ONLY: exact all-pairs is the oracle yardstick; norms are
+    precomputed once per vector so the pair loop is a single fold. The
+    production shape is q82_bucket_cosine_pairs — the identical rescore
+    restricted to hyperplane-LSH buckets, never all-pairs."""
     e = t(spark, sf_dir, "embeddings")
     n = e.select(
         "vec_id",
@@ -825,8 +837,11 @@ FROM documents GROUP BY modality ORDER BY modality
 def q68_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Levenshtein edit distance for a deterministic pair sample
     (prefixes — full-text O(n*m) DP is the reason near-dup at scale
-    uses LSH banding to cut candidates first; this exact kernel is
-    what runs INSIDE a candidate bucket)."""
+    uses LSH banding to cut candidates first).
+
+    BASELINE-ONLY: the sampled cross join grows quadratically; the
+    production shape is q83_lsh_edit_rescore, which runs this kernel
+    only on LSH band candidates."""
     d = (
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 100 == 0)
@@ -1009,6 +1024,161 @@ SELECT query_id, rn, vec_id, qcos FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Scale-safe composition: LSH candidates -> exact in-bucket rescore.
+# The all-pairs kernels (q54/q63/q68) are oracle baselines; these are
+# the shapes that actually run at corpus scale — pair count is bounded
+# by bucket collisions, never by n^2.
+# ---------------------------------------------------------------------------
+
+def q81_lsh_rescored_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash band candidates -> exact 3-gram Jaccard rescore ->
+    thresholded near-dup pairs.
+
+    The end-to-end near-dup pipeline shape for 100 TB: the only
+    quadratic step is inside LSH buckets (candidate count ~ O(dups)),
+    and the shingle sets are joined to the candidate list — two keyed
+    joins, no cross join anywhere in the plan (pinned by
+    tests/test_plan_shapes.py)."""
+    cands = _minhash_band_candidates(spark, sf_dir)
+    sh = (
+        t(spark, sf_dir, "documents")
+        .withColumn("_toks", _toks())
+        .withColumn("sh", F.array_distinct(F.expr(_shingles_expr())))
+        .select("doc_id", "sh")
+    )
+    j = cands.join(
+        sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        j.select("id_a", "id_b", F.round(inter / union, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("id_a", "id_b")
+    )
+
+
+O81 = f"""
+WITH sigs AS (
+  SELECT doc_id, {_duck_mh(0)} AS mh0, {_duck_mh(1)} AS mh1,
+         {_duck_mh(2)} AS mh2, {_duck_mh(3)} AS mh3
+  FROM documents
+), long AS (
+  SELECT doc_id, mh0 AS sig FROM sigs UNION ALL SELECT doc_id, mh1 FROM sigs
+  UNION ALL SELECT doc_id, mh2 FROM sigs UNION ALL SELECT doc_id, mh3 FROM sigs
+), cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM long a JOIN long b ON a.sig = b.sig AND a.doc_id < b.doc_id
+), sh AS (
+  SELECT doc_id, list_distinct({_DUCK_SHINGLES}) AS sh FROM documents
+)
+SELECT id_a, id_b,
+       ROUND(len(list_intersect(sa.sh, sb.sh)) /
+             CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 4) AS jaccard
+FROM cands JOIN sh sa ON cands.id_a = sa.doc_id
+           JOIN sh sb ON cands.id_b = sb.doc_id
+WHERE ROUND(len(list_intersect(sa.sh, sb.sh)) /
+            CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 4) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+def q82_bucket_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs restricted to hyperplane-LSH buckets:
+    the scale-safe q63. Vectors sharing an 8-plane sign code are
+    exact-rescored (cosine >= 0.45); cross-bucket pairs are never
+    materialized. At 100 TB the corpus is written partitioned by
+    ``code`` and this is a per-partition self-join."""
+    e = t(spark, sf_dir, "embeddings").withColumn("code", F.expr(_CODE_SPARK))
+    n = e.select(
+        "vec_id",
+        "code",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
+    a = n.select(
+        F.col("code"), F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"), F.col("norm").alias("na"),
+    )
+    b = n.select(
+        F.col("code"), F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"), F.col("norm").alias("nb"),
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, "code")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
+        .filter(F.col("cosine") >= 0.45)
+        .orderBy("id_a", "id_b")
+    )
+
+
+O82 = f"""
+WITH coded AS (
+  SELECT vec_id, embedding, {_CODE_DUCK} AS code,
+         sqrt({_DDOT.format(a='embedding', b='embedding')}) AS norm
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({_DDOT.format(a='a.embedding', b='b.embedding')} / (a.norm * b.norm), 4) AS cosine
+FROM coded a JOIN coded b ON a.code = b.code AND a.vec_id < b.vec_id
+WHERE ROUND({_DDOT.format(a='a.embedding', b='b.embedding')} / (a.norm * b.norm), 4) >= 0.45
+ORDER BY id_a, id_b
+"""
+
+
+def q83_lsh_edit_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash band candidates -> Levenshtein rescore on 120-char
+    prefixes -> pairs within 30% relative edit distance. The q68
+    kernel in its production position: the O(n*m) DP runs only on
+    bucket-collision pairs."""
+    cands = _minhash_band_candidates(spark, sf_dir)
+    p = t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 120).alias("prefix")
+    )
+    j = cands.join(
+        p.select(F.col("doc_id").alias("id_a"), F.col("prefix").alias("pa")), "id_a"
+    ).join(p.select(F.col("doc_id").alias("id_b"), F.col("prefix").alias("pb")), "id_b")
+    rel = F.levenshtein("pa", "pb") / F.greatest(F.length("pa"), F.length("pb"))
+    return (
+        j.select(
+            "id_a", "id_b",
+            F.levenshtein("pa", "pb").alias("edit_dist"),
+            F.round(rel, 4).alias("rel_edit"),
+        )
+        .filter(F.col("rel_edit") <= 0.3)
+        .orderBy("id_a", "id_b")
+    )
+
+
+O83 = f"""
+WITH sigs AS (
+  SELECT doc_id, {_duck_mh(0)} AS mh0, {_duck_mh(1)} AS mh1,
+         {_duck_mh(2)} AS mh2, {_duck_mh(3)} AS mh3
+  FROM documents
+), long AS (
+  SELECT doc_id, mh0 AS sig FROM sigs UNION ALL SELECT doc_id, mh1 FROM sigs
+  UNION ALL SELECT doc_id, mh2 FROM sigs UNION ALL SELECT doc_id, mh3 FROM sigs
+), cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM long a JOIN long b ON a.sig = b.sig AND a.doc_id < b.doc_id
+), p AS (
+  SELECT doc_id, substr(text, 1, 120) AS prefix FROM documents
+)
+SELECT id_a, id_b,
+       levenshtein(pa.prefix, pb.prefix) AS edit_dist,
+       ROUND(levenshtein(pa.prefix, pb.prefix) /
+             CAST(greatest(length(pa.prefix), length(pb.prefix)) AS DOUBLE), 4) AS rel_edit
+FROM cands JOIN p pa ON cands.id_a = pa.doc_id
+           JOIN p pb ON cands.id_b = pb.doc_id
+WHERE ROUND(levenshtein(pa.prefix, pb.prefix) /
+            CAST(greatest(length(pa.prefix), length(pb.prefix)) AS DOUBLE), 4) <= 0.3
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = [
     Query("q50_exact_dedup", q50_exact_dedup, O50, "sha256 exact dedup"),
     Query("q51_fingerprint_dedup", q51_fingerprint_dedup, O51, "normalized fingerprint dedup"),
@@ -1034,4 +1204,10 @@ QUERIES = [
           "character-trigram language-ID (profile + argmax)"),
     Query("q77_quantized_knn", q77_quantized_knn, O77,
           "int8-quantized cosine top-k (exact integer dot products)"),
+    Query("q81_lsh_rescored_jaccard", q81_lsh_rescored_jaccard, O81,
+          "LSH candidates -> exact Jaccard rescore (scale path of q54)"),
+    Query("q82_bucket_cosine_pairs", q82_bucket_cosine_pairs, O82,
+          "hyperplane-bucket cosine near-dup (scale path of q63)"),
+    Query("q83_lsh_edit_rescore", q83_lsh_edit_rescore, O83,
+          "LSH candidates -> Levenshtein rescore (scale path of q68)"),
 ]

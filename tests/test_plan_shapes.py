@@ -8,7 +8,13 @@ before a benchmark would catch it.
 
 from __future__ import annotations
 
-from polla_spark.plans.llmdata import q76_trigram_lang_id, q77_quantized_knn
+from polla_spark.plans.llmdata import (
+    q76_trigram_lang_id,
+    q77_quantized_knn,
+    q81_lsh_rescored_jaccard,
+    q82_bucket_cosine_pairs,
+    q83_lsh_edit_rescore,
+)
 from polla_spark.plans.relational import (
     q46_small_quantity_revenue,
     q69_returned_items,
@@ -60,3 +66,14 @@ def test_q77_query_side_is_broadcast(spark):
     plan = _plan(q77_quantized_knn(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rescore_queries_never_cartesian(spark):
+    # the whole point of the candidates->rescore composition: every
+    # pairing is an equi-join (band sig / bucket code / candidate id),
+    # so no plan may contain an all-pairs operator
+    for q in (q81_lsh_rescored_jaccard, q82_bucket_cosine_pairs,
+              q83_lsh_edit_rescore):
+        plan = _plan(q(spark, SF))
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__

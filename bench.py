@@ -6,13 +6,18 @@ Prints ONE JSON line:
 Methodology: one shared SparkSession (startup excluded — it is fixed
 cost, not throughput); each query is forced through the noop sink so
 EVERY column is materialized — a bare count() lets Catalyst prune
-expensive projections and understates the work.
+expensive projections and understates the work. Each query runs
+$SPARK_GRAFT_BENCH_REPS times (default 3) and reports the per-query
+MEDIAN — single-run timings on a shared VM carry ±30% noise, which
+drowned round-over-round deltas. The cache is cleared between reps so
+an eager persist inside a plan can't make later reps artificially warm.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -23,6 +28,7 @@ from polla_spark.plans import registry  # noqa: E402
 from polla_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
 #: Headline set: one per operator family, weighted toward the heavy
 #: shapes (scan-agg, star join, windows, consensus, dedup, knn).
@@ -48,11 +54,14 @@ HEADLINE = [
     "q64_ann_hyperplane_lsh",
     "q65_winnowing_fingerprints",
     "q66_multimodal_features",
+    "q67_dedup_components",
     "q69_returned_items",
     "q70_tumbling",
     "q72_sessionize",
     "q74_asof_join",
     "q76_trigram_lang_id",
+    "q81_lsh_rescored_jaccard",
+    "q82_bucket_cosine_pairs",
 ]
 
 
@@ -73,15 +82,23 @@ def main() -> None:
     total = 0.0
     for name in HEADLINE:
         q = reg[name]
-        # time construction + execution: some plans materialize an
-        # intermediate (eager persist) during construction
-        t0 = time.perf_counter()
-        df = q.spark(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        times[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.2f}s", file=sys.stderr)
+        reps: list[float] = []
+        for _ in range(REPS):
+            # a plan's eager persist() registers in the CacheManager by
+            # logical plan, so a later rep of the same query would read
+            # the cache and understate the work — clear between reps
+            spark.catalog.clearCache()
+            # time construction + execution: some plans materialize an
+            # intermediate (eager persist) during construction
+            t0 = time.perf_counter()
+            df = q.spark(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            reps.append(time.perf_counter() - t0)
+        med = statistics.median(reps)
+        times[name] = round(med, 3)
+        total += med
+        print(f"# {name}: median {med:.2f}s of {[round(r, 2) for r in reps]}",
+              file=sys.stderr)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -90,6 +107,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": times,
+                "reps": REPS,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -40,7 +40,9 @@ def _local_union_find(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for src, dst in edges.select("src", "dst").toLocalIterator():
+    # bounded by local_threshold (caller-checked) — one collect, not
+    # toLocalIterator's job-per-partition sequential walk
+    for src, dst in edges.select("src", "dst").collect():
         ra, rb = find(src), find(dst)
         if ra != rb:
             # union by min so the root IS the component label

@@ -25,6 +25,7 @@ from pathlib import Path
 from typing import Any
 
 from pyspark.sql import Row, SparkSession
+from pyspark.sql import functions as F
 
 from . import API_VERSION
 from .operators import consensus as C
@@ -194,7 +195,13 @@ def run_pipeline(
     )
     mismatches_df = C.consensus(pdf)["mismatches"]
 
-    decision_row = decided.collect()[0]  # THE single driver-side collect
+    decision_rows = decided.collect()  # THE single driver-side collect
+    if len(decision_rows) != 1:
+        raise RuntimeError(
+            f"run_pipeline expects exactly one run, got {len(decision_rows)} "
+            "decision rows — use run_pipeline_bulk for multi-run frames"
+        )
+    decision_row = decision_rows[0]
     mismatch_rows = mismatches_df.collect()
 
     # --- artifacts (after decision; driver-side single records) ---
@@ -264,3 +271,69 @@ def run_pipeline(
         else:
             notifier.run_complete(summary)
     return summary
+
+
+def run_pipeline_bulk(
+    spark: SparkSession,
+    payloads_df,
+    *,
+    expected_sources: int,
+    output_dir: str | Path,
+    state_df=None,
+    mismatch_threshold: float = 0.25,
+    force_publish: bool = False,
+):
+    """Bulk mode: N runs (distinct ``run_id``s in ``payloads_df``, a
+    SOURCE_PAYLOAD frame) through consensus -> delta -> decide in ONE
+    job. Artifacts are written executor-side with ``df.write.json`` —
+    the driver never collects data rows; the returned decisions frame
+    is one row per run for the caller to act on.
+
+    This is the 100 TB replay/backfill shape: the consensus operators
+    are keyed by ``run_id`` throughout (operators/consensus.py), so a
+    million historical runs shuffle by (run_id, categoria) exactly like
+    one. The single-run :func:`run_pipeline` keeps the reference's
+    byte-exact artifact format; bulk artifacts are JSONL rows of the
+    same records (key order per Spark's ``to_json``, not the canonical
+    single-run ordering).
+    """
+    out = Path(output_dir)
+    state = (
+        state_df
+        if state_df is not None
+        else spark.createDataFrame([], STATE_ROW)
+    )
+    normalized = C.normalized_records(payloads_df, expected_sources=expected_sources)
+    flagged = C.with_unchanged(normalized, state)
+    decided = C.decide(
+        flagged, mismatch_threshold=mismatch_threshold, force_publish=force_publish
+    )
+    mismatches = C.consensus(payloads_df)["mismatches"]
+
+    records = decided.select(
+        "run_id",
+        F.lit(API_VERSION).alias("api_version"),
+        "sorteo",
+        "fecha",
+        "fuente",
+        "confidence",
+        "premios",
+        "pozos_proximo",
+        "provenance",
+    )
+    records.write.mode("overwrite").json(str(out / "normalized"))
+    mismatches.write.mode("overwrite").json(str(out / "mismatches"))
+    decisions = decided.select(
+        "run_id",
+        "status",
+        "publish",
+        "publish_reason",
+        "confidence",
+        "total_categories",
+        "mismatched_categories",
+        "mismatch_ratio",
+        "max_deviation",
+        "unchanged",
+    )
+    decisions.write.mode("overwrite").json(str(out / "decisions"))
+    return decisions

@@ -236,6 +236,62 @@ def test_quarantine_not_published_without_flag(spark, tmp_path):
     assert result2["published"] is True
 
 
+def test_bulk_multi_run_pipeline(spark, tmp_path):
+    """3 run_ids through one bulk job: per-run decisions, artifacts
+    written as DataFrames (no driver collect of data rows)."""
+    import datetime as dt
+
+    from polla_spark.pipeline import run_pipeline_bulk
+    from polla_spark.schemas import SOURCE_PAYLOAD
+
+    def payload(run, source, prio, montos):
+        return {
+            "run_id": run,
+            "source_name": source,
+            "source_priority": prio,
+            "fuente": f"https://{source}.example/",
+            "fetched_at": dt.datetime(2025, 6, 1, 12, 0),
+            "sha256": f"sha_{source}_{run}",
+            "estimado": True,
+            "user_agent": "BulkBot/1.0",
+            "sorteo": 5000 + int(run[-1]),
+            "fecha": dt.date(2025, 6, 2),
+            "montos": montos,
+        }
+
+    agree = {"Loto Clásico": 100, "Recargado": 200}
+    disagree = {"Loto Clásico": 999, "Recargado": 200}
+    rows = [
+        # r1: sources agree -> publish
+        payload("r1", "openloto", 0, agree),
+        payload("r1", "polla", 1, agree),
+        # r2: 1/2 categories disagree -> mismatch_ratio 0.5 > 0.25 -> quarantine
+        payload("r2", "openloto", 0, agree),
+        payload("r2", "polla", 1, disagree),
+        # r3: single source -> publish, single_source confidence
+        payload("r3", "openloto", 0, agree),
+    ]
+    pdf = spark.createDataFrame(rows, SOURCE_PAYLOAD)
+    decisions = run_pipeline_bulk(
+        spark, pdf, expected_sources=2, output_dir=tmp_path / "bulk"
+    )
+    got = {r["run_id"]: r for r in decisions.collect()}
+    assert set(got) == {"r1", "r2", "r3"}
+    assert got["r1"]["status"] == "publish" and got["r1"]["confidence"] == "full"
+    assert got["r2"]["status"] == "quarantine"
+    assert got["r3"]["status"] == "publish"
+    assert got["r3"]["confidence"] == "degraded"  # 1 < expected 2
+
+    # artifacts are real JSONL datasets readable back by Spark
+    norm = spark.read.json(str(tmp_path / "bulk" / "normalized"))
+    assert norm.count() == 3
+    assert set(norm.columns) >= {"run_id", "pozos_proximo", "provenance", "confidence"}
+    mism = spark.read.json(str(tmp_path / "bulk" / "mismatches"))
+    assert mism.filter(mism.run_id == "r2").count() == 1
+    dec = spark.read.json(str(tmp_path / "bulk" / "decisions"))
+    assert dec.count() == 3
+
+
 def test_slack_notifier_payloads():
     sent = []
     notifier = SlackNotifier(webhook_url="https://hooks.test/x",

@@ -138,12 +138,112 @@ def _money_udf(series: pd.Series) -> pd.DataFrame:
     return _parse_batch(series)
 
 
+# ---------------------------------------------------------------------------
+# Native-expression fast path
+# ---------------------------------------------------------------------------
+#
+# The unambiguous shapes — the overwhelming majority of real page text —
+# parse as a pure JVM expression chain (rlike dispatch -> regexp_replace
+# degrouping -> DECIMAL arithmetic), keeping the hot path inside
+# whole-stage codegen. Only rows the chain cannot prove unambiguous
+# (malformed groupings, units in odd positions, non-integral products)
+# fall back to the Arrow kernel. Contract parity is pinned by running
+# every golden case through both paths (tests/test_money.py).
+
+def money_native_clp(raw: Column) -> Column:
+    """BIGINT CLP for natively-parseable shapes; NULL when the row
+    needs the Python kernel (which also decides real errors).
+
+    Mirrors :func:`parse_millones_clp` step-for-step: unit peel in the
+    same precedence order (MM/millones anywhere > trailing "mil" >
+    trailing "m"s), then ``$``/space strip, then the dot/comma
+    degrouping decision tree — but only for the shapes whose reading
+    is structurally unambiguous. DECIMAL(28,10) arithmetic keeps the
+    product exact; a non-integral product (possible only for "mil"
+    with >3 decimals) is deliberately left to the kernel so the two
+    paths can never disagree on rounding.
+    """
+    s = F.lower(F.trim(F.coalesce(raw, F.lit(""))))
+    has_mm = s.rlike("mm$") | s.contains("millones")
+    ends_mil = ~has_mm & s.rlike("mil$")
+    ends_m = ~has_mm & ~ends_mil & s.rlike("m$")
+    body = (
+        F.when(has_mm, F.regexp_replace(F.regexp_replace(s, "millones", ""), "mm", ""))
+        .when(ends_mil, s.substr(F.lit(1), F.length(s) - 3))
+        .when(ends_m, F.regexp_replace(s, "m+$", ""))
+        .otherwise(s)
+    )
+    # scalar path strips exactly '$' and plain spaces after unit peel
+    clean = F.regexp_replace(F.trim(body), "[$ ]", "")
+    scale = F.when(ends_mil, F.lit(THOUSAND)).otherwise(F.lit(MILLION))
+
+    digits = clean.rlike("^[0-9]{1,12}$")
+    dot_grouped = clean.rlike("^[0-9]{1,3}(\\.[0-9]{3}){1,3}$")
+    dot_decimal = clean.rlike("^[0-9]{1,9}\\.[0-9]{1,6}$") & ~clean.rlike(
+        "^[0-9]+\\.[0-9]{3}$"
+    )
+    comma_thousands = clean.rlike("^[0-9]{1,9},[0-9]{3}$")
+    comma_decimal = clean.rlike("^[0-9]{1,9},[0-9]{1,6}$") & ~comma_thousands
+    mixed = clean.rlike("^[0-9]{1,3}(\\.[0-9]{3}){1,3},[0-9]{1,6}$")
+
+    num = (
+        F.when(digits, clean)
+        .when(dot_grouped, F.regexp_replace(clean, "\\.", ""))
+        .when(dot_decimal, clean)
+        .when(comma_thousands, F.regexp_replace(clean, ",", ""))
+        .when(comma_decimal, F.regexp_replace(clean, ",", "."))
+        # mixed: drop the dot groups, the comma becomes the decimal point
+        .when(mixed, F.regexp_replace(F.regexp_replace(clean, "\\.", ""), ",", "."))
+    )
+    val = num.cast("decimal(28,10)") * scale
+    integral = val == F.floor(val).cast("decimal(28,10)")
+    return F.when(val.isNotNull() & integral, F.floor(val).cast("long"))
+
+
 def money_parse_cols(raw: Column) -> Column:
     """``struct(clp BIGINT, parse_error STRING)`` for a raw money string.
+
+    Dispatch: native expression result when the shape is unambiguous;
+    the Arrow kernel otherwise. The kernel's *input* is masked to NULL
+    for natively-parsed rows, so the Python batch does no regex work
+    for them (the exchange itself still carries the batch — use
+    :func:`money_parse_frame` to keep clean rows out of the Python
+    boundary entirely).
 
     Usage::
 
         df.withColumn("parsed", money_parse_cols(F.col("raw")))
           .select("*", "parsed.clp", "parsed.parse_error")
     """
-    return _money_udf(raw)
+    native = money_native_clp(raw)
+    fallback = _money_udf(F.when(native.isNull(), raw))
+    return F.when(
+        native.isNotNull(),
+        F.struct(
+            native.alias("clp"), F.lit(None).cast("string").alias("parse_error")
+        ),
+    ).otherwise(fallback)
+
+
+def money_parse_frame(df, raw_col: str, out_col: str = "parsed"):
+    """Frame-level dispatch: clean rows take the pure-JVM branch (zero
+    Python eval — the plan for that branch contains no EvalPython
+    node); only rows the native chain rejects cross the Arrow boundary.
+    The union preserves every input column plus ``out_col``.
+
+    This is the 100 TB shape: Python cost scales with the *dirty* row
+    count, not the corpus.
+    """
+    native = money_native_clp(F.col(raw_col))
+    tagged = df.withColumn("_native_clp", native)
+    clean = tagged.filter(F.col("_native_clp").isNotNull()).withColumn(
+        out_col,
+        F.struct(
+            F.col("_native_clp").alias("clp"),
+            F.lit(None).cast("string").alias("parse_error"),
+        ),
+    )
+    dirty = tagged.filter(F.col("_native_clp").isNull()).withColumn(
+        out_col, _money_udf(F.col(raw_col))
+    )
+    return clean.unionByName(dirty).drop("_native_clp")

@@ -58,3 +58,45 @@ def run_payload_stream(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def make_publish_gate_sink(
+    publisher: Callable[[list], None],
+    *,
+    quarantiner: Callable[[list], None] | None = None,
+    state_rows: list | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """Decision sink enforcing the reference's publish gate across
+    micro-batches: only ``publish``/``publish_forced`` rows reach the
+    publisher; ``quarantine`` rows go to the quarantine channel; ``skip``
+    rows touch nothing. Published runs append their STATE_ROW shape to
+    ``state_rows`` (the caller shares that list with the
+    ``state_df_provider`` fed to :func:`make_decision_batch_fn`), so a
+    later micro-batch repeating the same sorteo/fecha/amounts decides
+    ``skip`` — the cross-batch delta semantics of the daily cron
+    (reference pipeline state file), continuous.
+
+    The collect here is bounded: one row per run in the micro-batch,
+    never data rows.
+    """
+
+    def sink(decided: DataFrame, epoch_id: int) -> None:
+        rows = decided.collect()
+        published = [r for r in rows if r["publish"]]
+        quarantined = [r for r in rows if r["status"] == "quarantine"]
+        if published:
+            publisher(published)
+            if state_rows is not None:
+                for r in published:
+                    state_rows.append(
+                        {
+                            "sorteo": r["sorteo"],
+                            "fecha": r["fecha"],
+                            "primary_sha256": r["provenance"]["pozos"]["primary"]["sha256"],
+                            "pozos_proximo": dict(r["pozos_proximo"]),
+                        }
+                    )
+        if quarantined and quarantiner is not None:
+            quarantiner(quarantined)
+
+    return sink

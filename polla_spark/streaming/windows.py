@@ -80,6 +80,44 @@ def session_counts(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def daily_user_partials(events: DataFrame,
+                        watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Streaming form of the daily rollup (plans/windows_q.q73):
+    user-grain partials.
+
+    ``countDistinct`` is not incrementally mergeable, so the stream
+    maintains one bounded state row per (day, event_type, user_id) —
+    a single streaming aggregation — and the day-grain rollup
+    (:func:`rollup_daily`, where ``n_users`` = count of user rows) is
+    a read-time batch query over this much smaller result. The
+    standard streaming-dashboard pattern: pre-aggregate at the finest
+    grain the distinct needs, finish at read time.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .withColumn("vq", vq())
+        .groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "user_id",
+        )
+        .agg(F.count("*").alias("n"), F.sum("vq").alias("sum_vq"))
+    )
+
+
+def rollup_daily(partials: DataFrame) -> DataFrame:
+    """Batch finisher over :func:`daily_user_partials` output — emits
+    exactly the q73 daily-rollup shape (n, n_users, sum_vq)."""
+    return (
+        partials.groupBy("day", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.count("*").alias("n_users"),
+            F.sum("sum_vq").alias("sum_vq"),
+        )
+    )
+
+
 def dedupe_stream(events: DataFrame, keys: list[str],
                   watermark: str = DEFAULT_WATERMARK) -> DataFrame:
     """Watermark-scoped exact dedupe (first event per key wins)."""

@@ -84,6 +84,32 @@ def test_session_stream_equals_batch_sessionize(spark, stream_events):
     )
 
 
+def test_sliding_stream_equals_q71(spark, stream_events):
+    """The sliding-window stream must reproduce q71's batch result
+    exactly (same width/slide/quantization)."""
+    from polla_spark.plans.windows_q import q71_sliding
+
+    stream_out = SW.run_to_memory(
+        SW.sliding_counts(stream_events), "t_sliding_q71", "complete"
+    )
+    keys = ["window_start", "n", "sum_vq"]
+    assert _rows(stream_out, keys) == _rows(q71_sliding(spark, SF_DIR), keys)
+
+
+def test_daily_rollup_stream_equals_q73(spark, stream_events):
+    """Streaming daily rollup == q73: the stream keeps user-grain
+    partials (countDistinct is not mergeable), the read-time rollup
+    finishes to day grain."""
+    from polla_spark.plans.windows_q import q73_event_type_daily
+
+    partials = SW.run_to_memory(
+        SW.daily_user_partials(stream_events), "t_daily_partials", "complete"
+    )
+    got = SW.rollup_daily(partials)
+    keys = ["day", "event_type", "n", "n_users", "sum_vq"]
+    assert _rows(got, keys) == _rows(q73_event_type_daily(spark, SF_DIR), keys)
+
+
 def test_dedupe_stream(spark, stream_events, batch_events):
     stream_out = SW.run_to_memory(
         SW.dedupe_stream(stream_events, ["user_id", "event_type"]),
@@ -150,3 +176,71 @@ def test_streaming_pipeline_decision_equals_batch(spark, tmp_path):
         (r["run_id"], r["status"], r["confidence"]) for r in batch.collect()
     )
     assert sorted(collected) == expected
+
+
+def test_publish_gate_across_microbatches(spark, tmp_path):
+    """Multi-microbatch decision gate e2e: batch 1 publishes and writes
+    state; batch 2 repeats the same sorteo/fecha/amounts and must SKIP
+    (delta vs the state batch 1 wrote); batch 3 changes amounts and
+    publishes again. Only gated rows reach the publisher."""
+    import datetime as dt
+
+    from polla_spark.schemas import SOURCE_PAYLOAD, STATE_ROW
+    from polla_spark.streaming.pipeline import (
+        make_decision_batch_fn,
+        make_publish_gate_sink,
+        run_payload_stream,
+    )
+
+    def run_rows(run_id, montos):
+        return [
+            {
+                "run_id": run_id,
+                "source_name": name,
+                "source_priority": prio,
+                "fuente": f"https://x/{name}",
+                "fetched_at": dt.datetime(2026, 5, 1, 12, 0, 0),
+                "sha256": f"sha_{name}_{run_id}",
+                "estimado": True,
+                "user_agent": "ua",
+                "sorteo": 6000,
+                "fecha": dt.date(2026, 5, 3),
+                "montos": montos,
+            }
+            for prio, name in enumerate(["s1", "s2"])
+        ]
+
+    amounts = {"Loto Clásico": 100, "Recargado": 200}
+    changed = {"Loto Clásico": 150, "Recargado": 200}
+    pdir = tmp_path / "payload_stream"
+    for i, rows in enumerate(
+        (run_rows("r1", amounts), run_rows("r2", amounts), run_rows("r3", changed))
+    ):
+        spark.createDataFrame(rows, SOURCE_PAYLOAD).coalesce(1).write.parquet(
+            str(pdir / f"b{i}")
+        )
+
+    state_rows: list[dict] = []
+    published: list[tuple] = []
+    quarantined: list[tuple] = []
+    sink = make_publish_gate_sink(
+        lambda rows: published.extend((r["run_id"], r["status"]) for r in rows),
+        quarantiner=lambda rows: quarantined.extend(r["run_id"] for r in rows),
+        state_rows=state_rows,
+    )
+
+    def state_provider():
+        return spark.createDataFrame(state_rows, STATE_ROW)
+
+    stream = (
+        spark.readStream.schema(SOURCE_PAYLOAD)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{pdir}/*/")
+    )
+    run_payload_stream(
+        stream, make_decision_batch_fn(state_provider, sink, expected_sources=2)
+    )
+
+    assert published == [("r1", "publish"), ("r3", "publish")]
+    assert quarantined == []
+    assert len(state_rows) == 2  # r1 and r3 advanced the state; r2 skipped

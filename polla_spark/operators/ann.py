@@ -40,22 +40,56 @@ def write_ivf_index(embeddings: DataFrame, path: str) -> None:
     write_parquet(with_code(embeddings), path, partition_by=["code"])
 
 
+def hamming_neighbors(code: str, radius: int = 1) -> list[str]:
+    """The stored code plus every code within Hamming distance
+    ``radius`` (single-bit flips for radius 1) — the multi-probe set.
+    A vector whose true nearest cell was narrowly missed by one
+    hyperplane sign lands in exactly such a neighbor cell, so probing
+    them recovers most of the recall an LSH quantizer loses."""
+    bits = code[1:]  # strip the "c" string-safety prefix
+    out = [code]
+    if radius >= 1:
+        for i in range(len(bits)):
+            flipped = bits[:i] + ("1" if bits[i] == "0" else "0") + bits[i + 1:]
+            out.append("c" + flipped)
+    return out
+
+
 def probe_ivf(
     spark: SparkSession,
     index_path: str,
     queries: DataFrame,
     k: int = 3,
+    *,
+    probe_radius: int = 0,
 ) -> DataFrame:
-    """Top-k cosine neighbors per query, reading only the queries' cells.
+    """Top-k cosine neighbors per query, reading only the probed cells.
 
     ``queries`` needs (``vec_id``, ``embedding``). Returns
     (query_id, rn, vec_id, cosine) with the same deterministic
     ordering contract as q64 (cosine DESC, vec_id ASC tiebreak).
+
+    ``probe_radius=0`` probes each query's own cell; ``1`` adds its
+    8 Hamming-1 neighbor cells (multi-probe) — higher recall for
+    9/2^n_planes of the corpus read instead of 1/2^n_planes, still
+    directory-pruned. The expansion is driver-side and bounded by the
+    query-batch size, never the corpus; each corpus vector lives in
+    exactly one cell, so no candidate pair is scored twice.
     """
     q = with_code(queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "code"
     )
-    codes = [r["code"] for r in q.select("code").distinct().collect()]
+    base_codes = [r["code"] for r in q.select("code").distinct().collect()]
+    expansion = sorted(
+        {(c, n) for c in base_codes for n in hamming_neighbors(c, probe_radius)}
+    )
+    probe_map = spark.createDataFrame(expansion, "code string, probe_code string")
+    q = (
+        q.join(F.broadcast(probe_map), "code")
+        .drop("code")
+        .withColumnRenamed("probe_code", "code")
+    )
+    codes = sorted({n for _, n in expansion})
     cells = spark.read.parquet(index_path).filter(F.col("code").isin(codes))
     cand = cells.join(F.broadcast(q), "code").filter(
         F.col("vec_id") != F.col("query_id")

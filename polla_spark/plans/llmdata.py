@@ -1179,6 +1179,68 @@ ORDER BY id_a, id_b
 """
 
 
+def q84_training_set_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-set selection — the LLM-data pipeline's
+    stages composed in ONE plan: exact-dedup survivorship (sha256
+    window), length gate (>= 5 whitespace tokens), and an
+    English-quality gate (per-doc stopword ratio >= 0.02 when
+    lang = 'en'). Per source: kept/dup-dropped/quality-dropped counts
+    and kept token volume.
+
+    Plan shape at 100 TB: one scan, one hash shuffle on the uniform
+    sha key for the survivor window, one partial-aggregated shuffle on
+    source for the report — no joins, no Python.
+    """
+    d = t(spark, sf_dir, "documents").withColumn("_toks", _toks())
+    n_toks = F.size("_toks")
+    stop_n = F.size(F.filter("_toks", lambda x: x.isin(*_EN_STOP)))
+    w = Window.partitionBy(F.sha2("text", 256))
+    scored = d.select(
+        "source",
+        "lang",
+        n_toks.alias("n_toks"),
+        F.round(stop_n.cast("decimal(18,4)") / n_toks, 4).cast("double").alias("stop_ratio"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_survivor"),
+    )
+    quality_ok = (F.col("n_toks") >= 5) & (
+        (F.col("lang") != "en") | (F.col("stop_ratio") >= 0.02)
+    )
+    sel = F.col("is_survivor") & quality_ok
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(sel, 1).otherwise(0)).alias("n_selected"),
+            F.sum(F.when(~F.col("is_survivor"), 1).otherwise(0)).alias("n_dup_dropped"),
+            F.sum(
+                F.when(F.col("is_survivor") & ~quality_ok, 1).otherwise(0)
+            ).alias("n_quality_dropped"),
+            F.sum(F.when(sel, F.col("n_toks")).otherwise(0)).alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+O84 = f"""
+WITH scored AS (
+  SELECT source, lang, len({TOKS}) AS n_toks,
+         CAST(ROUND(CAST(len(list_filter({TOKS}, x -> x IN {_DUCK_STOP})) AS DECIMAL(18,4))
+              / len({TOKS}), 4) AS DOUBLE) AS stop_ratio,
+         doc_id = MIN(doc_id) OVER (PARTITION BY sha256(text)) AS is_survivor
+  FROM documents
+), flagged AS (
+  SELECT *, (n_toks >= 5 AND (lang <> 'en' OR stop_ratio >= 0.02)) AS quality_ok
+  FROM scored
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN is_survivor AND quality_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+       CAST(SUM(CASE WHEN NOT is_survivor THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_dropped,
+       CAST(SUM(CASE WHEN is_survivor AND NOT quality_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_dropped,
+       CAST(SUM(CASE WHEN is_survivor AND quality_ok THEN n_toks ELSE 0 END) AS BIGINT) AS kept_tokens
+FROM flagged GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = [
     Query("q50_exact_dedup", q50_exact_dedup, O50, "sha256 exact dedup"),
     Query("q51_fingerprint_dedup", q51_fingerprint_dedup, O51, "normalized fingerprint dedup"),
@@ -1210,4 +1272,6 @@ QUERIES = [
           "hyperplane-bucket cosine near-dup (scale path of q63)"),
     Query("q83_lsh_edit_rescore", q83_lsh_edit_rescore, O83,
           "LSH candidates -> Levenshtein rescore (scale path of q68)"),
+    Query("q84_training_set_select", q84_training_set_select, O84,
+          "composed dedup+quality+length training-set selection"),
 ]

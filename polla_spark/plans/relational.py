@@ -1424,6 +1424,54 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def q85_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV write -> schema-enforced PERMISSIVE read -> aggregate equals
+    a direct scan (the third source/sink format after parquet/NDJSON).
+    Doubles survive because Spark writes shortest-round-trip reprs;
+    the schema-on-read contract (never infer) matches read_ndjson."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..sources.io import read_csv, write_csv
+
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), f"polla_rt_csv_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}"
+    )
+    write_csv(c, path)
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    )
+    back = read_csv(spark, path, schema)
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+            as_money(F.sum(dec("c_acctbal"))).alias("sum_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+O85 = """
+SELECT c_mktsegment, COUNT(*) AS n,
+       MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_bal
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 QUERIES = [
     Query("q01_pricing_summary", q01_pricing_summary, O01, "TPC-H Q1 scan+agg"),
     Query("q02_topk_orders", q02_topk_orders, O02, "global top-k"),
@@ -1478,4 +1526,6 @@ QUERIES = [
           "ntile / percent_rank / cume_dist"),
     Query("q80_filtered_agg", q80_filtered_agg, O80,
           "conditional (FILTER-clause) aggregation"),
+    Query("q85_csv_roundtrip", q85_csv_roundtrip, O85,
+          "CSV sink+scan roundtrip (schema-on-read, PERMISSIVE)"),
 ]

@@ -52,6 +52,39 @@ def write_ndjson(df: DataFrame, path: str, *, partitions: int | None = None) -> 
     df.write.mode("overwrite").json(path)
 
 
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    *,
+    header: bool = True,
+    keep_corrupt: bool = False,
+) -> DataFrame:
+    """Schema-enforced CSV scan (PERMISSIVE, corrupt rows dropped or
+    kept for quarantine accounting — same contract as NDJSON)."""
+    full = T.StructType(list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())])
+    df = (
+        spark.read.schema(full)
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .csv(path)
+    )
+    if keep_corrupt:
+        return df
+    return df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+
+
+def write_csv(
+    df: DataFrame, path: str, *, header: bool = True, partitions: int | None = None
+) -> None:
+    """CSV sink (header on by default; doubles round-trip via Spark's
+    shortest-round-trip float formatting)."""
+    if partitions:
+        df = df.coalesce(partitions)
+    df.write.mode("overwrite").option("header", str(header).lower()).csv(path)
+
+
 def read_parquet(
     spark: SparkSession, path: str, schema: T.StructType | None = None
 ) -> DataFrame:

@@ -145,37 +145,69 @@ def extract_features(
     return assets.mapInPandas(kernel, FEATURE_SCHEMA)
 
 
-def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
+def fake_resize(content: bytes, width: int, height: int) -> tuple[bytes, str]:
+    """Deterministic codec stand-in: ``width*height`` bytes cycled from
+    sha256(content). Same signature as :func:`pil_resize`."""
+    seed = hashlib.sha256(content).digest()
+    need = width * height
+    return (seed * (need // len(seed) + 1))[:need], "fake/resized"
+
+
+def pil_resize(content: bytes, width: int, height: int) -> tuple[bytes, str]:
+    """The real-codec wiring example: Pillow decode -> resize -> PNG
+    re-encode. Import-gated — pass it (or any same-signature callable)
+    as ``resize=`` where Pillow exists; the import happens inside so
+    the kernel closure ships cleanly to executors."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(content))
+    buf = io.BytesIO()
+    img.resize((width, height)).save(buf, format="PNG")
+    return buf.getvalue(), "image/png"
+
+
+def default_resize() -> Callable[[bytes, int, int], tuple[bytes, str]]:
+    """Pillow-backed resize when the lib exists, fake codec otherwise —
+    a user with Pillow installed gets the real path with no wiring."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return pil_resize
+    except ImportError:
+        return fake_resize
+
+
+def resize_images(
+    assets: DataFrame,
+    width: int,
+    height: int,
+    *,
+    resize: Callable[[bytes, int, int], tuple[bytes, str]] | None = None,
+) -> DataFrame:
     """Resize kernel for ``modality = image`` rows only (filter is
     pushed before the Python boundary, so audio/video bytes never
-    cross Arrow). The pixel work is stubbed: without an image lib the
-    kernel emits a deterministic fake payload of ``width*height``
-    bytes cycled from sha256(content), preserving the real schema and
-    metadata update."""
+    cross Arrow). ``resize`` is any ``(content, w, h) -> (bytes,
+    codec)`` callable; default = Pillow when importable, else the
+    deterministic fake — schema and metadata update are identical
+    either way."""
+    rz = resize or default_resize()
 
     def kernel(batches: Iterator) -> Iterator:
-        import pandas as pd
-
-        try:  # real path, if a codec ever exists in the image
-            import PIL.Image  # noqa: F401
-
-            raise NotImplementedError(
-                "real image resize not wired; plug a decoder into this kernel"
-            )
-        except ImportError:
-            pass
+        import pandas as pd  # noqa: F401
 
         for pdf in batches:
-            out_content = []
+            out_content, out_codec = [], []
             for c in pdf["content"]:
-                seed = hashlib.sha256(bytes(c)).digest()
-                need = width * height
-                out_content.append((seed * (need // len(seed) + 1))[:need])
+                payload, codec = rz(bytes(c), width, height)
+                out_content.append(payload)
+                out_codec.append(codec)
             res = pdf.copy()
             res["content"] = out_content
             res["meta"] = [
-                {"width": width, "height": height, "duration_ms": None, "codec": "fake/resized"}
-                for _ in range(len(pdf))
+                {"width": width, "height": height, "duration_ms": None, "codec": codec}
+                for codec in out_codec
             ]
             yield res
 

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
 from pyspark.sql import functions as F
 
 from polla_spark.operators.multimodal import (
@@ -75,6 +76,43 @@ def test_resize_payload_is_deterministic_fake(spark):
     expected = (seed * (64 // len(seed) + 1))[:64]
     got = bytes(resize_images(a, 8, 8).first()["content"])
     assert got == expected
+
+
+def test_resize_with_injected_codec(spark):
+    """Any (content, w, h) -> (bytes, codec) callable slots in — the
+    wiring a real Pillow/ffmpeg deployment uses."""
+    a = _assets(spark).filter(F.col("modality") == "image").limit(3)
+
+    def shouty_codec(content: bytes, width: int, height: int):
+        return content[: width * height].upper(), "test/upper"
+
+    rows = resize_images(a, 4, 4, resize=shouty_codec).collect()
+    assert rows
+    for r in rows:
+        assert r["meta"]["codec"] == "test/upper"
+        assert len(bytes(r["content"])) <= 16
+
+
+def test_resize_real_pil_roundtrip(spark):
+    """Real-codec path: only runs where Pillow exists (the production
+    container); asserts decode -> resize -> re-encode end-to-end."""
+    import io
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+
+    from polla_spark.operators.multimodal import pil_resize
+
+    buf = io.BytesIO()
+    PIL_Image.new("RGB", (32, 32), color=(250, 10, 10)).save(buf, format="PNG")
+    png = buf.getvalue()
+    a = spark.createDataFrame(
+        [(1, "image", png, {"width": 32, "height": 32, "duration_ms": None, "codec": "image/png"})],
+        ASSET_SCHEMA,
+    )
+    out = resize_images(a, 8, 8, resize=pil_resize).first()
+    resized = PIL_Image.open(io.BytesIO(bytes(out["content"])))
+    assert resized.size == (8, 8)
+    assert out["meta"]["codec"] == "image/png"
 
 
 def test_sample_frames_expands_rows(spark):

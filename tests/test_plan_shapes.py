@@ -68,6 +68,18 @@ def test_q77_query_side_is_broadcast(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_q84_two_shuffles_no_python(spark):
+    # the composed selection must stay: one exchange for the sha
+    # survivor window + one for the per-source report — no joins, no
+    # Python boundary, no cartesian
+    from polla_spark.plans.llmdata import q84_training_set_select
+
+    plan = _plan(q84_training_set_select(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
 def test_rescore_queries_never_cartesian(spark):
     # the whole point of the candidates->rescore composition: every
     # pairing is an equi-join (band sig / bucket code / candidate id),

@@ -56,7 +56,15 @@ _SORTEO_RE = re.compile(SORTEO_PATTERN, re.IGNORECASE)
 
 
 def parse_spanish_date(text: str | None) -> _dt.date | None:
-    """Scalar: first parseable Spanish date in ``text``, else None."""
+    """Scalar: first parseable Spanish date in ``text``, else None.
+
+    >>> parse_spanish_date("16 de septiembre de 2025")
+    datetime.date(2025, 9, 16)
+    >>> parse_spanish_date("abril 27, 2026")
+    datetime.date(2026, 4, 27)
+    >>> parse_spanish_date("32 de feprerillo de 2025") is None
+    True
+    """
     if not text:
         return None
     for rx, order in ((_DMY_RE, "dmy"), (_MDY_RE, "mdy")):

@@ -90,7 +90,23 @@ def _degroup(num: str) -> str:
 
 
 def parse_millones_clp(raw: str | None) -> int:
-    """Scalar parse; raises ParseError exactly where the reference does."""
+    """Scalar parse; raises ParseError exactly where the reference does.
+
+    >>> parse_millones_clp("690")          # bare = millones context
+    690000000
+    >>> parse_millones_clp("4.300")        # dot = thousands grouping
+    4300000000
+    >>> parse_millones_clp("4,75")         # comma = decimal
+    4750000
+    >>> parse_millones_clp("1.234,56")     # mixed grouping
+    1234560000
+    >>> parse_millones_clp("500 mil")      # explicit unit overrides
+    500000
+    >>> parse_millones_clp("1.2.3.4")
+    Traceback (most recent call last):
+        ...
+    polla_spark.errors.ParseError: Unable to parse monetary value: 1.2.3.4
+    """
     text = (raw or "").strip().lower()
     if not text:
         raise ParseError("Empty monetary value", context={"raw": raw})

@@ -1241,6 +1241,52 @@ FROM flagged GROUP BY source ORDER BY source
 """
 
 
+def q86_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for corpus curation: per-source
+    keep-rates via a HASH gate, not ``rand()`` — the same row set on
+    every engine, retry, and cluster size (reproducibility is a data
+    contract in training pipelines). The gate compares a fixed-width
+    md5 hex prefix lexicographically (== numerically on lowercase hex):
+    '1a'/256 ~ 10.2% for even-numbered sources (stand-in for a
+    low-quality stratum), '4d'/256 ~ 30.1% otherwise. Per source:
+    population, sample size, and achieved rate."""
+    d = t(spark, sf_dir, "documents")
+    gate = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    threshold = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit("1a")
+    ).otherwise(F.lit("4d"))
+    return (
+        d.select("source", (gate < threshold).alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_sampled"),
+            F.round(
+                F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("decimal(18,4)")
+                / F.count("*"),
+                4,
+            ).cast("double").alias("rate"),
+        )
+        .orderBy("source")
+    )
+
+
+O86 = """
+WITH gated AS (
+  SELECT source,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+           (CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+                 THEN '1a' ELSE '4d' END) AS keep
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST(ROUND(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DECIMAL(18,4))
+            / COUNT(*), 4) AS DOUBLE) AS rate
+FROM gated GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = [
     Query("q50_exact_dedup", q50_exact_dedup, O50, "sha256 exact dedup"),
     Query("q51_fingerprint_dedup", q51_fingerprint_dedup, O51, "normalized fingerprint dedup"),
@@ -1274,4 +1320,6 @@ QUERIES = [
           "LSH candidates -> Levenshtein rescore (scale path of q68)"),
     Query("q84_training_set_select", q84_training_set_select, O84,
           "composed dedup+quality+length training-set selection"),
+    Query("q86_stratified_sample", q86_stratified_sample, O86,
+          "deterministic hash-gated stratified sampling"),
 ]

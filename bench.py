@@ -62,6 +62,8 @@ HEADLINE = [
     "q76_trigram_lang_id",
     "q81_lsh_rescored_jaccard",
     "q82_bucket_cosine_pairs",
+    "q84_training_set_select",
+    "q86_stratified_sample",
 ]
 
 

@@ -34,6 +34,36 @@ def test_distributed_propagation(spark):
     assert _run(spark, threshold=0) == EXPECTED
 
 
+def test_paths_agree_on_real_banding_graph(spark):
+    """Union-find endgame and distributed propagation must produce the
+    identical labeling on the real MinHash-LSH candidate graph (the
+    q67 front end), not just toy graphs."""
+    from pyspark.sql import functions as F
+
+    from polla_spark.plans.llmdata import _minhash_band_candidates
+
+    sf = "/root/testdata/sf0.001"
+    cands = _minhash_band_candidates(spark, sf)
+    edges = cands.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        cands.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    nodes = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.col("doc_id").alias("node")
+    )
+    local = {
+        r["node"]: r["label"]
+        for r in connected_components(nodes, edges, local_threshold=10**9).collect()
+    }
+    dist = {
+        r["node"]: r["label"]
+        for r in connected_components(nodes, edges, local_threshold=0).collect()
+    }
+    assert local == dist
+    assert len(local) == nodes.count()
+
+
 def test_no_edges(spark):
     nodes = spark.createDataFrame([(n,) for n in NODES], "node long")
     edges = spark.createDataFrame([], "src long, dst long")

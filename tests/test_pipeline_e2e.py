@@ -292,6 +292,57 @@ def test_bulk_multi_run_pipeline(spark, tmp_path):
     assert dec.count() == 3
 
 
+def test_bulk_pipeline_at_table_scale(spark, tmp_path):
+    """Backfill shape: ~30 runs x 4 sources derived from the events
+    table (the consensus queries' derivation), through one bulk job.
+    One decision per run, artifacts as datasets, zero data-row collect."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from polla_spark.pipeline import run_pipeline_bulk
+    from polla_spark.plans.consensus_q import payload_long
+
+    long = payload_long(spark, "/root/testdata/sf0.01")
+    payloads = (
+        long.groupBy("run_id", "source_name", "source_priority")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("categoria", "valor")))
+            ).alias("montos")
+        )
+        .select(
+            "run_id",
+            "source_name",
+            "source_priority",
+            F.concat(F.lit("https://x/"), "source_name").alias("fuente"),
+            F.lit(dt.datetime(2026, 8, 13, 12, 0)).alias("fetched_at"),
+            F.concat_ws("_", F.lit("sha"), "run_id", "source_name").alias("sha256"),
+            F.lit(True).alias("estimado"),
+            F.lit("bulk-ua").alias("user_agent"),
+            F.lit(1).cast("long").alias("sorteo"),
+            F.lit(dt.date(2026, 8, 14)).alias("fecha"),
+            "montos",
+        )
+    )
+    n_runs = payloads.select("run_id").distinct().count()
+    assert n_runs >= 25  # real multi-run input, not a toy
+
+    decisions = run_pipeline_bulk(
+        spark, payloads, expected_sources=4, output_dir=tmp_path / "bulk_scale"
+    )
+    rows = decisions.collect()
+    assert len(rows) == n_runs
+    assert {r["status"] for r in rows} <= {"publish", "quarantine", "skip"}
+    # the derived sources disagree on small-domain values often enough
+    # that both outcomes appear — a degenerate all-publish result would
+    # mean the mismatch plumbing broke
+    assert any(r["status"] == "quarantine" for r in rows)
+    back = spark.read.json(str(tmp_path / "bulk_scale" / "normalized"))
+    assert back.count() == n_runs
+    assert back.filter(F.col("provenance.pozos.primary.user_agent") != "bulk-ua").count() == 0
+
+
 def test_slack_notifier_payloads():
     sent = []
     notifier = SlackNotifier(webhook_url="https://hooks.test/x",

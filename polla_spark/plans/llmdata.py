@@ -1287,6 +1287,131 @@ FROM gated GROUP BY source ORDER BY source
 """
 
 
+_BM25_TERMS = ("spark", "window", "hash")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def q87_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search, inverted-index shape: top-20 documents for
+    a fixed 3-term query (Okapi BM25, k1=1.2, b=0.75).
+
+    Plan: one scan computes per-doc length and explodes ONLY the
+    query-term postings (the isin filter runs inside the array before
+    the explode, so the shuffle carries query-hit rows, not the whole
+    corpus — at 100 TB that is the difference between shuffling a few
+    GB of postings and shuffling the text). Document frequencies are
+    a <=3-row broadcast; corpus scalars (N, avgdl) a 1-row broadcast;
+    top-k is TakeOrdered, never a global sort.
+
+    Determinism: each term's contribution is floor-quantized to
+    micro-units (BIGINT) before the per-doc sum, so accumulation
+    order cannot move the result; ties broken by doc_id.
+    """
+    d = t(spark, sf_dir, "documents").withColumn("_toks", _toks())
+    stats = d.select("doc_id", F.size("_toks").cast("long").alias("dl"), "_toks")
+    scal = stats.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = (
+        stats.select(
+            "doc_id",
+            "dl",
+            F.explode(F.filter("_toks", lambda x: x.isin(*_BM25_TERMS))).alias("term"),
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tfreq"))
+    )
+    df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tf_norm = (F.col("tfreq") * (_BM25_K1 + 1)) / (
+        F.col("tfreq")
+        + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(scal))
+        .withColumn("contrib", F.floor(idf * tf_norm * 1e6))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms_hit"),
+            F.sum("contrib").alias("score_micro"),
+        )
+        .orderBy(F.desc("score_micro"), "doc_id")
+        .limit(20)
+    )
+
+
+O87 = f"""
+WITH stats AS (
+  SELECT doc_id, CAST(len({TOKS}) AS BIGINT) AS dl, {TOKS} AS tk FROM documents
+), scal AS (
+  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM stats
+), tf AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tfreq
+  FROM (SELECT doc_id, dl,
+               unnest(list_filter(tk, x -> x IN ('spark', 'window', 'hash'))) AS term
+        FROM stats)
+  GROUP BY doc_id, dl, term
+), dft AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+)
+SELECT doc_id, COUNT(*) AS n_terms_hit, CAST(SUM(contrib) AS BIGINT) AS score_micro
+FROM (
+  SELECT tf.doc_id,
+         CAST(floor(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+              * (tf.tfreq * 2.2)
+              / (tf.tfreq + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))
+              * 1e6) AS BIGINT) AS contrib
+  FROM tf JOIN dft d USING (term) CROSS JOIN scal s
+)
+GROUP BY doc_id ORDER BY score_micro DESC, doc_id LIMIT 20
+"""
+
+
+def q88_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (boilerplate) signal: the fraction
+    of duplicate 3-token shingles per document — the Gopher-style
+    rep-ngram quality gate.
+
+    Plan shape at 100 TB: ZERO shuffles before the output sort — the
+    shingle set, its distinct count, and the ratio are all computed
+    inside the row (array ops in whole-stage codegen), so the query
+    is an embarrassingly parallel scan.
+    """
+    d = t(spark, sf_dir, "documents")
+    s = (
+        d.withColumn("_toks", _toks())
+        .withColumn("_shingles", F.expr(_shingles_expr()))
+        .select(
+            "doc_id",
+            "source",
+            F.size("_shingles").cast("long").alias("n_shingles"),
+            F.size(F.array_distinct("_shingles")).cast("long").alias("n_distinct"),
+        )
+    )
+    dup_ratio = (
+        F.round(
+            (F.col("n_shingles") - F.col("n_distinct")).cast("decimal(18,4)")
+            / F.col("n_shingles"),
+            4,
+        ).cast("double")
+    )
+    return s.select(
+        "doc_id", "source", "n_shingles", "n_distinct", dup_ratio.alias("dup_ratio")
+    ).orderBy("doc_id")
+
+
+O88 = f"""
+WITH s AS (
+  SELECT doc_id, source, {_DUCK_SHINGLES} AS sh FROM documents
+)
+SELECT doc_id, source,
+       CAST(len(sh) AS BIGINT) AS n_shingles,
+       CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
+       CAST(ROUND(CAST(len(sh) - len(list_distinct(sh)) AS DECIMAL(18,4))
+            / len(sh), 4) AS DOUBLE) AS dup_ratio
+FROM s ORDER BY doc_id
+"""
+
+
 QUERIES = [
     Query("q50_exact_dedup", q50_exact_dedup, O50, "sha256 exact dedup"),
     Query("q51_fingerprint_dedup", q51_fingerprint_dedup, O51, "normalized fingerprint dedup"),
@@ -1322,4 +1447,8 @@ QUERIES = [
           "composed dedup+quality+length training-set selection"),
     Query("q86_stratified_sample", q86_stratified_sample, O86,
           "deterministic hash-gated stratified sampling"),
+    Query("q87_bm25_topk", q87_bm25_topk, O87,
+          "BM25 keyword search top-k (inverted-index shape)"),
+    Query("q88_repetition_ratio", q88_repetition_ratio, O88,
+          "within-doc duplicate-shingle repetition signal"),
 ]

@@ -80,6 +80,31 @@ def test_q84_two_shuffles_no_python(spark):
     assert "EvalPython" not in plan
 
 
+def test_q87_postings_filtered_before_explode_and_dims_broadcast(spark):
+    # BM25: the isin(query terms) filter must run INSIDE the token
+    # array before the explode (the shuffle carries postings, not the
+    # corpus), and both the df table and the corpus scalars must join
+    # as broadcasts — never a shuffled join against 3 rows
+    from polla_spark.plans.llmdata import q87_bm25_topk
+
+    plan = _plan(q87_bm25_topk(spark, SF))
+    assert "TakeOrderedAndProject" in plan  # top-k, no global sort
+    assert "BroadcastHashJoin" in plan  # df(term) dim
+    assert "CartesianProduct" not in plan
+    # the only explode input is the pre-filtered array
+    assert "filter(_toks" in plan or "ArrayFilter" in plan or "array_filter" in plan.lower(), plan
+
+
+def test_q88_zero_shuffles_before_output_sort(spark):
+    # repetition ratio is per-row array math: the ONLY exchange allowed
+    # is the rangepartitioning for the final orderBy
+    from polla_spark.plans.llmdata import q88_repetition_ratio
+
+    plan = _plan(q88_repetition_ratio(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert "EvalPython" not in plan
+
+
 def test_rescore_queries_never_cartesian(spark):
     # the whole point of the candidates->rescore composition: every
     # pairing is an equi-join (band sig / bucket code / candidate id),

@@ -1412,6 +1412,60 @@ FROM s ORDER BY doc_id
 """
 
 
+_CHUNK, _STRIDE = 50, 40
+
+
+def q89_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document into 50-token
+    windows with a 40-token stride (10-token overlap) — the
+    tokenize→chunk step every LLM pretraining pipeline runs before
+    packing sequences.
+
+    Plan shape at 100 TB: per-row expansion only (sequence → slice →
+    explode inside codegen), ZERO shuffles before the output sort;
+    the md5 chunk id makes downstream chunk-level dedup a plain
+    shuffle-on-key. No Python anywhere.
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = _toks()
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(_STRIDE))
+    return (
+        d.select("doc_id", toks.alias("_toks"), starts.alias("_starts"))
+        .select("doc_id", F.explode("_starts").alias("start"), "_toks")
+        .select(
+            "doc_id",
+            (F.col("start") / _STRIDE).cast("long").alias("chunk_idx"),
+            F.col("start").cast("long").alias("token_start"),
+            F.slice("_toks", F.col("start") + 1, _CHUNK).alias("_chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "token_start",
+            F.size("_chunk").cast("long").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", "_chunk")).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+O89 = f"""
+WITH toks AS (
+  SELECT doc_id, {TOKS} AS tk FROM documents
+), chunks AS (
+  SELECT doc_id, s AS token_start, list_slice(tk, s + 1, s + {_CHUNK}) AS chunk
+  FROM toks, LATERAL unnest(generate_series(0, greatest(len(tk) - 1, 0), {_STRIDE})) AS u(s)
+)
+SELECT doc_id,
+       CAST(token_start / {_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(token_start AS BIGINT) AS token_start,
+       CAST(len(chunk) AS BIGINT) AS n_tokens,
+       md5(array_to_string(chunk, ' ')) AS chunk_md5
+FROM chunks ORDER BY doc_id, chunk_idx
+"""
+
+
 QUERIES = [
     Query("q50_exact_dedup", q50_exact_dedup, O50, "sha256 exact dedup"),
     Query("q51_fingerprint_dedup", q51_fingerprint_dedup, O51, "normalized fingerprint dedup"),
@@ -1451,4 +1505,6 @@ QUERIES = [
           "BM25 keyword search top-k (inverted-index shape)"),
     Query("q88_repetition_ratio", q88_repetition_ratio, O88,
           "within-doc duplicate-shingle repetition signal"),
+    Query("q89_token_chunks", q89_token_chunks, O89,
+          "context-window chunking (50-token windows, 40 stride)"),
 ]

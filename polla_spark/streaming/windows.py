@@ -118,6 +118,51 @@ def rollup_daily(partials: DataFrame) -> DataFrame:
     )
 
 
+def follow_within(lead: DataFrame, follow: DataFrame,
+                  lead_type: str = "view", follow_type: str = "click",
+                  horizon: str = "10 minutes",
+                  watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Stream-stream interval join: for each ``lead_type`` event, the
+    ``follow_type`` events by the same user strictly after it and
+    within ``horizon`` (the funnel/attribution primitive).
+
+    Both sides carry a watermark and the join predicate carries the
+    time bound — together they let the state store evict lead rows
+    older than ``watermark + horizon``, so state stays bounded on an
+    unbounded stream. Inner join ⇒ append output mode. The same
+    function applied to batch DataFrames is the equivalence oracle
+    (watermarks are a no-op in batch).
+    """
+    l = (
+        lead.filter(F.col("event_type") == lead_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("event_id").alias("lead_id"),
+            F.col("ts").alias("l_ts"),
+        )
+    )
+    r = (
+        follow.filter(F.col("event_type") == follow_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("follow_id"),
+            F.col("ts").alias("r_ts"),
+        )
+    )
+    horizon_sql = f"INTERVAL {horizon}"
+    cond = F.expr(
+        f"l_user = r_user AND r_ts > l_ts AND r_ts <= l_ts + {horizon_sql}"
+    )
+    return l.join(r, cond, "inner").select(
+        F.col("l_user").alias("user_id"),
+        "lead_id",
+        "follow_id",
+        (F.unix_timestamp("r_ts") - F.unix_timestamp("l_ts")).alias("lag_seconds"),
+    )
+
+
 def dedupe_stream(events: DataFrame, keys: list[str],
                   watermark: str = DEFAULT_WATERMARK) -> DataFrame:
     """Watermark-scoped exact dedupe (first event per key wins)."""

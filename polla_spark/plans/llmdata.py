@@ -1466,6 +1466,136 @@ FROM chunks ORDER BY doc_id, chunk_idx
 """
 
 
+def q90_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information for the 30
+    most frequent adjacent-token bigrams —
+    ``PMI = ln(c_xy * T^2 / (B * c_x * c_y))`` with T total tokens and
+    B total bigrams.
+
+    Plan shape at 100 TB: two partial-aggregated shuffles (bigram
+    counts, unigram counts); the unigram table joins the bigram table
+    twice — broadcast while the vocabulary fits (it does by orders of
+    magnitude here; a web-scale vocabulary flips those to shuffle
+    joins on the word key, which AQE decides from the actual size).
+    Corpus totals ride a 1-row broadcast; top-30 is TakeOrdered.
+
+    Determinism: PMI is floor-quantized to micro-units per row (no
+    accumulation), so the only float op is one ln over exact integer
+    ratios — identical in both engines.
+    """
+    d = t(spark, sf_dir, "documents").withColumn("_toks", _toks())
+    n = F.size("_toks")
+    bigrams_expr = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(" ", F.element_at("_toks", i + 1), F.element_at("_toks", i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    toks_long = d.select(F.explode("_toks").alias("w"))
+    uni = toks_long.groupBy("w").agg(F.count("*").alias("c_w"))
+    big = (
+        d.select(F.explode(bigrams_expr).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").alias("c_xy"))
+    )
+    totals = uni.agg(
+        F.sum("c_w").alias("t_tokens")
+    ).crossJoin(big.agg(F.sum("c_xy").alias("b_bigrams")))
+    x = F.split(F.col("bg"), " ").getItem(0)
+    y = F.split(F.col("bg"), " ").getItem(1)
+    pmi = F.log(
+        F.col("c_xy")
+        * F.col("t_tokens")
+        * F.col("t_tokens")
+        / (F.col("b_bigrams") * F.col("c_x") * F.col("c_y"))
+    )
+    return (
+        big.withColumn("x", x)
+        .withColumn("y", y)
+        .join(F.broadcast(uni.select(F.col("w").alias("x"), F.col("c_w").alias("c_x"))), "x")
+        .join(F.broadcast(uni.select(F.col("w").alias("y"), F.col("c_w").alias("c_y"))), "y")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bg",
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.floor(pmi * 1e6).alias("pmi_micro"),
+        )
+        .orderBy(F.desc("c_xy"), "bg")
+        .limit(30)
+    )
+
+
+O90 = f"""
+WITH toks AS (
+  SELECT {TOKS} AS tk FROM documents
+), uni AS (
+  SELECT w, COUNT(*) AS c_w FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY w
+), big AS (
+  SELECT bg, COUNT(*) AS c_xy
+  FROM (SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+                                     i -> concat_ws(' ', tk[i], tk[i+1]))) AS bg
+        FROM toks)
+  GROUP BY bg
+), totals AS (
+  SELECT (SELECT CAST(SUM(c_w) AS BIGINT) FROM uni) AS t_tokens,
+         (SELECT CAST(SUM(c_xy) AS BIGINT) FROM big) AS b_bigrams
+)
+SELECT bg, c_xy, ux.c_w AS c_x, uy.c_w AS c_y,
+       CAST(floor(ln(CAST(c_xy AS DOUBLE) * t_tokens * t_tokens
+            / (CAST(b_bigrams AS DOUBLE) * ux.c_w * uy.c_w)) * 1e6) AS BIGINT) AS pmi_micro
+FROM big
+JOIN uni ux ON ux.w = split_part(bg, ' ', 1)
+JOIN uni uy ON uy.w = split_part(bg, ' ', 2)
+CROSS JOIN totals
+ORDER BY c_xy DESC, bg LIMIT 30
+"""
+
+
+def q91_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup survivorship by QUALITY, not arrival order: for each
+    near-dup bucket (MinHash band-0 signature — the q53 candidate
+    key) keep the member with the most characters, tie-broken by
+    doc_id — the policy real curation pipelines use (keep the richest
+    copy, drop the shells).
+
+    Plan shape at 100 TB: the signature pass is per-row; then ONE
+    shuffle on the uniform band key for the ranking window. Buckets
+    are hash-keyed, so no skew.
+    """
+    d = with_minhash(_spread(spark, t(spark, sf_dir, "documents")))
+    w = Window.partitionBy("mh0").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.select("doc_id", "n_chars", "mh0")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count("*").over(Window.partitionBy("mh0")))
+        .filter((F.col("rn") == 1) & (F.col("cluster_size") > 1))
+        .select(
+            F.col("mh0").alias("bucket"),
+            F.col("doc_id").alias("rep_doc"),
+            "n_chars",
+            "cluster_size",
+        )
+        .orderBy("bucket")
+    )
+
+
+O91 = f"""
+WITH sigs AS (
+  SELECT doc_id, n_chars, {_duck_mh(0)} AS mh0 FROM documents
+), ranked AS (
+  SELECT mh0, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY mh0 ORDER BY n_chars DESC, doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY mh0) AS cluster_size
+  FROM sigs
+)
+SELECT mh0 AS bucket, doc_id AS rep_doc, n_chars, cluster_size
+FROM ranked WHERE rn = 1 AND cluster_size > 1 ORDER BY bucket
+"""
+
+
 QUERIES = [
     Query("q50_exact_dedup", q50_exact_dedup, O50, "sha256 exact dedup"),
     Query("q51_fingerprint_dedup", q51_fingerprint_dedup, O51, "normalized fingerprint dedup"),
@@ -1507,4 +1637,8 @@ QUERIES = [
           "within-doc duplicate-shingle repetition signal"),
     Query("q89_token_chunks", q89_token_chunks, O89,
           "context-window chunking (50-token windows, 40 stride)"),
+    Query("q90_bigram_pmi", q90_bigram_pmi, O90,
+          "bigram PMI collocation mining (quantized)"),
+    Query("q91_cluster_representative", q91_cluster_representative, O91,
+          "dedup survivorship by quality (richest cluster member)"),
 ]

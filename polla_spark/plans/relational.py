@@ -1472,6 +1472,48 @@ FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def q92_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write -> read -> aggregate equals a direct scan — the
+    fourth source/sink format (parquet, NDJSON, CSV, ORC). Partitioned
+    by o_orderstatus and sorted within partitions by o_orderdate, the
+    same layout controls as the parquet sink (q36); the oracle
+    aggregates the original table so a hash match proves byte-fidelity
+    of the ORC sink+scan pair (dates and decimals included).
+    """
+    import os
+    import tempfile
+
+    from ..sources.io import read_orc, write_orc
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), f"polla_rt_orc_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}"
+    )
+    write_orc(o, path, partition_by=["o_orderstatus"], sort_by=["o_orderdate"])
+    back = read_orc(spark, path)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            as_money(F.sum(dec("o_totalprice"))).alias("sum_price"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("min_date"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_date"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+O92 = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price,
+       strftime(MIN(o_orderdate), '%Y-%m-%d') AS min_date,
+       strftime(MAX(o_orderdate), '%Y-%m-%d') AS max_date
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 QUERIES = [
     Query("q01_pricing_summary", q01_pricing_summary, O01, "TPC-H Q1 scan+agg"),
     Query("q02_topk_orders", q02_topk_orders, O02, "global top-k"),
@@ -1528,4 +1570,6 @@ QUERIES = [
           "conditional (FILTER-clause) aggregation"),
     Query("q85_csv_roundtrip", q85_csv_roundtrip, O85,
           "CSV sink+scan roundtrip (schema-on-read, PERMISSIVE)"),
+    Query("q92_orc_roundtrip", q92_orc_roundtrip, O92,
+          "ORC sink+scan roundtrip (partitioned + sorted layout)"),
 ]

@@ -115,6 +115,36 @@ def write_parquet(
     writer.parquet(path)
 
 
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """ORC scan (the second columnar format after parquet — common in
+    Hive-era warehouses a migration would read from); optional schema
+    assertion against the self-described file schema."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: list[str] | None = None,
+    sort_by: list[str] | None = None,
+) -> None:
+    """ORC sink with the same layout controls as :func:`write_parquet`
+    (directory partitioning + within-partition sort for stripe-level
+    min/max skipping)."""
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

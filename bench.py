@@ -64,6 +64,10 @@ HEADLINE = [
     "q82_bucket_cosine_pairs",
     "q84_training_set_select",
     "q86_stratified_sample",
+    "q87_bm25_topk",
+    "q89_token_chunks",
+    "q90_bigram_pmi",
+    "q93_kmeans_assign",
 ]
 
 

@@ -1596,6 +1596,166 @@ FROM ranked WHERE rn = 1 AND cluster_size > 1 ORDER BY bucket
 """
 
 
+_KMEANS_K = 8
+
+
+def q93_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means assignment step over the embedding corpus — the
+    kernel of semantic clustering (topic balancing, cluster-based
+    dedup, diversity sampling) in LLM-data pipelines. Centroids are
+    deterministic (the int8-quantized vectors of vec_id 0..7); every
+    vector is assigned to the centroid with the highest quantized
+    cosine, ties to the lowest centroid id; output is the per-centroid
+    census with an exact integer score checksum.
+
+    Plan shape at 100 TB: centroids are a k-row broadcast; the corpus
+    streams once through a broadcast nested loop (k * N integer dot
+    products, no shuffle of the vectors); the assignment window
+    partitions by vec_id (uniform key); the census is one
+    partial-aggregated shuffle of k rows.
+
+    Determinism: distances are exact integer arithmetic (int8 dot
+    products) divided once per pair; per-vector floor-quantization to
+    1e4 units before the census sum keeps accumulation order out of
+    the result.
+    """
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _quant(F.col("embedding")).alias("qe")
+    )
+    c = e.filter(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("qe").alias("cv")
+    )
+    qcos = _qdot(F.col("qe"), F.col("cv")).cast("double") / (
+        F.sqrt(_qdot(F.col("qe"), F.col("qe")).cast("double"))
+        * F.sqrt(_qdot(F.col("cv"), F.col("cv")).cast("double"))
+    )
+    scored = e.crossJoin(F.broadcast(c)).select(
+        "vec_id", "centroid_id", F.floor(qcos * 1e4).alias("qcos_e4")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("qcos_e4"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("centroid_id")
+        .agg(
+            F.count("*").alias("n_assigned"),
+            F.min("vec_id").alias("min_member"),
+            F.sum("qcos_e4").alias("sum_qcos_e4"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
+O93 = f"""
+WITH coded AS (
+  SELECT vec_id, {_QUANT_DUCK.format(c='embedding')} AS qe FROM embeddings
+), cents AS (
+  SELECT vec_id AS centroid_id, qe AS cv FROM coded WHERE vec_id < {_KMEANS_K}
+), scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         CAST(floor(CAST({_QDOT_DUCK.format(a='e.qe', b='c.cv')} AS DOUBLE) /
+              (sqrt(CAST({_QDOT_DUCK.format(a='e.qe', b='e.qe')} AS DOUBLE)) *
+               sqrt(CAST({_QDOT_DUCK.format(a='c.cv', b='c.cv')} AS DOUBLE))) * 1e4)
+              AS BIGINT) AS qcos_e4
+  FROM coded e CROSS JOIN cents c
+), assigned AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY qcos_e4 DESC, centroid_id ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT centroid_id, COUNT(*) AS n_assigned, MIN(vec_id) AS min_member,
+       CAST(SUM(qcos_e4) AS BIGINT) AS sum_qcos_e4
+FROM assigned GROUP BY centroid_id ORDER BY centroid_id
+"""
+
+
+def q94_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation funnel in ONE plan: exact-dedup survivorship
+    (sha256 window) → quality gates (length + English stopword ratio)
+    → deterministic hash-gated sampling ('4d'/256 ≈ 30.1%) → chunk /
+    token budget per source — the report a training-data run publishes
+    before spending GPU-time.
+
+    Chunk counts use the CLOSED FORM of the q89 chunker
+    (windows of {chunk} every {stride}): n_chunks =
+    floor(max(n-1,0)/{stride})+1 and chunk_tokens = Σ min({chunk},
+    n-start) — computed per-row with no explode, so the whole funnel
+    is one scan + ONE hash shuffle (sha survivor window) + one
+    partial-aggregated report shuffle. At 100 TB nothing in the plan
+    grows faster than the input.
+    """
+    d = t(spark, sf_dir, "documents").withColumn("_toks", _toks())
+    n_toks = F.size("_toks")
+    stop_n = F.size(F.filter("_toks", lambda x: x.isin(*_EN_STOP)))
+    w = Window.partitionBy(F.sha2("text", 256))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("n_toks") - 1, F.lit(0)), F.lit(_STRIDE)
+    )
+    chunk_tokens = F.aggregate(
+        starts,
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + F.least(F.lit(_CHUNK), F.col("n_toks") - s),
+    )
+    scored = d.select(
+        "source",
+        "lang",
+        "doc_id",
+        n_toks.alias("n_toks"),
+        F.round(stop_n.cast("decimal(18,4)") / n_toks, 4).cast("double").alias("stop_ratio"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_survivor"),
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "4d").alias("in_sample"),
+    )
+    quality_ok = (F.col("n_toks") >= 5) & (
+        (F.col("lang") != "en") | (F.col("stop_ratio") >= 0.02)
+    )
+    sel = F.col("is_survivor") & quality_ok & F.col("in_sample")
+    n_chunks = F.floor(F.greatest(F.col("n_toks") - 1, F.lit(0)) / _STRIDE) + 1
+    return (
+        scored.withColumn("n_chunks", n_chunks)
+        .withColumn("chunk_tokens", chunk_tokens)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(sel, 1).otherwise(0)).alias("n_selected"),
+            F.sum(F.when(sel, F.col("n_chunks")).otherwise(0)).alias("n_chunks"),
+            F.sum(F.when(sel, F.col("chunk_tokens")).otherwise(0)).alias("n_chunk_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+q94_curation_pipeline.__doc__ = q94_curation_pipeline.__doc__.format(
+    chunk=_CHUNK, stride=_STRIDE
+)
+
+O94 = f"""
+WITH scored AS (
+  SELECT source, lang, doc_id, len({TOKS}) AS n_toks,
+         CAST(ROUND(CAST(len(list_filter({TOKS}, x -> x IN {_DUCK_STOP})) AS DECIMAL(18,4))
+              / len({TOKS}), 4) AS DOUBLE) AS stop_ratio,
+         doc_id = MIN(doc_id) OVER (PARTITION BY sha256(text)) AS is_survivor,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '4d' AS in_sample
+  FROM documents
+), flagged AS (
+  SELECT source,
+         (is_survivor AND in_sample
+          AND n_toks >= 5 AND (lang <> 'en' OR stop_ratio >= 0.02)) AS sel,
+         CAST(floor(greatest(n_toks - 1, 0) / {_STRIDE}.0) AS BIGINT) + 1 AS n_chunks,
+         list_reduce(list_transform(generate_series(0, greatest(n_toks - 1, 0), {_STRIDE}),
+                                    s -> least({_CHUNK}, n_toks - s)),
+                     (a, b) -> a + b) AS chunk_tokens
+  FROM scored
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+       CAST(SUM(CASE WHEN sel THEN n_chunks ELSE 0 END) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN sel THEN chunk_tokens ELSE 0 END) AS BIGINT) AS n_chunk_tokens
+FROM flagged GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = [
     Query("q50_exact_dedup", q50_exact_dedup, O50, "sha256 exact dedup"),
     Query("q51_fingerprint_dedup", q51_fingerprint_dedup, O51, "normalized fingerprint dedup"),
@@ -1639,6 +1799,10 @@ QUERIES = [
           "context-window chunking (50-token windows, 40 stride)"),
     Query("q90_bigram_pmi", q90_bigram_pmi, O90,
           "bigram PMI collocation mining (quantized)"),
+    Query("q93_kmeans_assign", q93_kmeans_assign, O93,
+          "k-means assignment step (int8 cosine, exact argmax)"),
+    Query("q94_curation_pipeline", q94_curation_pipeline, O94,
+          "composed curation funnel: dedup+quality+sample+chunk budget"),
     Query("q91_cluster_representative", q91_cluster_representative, O91,
           "dedup survivorship by quality (richest cluster member)"),
 ]

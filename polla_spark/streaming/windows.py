@@ -121,7 +121,8 @@ def rollup_daily(partials: DataFrame) -> DataFrame:
 def follow_within(lead: DataFrame, follow: DataFrame,
                   lead_type: str = "view", follow_type: str = "click",
                   horizon: str = "10 minutes",
-                  watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+                  watermark: str = DEFAULT_WATERMARK,
+                  how: str = "inner") -> DataFrame:
     """Stream-stream interval join: for each ``lead_type`` event, the
     ``follow_type`` events by the same user strictly after it and
     within ``horizon`` (the funnel/attribution primitive).
@@ -129,9 +130,14 @@ def follow_within(lead: DataFrame, follow: DataFrame,
     Both sides carry a watermark and the join predicate carries the
     time bound — together they let the state store evict lead rows
     older than ``watermark + horizon``, so state stays bounded on an
-    unbounded stream. Inner join ⇒ append output mode. The same
-    function applied to batch DataFrames is the equivalence oracle
-    (watermarks are a no-op in batch).
+    unbounded stream. ``how='left_outer'`` additionally emits each
+    unmatched lead (null follow) — but only once the watermark passes
+    its join window, so the engine KNOWS no match can still arrive;
+    on a finite stream that means unmatched rows surface only after a
+    later batch advances the watermark (the test appends a sentinel
+    batch for exactly this). The same function applied to batch
+    DataFrames is the equivalence oracle (watermarks are a no-op in
+    batch).
     """
     l = (
         lead.filter(F.col("event_type") == lead_type)
@@ -155,7 +161,7 @@ def follow_within(lead: DataFrame, follow: DataFrame,
     cond = F.expr(
         f"l_user = r_user AND r_ts > l_ts AND r_ts <= l_ts + {horizon_sql}"
     )
-    return l.join(r, cond, "inner").select(
+    return l.join(r, cond, how).select(
         F.col("l_user").alias("user_id"),
         "lead_id",
         "follow_id",

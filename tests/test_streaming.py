@@ -141,6 +141,63 @@ def test_follow_within_stream_equals_batch(spark, stream_dir, batch_events):
     assert len(got) > 0  # the fixture data must actually exercise the join
 
 
+def test_follow_within_left_outer_stream_equals_batch(spark, stream_dir, batch_events, tmp_path):
+    """Left-outer stream-stream join: unmatched leads must emit with a
+    null follow — but only after the watermark passes their window, so
+    a sentinel batch far in the future is appended to flush them. The
+    batch oracle is the same join on the original events only."""
+    import shutil
+
+    src = tmp_path / "follow_outer_src"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "batch0.parquet")
+    lead = _fix_ts(spark.readStream.schema(RAW_EVENTS).parquet(str(src)))
+    follow = _fix_ts(spark.readStream.schema(RAW_EVENTS).parquet(str(src)))
+    out = SW.follow_within(lead, follow, how="left_outer")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_follow_outer")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # sentinels: far-future view+click events for users that exist
+        # on no other row (-1/-2, so they can never join). They must
+        # survive the per-side event_type filters — the watermark node
+        # sits AFTER the filter, so a row of any other type would be
+        # dropped before it could advance the watermark. Two sentinel
+        # batches: the watermark learned from batch N commits after N
+        # and evicts/emits in N+1, so batch-1's tail leads flush only
+        # once a later batch runs with the advanced watermark.
+        max_ts = batch_events.agg(F.max("ts")).collect()[0][0]
+        import datetime as dt
+
+        for i, days in enumerate((30, 60)):
+            far = max_ts + dt.timedelta(days=days)
+            spark.createDataFrame(
+                [
+                    (10**9 + i, far, -1, "view", 0.0, "{}"),
+                    (10**9 + 100 + i, far, -2, "click", 0.0, "{}"),
+                ],
+                "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+            ).withColumn(
+                "ts", (F.unix_timestamp("ts") * F.lit(10**9)).cast("long")
+            ).write.mode("append").parquet(str(src))
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    # drop the sentinel users before comparing with the batch oracle
+    got_df = spark.sql("SELECT * FROM t_follow_outer WHERE user_id >= 0")
+    keys = ["user_id", "lead_id", "follow_id", "lag_seconds"]
+    want = _rows(SW.follow_within(batch_events, batch_events, how="left_outer"), keys)
+    got = _rows(got_df, keys)
+    assert got == want
+    # the outer mode must actually add unmatched rows over inner
+    n_inner = SW.follow_within(batch_events, batch_events).count()
+    assert len(got) > n_inner
+
+
 def test_streaming_pipeline_decision_equals_batch(spark, tmp_path):
     """foreachBatch consensus pipeline == direct batch invocation."""
     import datetime as dt

@@ -68,6 +68,8 @@ HEADLINE = [
     "q89_token_chunks",
     "q90_bigram_pmi",
     "q93_kmeans_assign",
+    "q94_curation_pipeline",
+    "q95_pack_sequences",
 ]
 
 

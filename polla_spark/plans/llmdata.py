@@ -1756,6 +1756,96 @@ FROM flagged GROUP BY source ORDER BY source
 """
 
 
+_SEQ_LEN = 512
+_PACK_BUCKET = 128
+
+
+def q95_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, concat-and-split style: lay every chunk (the
+    q89 chunker's output) end-to-end in (doc_id, chunk_idx) order and
+    cut a training sequence every 512 tokens; a chunk belongs to the
+    sequence its first token lands in. Report per sequence: chunks,
+    tokens, distinct docs.
+
+    The global running offset is a HIERARCHICAL prefix sum — the scale
+    point of this query. A naive ``SUM() OVER (ORDER BY ...)`` with no
+    partition key is a single-partition window (one task owns 100 TB
+    of chunks). Instead: (1) cumsum WITHIN doc-id buckets of
+    {bucket} docs — a hash-partitioned window; (2) cumsum of the
+    per-bucket totals — a window over corpus/{bucket} rows, the only
+    SinglePartition step (recurse another level when even that is too
+    wide); (3) broadcast-join the bucket offsets back. Identical
+    result to the flat window, which is exactly what the DuckDB oracle
+    computes.
+    """
+    chunks = (
+        t(spark, sf_dir, "documents")
+        .withColumn("_toks", _toks())
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.size("_toks") - 1, F.lit(0)),
+                    F.lit(_STRIDE),
+                )
+            ).alias("start"),
+            F.size("_toks").alias("n"),
+        )
+        .select(
+            "doc_id",
+            (F.col("start") / _STRIDE).cast("long").alias("chunk_idx"),
+            F.least(F.lit(_CHUNK), F.col("n") - F.col("start")).cast("long").alias("n_tokens"),
+            (F.col("doc_id") / _PACK_BUCKET).cast("long").alias("bucket"),
+        )
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = chunks.withColumn("cum_in", F.sum("n_tokens").over(w_in))
+    bucket_totals = chunks.groupBy("bucket").agg(F.sum("n_tokens").alias("btotal"))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bucket_totals.withColumn(
+        "boffset", F.coalesce(F.sum("btotal").over(w_b), F.lit(0))
+    ).select("bucket", "boffset")
+    return (
+        within.join(F.broadcast(offsets), "bucket")
+        .withColumn("offset", F.col("boffset") + F.col("cum_in") - F.col("n_tokens"))
+        .withColumn("seq_id", F.floor(F.col("offset") / _SEQ_LEN))
+        .groupBy("seq_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy("seq_id")
+    )
+
+
+q95_pack_sequences.__doc__ = q95_pack_sequences.__doc__.format(bucket=_PACK_BUCKET)
+
+O95 = f"""
+WITH chunks AS (
+  SELECT doc_id, s / {_STRIDE} AS chunk_idx,
+         CAST(least({_CHUNK}, len({TOKS}) - s) AS BIGINT) AS n_tokens
+  FROM documents,
+       LATERAL unnest(generate_series(0, greatest(len({TOKS}) - 1, 0), {_STRIDE})) AS u(s)
+), placed AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS "offset"
+  FROM chunks
+)
+SELECT CAST(floor("offset" / {_SEQ_LEN}.0) AS BIGINT) AS seq_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       COUNT(DISTINCT doc_id) AS n_docs
+FROM placed GROUP BY seq_id ORDER BY seq_id
+"""
+
+
 QUERIES = [
     Query("q50_exact_dedup", q50_exact_dedup, O50, "sha256 exact dedup"),
     Query("q51_fingerprint_dedup", q51_fingerprint_dedup, O51, "normalized fingerprint dedup"),
@@ -1803,6 +1893,8 @@ QUERIES = [
           "k-means assignment step (int8 cosine, exact argmax)"),
     Query("q94_curation_pipeline", q94_curation_pipeline, O94,
           "composed curation funnel: dedup+quality+sample+chunk budget"),
+    Query("q95_pack_sequences", q95_pack_sequences, O95,
+          "sequence packing via hierarchical prefix sum"),
     Query("q91_cluster_representative", q91_cluster_representative, O91,
           "dedup survivorship by quality (richest cluster member)"),
 ]

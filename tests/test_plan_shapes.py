@@ -105,6 +105,20 @@ def test_q88_zero_shuffles_before_output_sort(spark):
     assert "EvalPython" not in plan
 
 
+def test_q95_prefix_sum_is_hierarchical(spark):
+    # the ONLY single-partition step allowed is the bucket-totals
+    # window (corpus/128 rows); the chunk-level cumsum must ride a
+    # hash-partitioned window, and the bucket offsets must join back
+    # as a broadcast — a flat global-order window here would put the
+    # whole corpus in one task
+    from polla_spark.plans.llmdata import q95_pack_sequences
+
+    plan = _plan(q95_pack_sequences(spark, SF))
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "hashpartitioning(bucket" in plan, plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_rescore_queries_never_cartesian(spark):
     # the whole point of the candidates->rescore composition: every
     # pairing is an equi-join (band sig / bucket code / candidate id),

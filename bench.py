@@ -70,6 +70,7 @@ HEADLINE = [
     "q93_kmeans_assign",
     "q94_curation_pipeline",
     "q95_pack_sequences",
+    "q96_decontamination",
 ]
 
 

@@ -1846,6 +1846,83 @@ FROM placed GROUP BY seq_id ORDER BY seq_id
 """
 
 
+_DECON_N = 4
+_BENCH_IDS = 5  # doc_id < 5 plays the held-out benchmark set
+
+
+def q96_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    4-token n-gram with a held-out benchmark set (docs 0..4 stand in
+    for the eval suite) — the gate every serious pretraining run
+    applies so test sets don't leak into training data.
+
+    Plan shape at 100 TB: benchmark suites are tiny next to the
+    corpus, so their distinct n-gram set BROADCASTS; the corpus
+    explodes its per-doc distinct n-grams once (the honest cost, same
+    as MinHash) and hits come from a broadcast hash join — the corpus
+    never shuffles its text. Zero-hit docs are preserved by a left
+    join of per-doc hits back onto the roster.
+    """
+    d = t(spark, sf_dir, "documents").withColumn("_toks", _toks())
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size("_toks") - _DECON_N, F.lit(0))),
+            lambda s: F.concat_ws(" ", F.slice("_toks", s + 1, _DECON_N)),
+        )
+    )
+    with_g = d.select("doc_id", "source", grams.alias("_grams"))
+    bench = (
+        with_g.filter(F.col("doc_id") < _BENCH_IDS)
+        .select(F.explode("_grams").alias("g"))
+        .distinct()
+    )
+    corpus = with_g.filter(F.col("doc_id") >= _BENCH_IDS)
+    hits = (
+        corpus.select("doc_id", "source", F.explode("_grams").alias("g"))
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id", "source")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        corpus.select("doc_id", "source")
+        .join(hits, ["doc_id", "source"], "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("n_hits") > 0, 1).otherwise(0)).alias("n_contaminated"),
+            F.sum(F.coalesce("n_hits", F.lit(0))).alias("n_hit_ngrams"),
+        )
+        .orderBy("source")
+    )
+
+
+_DUCK_GRAMS = (
+    f"list_distinct(list_transform("
+    f"generate_series(0, greatest(len({TOKS}) - {_DECON_N}, 0), 1), "
+    f"s -> array_to_string(list_slice({TOKS}, s + 1, s + {_DECON_N}), ' ')))"
+)
+
+O96 = f"""
+WITH with_g AS (
+  SELECT doc_id, source, {_DUCK_GRAMS} AS grams FROM documents
+), bench AS (
+  SELECT DISTINCT unnest(grams) AS g FROM with_g WHERE doc_id < {_BENCH_IDS}
+), hits AS (
+  SELECT c.doc_id, c.source, COUNT(*) AS n_hits
+  FROM (SELECT doc_id, source, unnest(grams) AS g
+        FROM with_g WHERE doc_id >= {_BENCH_IDS}) c
+  JOIN bench USING (g)
+  GROUP BY c.doc_id, c.source
+)
+SELECT w.source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN h.n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       CAST(SUM(COALESCE(h.n_hits, 0)) AS BIGINT) AS n_hit_ngrams
+FROM with_g w LEFT JOIN hits h ON w.doc_id = h.doc_id
+WHERE w.doc_id >= {_BENCH_IDS}
+GROUP BY w.source ORDER BY w.source
+"""
+
+
 QUERIES = [
     Query("q50_exact_dedup", q50_exact_dedup, O50, "sha256 exact dedup"),
     Query("q51_fingerprint_dedup", q51_fingerprint_dedup, O51, "normalized fingerprint dedup"),
@@ -1895,6 +1972,8 @@ QUERIES = [
           "composed curation funnel: dedup+quality+sample+chunk budget"),
     Query("q95_pack_sequences", q95_pack_sequences, O95,
           "sequence packing via hierarchical prefix sum"),
+    Query("q96_decontamination", q96_decontamination, O96,
+          "benchmark n-gram decontamination (broadcast eval set)"),
     Query("q91_cluster_representative", q91_cluster_representative, O91,
           "dedup survivorship by quality (richest cluster member)"),
 ]

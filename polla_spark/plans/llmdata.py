@@ -1923,6 +1923,73 @@ GROUP BY w.source ORDER BY w.source
 """
 
 
+_HIST_SPLIT = 400  # doc_id < 400 plays the historical index
+
+
+def q97_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: a new crawl batch (doc_id >= 400)
+    checked against the HISTORICAL index (doc_id < 400) on three
+    keys at once — exact sha256, normalized fingerprint, and MinHash
+    band signature — the decision table a daily ingest publishes:
+    how much of today's crawl is new vs. already-held.
+
+    The 100 TB shape this models: the historical side is a compact
+    key index (hash columns only, not text — at scale a bucketed
+    state table updated per batch), so each check is a semi-join of
+    the new batch against keys. New-batch rows never join each other
+    and the text never moves; per check the shuffle carries one hash
+    column. Verdict classes: ``exact`` ⊂ ``normalized`` ⊂
+    ``near`` precedence — a doc gets its strongest match.
+    """
+    d = with_minhash(_spread(spark, t(spark, sf_dir, "documents")))
+    keyed = d.select(
+        "doc_id",
+        "source",
+        F.sha2("text", 256).alias("sha"),
+        F.md5(F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")).alias("fp"),
+        "mh0",
+    )
+    hist = keyed.filter(F.col("doc_id") < _HIST_SPLIT)
+    new = keyed.filter(F.col("doc_id") >= _HIST_SPLIT)
+    sha_hit = hist.select("sha").distinct().withColumn("sha_dup", F.lit(True))
+    fp_hit = hist.select("fp").distinct().withColumn("fp_dup", F.lit(True))
+    mh_hit = hist.select("mh0").distinct().withColumn("mh_dup", F.lit(True))
+    verdict = F.when(F.col("sha_dup"), "exact").when(F.col("fp_dup"), "normalized").when(
+        F.col("mh_dup"), "near"
+    ).otherwise("novel")
+    return (
+        new.join(sha_hit, "sha", "left")
+        .join(fp_hit, "fp", "left")
+        .join(mh_hit, "mh0", "left")
+        .select("source", verdict.alias("verdict"))
+        .groupBy("source", "verdict")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("source", "verdict")
+    )
+
+
+O97 = f"""
+WITH keyed AS (
+  SELECT doc_id, source, sha256(text) AS sha,
+         md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
+         {_duck_mh(0)} AS mh0
+  FROM documents
+), hist AS (
+  SELECT * FROM keyed WHERE doc_id < {_HIST_SPLIT}
+), new AS (
+  SELECT * FROM keyed WHERE doc_id >= {_HIST_SPLIT}
+)
+SELECT n.source,
+       CASE WHEN n.sha IN (SELECT sha FROM hist) THEN 'exact'
+            WHEN n.fp IN (SELECT fp FROM hist) THEN 'normalized'
+            WHEN n.mh0 IN (SELECT mh0 FROM hist) THEN 'near'
+            ELSE 'novel' END AS verdict,
+       COUNT(*) AS n_docs
+FROM new n
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = [
     Query("q50_exact_dedup", q50_exact_dedup, O50, "sha256 exact dedup"),
     Query("q51_fingerprint_dedup", q51_fingerprint_dedup, O51, "normalized fingerprint dedup"),
@@ -1974,6 +2041,8 @@ QUERIES = [
           "sequence packing via hierarchical prefix sum"),
     Query("q96_decontamination", q96_decontamination, O96,
           "benchmark n-gram decontamination (broadcast eval set)"),
+    Query("q97_incremental_dedup", q97_incremental_dedup, O97,
+          "incremental crawl dedup vs historical index (3-tier verdict)"),
     Query("q91_cluster_representative", q91_cluster_representative, O91,
           "dedup survivorship by quality (richest cluster member)"),
 ]

@@ -1990,6 +1990,58 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+_FRAME_BYTES = 64
+
+
+def q98_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling through the real 1→N mapInPandas kernel
+    (operators/multimodal.sample_frames): one input asset row fans
+    out to one row per sampled frame INSIDE the Arrow batch — the
+    expansion contract a real demuxer needs (output batches larger
+    than input batches). The modality filter runs before the Python
+    boundary, so image/audio rows never cross it.
+
+    The oracle recomputes the byte-slice frames in SQL (frame k =
+    bytes [64k, 64k+64) of the content) including an md5 checksum of
+    every frame body — proving the kernel's 1→N output is
+    bit-deterministic, which is what makes it retry-safe at scale.
+    """
+    from ..operators.multimodal import documents_as_assets, sample_frames
+
+    assets = documents_as_assets(_spread(spark, t(spark, sf_dir, "documents")))
+    frames = sample_frames(assets, every_bytes=_FRAME_BYTES)
+    fhash = F.conv(F.substring(F.md5("frame"), 1, 8), 16, 10).cast("long")
+    return frames.agg(
+        F.count("*").alias("n_frames"),
+        F.countDistinct("asset_id").alias("n_videos"),
+        F.sum("frame_idx").alias("sum_idx"),
+        F.sum(F.length("frame")).alias("sum_bytes"),
+        F.sum(fhash).alias("qsum_fhash"),
+    )
+
+
+O98 = f"""
+WITH vids AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS blen
+  FROM documents WHERE doc_id % 3 = 2
+), frames AS (
+  SELECT doc_id, k,
+         substr(text, k * {_FRAME_BYTES} + 1, {_FRAME_BYTES}) AS frame
+  FROM vids,
+       LATERAL unnest(generate_series(0, CAST(ceil(greatest(blen, 1) / {_FRAME_BYTES}.0) AS BIGINT) - 1))
+       AS u(k)
+)
+SELECT COUNT(*) AS n_frames,
+       COUNT(DISTINCT doc_id) AS n_videos,
+       CAST(SUM(k) AS BIGINT) AS sum_idx,
+       CAST(SUM(octet_length(encode(frame))) AS BIGINT) AS sum_bytes,
+       CAST(SUM(list_reduce(list_transform(generate_series(1, 8), i ->
+            CAST(strpos('{_HEX}', substr(md5(frame), i, 1)) - 1 AS BIGINT)),
+            (x, y) -> x * 16 + y)) AS BIGINT) AS qsum_fhash
+FROM frames
+"""
+
+
 QUERIES = [
     Query("q50_exact_dedup", q50_exact_dedup, O50, "sha256 exact dedup"),
     Query("q51_fingerprint_dedup", q51_fingerprint_dedup, O51, "normalized fingerprint dedup"),
@@ -2043,6 +2095,8 @@ QUERIES = [
           "benchmark n-gram decontamination (broadcast eval set)"),
     Query("q97_incremental_dedup", q97_incremental_dedup, O97,
           "incremental crawl dedup vs historical index (3-tier verdict)"),
+    Query("q98_multimodal_frames", q98_multimodal_frames, O98,
+          "1-to-N video frame sampling through mapInPandas"),
     Query("q91_cluster_representative", q91_cluster_representative, O91,
           "dedup survivorship by quality (richest cluster member)"),
 ]

@@ -42,3 +42,24 @@ def test_iter_chunks_windows_and_overlap():
 def test_iter_chunks_single_token():
     rows = list(chunking.iter_chunks("hello"))
     assert [(r[0], r[1], r[2]) for r in rows] == [(0, 0, 1)]
+
+
+def test_closed_form_chunk_math_matches_enumeration():
+    """q94's closed-form chunk count / token budget must agree with the
+    real chunker for every document length (the property the composed
+    funnel relies on to avoid the explode)."""
+    from hypothesis import given, strategies as st
+
+    @given(st.integers(min_value=1, max_value=400))
+    def check(n):
+        text = " ".join(f"t{i}" for i in range(n))
+        rows = list(chunking.iter_chunks(text))
+        n_chunks_closed = (max(n - 1, 0) // chunking.STRIDE) + 1
+        tokens_closed = sum(
+            min(chunking.CHUNK, n - s)
+            for s in range(0, max(n - 1, 0) + 1, chunking.STRIDE)
+        )
+        assert len(rows) == n_chunks_closed
+        assert sum(r[2] for r in rows) == tokens_closed
+
+    check()

@@ -2042,6 +2042,292 @@ FROM frames
 """
 
 
+def q99_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing at corpus scale: match + redact emails, phone
+    numbers, and long digit runs with native ``regexp_extract_all`` /
+    ``regexp_replace`` — pure JVM codegen, no Python boundary, which
+    is the difference between a scrub pass that keeps up with a 100 TB
+    scan and one that becomes the job.
+
+    The synthetic corpus carries no PII, so the query first derives a
+    deterministic PII-bearing variant of each row (an email for even
+    doc_ids, a phone extension for all, an account-number run for
+    doc_id % 5 == 0) and then proves the scrub kernel removes exactly
+    what the patterns claim: per source, match counts per PII class
+    and the exact character delta between raw and redacted text.
+
+    The regex subset (character classes, bounded repeats, alternation
+    — no backrefs, no lookarounds) is chosen to behave identically
+    under Java regex (Spark) and RE2 (DuckDB), so the oracle re-runs
+    the same patterns verbatim.
+    """
+    d = t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit(" user"), F.col("doc_id").cast("string"), F.lit("@mail.example")),
+        ).otherwise(F.lit("")),
+        F.lit(" ext 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" acct "), F.lpad(F.col("doc_id").cast("string"), 12, "7")),
+        ).otherwise(F.lit("")),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"
+        ),
+        _PII_DIGITS,
+        "<NUM>",
+    )
+    n_matches = lambda pat: F.size(F.regexp_extract_all(aug, F.lit(pat), F.lit(0)))  # noqa: E731
+    return (
+        d.select(
+            "source",
+            n_matches(_PII_EMAIL).alias("_e"),
+            n_matches(_PII_PHONE).alias("_p"),
+            n_matches(_PII_DIGITS).alias("_n"),
+            (F.length(aug) - F.length(redacted)).alias("_delta"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_e").alias("n_emails"),
+            F.sum("_p").alias("n_phones"),
+            F.sum("_n").alias("n_digit_runs"),
+            F.sum("_delta").alias("chars_removed"),
+        )
+        .orderBy("source")
+    )
+
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "[0-9]{3}-[0-9]{4}"
+_PII_DIGITS = "[0-9]{8,}"
+
+O99 = f"""
+WITH aug AS (
+  SELECT source,
+         text
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' user' || CAST(doc_id AS VARCHAR) || '@mail.example'
+                 ELSE '' END
+         || ' ext 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' acct ' || lpad(CAST(doc_id AS VARCHAR), 12, '7')
+                 ELSE '' END AS target
+  FROM documents
+), scrubbed AS (
+  SELECT source, target,
+         regexp_replace(regexp_replace(regexp_replace(target,
+             '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g'),
+             '{_PII_DIGITS}', '<NUM>', 'g') AS redacted,
+         len(regexp_extract_all(target, '{_PII_EMAIL}')) AS n_e,
+         len(regexp_extract_all(target, '{_PII_PHONE}')) AS n_p,
+         len(regexp_extract_all(target, '{_PII_DIGITS}')) AS n_n
+  FROM aug
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_e) AS BIGINT) AS n_emails,
+       CAST(SUM(n_p) AS BIGINT) AS n_phones,
+       CAST(SUM(n_n) AS BIGINT) AS n_digit_runs,
+       CAST(SUM(length(target) - length(redacted)) AS BIGINT) AS chars_removed
+FROM scrubbed GROUP BY source ORDER BY source
+"""
+
+
+def q100_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training-data ordering: every
+    epoch of LLM training needs the corpus in a pseudo-random order
+    that is REPRODUCIBLE (resume-from-checkpoint must see the same
+    sequence) and CLUSTER-INDEPENDENT (the order cannot depend on
+    task scheduling). Both fall out of sorting on a seeded hash:
+    shard = first md5 hex char of (doc_id, seed) -> 16 shards, and
+    within-shard position = rank of the full md5 key.
+
+    At 100 TB: one hash shuffle on the shard key, one within-partition
+    sort — no global sort, no driver involvement; shards are written
+    as independent files a data loader streams in shard order. The
+    checksum ``sum(position * doc_id)`` pins the ENTIRE permutation:
+    any engine disagreement on any position breaks it.
+    """
+    d = t(spark, sf_dir, "documents")
+    ok = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":seed42")))
+    keyed = d.select("doc_id", ok.alias("ok"), F.substring(ok, 1, 1).alias("shard"))
+    w = Window.partitionBy("shard").orderBy("ok")
+    return (
+        keyed.withColumn("pos", F.row_number().over(w))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min_by("doc_id", "ok").alias("first_doc"),
+            F.max_by("doc_id", "ok").alias("last_doc"),
+            F.sum(F.col("pos") * F.col("doc_id")).alias("perm_checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
+O100 = """
+WITH keyed AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':seed42') AS ok
+  FROM documents
+), pos AS (
+  SELECT doc_id, ok, substr(ok, 1, 1) AS shard,
+         ROW_NUMBER() OVER (PARTITION BY substr(ok, 1, 1) ORDER BY ok) AS pos
+  FROM keyed
+)
+SELECT shard, COUNT(*) AS n_docs,
+       arg_min(doc_id, ok) AS first_doc,
+       arg_max(doc_id, ok) AS last_doc,
+       CAST(SUM(pos * doc_id) AS BIGINT) AS perm_checksum
+FROM pos GROUP BY shard ORDER BY shard
+"""
+
+
+def q101_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual temperature resampling (the mBERT/XLM-R recipe):
+    sampling weight per language q_l = p_l^alpha / sum(p^alpha) with
+    alpha = 0.7, where p_l is the language's corpus share — boosts
+    low-resource languages without flattening the distribution.
+
+    Plan: one partial-aggregated shuffle for per-lang counts (5 rows),
+    then the alpha math rides a 1-row broadcast of the normalizer —
+    nothing here grows with corpus size. The only floats are pow/
+    division over exact integer ratios, rounded to 6 places on both
+    engines.
+    """
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("n_total"))
+    p = F.col("n_docs") / F.col("n_total")
+    w = F.pow(p, F.lit(0.7))
+    weighted = counts.crossJoin(F.broadcast(tot)).withColumn("_w", w)
+    z = weighted.agg(F.sum("_w").alias("z"))
+    q = F.col("_w") / F.col("z")
+    return (
+        weighted.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            "n_docs",
+            F.round(p, 6).alias("p_share"),
+            F.round(q, 6).alias("q_weight"),
+            F.round(q / p, 4).alias("boost"),
+        )
+        .orderBy("lang")
+    )
+
+
+O101 = """
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+), tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM counts
+), weighted AS (
+  SELECT lang, n_docs, CAST(n_docs AS DOUBLE) / n_total AS p,
+         power(CAST(n_docs AS DOUBLE) / n_total, 0.7) AS w
+  FROM counts CROSS JOIN tot
+), z AS (
+  SELECT SUM(w) AS z FROM weighted
+)
+SELECT lang, n_docs,
+       round(p, 6) AS p_share,
+       round(w / z, 6) AS q_weight,
+       round((w / z) / p, 4) AS boost
+FROM weighted CROSS JOIN z ORDER BY lang
+"""
+
+
+def q102_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level TF-IDF vocabulary ranking: top-25 terms by
+    ``tf * ln((N+1)/(df+1))`` — the inverted-index statistics every
+    retrieval/quality stage reuses (q87's BM25 is the per-query form;
+    this is the corpus-wide build).
+
+    Plan shape at 100 TB: explode -> ONE partial-aggregated shuffle on
+    the term key producing both tf (count) and df (distinct docs via
+    count(distinct doc_id), which Spark rewrites as a two-level agg on
+    the same shuffle); doc total rides a 1-row broadcast; top-25 is
+    TakeOrdered, no global sort. Score is floor-quantized to micro
+    units: one ln over exact integer ratios, no accumulation drift.
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_toks()).alias("term"))
+    stats = toks.groupBy("term").agg(
+        F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    score = F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
+    return (
+        stats.crossJoin(F.broadcast(n_docs))
+        .select("term", "tf", "df", F.floor(score * 1e6).alias("tfidf_micro"))
+        .orderBy(F.desc("tfidf_micro"), "term")
+        .limit(25)
+    )
+
+
+O102 = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+), stats AS (
+  SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+  FROM toks GROUP BY term
+), tot AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+)
+SELECT term, tf, df,
+       CAST(floor(tf * ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) * 1e6) AS BIGINT) AS tfidf_micro
+FROM stats CROSS JOIN tot
+ORDER BY tfidf_micro DESC, term LIMIT 25
+"""
+
+
+def q104_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota capping: keep at most 15 documents per source,
+    best-first (longest text wins, doc_id tie-break) — the curation
+    step that stops one over-crawled domain from dominating the mix
+    (the "domain cap" in public web-corpus recipes).
+
+    Plan: one hash shuffle on source, within-partition top-15 via
+    row_number — no global sort; at 100 TB a skewed mega-domain is
+    exactly the case the cap exists for, and AQE skew-split handles
+    the one hot partition. Reports what a mix report needs: kept
+    count, kept char volume, and the quality cutoff that the cap
+    imposed.
+    """
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    kept = F.col("rn") <= 15
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias("kept_chars"),
+            F.min(F.when(kept, F.col("n_chars"))).alias("cutoff_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+O104 = """
+WITH ranked AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN rn <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rn <= 15 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+       MIN(CASE WHEN rn <= 15 THEN n_chars END) AS cutoff_chars
+FROM ranked GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = [
     Query("q50_exact_dedup", q50_exact_dedup, O50, "sha256 exact dedup"),
     Query("q51_fingerprint_dedup", q51_fingerprint_dedup, O51, "normalized fingerprint dedup"),
@@ -2099,4 +2385,14 @@ QUERIES = [
           "1-to-N video frame sampling through mapInPandas"),
     Query("q91_cluster_representative", q91_cluster_representative, O91,
           "dedup survivorship by quality (richest cluster member)"),
+    Query("q99_pii_scrub", q99_pii_scrub, O99,
+          "native-regex PII scrub (emails/phones/digit runs)"),
+    Query("q100_global_shuffle", q100_global_shuffle, O100,
+          "deterministic seeded global shuffle (sharded training order)"),
+    Query("q101_temperature_resample", q101_temperature_resample, O101,
+          "multilingual temperature resampling weights (alpha=0.7)"),
+    Query("q102_tfidf_terms", q102_tfidf_terms, O102,
+          "corpus TF-IDF vocabulary ranking (one-shuffle tf+df)"),
+    Query("q104_source_quota", q104_source_quota, O104,
+          "per-source quota cap (domain cap, top-15 by length)"),
 ]

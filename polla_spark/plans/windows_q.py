@@ -222,6 +222,51 @@ ORDER BY day ASC NULLS FIRST, hour ASC NULLS FIRST
 """
 
 
+def q103_first_seen_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the streaming exact-dedupe
+    (streaming/windows.py ``dedupe_stream``: watermarked
+    ``dropDuplicates`` keeps the FIRST event per key): one survivor
+    per (user_id, event_type), earliest ts wins with event_id as the
+    deterministic tie-break, then a per-type report over survivors.
+
+    The streaming twin is verified streaming==batch in
+    tests/test_streaming.py::test_dedupe_stream; this query is the
+    oracle-checked contract those semantics are held to. Plan: one
+    hash shuffle on the key for the window, one partial-aggregated
+    shuffle for the report — the same two exchanges at any scale.
+    """
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("vq", VQ())
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum("vq").alias("sum_first_vq"),
+            F.date_format(F.min("ts"), FMT).alias("earliest"),
+            F.date_format(F.max("ts"), FMT).alias("latest"),
+        )
+        .orderBy("event_type")
+    )
+
+
+O103 = """
+WITH firsts AS (
+  SELECT event_type, ts, CAST(floor(value * 100) AS BIGINT) AS vq,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n_keys,
+       CAST(SUM(vq) AS BIGINT) AS sum_first_vq,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS earliest,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS latest
+FROM firsts WHERE rn = 1 GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = [
     Query("q70_tumbling", q70_tumbling, O70, "tumbling window"),
     Query("q71_sliding", q71_sliding, O71, "sliding window"),
@@ -230,4 +275,6 @@ QUERIES = [
     Query("q74_asof_join", q74_asof_join, O74, "as-of (backward) join"),
     Query("q75_multi_grain_rollup", q75_multi_grain_rollup, O75,
           "multi-granularity GROUPING SETS rollup"),
+    Query("q103_first_seen_dedup", q103_first_seen_dedup, O103,
+          "first-seen event dedup (batch contract of dedupe_stream)"),
 ]

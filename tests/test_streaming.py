@@ -125,6 +125,27 @@ def test_dedupe_stream(spark, stream_events, batch_events):
     assert stream_out.count() == stream_out.select("user_id", "event_type").distinct().count()
 
 
+def test_dedupe_stream_keeps_first_seen(spark, stream_events, batch_events):
+    """dedupe_stream must honor q103's first-seen contract: the
+    SURVIVING row per key is the earliest-ts event, not an arbitrary
+    member (the fixture's ts is monotone in file order, so stream
+    arrival order == ts order and first-arrival == first-seen)."""
+    from pyspark.sql import Window
+
+    stream_out = SW.run_to_memory(
+        SW.dedupe_stream(stream_events, ["user_id", "event_type"]),
+        "t_dedupe_first",
+        "append",
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    want = (
+        batch_events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    keys = ["user_id", "event_type", "event_id"]
+    assert _rows(stream_out, keys) == _rows(want, keys)
+
+
 def test_follow_within_stream_equals_batch(spark, stream_dir, batch_events):
     """Stream-stream interval join (view -> click within 10 min) ==
     the identical join run in batch. Two independent readStream

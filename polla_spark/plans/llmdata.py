@@ -1857,11 +1857,15 @@ def q96_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     applies so test sets don't leak into training data.
 
     Plan shape at 100 TB: benchmark suites are tiny next to the
-    corpus, so their distinct n-gram set BROADCASTS; the corpus
-    explodes its per-doc distinct n-grams once (the honest cost, same
-    as MinHash) and hits come from a broadcast hash join — the corpus
-    never shuffles its text. Zero-hit docs are preserved by a left
-    join of per-doc hits back onto the roster.
+    corpus, so their distinct n-gram set collapses to a ONE-ROW
+    broadcast (``collect_set``) and each corpus doc scores itself
+    within-row via ``array_intersect`` — per-doc distinct hits with
+    ZERO corpus-side shuffle before the final per-source rollup (an
+    earlier explode → broadcast-join → roster-rejoin shape cost two
+    extra exchanges for the same answer; at sf0.1 this form measures
+    ~2x faster). If the eval suite ever outgrew a broadcast array,
+    the fallback is the explode + broadcast-hash-join form — the
+    corpus still never shuffles its text in either.
     """
     d = t(spark, sf_dir, "documents").withColumn("_toks", _toks())
     grams = F.array_distinct(
@@ -1874,23 +1878,18 @@ def q96_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = (
         with_g.filter(F.col("doc_id") < _BENCH_IDS)
         .select(F.explode("_grams").alias("g"))
-        .distinct()
+        .agg(F.collect_set("g").alias("_bench"))
     )
-    corpus = with_g.filter(F.col("doc_id") >= _BENCH_IDS)
-    hits = (
-        corpus.select("doc_id", "source", F.explode("_grams").alias("g"))
-        .join(F.broadcast(bench), "g")
-        .groupBy("doc_id", "source")
-        .agg(F.count("*").alias("n_hits"))
-    )
+    n_hits = F.size(F.array_intersect("_grams", "_bench"))
     return (
-        corpus.select("doc_id", "source")
-        .join(hits, ["doc_id", "source"], "left")
+        with_g.filter(F.col("doc_id") >= _BENCH_IDS)
+        .crossJoin(F.broadcast(bench))
+        .select("source", n_hits.alias("n_hits"))
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum(F.when(F.col("n_hits") > 0, 1).otherwise(0)).alias("n_contaminated"),
-            F.sum(F.coalesce("n_hits", F.lit(0))).alias("n_hit_ngrams"),
+            F.sum("n_hits").alias("n_hit_ngrams"),
         )
         .orderBy("source")
     )

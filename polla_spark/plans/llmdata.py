@@ -256,14 +256,18 @@ SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a ORDER BY doc_id
 
 def q54_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard for a deterministic sample of doc pairs
-    (every 50th doc): |A∩B| / |A∪B| over distinct shingle sets.
+    (constant slice ``doc_id < 32``): |A∩B| / |A∪B| over distinct
+    shingle sets.
 
-    BASELINE-ONLY: the sampled cross join grows quadratically with the
-    corpus; the production shape is q81_lsh_rescored_jaccard, which
-    runs this exact kernel only on LSH band candidates."""
+    BASELINE-ONLY: all-pairs grows quadratically, so the sample is a
+    CONSTANT cap — at any corpus size this stays <= 496 pairs (a
+    modular sample like ``doc_id % 50`` would grow linearly and its
+    pairs quadratically). The production shape is
+    q81_lsh_rescored_jaccard, which runs this exact kernel only on
+    LSH band candidates."""
     d = (
         t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 50 == 0)
+        .filter(F.col("doc_id") < 32)
         .withColumn("_toks", _toks())
         .withColumn("sh", F.array_distinct(F.expr(_shingles_expr())))
         .select("doc_id", "sh")
@@ -288,7 +292,7 @@ def q54_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 O54 = f"""
 WITH sample AS (
   SELECT doc_id, list_distinct({_DUCK_SHINGLES}) AS sh
-  FROM documents WHERE doc_id % 50 = 0
+  FROM documents WHERE doc_id < 32
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        len(list_intersect(a.sh, b.sh)) AS n_common,
@@ -620,14 +624,17 @@ ORDER BY id_a, id_b
 # ---------------------------------------------------------------------------
 
 def q63_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cosine >= 0.45;
-    the synthetic vectors are near-orthogonal, max pairwise ~0.51).
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.40;
+    the synthetic vectors are near-orthogonal, so the threshold sits
+    just under the capped slice's max pairwise ~0.44).
 
-    BASELINE-ONLY: exact all-pairs is the oracle yardstick; norms are
-    precomputed once per vector so the pair loop is a single fold. The
-    production shape is q82_bucket_cosine_pairs — the identical rescore
-    restricted to hyperplane-LSH buckets, never all-pairs."""
-    e = t(spark, sf_dir, "embeddings")
+    BASELINE-ONLY: exact all-pairs is the oracle yardstick, bounded
+    by a CONSTANT slice (``vec_id < 200`` -> <= 19,900 pairs at any
+    corpus size); norms are precomputed once per vector so the pair
+    loop is a single fold. The production shape is
+    q82_bucket_cosine_pairs — the identical rescore restricted to
+    hyperplane-LSH buckets, never all-pairs."""
+    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
     n = e.select(
         "vec_id",
         "embedding",
@@ -644,7 +651,7 @@ def q63_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
-        .filter(F.col("cosine") >= 0.45)
+        .filter(F.col("cosine") >= 0.40)
         .orderBy("id_a", "id_b")
     )
 
@@ -653,12 +660,12 @@ O63 = f"""
 WITH n AS (
   SELECT vec_id, embedding,
          sqrt({_DDOT.format(a='embedding', b='embedding')}) AS norm
-  FROM embeddings
+  FROM embeddings WHERE vec_id < 200
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND({_DDOT.format(a='a.embedding', b='b.embedding')} / (a.norm * b.norm), 4) AS cosine
 FROM n a JOIN n b ON a.vec_id < b.vec_id
-WHERE ROUND({_DDOT.format(a='a.embedding', b='b.embedding')} / (a.norm * b.norm), 4) >= 0.45
+WHERE ROUND({_DDOT.format(a='a.embedding', b='b.embedding')} / (a.norm * b.norm), 4) >= 0.40
 ORDER BY id_a, id_b
 """
 
@@ -839,12 +846,14 @@ def q68_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     (prefixes — full-text O(n*m) DP is the reason near-dup at scale
     uses LSH banding to cut candidates first).
 
-    BASELINE-ONLY: the sampled cross join grows quadratically; the
-    production shape is q83_lsh_edit_rescore, which runs this kernel
-    only on LSH band candidates."""
+    BASELINE-ONLY with a CONSTANT cap (``doc_id < 16`` -> <= 120
+    pairs at any corpus size; a modular sample's pair count would
+    grow quadratically). The production shape is
+    q83_lsh_edit_rescore, which runs this kernel only on LSH band
+    candidates."""
     d = (
         t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 100 == 0)
+        .filter(F.col("doc_id") < 16)
         .select("doc_id", F.substring("text", 1, 120).alias("prefix"))
     )
     a = d.select(F.col("doc_id").alias("id_a"), F.col("prefix").alias("pa"))
@@ -859,7 +868,7 @@ def q68_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O68 = """
 WITH sample AS (
-  SELECT doc_id, substr(text, 1, 120) AS prefix FROM documents WHERE doc_id % 100 = 0
+  SELECT doc_id, substr(text, 1, 120) AS prefix FROM documents WHERE doc_id < 16
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        levenshtein(a.prefix, b.prefix) AS edit_dist

@@ -71,6 +71,11 @@ HEADLINE = [
     "q94_curation_pipeline",
     "q95_pack_sequences",
     "q96_decontamination",
+    "q99_pii_scrub",
+    "q100_global_shuffle",
+    "q102_tfidf_terms",
+    "q103_first_seen_dedup",
+    "q104_source_quota",
 ]
 
 

@@ -1514,6 +1514,46 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def q105_user_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten purge: a deletion list of user_ids
+    (``user_id % 37 == 5`` stands in for the tombstone table) is
+    anti-joined against the events fact, and the purge is AUDITED —
+    per event_type, surviving rows/users and exactly how many rows the
+    purge removed (privacy compliance requires proving the delete, not
+    just doing it).
+
+    Plan shape at 100 TB: the purge predicate evaluates inline on ONE
+    fact scan, and keep/purge audits are conditional aggregates off
+    that same scan — never a second pass. With a real tombstone TABLE
+    instead of a predicate, the membership test becomes a broadcast
+    (semi/anti) join against the tiny deletion list and the plan is
+    otherwise identical; either way the fact side never shuffles
+    before the per-type report agg.
+    """
+    e = t(spark, sf_dir, "events")
+    purged = F.col("user_id") % 37 == 5
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.sum(F.when(~purged, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(purged, 1).otherwise(0)).alias("n_purged"),
+            F.countDistinct(F.when(~purged, F.col("user_id"))).alias("n_kept_users"),
+            F.countDistinct(F.when(purged, F.col("user_id"))).alias("n_purged_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+O105 = """
+SELECT event_type,
+       CAST(SUM(CASE WHEN user_id % 37 <> 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN user_id % 37 = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+       COUNT(DISTINCT CASE WHEN user_id % 37 <> 5 THEN user_id END) AS n_kept_users,
+       COUNT(DISTINCT CASE WHEN user_id % 37 = 5 THEN user_id END) AS n_purged_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = [
     Query("q01_pricing_summary", q01_pricing_summary, O01, "TPC-H Q1 scan+agg"),
     Query("q02_topk_orders", q02_topk_orders, O02, "global top-k"),
@@ -1572,4 +1612,6 @@ QUERIES = [
           "CSV sink+scan roundtrip (schema-on-read, PERMISSIVE)"),
     Query("q92_orc_roundtrip", q92_orc_roundtrip, O92,
           "ORC sink+scan roundtrip (partitioned + sorted layout)"),
+    Query("q105_user_purge", q105_user_purge, O105,
+          "right-to-be-forgotten purge with audit (one-scan)"),
 ]

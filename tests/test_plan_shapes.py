@@ -119,6 +119,54 @@ def test_q95_prefix_sum_is_hierarchical(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_q96_bench_set_broadcasts_corpus_never_shuffles(spark):
+    # decontamination: the eval set rides a 1-row broadcast
+    # (collect_set) and the corpus scores itself within-row via
+    # array_intersect — the only hash exchanges are the two tiny agg
+    # exchanges (bench-gram distinct-ish agg + final per-source
+    # report); the corpus text itself must never shuffle and never
+    # cross a Python boundary
+    from polla_spark.plans.llmdata import q96_decontamination
+
+    plan = _plan(q96_decontamination(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "array_intersect" in plan, plan
+
+
+def test_q99_scrub_is_pure_jvm(spark):
+    # the PII scrub must stay in codegen'd JVM expressions: one partial
+    # agg exchange on source, no Python eval anywhere
+    from polla_spark.plans.llmdata import q99_pii_scrub
+
+    plan = _plan(q99_pii_scrub(spark, SF))
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_q100_shuffle_is_one_exchange_no_global_sort(spark):
+    # the seeded global shuffle must hash-partition by shard and sort
+    # WITHIN partitions — a global Sort (rangepartitioning over the
+    # full corpus) here would serialize the permutation
+    from polla_spark.plans.llmdata import q100_global_shuffle
+
+    plan = _plan(q100_global_shuffle(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_q102_single_term_shuffle(spark):
+    # tf + df must come off ONE logical shuffle on the term key (Spark
+    # plans count(distinct) as a two-level agg over the same key); the
+    # doc total rides a broadcast; top-25 is TakeOrdered, no global sort
+    from polla_spark.plans.llmdata import q102_tfidf_terms
+
+    plan = _plan(q102_tfidf_terms(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
 def test_rescore_queries_never_cartesian(spark):
     # the whole point of the candidates->rescore composition: every
     # pairing is an equi-join (band sig / bucket code / candidate id),

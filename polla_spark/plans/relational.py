@@ -1554,6 +1554,85 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q106_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE / upsert classification — the warehouse maintenance
+    operator (``MERGE INTO target USING source``) expressed as a pure
+    relational plan: a derived "new snapshot" (customers with
+    ``c_custkey % 7 < 2`` get a refreshed acctbal = old + 100; the
+    ``c_custkey >= 500`` tail re-keyed to ``+10000`` plays brand-new
+    arrivals) is
+    merged against the current dimension, and every key is classified
+    INSERT (source-only), UPDATE (both sides, payload differs), or
+    UNCHANGED (both sides, payload equal). Output: per-action row
+    counts and a quantized balance checksum proving the merged values,
+    not just the counts.
+
+    Plan shape at 100 TB: one full outer join on the dimension key —
+    hash-shuffled both sides (a dimension merge is the rare join where
+    neither side is small); classification and checksums are
+    conditional aggregates off the join output, one pass, no Python.
+    With a transactional table format underneath, the same plan is
+    what the format's MERGE compiles to; this query pins the engine
+    semantics the format relies on.
+    """
+    c = t(spark, sf_dir, "customer")
+    updates = (
+        c.filter(F.col("c_custkey") % 7 < 2)
+        .select(
+            "c_custkey",
+            (F.col("c_acctbal") + F.lit(100.0)).alias("s_acctbal"),
+            F.col("c_mktsegment").alias("s_mktsegment"),
+        )
+    )
+    arrivals = (
+        c.filter(F.col("c_custkey") >= 500)
+        .select(
+            (F.col("c_custkey") + 10000).alias("c_custkey"),
+            F.col("c_acctbal").alias("s_acctbal"),
+            F.col("c_mktsegment").alias("s_mktsegment"),
+        )
+    )
+    source = updates.unionByName(arrivals)
+    merged = c.select("c_custkey", "c_acctbal", "c_mktsegment").join(
+        source, "c_custkey", "full"
+    )
+    is_insert = F.col("c_acctbal").isNull()
+    is_update = (~is_insert) & F.col("s_acctbal").isNotNull()
+    action = (
+        F.when(is_insert, "insert").when(is_update, "update").otherwise("unchanged")
+    )
+    final_bal = F.coalesce("s_acctbal", "c_acctbal")
+    return (
+        merged.select(
+            action.alias("action"),
+            F.floor(final_bal * 100).cast("long").alias("balq"),
+        )
+        .groupBy("action")
+        .agg(F.count("*").alias("n_rows"), F.sum("balq").alias("sum_balq"))
+        .orderBy("action")
+    )
+
+
+O106 = """
+WITH source AS (
+  SELECT c_custkey, c_acctbal + 100.0 AS s_acctbal, c_mktsegment AS s_mktsegment
+  FROM customer WHERE c_custkey % 7 < 2
+  UNION ALL
+  SELECT c_custkey + 10000, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey >= 500
+), merged AS (
+  SELECT t.c_custkey AS t_key, t.c_acctbal, s.c_custkey AS s_key, s.s_acctbal
+  FROM customer t FULL OUTER JOIN source s ON t.c_custkey = s.c_custkey
+)
+SELECT CASE WHEN c_acctbal IS NULL THEN 'insert'
+            WHEN s_acctbal IS NOT NULL THEN 'update'
+            ELSE 'unchanged' END AS action,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(floor(COALESCE(s_acctbal, c_acctbal) * 100) AS BIGINT)) AS BIGINT) AS sum_balq
+FROM merged GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = [
     Query("q01_pricing_summary", q01_pricing_summary, O01, "TPC-H Q1 scan+agg"),
     Query("q02_topk_orders", q02_topk_orders, O02, "global top-k"),
@@ -1614,4 +1693,6 @@ QUERIES = [
           "ORC sink+scan roundtrip (partitioned + sorted layout)"),
     Query("q105_user_purge", q105_user_purge, O105,
           "right-to-be-forgotten purge with audit (one-scan)"),
+    Query("q106_merge_upsert", q106_merge_upsert, O106,
+          "MERGE/upsert classification (full-outer dimension merge)"),
 ]

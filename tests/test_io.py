@@ -80,3 +80,26 @@ def test_parquet_partitioned_write_prunes_directories(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert back.count() == 1
     assert "bucket=r1" not in plan
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    """Dynamic partition pruning: when the fact table is partitioned on
+    the join key and the DIM side carries the selective filter, the
+    fact scan must receive a runtime `dynamicpruning` subquery — at
+    100 TB this is the difference between scanning 2 of 200 date
+    partitions and scanning all of them. Static pruning can't help
+    here (the filter is on the dim, not the fact)."""
+    fact = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 10).cast("string").alias("part"),
+    )
+    out = str(tmp_path / "fact_pq")
+    write_parquet(fact, out, partition_by=["part"])
+    dim = spark.createDataFrame(
+        [("3", "keep"), ("7", "keep"), ("3", "dup")], "part string, tag string"
+    )
+    back = read_parquet(spark, out)
+    joined = back.join(dim.filter(F.col("tag") == "keep"), "part")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    assert joined.count() == 200

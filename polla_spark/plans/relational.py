@@ -1633,6 +1633,44 @@ FROM merged GROUP BY 1 ORDER BY 1
 """
 
 
+_Q107_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_bal
+FROM {customer} c
+WHERE EXISTS (SELECT 1 FROM {orders} o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+  AND NOT EXISTS (SELECT 1 FROM {orders} o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+                        AND o.o_totalprice < 50000)
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q107_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the SQL FRONT-END
+    (``spark.sql`` over temp views) — every other query in the
+    inventory drives the DataFrame API; this one pins the other half
+    of the declared surface: the SQL parser + analyzer produce the
+    same Catalyst plans users of ``spark.sql(...)`` get.
+
+    Catalyst rewrites the EXISTS to a left-semi and the NOT EXISTS to
+    a left-anti join (RewritePredicateSubquery) — no per-row subquery
+    execution exists at any scale; both joins shuffle on the same
+    o_custkey key. The oracle is textually the SAME statement run by
+    DuckDB, so this also asserts cross-engine ANSI semantics of
+    correlated predicates.
+    """
+    t(spark, sf_dir, "customer").createOrReplaceTempView("q107_customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("q107_orders")
+    return spark.sql(
+        _Q107_SQL.format(customer="q107_customer", orders="q107_orders")
+    )
+
+
+O107 = _Q107_SQL.format(customer="customer", orders="orders")
+
+
 QUERIES = [
     Query("q01_pricing_summary", q01_pricing_summary, O01, "TPC-H Q1 scan+agg"),
     Query("q02_topk_orders", q02_topk_orders, O02, "global top-k"),
@@ -1695,4 +1733,6 @@ QUERIES = [
           "right-to-be-forgotten purge with audit (one-scan)"),
     Query("q106_merge_upsert", q106_merge_upsert, O106,
           "MERGE/upsert classification (full-outer dimension merge)"),
+    Query("q107_exists_subquery", q107_exists_subquery, O107,
+          "correlated EXISTS/NOT EXISTS via the spark.sql front-end"),
 ]

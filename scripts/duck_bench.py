@@ -57,6 +57,11 @@ def main() -> None:
             t0 = time.perf_counter()
             con.sql(sql).fetchall()
             reps.append(time.perf_counter() - t0)
+            # one rep is evidence enough past a minute (q67's recursive
+            # CTE runs 10+ min at sf0.1) — medians matter for ±30% VM
+            # noise, which is negligible at that magnitude
+            if reps[-1] > 60:
+                break
         med = statistics.median(reps)
         times[name] = round(med, 3)
         total += med

@@ -267,6 +267,122 @@ FROM firsts WHERE rn = 1 GROUP BY event_type ORDER BY event_type
 """
 
 
+def q108_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: first view -> first click AFTER that
+    view -> first purchase AFTER that click, per user; one report row
+    with the user count surviving each stage and the exact summed
+    view->purchase conversion seconds for full converts.
+
+    Plan shape at 100 TB: all three stages are windows PARTITIONED BY
+    the same user_id key, so Catalyst plans them on ONE hash exchange
+    (each later stage reads the previous stage's window column — no
+    joins, no self-join funnel explosion); the final report is a
+    partial-aggregated collapse to a single row. Strictly-after
+    ordering (``ts >``) makes the stage predicates exact, not
+    same-timestamp-coincidence.
+    """
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    s1 = e.withColumn(
+        "v_ts", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    s2 = s1.withColumn(
+        "c_ts",
+        F.min(
+            F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("v_ts")), F.col("ts"))
+        ).over(w),
+    )
+    per_user = (
+        s2.groupBy("user_id")
+        .agg(
+            F.first("v_ts").alias("v_ts"),
+            F.first("c_ts").alias("c_ts"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("c_ts")),
+                    F.col("ts"),
+                )
+            ).alias("p_ts"),
+        )
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("v_ts").alias("n_viewed"),
+        F.count("c_ts").alias("n_clicked"),
+        F.count("p_ts").alias("n_purchased"),
+        F.sum(
+            F.when(
+                F.col("p_ts").isNotNull(),
+                F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts"),
+            )
+        ).alias("sum_convert_secs"),
+    )
+
+
+O108 = """
+WITH s1 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+              OVER (PARTITION BY user_id) AS v_ts
+  FROM events
+), s2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > v_ts THEN ts END)
+              OVER (PARTITION BY user_id) AS c_ts
+  FROM s1
+), per_user AS (
+  SELECT user_id, any_value(v_ts) AS v_ts, any_value(c_ts) AS c_ts,
+         MIN(CASE WHEN event_type = 'purchase' AND ts > c_ts THEN ts END) AS p_ts
+  FROM s2 GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       COUNT(v_ts) AS n_viewed,
+       COUNT(c_ts) AS n_clicked,
+       COUNT(p_ts) AS n_purchased,
+       CAST(SUM(CASE WHEN p_ts IS NOT NULL
+                THEN CAST(floor(epoch(p_ts)) AS BIGINT) - CAST(floor(epoch(v_ts)) AS BIGINT)
+                END) AS BIGINT) AS sum_convert_secs
+FROM per_user
+"""
+
+
+def q109_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-cohort triangle: users cohorted by FIRST-SEEN week,
+    crossed with the week offset of every later activity — the
+    retention report behind every growth dashboard, as two exchanges:
+    the first-seen window shuffles on user_id, the cohort × offset
+    cell count on the (small) report key.
+
+    ``countDistinct`` per cell is exact; at 100 TB the cell count is
+    weeks², not data-sized, so the second exchange is trivial — the
+    user_id window is the only data-scale shuffle.
+    """
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    first_day = F.min(F.to_date("ts")).over(w)
+    cohorted = e.select(
+        "user_id",
+        F.date_format(F.date_trunc("week", first_day), "yyyy-MM-dd").alias("cohort_week"),
+        F.floor(F.datediff(F.to_date("ts"), first_day) / 7).alias("week_offset"),
+    )
+    return (
+        cohorted.groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+O109 = """
+WITH firsts AS (
+  SELECT user_id, ts,
+         MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS first_day
+  FROM events
+)
+SELECT strftime(date_trunc('week', first_day), '%Y-%m-%d') AS cohort_week,
+       CAST(floor(date_diff('day', first_day, CAST(ts AS DATE)) / 7.0) AS BIGINT) AS week_offset,
+       COUNT(DISTINCT user_id) AS n_active
+FROM firsts GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = [
     Query("q70_tumbling", q70_tumbling, O70, "tumbling window"),
     Query("q71_sliding", q71_sliding, O71, "sliding window"),
@@ -277,4 +393,8 @@ QUERIES = [
           "multi-granularity GROUPING SETS rollup"),
     Query("q103_first_seen_dedup", q103_first_seen_dedup, O103,
           "first-seen event dedup (batch contract of dedupe_stream)"),
+    Query("q108_funnel", q108_funnel, O108,
+          "ordered conversion funnel (staged windows, one exchange)"),
+    Query("q109_retention_cohorts", q109_retention_cohorts, O109,
+          "first-seen-week retention cohort triangle"),
 ]

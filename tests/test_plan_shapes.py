@@ -167,6 +167,17 @@ def test_q102_single_term_shuffle(spark):
     assert "EvalPython" not in plan
 
 
+def test_q108_funnel_rides_one_user_exchange(spark):
+    # three funnel stages = three windows + a groupBy, ALL partitioned
+    # by user_id: Catalyst must plan them on a single hash exchange —
+    # a per-stage self-join funnel would shuffle the fact three times
+    from polla_spark.plans.windows_q import q108_funnel
+
+    plan = _plan(q108_funnel(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
 def test_rescore_queries_never_cartesian(spark):
     # the whole point of the candidates->rescore composition: every
     # pairing is an equi-join (band sig / bucket code / candidate id),

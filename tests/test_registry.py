@@ -10,7 +10,7 @@ from polla_spark.plans import consensus_q, llmdata, registry, relational, window
 def test_registry_names_unique_and_oracled():
     reg = registry()
     names = list(reg)
-    assert len(names) == len(set(names)) == 107
+    assert len(names) == len(set(names)) == 109
     no_oracle = [n for n, q in reg.items() if q.oracle is None]
     # only the HLL sketch is rows-only by design
     assert no_oracle == ["q38_approx_count_distinct"]

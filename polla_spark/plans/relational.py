@@ -1671,6 +1671,257 @@ def q107_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 O107 = _Q107_SQL.format(customer="customer", orders="orders")
 
 
+def q111_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak interval concurrency per order priority, by sweep line:
+    every order holds a 30-day service window; each window emits a +1
+    edge at its start and a -1 edge at its end, and a running sum of
+    edges ordered by time IS the live-interval count. The classic
+    "max concurrent sessions" question without an interval self-join.
+
+    Half-open [start, end) semantics: at equal timestamps the -1
+    edges sort before the +1 edges (``ORDER BY t, delta``), so an
+    interval ending exactly when another starts never double-counts.
+    Both engines use the default RANGE frame, so tied edges are peers
+    sharing one cumulative value — order within ties can't matter.
+
+    Plan shape at 100 TB: union of two projections of ONE scan, one
+    exchange on the sweep key, zero joins — vs the O(n^2) interval
+    self-join it replaces. The partition key bounds parallelism
+    (5 priorities here), which is the honest constraint of any
+    per-key sweep; a single GLOBAL sweep instead uses the two-level
+    prefix-sum decomposition demonstrated by q95_pack_sequences
+    (per-bucket partial sums + broadcast bucket offsets).
+    """
+    o = t(spark, sf_dir, "orders")
+    starts = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderdate").alias("edge_t"),
+        F.lit(1).alias("delta"),
+    )
+    ends = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("edge_t"),
+        F.lit(-1).alias("delta"),
+    )
+    w = Window.partitionBy("prio").orderBy("edge_t", "delta")
+    return (
+        starts.unionByName(ends)
+        .withColumn("conc", F.sum("delta").over(w))
+        .groupBy("prio")
+        .agg(
+            F.max("conc").cast("long").alias("peak_concurrent"),
+            (F.count("*") / 2).cast("long").alias("n_intervals"),
+        )
+        .orderBy("prio")
+    )
+
+
+O111 = """
+WITH edges AS (
+  SELECT o_orderpriority AS prio, o_orderdate AS edge_t, 1 AS delta FROM orders
+  UNION ALL
+  SELECT o_orderpriority, o_orderdate + INTERVAL 30 DAY, -1 FROM orders
+), sweep AS (
+  SELECT prio, SUM(delta) OVER (PARTITION BY prio ORDER BY edge_t, delta) AS conc
+  FROM edges
+)
+SELECT prio, CAST(MAX(conc) AS BIGINT) AS peak_concurrent,
+       CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals
+FROM sweep GROUP BY prio ORDER BY prio
+"""
+
+
+def q112_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality audit: one tall (metric, value) report
+    covering completeness (null counts), validity (domain/range
+    violations), uniqueness (duplicate natural keys), and referential
+    integrity (fact rows whose order key has no orders row) — the
+    constraint suite a pipeline runs before promoting a table.
+
+    Plan shape at 100 TB: every row-level metric is a conditional
+    aggregate in ONE partial-agg pass over the fact scan (a 12-metric
+    audit costs one scan, not 12); uniqueness adds one groupBy on the
+    natural key; referential integrity is a left-anti join that AQE
+    plans as broadcast when the dimension's key projection fits.
+    The report itself is metric-count-sized.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+
+    def m(name: str, col) -> F.Column:  # type: ignore[name-defined]
+        return F.struct(F.lit(name).alias("metric"), col.cast("long").alias("value"))
+
+    scan = li.agg(
+        F.array(
+            m("row_count", F.count("*")),
+            m("null_quantity", F.count_if(F.col("l_quantity").isNull())),
+            m("null_shipdate", F.count_if(F.col("l_shipdate").isNull())),
+            m("bad_quantity_range",
+              F.count_if(~F.col("l_quantity").between(1.0, 50.0))),
+            m("bad_discount_range",
+              F.count_if(~F.col("l_discount").between(0.0, 1.0))),
+            m("bad_returnflag",
+              F.count_if(~F.col("l_returnflag").isin("A", "N", "R"))),
+            m("nonpositive_price", F.count_if(F.col("l_extendedprice") <= 0)),
+        ).alias("ms")
+    ).select(F.explode("ms").alias("s")).select("s.metric", "s.value")
+    dup_keys = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count("*").cast("long").alias("value"))
+        .select(F.lit("duplicate_line_keys").alias("metric"), "value")
+    )
+    orphans = (
+        li.join(o.select("o_orderkey"),
+                li["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(F.count("*").cast("long").alias("value"))
+        .select(F.lit("orphan_orderkeys").alias("metric"), "value")
+    )
+    return scan.unionByName(dup_keys).unionByName(orphans).orderBy("metric")
+
+
+O112 = """
+WITH scan AS (
+  SELECT * FROM (
+    SELECT
+      COUNT(*) AS row_count,
+      COUNT(CASE WHEN l_quantity IS NULL THEN 1 END) AS null_quantity,
+      COUNT(CASE WHEN l_shipdate IS NULL THEN 1 END) AS null_shipdate,
+      COUNT(CASE WHEN l_quantity NOT BETWEEN 1.0 AND 50.0 THEN 1 END) AS bad_quantity_range,
+      COUNT(CASE WHEN l_discount NOT BETWEEN 0.0 AND 1.0 THEN 1 END) AS bad_discount_range,
+      COUNT(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 END) AS bad_returnflag,
+      COUNT(CASE WHEN l_extendedprice <= 0 THEN 1 END) AS nonpositive_price
+    FROM lineitem
+  ) UNPIVOT (value FOR metric IN (row_count, null_quantity, null_shipdate,
+             bad_quantity_range, bad_discount_range, bad_returnflag, nonpositive_price))
+), dups AS (
+  SELECT 'duplicate_line_keys' AS metric, COUNT(*) AS value FROM (
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    GROUP BY 1, 2 HAVING COUNT(*) > 1
+  )
+), orphans AS (
+  SELECT 'orphan_orderkeys' AS metric, COUNT(*) AS value
+  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+)
+SELECT metric, CAST(value AS BIGINT) AS value FROM scan
+UNION ALL SELECT metric, CAST(value AS BIGINT) FROM dups
+UNION ALL SELECT metric, CAST(value AS BIGINT) FROM orphans
+ORDER BY metric
+"""
+
+
+def q113_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-tall UNPIVOT (melt): the part table's numeric
+    attributes become (attribute, value) rows via ``DataFrame.unpivot``
+    — the inverse of q32's pivot — then a per-attribute profile
+    (count / sum / min / max) summarizes each melted column.
+
+    Plan shape at 100 TB: unpivot is a WITHIN-ROW Expand (each input
+    row emits one row per attribute, no exchange, no Python); the
+    only shuffle is the final partial agg onto an attribute-count-
+    sized key. Melting k columns multiplies rows k-fold BEFORE the
+    map-side combine absorbs them, so the network cost stays one
+    row per (partition, attribute).
+    """
+    p = t(spark, sf_dir, "part")
+    tall = p.select(
+        "p_partkey",
+        F.col("p_size").cast("long").alias("size"),
+        F.floor(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        F.length("p_name").cast("long").alias("name_len"),
+    ).unpivot("p_partkey", ["size", "price_cents", "name_len"], "attr", "val")
+    return (
+        tall.groupBy("attr")
+        .agg(
+            F.count("val").alias("n_vals"),
+            F.sum("val").alias("sum_val"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+        )
+        .orderBy("attr")
+    )
+
+
+O113 = """
+WITH tall AS (
+  SELECT p_partkey, attr, val FROM (
+    SELECT p_partkey,
+           CAST(p_size AS BIGINT) AS size,
+           CAST(floor(p_retailprice * 100) AS BIGINT) AS price_cents,
+           CAST(length(p_name) AS BIGINT) AS name_len
+    FROM part
+  ) UNPIVOT (val FOR attr IN (size, price_cents, name_len))
+)
+SELECT attr, COUNT(val) AS n_vals, CAST(SUM(val) AS BIGINT) AS sum_val,
+       MIN(val) AS min_val, MAX(val) AS max_val
+FROM tall GROUP BY attr ORDER BY attr
+"""
+
+
+def q115_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment z-score outlier detection with EXACT arithmetic:
+    account balances are floor-quantized to integer cents, per-segment
+    (n, sum, sum-of-squares) are exact decimal aggregates, and each
+    row's z-score is z = (n*x - S) / sqrt(n*Q - S^2) — algebraically
+    (x - mean) / stddev_pop but computed with exactly TWO IEEE
+    roundings (one sqrt, one divide) from identical integers, so both
+    engines produce bit-identical doubles and the |z| > 2 outlier
+    comparison can never flip across engines. Never ``stddev`` over
+    raw doubles — accumulation order makes that engine-dependent.
+
+    Plan shape at 100 TB: a partial-agg groupBy collapses the fact to
+    segment-count-sized stats that broadcast-join back to the fact —
+    two narrow passes, no window over a 5-value partition key (which
+    would serialize per segment). Decimal(38,0) intermediates hold
+    n*Q exactly up to ~1e12 rows x 1e6-cent values.
+    """
+    c = t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100).cast("decimal(38,0)").alias("q"),
+    )
+    stats = c.groupBy("c_mktsegment").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("q").alias("s"),
+        F.sum(F.col("q") * F.col("q")).alias("qq"),
+    )
+    z = (
+        (F.col("n") * F.col("q") - F.col("s")).cast("double")
+        / F.sqrt((F.col("n") * F.col("qq") - F.col("s") * F.col("s")).cast("double"))
+    )
+    return (
+        c.join(F.broadcast(stats), "c_mktsegment")
+        .select("c_mktsegment", F.round(z, 6).alias("z"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count_if(F.abs(F.col("z")) > 2.0).alias("n_outliers"),
+            F.max(F.abs(F.col("z"))).alias("max_abs_z"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+O115 = """
+WITH q AS (
+  SELECT c_mktsegment, CAST(floor(c_acctbal * 100) AS HUGEINT) AS q FROM customer
+), stats AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(q) AS s, SUM(q * q) AS qq
+  FROM q GROUP BY 1
+), scored AS (
+  SELECT q.c_mktsegment,
+         ROUND(CAST(n * q.q - s AS DOUBLE)
+               / sqrt(CAST(n * qq - s * s AS DOUBLE)), 6) AS z
+  FROM q JOIN stats USING (c_mktsegment)
+)
+SELECT c_mktsegment, COUNT(*) AS n_rows,
+       COUNT(CASE WHEN abs(z) > 2.0 THEN 1 END) AS n_outliers,
+       MAX(abs(z)) AS max_abs_z
+FROM scored GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = [
     Query("q01_pricing_summary", q01_pricing_summary, O01, "TPC-H Q1 scan+agg"),
     Query("q02_topk_orders", q02_topk_orders, O02, "global top-k"),
@@ -1735,4 +1986,12 @@ QUERIES = [
           "MERGE/upsert classification (full-outer dimension merge)"),
     Query("q107_exists_subquery", q107_exists_subquery, O107,
           "correlated EXISTS/NOT EXISTS via the spark.sql front-end"),
+    Query("q111_peak_concurrency", q111_peak_concurrency, O111,
+          "sweep-line peak interval concurrency (no self-join)"),
+    Query("q112_quality_audit", q112_quality_audit, O112,
+          "one-scan data-quality constraint audit (deequ-style)"),
+    Query("q113_unpivot", q113_unpivot, O113,
+          "UNPIVOT/melt wide-to-tall + per-attribute profile"),
+    Query("q115_zscore_outliers", q115_zscore_outliers, O115,
+          "exact-arithmetic z-score outlier detection"),
 ]

@@ -383,6 +383,124 @@ FROM firsts GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q110_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification + forward fill: hourly high-value
+    activity per event_type over a DENSE calendar (missing hours
+    materialized as rows), with the last observed hourly sum carried
+    forward through gaps — the standard prep step before charting or
+    feeding a sequence model.
+
+    Plan shape at 100 TB: the data-scale work is ONE partial-agg
+    shuffle to (event_type, hour); the calendar is generated from the
+    per-type min/max span via ``sequence``+``explode`` so the dense
+    axis is calendar-sized (hours x types), never data-sized; the
+    forward-fill window and the left join both ride the same
+    (event_type, hour) key. No driver loop, no Python — gap rows are
+    born distributed.
+    """
+    e = t(spark, sf_dir, "events")
+    hourly = (
+        e.filter(F.col("value") > 9.0)
+        .withColumn("vq", VQ())
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count("*").alias("n_obs"), F.sum("vq").alias("sum_vq"))
+    )
+    cal = (
+        hourly.groupBy("event_type")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    return (
+        cal.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.date_format("h", FMT).alias("hour"),
+            F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+            F.last("sum_vq", ignorenulls=True).over(w).alias("filled_sum_vq"),
+            F.when(F.col("n_obs").isNull(), 1).otherwise(0).cast("long").alias("was_gap"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+O110 = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         COUNT(*) AS n_obs,
+         CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_vq
+  FROM events WHERE value > 9.0 GROUP BY 1, 2
+), cal AS (
+  SELECT event_type, unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+  FROM hourly GROUP BY event_type
+)
+SELECT c.event_type,
+       strftime(c.h, '%Y-%m-%d %H:%M:%S') AS hour,
+       CAST(COALESCE(y.n_obs, 0) AS BIGINT) AS n_obs,
+       last_value(y.sum_vq IGNORE NULLS)
+         OVER (PARTITION BY c.event_type ORDER BY c.h) AS filled_sum_vq,
+       CAST(CASE WHEN y.n_obs IS NULL THEN 1 ELSE 0 END AS BIGINT) AS was_gap
+FROM cal c LEFT JOIN hourly y ON y.event_type = c.event_type AND y.h = c.h
+ORDER BY 1, 2
+"""
+
+
+def q114_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types per user:
+    every consecutive (prev -> next) pair within a user's timeline,
+    counted and normalized to a transition probability.
+
+    Plan shape at 100 TB: the lag window shuffles once on user_id
+    (the only data-scale exchange); the transition count collapses to
+    a |types|^2-sized key, and the row-normalizing total is a window
+    over that already-tiny result — calendar-sized, not data-sized.
+    The probability is a single exact-integer division rounded once,
+    so it hashes identically across engines.
+    """
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("n_trans"))
+    )
+    wrow = Window.partitionBy("prev_type")
+    return (
+        pairs.select(
+            "prev_type",
+            "next_type",
+            "n_trans",
+            F.round(F.col("n_trans") / F.sum("n_trans").over(wrow), 6).alias("p_trans"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+O114 = """
+WITH seq AS (
+  SELECT user_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events
+), trans AS (
+  SELECT prev_type, next_type, COUNT(*) AS n_trans
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n_trans,
+       ROUND(n_trans / SUM(n_trans) OVER (PARTITION BY prev_type), 6) AS p_trans
+FROM trans ORDER BY 1, 2
+"""
+
+
 QUERIES = [
     Query("q70_tumbling", q70_tumbling, O70, "tumbling window"),
     Query("q71_sliding", q71_sliding, O71, "sliding window"),
@@ -397,4 +515,8 @@ QUERIES = [
           "ordered conversion funnel (staged windows, one exchange)"),
     Query("q109_retention_cohorts", q109_retention_cohorts, O109,
           "first-seen-week retention cohort triangle"),
+    Query("q110_gap_fill", q110_gap_fill, O110,
+          "calendar densification + forward fill (sequence/explode)"),
+    Query("q114_transition_matrix", q114_transition_matrix, O114,
+          "first-order Markov event-type transition matrix"),
 ]

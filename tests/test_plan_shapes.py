@@ -187,3 +187,47 @@ def test_rescore_queries_never_cartesian(spark):
         plan = _plan(q(spark, SF))
         assert "CartesianProduct" not in plan, q.__name__
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+
+
+def test_q111_sweep_has_no_join(spark):
+    # the sweep line replaces an O(n^2) interval self-join: the plan
+    # must contain NO join operator of any kind — just the union of
+    # two projections of one scan and the keyed window
+    from polla_spark.plans.relational import q111_peak_concurrency
+
+    plan = _plan(q111_peak_concurrency(spark, SF))
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q113_unpivot_expands_before_any_exchange(spark):
+    # melt must be the within-row Expand operator feeding a partial
+    # (map-side) aggregate — k-fold row growth is absorbed before the
+    # shuffle, so the exchange carries one row per (partition, attr)
+    from polla_spark.plans.relational import q113_unpivot
+
+    plan = _plan(q113_unpivot(spark, SF))
+    assert "Expand" in plan, plan
+    before_exchange = plan[: plan.index("Exchange")] if "Exchange" in plan else plan
+    assert "partial" in before_exchange.lower(), plan
+
+
+def test_q115_stats_join_is_broadcast(spark):
+    # segment stats are segment-count-sized: they must broadcast back
+    # to the fact, never shuffle it; and no window over the 5-value
+    # segment key (which would serialize each segment into one task)
+    from polla_spark.plans.relational import q115_zscore_outliers
+
+    plan = _plan(q115_zscore_outliers(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_q110_calendar_is_join_keyed_not_cartesian(spark):
+    # the dense calendar joins back on (event_type, hour) — an
+    # equi-join; densification must never plan as an all-pairs op
+    from polla_spark.plans.windows_q import q110_gap_fill
+
+    plan = _plan(q110_gap_fill(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -42,6 +42,10 @@ def get_spark(
         # testdata events.parquet stores TIMESTAMP(NANOS); Spark has no
         # nanos type — read as long and rebuild micros (see read_table)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # parquet TIMESTAMP(isAdjustedToUTC=false) scans as LTZ, not
+        # NTZ: plans treat ts as a UTC instant, and a scan-level type
+        # (vs read_table's cast fallback) keeps ts predicates pushable
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # managed (bucketed) tables go to a scratch warehouse, never cwd
         .config("spark.sql.warehouse.dir",
@@ -58,18 +62,34 @@ def get_spark(
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str):
-    """Read one testdata parquet, normalizing nano-timestamps.
+    """Read one testdata parquet, normalizing timestamp physical types.
 
-    ``events.ts`` is INT64 TIMESTAMP(NANOS) on disk; with
-    ``nanosAsLong`` it scans as BIGINT nanoseconds. Rebuild a proper
-    timestamp via integer division (``div`` — a double round-trip
-    would lose precision above 2^53 ns).
+    The driver's generator has shipped ``events.ts`` as INT64
+    TIMESTAMP(NANOS) (scans as BIGINT nanoseconds under
+    ``nanosAsLong`` — rebuild micros with integer division; a double
+    round-trip would lose precision above 2^53 ns) and as
+    TIMESTAMP(MICROS) with ``isAdjustedToUTC=false`` (scans as
+    TIMESTAMP_NTZ in Spark 4). Every plan here treats ``ts`` as a UTC
+    instant (session tz is pinned UTC), and NTZ supports neither
+    ``cast(long)`` nor ``unix_micros`` — so normalize any NTZ column
+    to TIMESTAMP at the scan edge. Wall-clock values are unchanged
+    and both forms hash identically against the DuckDB oracle.
     """
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    dtypes = dict(df.dtypes)
+    if name == "events" and dtypes.get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for col, dt in dtypes.items():
+        if dt == "timestamp_ntz":
+            # cast renders the NTZ wall-clock in the *session* tz;
+            # to_utc_timestamp(…, 'UTC') re-reads that wall-clock as
+            # UTC — identity under our pinned-UTC sessions, and still
+            # wall-as-UTC under a caller session with any other tz.
+            df = df.withColumn(
+                col, F.to_utc_timestamp(F.col(col).cast("timestamp"), "UTC")
+            )
     return df
 
 

@@ -11,9 +11,15 @@ Design for 100 TB (BASELINE.json north star):
   see Arrow record batches (zero-copy into pandas), one Python worker
   per task — the batch shape, schema contract, and partitioning are
   the real scale machinery;
-- callers repartition on ``asset_id`` (uniform) before a kernel so
-  decode cost spreads evenly; modality-specific kernels filter first
-  so image work never scans video rows;
+- kernels NEVER shuffle payload bytes: task balance comes from the
+  scan's own input splits (``spark.sql.files.maxPartitionBytes``) —
+  at 100 TB of media the splits are plentiful and byte-sized, while a
+  ``repartition`` before the kernel would make the binary content the
+  single most expensive data movement in the system. If a caller must
+  rebalance, repartition an (asset_id -> pointer) projection and let
+  the kernel fetch bytes itself — never the inline payload;
+- modality-specific kernels filter first so image work never scans
+  video rows;
 - the codec step itself is STUBBED: the container has no image/audio
   libs, so ``decode=`` defaults to a deterministic sha256-derived
   fake. Pass a real decoder with the same signature when PIL/ffmpeg
@@ -110,16 +116,16 @@ def fake_decode(content: bytes, modality: str, n_features: int = 4) -> list[int]
 def extract_features(
     assets: DataFrame,
     decode: Callable[[bytes, str], list[int]] | None = None,
-    *,
-    parallelism: int | None = None,
 ) -> DataFrame:
     """Per-asset feature extraction as a ``mapInPandas`` kernel.
 
     Arrow moves each partition into pandas in record batches; the
     kernel loops rows *within* a batch (the decode itself is
     per-asset work) but amortizes interpreter/serialization overhead
-    across the batch. Repartitions on ``asset_id`` so decode cost is
-    uniform across tasks regardless of upstream layout.
+    across the batch. The kernel runs on the scan's own partitioning —
+    no Exchange ever carries ``content`` (pinned by
+    tests/test_plan_shapes.py): input-split sizing, not a payload
+    shuffle, is what balances decode cost at scale.
     """
     dec = decode or fake_decode
 
@@ -140,8 +146,6 @@ def extract_features(
                 }
             )
 
-    if parallelism:
-        assets = assets.repartition(parallelism, "asset_id")
     return assets.mapInPandas(kernel, FEATURE_SCHEMA)
 
 

@@ -818,7 +818,9 @@ def q66_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import documents_as_assets, extract_features
 
     assets = documents_as_assets(t(spark, sf_dir, "documents"))
-    feats = extract_features(assets, parallelism=spark.sparkContext.defaultParallelism)
+    # no repartition before the kernel: payload bytes must never cross
+    # an Exchange (plan-shape pinned); scan splits provide parallelism
+    feats = extract_features(assets)
     return (
         feats.groupBy("modality")
         .agg(

@@ -44,7 +44,10 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # parquet TIMESTAMP(isAdjustedToUTC=false) scans as LTZ, not
         # NTZ: plans treat ts as a UTC instant, and a scan-level type
-        # (vs read_table's cast fallback) keeps ts predicates pushable
+        # (vs read_table's cast fallback) keeps ts predicates pushable.
+        # Caveat: this only governs files WITHOUT Spark-written schema
+        # metadata (the external testdata); Spark-written NTZ files
+        # still scan as timestamp_ntz and hit read_table's fallback.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # managed (bucketed) tables go to a scratch warehouse, never cwd
@@ -83,12 +86,18 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     for col, dt in dtypes.items():
         if dt == "timestamp_ntz":
-            # cast renders the NTZ wall-clock in the *session* tz;
-            # to_utc_timestamp(…, 'UTC') re-reads that wall-clock as
-            # UTC — identity under our pinned-UTC sessions, and still
-            # wall-as-UTC under a caller session with any other tz.
+            # cast renders the NTZ wall-clock as an instant in the
+            # *session* tz; from_utc_timestamp(…, current_timezone())
+            # then shifts it so the stored instant equals the wall-clock
+            # read as UTC — regardless of the caller session's tz.
+            # (to_utc_timestamp(…, 'UTC') was an identity no-op here,
+            # leaving non-UTC sessions with a wall-in-session-tz
+            # instant — the one scenario this fallback exists for.)
             df = df.withColumn(
-                col, F.to_utc_timestamp(F.col(col).cast("timestamp"), "UTC")
+                col,
+                F.from_utc_timestamp(
+                    F.col(col).cast("timestamp"), F.current_timezone()
+                ),
             )
     return df
 

@@ -39,7 +39,7 @@ def test_asset_schema_and_modalities(spark):
 
 def test_extract_features_matches_local_decode(spark):
     a = _assets(spark)
-    feats = extract_features(a, parallelism=4)
+    feats = extract_features(a)
     got = {r["asset_id"]: r for r in feats.collect()}
     src = {r["asset_id"]: bytes(r["content"]) for r in a.collect()}
     assert set(got) == set(src)

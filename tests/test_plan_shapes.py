@@ -189,6 +189,32 @@ def test_rescore_queries_never_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__
 
 
+def test_q66_no_exchange_carries_payload_bytes(spark):
+    # media payloads must NEVER cross a shuffle: the mapInPandas
+    # kernel runs on the scan's own partitioning, and the only
+    # exchanges in the plan sit ABOVE the kernel, carrying its
+    # (small, fixed-width) feature output. At 100 TB of media a
+    # repartition of `content` would be the most expensive single
+    # data movement in the system (r2 verdict flag).
+    from polla_spark.plans.llmdata import q66_multimodal_features
+
+    import contextlib
+    import io
+
+    df = q66_multimodal_features(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    # formatted mode prints one "(n) NodeName" block per operator with
+    # an "Output [k]: [cols]" line; no Exchange block may list content
+    for block in plan.split("\n\n"):
+        if block.strip().startswith("(") and "Exchange" in block.split("\n", 1)[0]:
+            assert "content" not in block, f"payload crossed a shuffle:\n{block}"
+    # and the kernel itself is still in the plan (not optimized away)
+    assert "MapInPandas" in plan, plan
+
+
 def test_q111_sweep_has_no_join(spark):
     # the sweep line replaces an O(n^2) interval self-join: the plan
     # must contain NO join operator of any kind — just the union of
@@ -208,8 +234,16 @@ def test_q113_unpivot_expands_before_any_exchange(spark):
 
     plan = _plan(q113_unpivot(spark, SF))
     assert "Expand" in plan, plan
-    before_exchange = plan[: plan.index("Exchange")] if "Exchange" in plan else plan
-    assert "partial" in before_exchange.lower(), plan
+    # Anchor to the agg's hashpartitioning exchange specifically: the
+    # plan string prints top-down, so the FIRST "Exchange" is the final
+    # Sort's rangepartitioning — slicing there would miss the partial
+    # agg that sits below it (r2 red test). The segment above (printed
+    # before) the hashpartitioning exchange is the post-shuffle side;
+    # the partial agg and the Expand must both sit below (after) it.
+    assert "hashpartitioning" in plan, plan
+    below_shuffle = plan[plan.index("hashpartitioning"):]
+    assert "partial" in below_shuffle.lower(), plan
+    assert "Expand" in below_shuffle, plan
 
 
 def test_q115_stats_join_is_broadcast(spark):

@@ -4,19 +4,31 @@ on (a truncated sweep must still sample every family)."""
 
 from __future__ import annotations
 
-from polla_spark.plans import consensus_q, llmdata, registry, relational, windows_q
+from polla_spark.plans import (
+    DECLARED_QUERY_COUNT,
+    ROWS_ONLY_QUERIES,
+    consensus_q,
+    llmdata,
+    registry,
+    relational,
+    windows_q,
+)
 
 
 def test_registry_names_unique_and_oracled():
     reg = registry()
     names = list(reg)
-    assert len(names) == len(set(names)) == 109
-    no_oracle = [n for n, q in reg.items() if q.oracle is None]
-    # only the HLL sketch is rows-only by design
-    assert no_oracle == ["q38_approx_count_distinct"]
+    # the count constant lives NEXT TO the registry assembly so the
+    # same commit that adds queries bumps it (r2 regression: queries
+    # landed without the bump and the suite went red)
+    assert len(names) == len(set(names)) == DECLARED_QUERY_COUNT
+    no_oracle = {n for n, q in reg.items() if q.oracle is None}
+    assert no_oracle == set(ROWS_ONLY_QUERIES)
 
 
 def test_registry_interleaves_families():
+    from polla_spark.plans import _driver_certified
+
     fam_of = {}
     for mod, fam in (
         (relational, "rel"),
@@ -27,12 +39,28 @@ def test_registry_interleaves_families():
         for q in mod.QUERIES:
             fam_of[q.name] = fam
     names = list(registry())
-    # round-robin: every 8-query prefix already covers all 4 families,
-    # and the first 50 (round 1's truncation point) cover them many
-    # times over
-    assert {fam_of[n] for n in names[:8]} == {"rel", "consensus", "llm", "win"}
+    # the driver's budgeted sweep (~50/round) runs in registry order:
+    # the first 50 must still sample every family
     first50 = [fam_of[n] for n in names[:50]]
-    assert min(first50.count(f) for f in ("rel", "consensus", "llm", "win")) >= 5
+    assert {* first50} == {"rel", "consensus", "llm", "win"}
+    assert min(first50.count(f) for f in ("rel", "consensus", "llm", "win")) >= 2
+
+
+def test_registry_fronts_uncertified_queries():
+    """Sweep rotation: every query WITHOUT a green driver-certification
+    row must sort before every certified one, so each round's budgeted
+    sweep certifies fresh queries instead of re-grading known-green
+    ones. Within each tier the family round-robin is preserved."""
+    from polla_spark.plans import _driver_certified
+
+    certified = _driver_certified()
+    names = list(registry())
+    flags = [n in certified for n in names]
+    # monotone: once we hit a certified query, the rest are certified
+    assert flags == sorted(flags), "uncertified query after a certified one"
+    if certified:  # the r1+r2 artifacts exist in this repo
+        n_uncert = flags.count(False)
+        assert set(names[:n_uncert]).isdisjoint(certified)
 
 
 def test_driver_contract_exposes_registry():

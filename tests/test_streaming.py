@@ -13,16 +13,31 @@ from polla_spark.streaming import windows as SW
 
 SF_DIR = "/root/testdata/sf0.001"
 
+# The testdata ships events.ts as parquet TIMESTAMP(MICROS,
+# isAdjustedToUTC=false); under the session's inferTimestampNTZ=false it
+# scans as an LTZ timestamp whose instant equals the wall-clock in UTC
+# (session tz pinned UTC) — the same normalization read_table applies.
+# Never hardcode the physical type here: derive the stream schema from
+# the live parquet footer so testdata regeneration can't desync it.
 RAW_EVENTS = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) as long
+        T.StructField("ts", T.TimestampType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
         T.StructField("props", T.StringType()),
     ]
 )
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _schema_matches_footer(spark):
+    """Pin RAW_EVENTS to the real footer (as read under session configs)."""
+    real = spark.read.parquet(f"{SF_DIR}/events.parquet").schema
+    assert [(f.name, f.dataType) for f in real.fields] == [
+        (f.name, f.dataType) for f in RAW_EVENTS.fields
+    ], f"testdata schema drifted: {real.simpleString()}"
 
 
 @pytest.fixture(scope="module")
@@ -32,13 +47,9 @@ def stream_dir(tmp_path_factory):
     return str(d)
 
 
-def _fix_ts(df):
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-
-
 @pytest.fixture()
 def stream_events(spark, stream_dir):
-    return _fix_ts(spark.readStream.schema(RAW_EVENTS).parquet(stream_dir))
+    return spark.readStream.schema(RAW_EVENTS).parquet(stream_dir)
 
 
 @pytest.fixture()
@@ -150,8 +161,8 @@ def test_follow_within_stream_equals_batch(spark, stream_dir, batch_events):
     """Stream-stream interval join (view -> click within 10 min) ==
     the identical join run in batch. Two independent readStream
     instances feed the two sides, as a real deployment would."""
-    lead = _fix_ts(spark.readStream.schema(RAW_EVENTS).parquet(stream_dir))
-    follow = _fix_ts(spark.readStream.schema(RAW_EVENTS).parquet(stream_dir))
+    lead = spark.readStream.schema(RAW_EVENTS).parquet(stream_dir)
+    follow = spark.readStream.schema(RAW_EVENTS).parquet(stream_dir)
     stream_out = SW.run_to_memory(
         SW.follow_within(lead, follow), "t_follow", "append"
     )
@@ -172,8 +183,8 @@ def test_follow_within_left_outer_stream_equals_batch(spark, stream_dir, batch_e
     src = tmp_path / "follow_outer_src"
     src.mkdir()
     shutil.copy(f"{SF_DIR}/events.parquet", src / "batch0.parquet")
-    lead = _fix_ts(spark.readStream.schema(RAW_EVENTS).parquet(str(src)))
-    follow = _fix_ts(spark.readStream.schema(RAW_EVENTS).parquet(str(src)))
+    lead = spark.readStream.schema(RAW_EVENTS).parquet(str(src))
+    follow = spark.readStream.schema(RAW_EVENTS).parquet(str(src))
     out = SW.follow_within(lead, follow, how="left_outer")
     q = (
         out.writeStream.outputMode("append")
@@ -202,8 +213,6 @@ def test_follow_within_left_outer_stream_equals_batch(spark, stream_dir, batch_e
                     (10**9 + 100 + i, far, -2, "click", 0.0, "{}"),
                 ],
                 "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
-            ).withColumn(
-                "ts", (F.unix_timestamp("ts") * F.lit(10**9)).cast("long")
             ).write.mode("append").parquet(str(src))
             q.processAllAvailable()
     finally:

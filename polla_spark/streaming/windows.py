@@ -175,6 +175,161 @@ def dedupe_stream(events: DataFrame, keys: list[str],
     return events.withWatermark("ts", watermark).dropDuplicates(keys)
 
 
+# ---------------------------------------------------------------------------
+# Stateful funnel (streaming twin of plans/windows_q.q108_funnel)
+# ---------------------------------------------------------------------------
+
+FUNNEL_UPDATE_SCHEMA = (
+    "user_id long, v_ts timestamp, c_ts timestamp, p_ts timestamp, upd_seq long"
+)
+_FUNNEL_STATE_SCHEMA = "v long, c long, p long, seq long"
+
+
+def funnel_updates(events: DataFrame,
+                   watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Streaming ordered-funnel state: per user, first ``view`` ->
+    first ``click`` strictly after it -> first ``purchase`` strictly
+    after that, maintained incrementally with
+    ``applyInPandasWithState``.
+
+    State per user is three optional timestamps + a counter — FIXED
+    SIZE, so an unbounded stream holds exactly one tiny row per user
+    ever seen (the funnel is lifetime-scoped; nothing to evict).
+    Each micro-batch emits the user's current funnel row stamped with
+    ``upd_seq`` (events processed so far, strictly monotone), so a
+    read-time finisher (:func:`funnel_report`) can keep the newest
+    row per user without relying on sink ordering.
+
+    Equivalence contract (pinned in tests/test_stateful.py): on
+    ts-ordered arrival this reproduces the batch q108 exactly — the
+    sequential first-view/first-click-after/first-purchase-after scan
+    over globally ts-sorted events computes the same three minima as
+    the batch window plan. Rows within a batch are ts-sorted by the
+    kernel; cross-batch order is the source's arrival order, which a
+    real deployment bounds with the watermark.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        v, c, p, seq = state.get if state.exists else (None, None, None, 0)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        for ts, et in zip(rows["ts"], rows["event_type"]):
+            us = int(ts.value // 1_000)  # pandas ns -> micros
+            if v is None:
+                if et == "view":
+                    v = us
+            elif c is None:
+                if et == "click" and us > v:
+                    c = us
+            elif p is None:
+                if et == "purchase" and us > c:
+                    p = us
+        seq += len(rows)
+        state.update((v, c, p, seq))
+
+        def _t(us_val):
+            return pd.Timestamp(us_val, unit="us") if us_val is not None else pd.NaT
+
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "v_ts": [_t(v)],
+                "c_ts": [_t(c)],
+                "p_ts": [_t(p)],
+                "upd_seq": [seq],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            FUNNEL_UPDATE_SCHEMA,
+            _FUNNEL_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def funnel_report(updates: DataFrame) -> DataFrame:
+    """Batch finisher over :func:`funnel_updates` output: keep each
+    user's newest state row (max ``upd_seq`` — strictly monotone, so
+    the pick is deterministic), then collapse to the one-row q108
+    report shape."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("upd_seq"))
+    last = (
+        updates.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return last.agg(
+        F.count("*").alias("n_users"),
+        F.count("v_ts").alias("n_viewed"),
+        F.count("c_ts").alias("n_clicked"),
+        F.count("p_ts").alias("n_purchased"),
+        F.sum(
+            F.when(
+                F.col("p_ts").isNotNull(),
+                F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts"),
+            )
+        ).alias("sum_convert_secs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retention partials (streaming twin of plans/windows_q.q109)
+# ---------------------------------------------------------------------------
+
+def retention_partials(events: DataFrame,
+                       watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Streaming form of the retention cohort report: ONE streaming
+    aggregation at (user_id, activity-day) grain.
+
+    The cohort week needs each user's GLOBAL first-seen day — a
+    second aggregation level streaming can't chain — so the stream
+    keeps the finest grain the report needs (state rows = user x
+    active-day, watermark-bounded per day) and
+    :func:`finish_retention` derives first-seen, cohort and offset at
+    read time over this much smaller table. Same
+    partial-then-finish pattern as :func:`daily_user_partials`.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def finish_retention(partials: DataFrame) -> DataFrame:
+    """Batch finisher: first-seen day per user -> cohort week ×
+    week-offset countDistinct — emits exactly the q109 report shape.
+    First-seen is a window over the partial table (user x day sized),
+    not a self-join — one shuffle on user_id, no lineage ambiguity."""
+    from pyspark.sql import Window
+
+    first_day = F.min("day").over(Window.partitionBy("user_id"))
+    cohorted = partials.withColumn("first_day", first_day).select(
+        "user_id",
+        F.date_format(F.date_trunc("week", "first_day"), "yyyy-MM-dd").alias(
+            "cohort_week"
+        ),
+        F.floor(F.datediff(F.col("day"), F.col("first_day")) / 7).alias(
+            "week_offset"
+        ),
+    )
+    return (
+        cohorted.groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
     """Drive a finite streaming source to completion into a memory
     sink; returns the materialized result (test/smoke harness)."""

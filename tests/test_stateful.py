@@ -81,6 +81,81 @@ def test_stateful_sessionizer_equals_batch(spark, staged_stream_dir):
     assert len(got) > 20  # real sessionization happened, not a trivial pass
 
 
+@pytest.fixture(scope="module")
+def funnel_stream_dir(spark, tmp_path_factory):
+    """Events split into three time-ordered files so the funnel state
+    machine is exercised ACROSS micro-batches, not inside one."""
+    from polla_spark.session import read_table
+
+    d = tmp_path_factory.mktemp("funnel_stream")
+    ev = (
+        read_table(spark, SF_DIR, "events")
+        .select("ts", "event_id", "user_id", "event_type")
+        .orderBy("ts", "event_id")
+    )
+    rows = ev.collect()
+    third = len(rows) // 3
+    chunks = (rows[:third], rows[third : 2 * third], rows[2 * third :])
+    for i, chunk in enumerate(chunks):
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.parquet(
+            str(d / f"part{i}")
+        )
+    return d, ev.schema
+
+
+def test_funnel_stream_equals_q108(spark, funnel_stream_dir):
+    """Stateful streaming funnel == batch q108 on ts-ordered arrival,
+    including users whose stages straddle micro-batch boundaries."""
+    from polla_spark.plans.windows_q import q108_funnel
+    from polla_spark.streaming.windows import funnel_report, funnel_updates
+
+    d, schema = funnel_stream_dir
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*/")
+    )
+    q = (
+        funnel_updates(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_updates")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = funnel_report(spark.table("funnel_updates")).collect()[0]
+    want = q108_funnel(spark, SF_DIR).collect()[0]
+    assert got.asDict() == want.asDict()
+    # the funnel must really fire: some users convert fully
+    assert want["n_purchased"] > 0
+
+
+def test_retention_partials_equal_q109(spark, funnel_stream_dir):
+    """Streaming (user, day) partials + read-time finisher == batch
+    q109 retention cohorts."""
+    from polla_spark.plans.windows_q import q109_retention_cohorts
+    from polla_spark.streaming.windows import (
+        finish_retention,
+        retention_partials,
+        run_to_memory,
+    )
+
+    d, schema = funnel_stream_dir
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*/")
+    )
+    partials = run_to_memory(
+        retention_partials(stream), "t_retention_partials", "complete"
+    )
+    got = [tuple(r) for r in finish_retention(partials).collect()]
+    want = [tuple(r) for r in q109_retention_cohorts(spark, SF_DIR).collect()]
+    assert got == want
+    assert len(got) >= 3  # multiple cohort cells exist in the fixture
+
+
 def test_stateful_late_events_across_batches(spark, tmp_path):
     """Late-but-within-watermark events arriving in a LATER micro-batch
     must merge into the stored session via min/max (start can move

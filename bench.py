@@ -76,6 +76,11 @@ HEADLINE = [
     "q102_tfidf_terms",
     "q103_first_seen_dedup",
     "q104_source_quota",
+    "q108_funnel",
+    "q110_gap_fill",
+    "q111_peak_concurrency",
+    "q112_quality_audit",
+    "q115_zscore_outliers",
 ]
 
 

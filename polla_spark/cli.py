@@ -74,15 +74,31 @@ def _parse_overrides(pairs: tuple[str, ...]) -> dict[str, str]:
 @click.option("--include-pozos/--no-include-pozos", default=True,
               help="deprecated no-op (reference __main__.py:167-173)")
 @click.option("--force-publish", is_flag=True, default=False)
+@click.option("--bulk", "bulk_path", default=None,
+              help="bulk/backfill mode: path to a SOURCE_PAYLOAD dataset "
+                   "(parquet dir, or a .jsonl/.ndjson file); every distinct "
+                   "run_id is decided in ONE Spark job via run_pipeline_bulk")
+@click.option("--output-dir", default="artifacts/bulk",
+              help="bulk mode: artifact directory (normalized/mismatches/decisions)")
+@click.option("--expected-sources", default=2, type=click.IntRange(min=1),
+              help="bulk mode: source count full confidence requires")
 def run(sources, source_urls, retries, timeout, fail_fast, raw_dir, normalized,
         comparison_report, summary, state_file, log_file, mismatch_threshold,
-        include_pozos, force_publish) -> None:
+        include_pozos, force_publish, bulk_path, output_dir,
+        expected_sources) -> None:
     """Ingest sources, merge with consensus, decide, write artifacts."""
     if not include_pozos:
         warnings.warn("--include-pozos is deprecated and has no effect",
                       DeprecationWarning, stacklevel=1)
         click.echo("warning: --include-pozos is deprecated and has no effect",
                    err=True)
+    if bulk_path is not None:
+        if source_urls:
+            raise click.UsageError("--bulk replays captured payloads; "
+                                   "--source-url does not apply")
+        _run_bulk(bulk_path, output_dir, expected_sources, state_file,
+                  mismatch_threshold, force_publish)
+        return
     from .pipeline import run_pipeline
     from .sinks.slack import SlackNotifier
     from .sources.pozos import normalize_sources
@@ -109,6 +125,51 @@ def run(sources, source_urls, retries, timeout, fail_fast, raw_dir, normalized,
         notifier=SlackNotifier(),
     )
     click.echo(json.dumps(result, ensure_ascii=False, indent=2))
+
+
+def _run_bulk(bulk_path: str, output_dir: str, expected_sources: int,
+              state_file: str, mismatch_threshold: float,
+              force_publish: bool) -> None:
+    """N-run backfill through one Spark job (pipeline.run_pipeline_bulk):
+    artifacts are written executor-side; only the per-status census
+    (<= 4 rows) is collected for the CLI summary."""
+    import pathlib
+
+    from pyspark.sql import functions as F
+
+    from .pipeline import load_state_df, run_pipeline_bulk
+    from .schemas import SOURCE_PAYLOAD
+
+    spark = _spark()
+    if bulk_path.endswith((".jsonl", ".ndjson", ".json")):
+        from .sources.io import read_ndjson
+
+        payloads = read_ndjson(spark, bulk_path, SOURCE_PAYLOAD)
+    else:
+        payloads = spark.read.schema(SOURCE_PAYLOAD).parquet(bulk_path)
+    decisions = run_pipeline_bulk(
+        spark,
+        payloads,
+        expected_sources=expected_sources,
+        output_dir=output_dir,
+        state_df=load_state_df(spark, pathlib.Path(state_file)),
+        mismatch_threshold=mismatch_threshold,
+        force_publish=force_publish,
+    )
+    census = {
+        r["status"]: r["n"]
+        for r in decisions.groupBy("status").agg(F.count("*").alias("n")).collect()
+    }
+    click.echo(json.dumps(
+        {
+            "mode": "bulk",
+            "runs": int(sum(census.values())),
+            "by_status": census,
+            "output_dir": output_dir,
+        },
+        ensure_ascii=False,
+        indent=2,
+    ))
 
 
 @cli.command()

@@ -3,10 +3,22 @@
 ``q64_ann_hyperplane_lsh`` (plans/llmdata.py) is the LOGICAL
 bucketed-ANN plan — hyperplane-LSH code as the coarse quantizer, exact
 cosine rescore inside the probed cell. This module is the STORAGE
-half: write the corpus parquet-partitioned by its code so a probe
-reads 1/2^n_planes of the data through directory pruning instead of
+half: write the corpus parquet-partitioned by its cell so a probe
+reads only the probed directories through partition pruning instead of
 scanning everything. At 100 TB that is the difference between a full
 scan per query batch and touching only the cells the queries land in.
+
+Two coarse quantizers are provided:
+
+- hyperplane-LSH (:func:`with_code` / :func:`probe_ivf`): oracle-
+  checkable (the code is pure SQL-expressible bit math) and
+  zero-training, but data-blind — the r3 recall sweep measured a
+  0.33 recall@3 ceiling on the synthetic corpus even at Hamming
+  radius 2;
+- sample-fit spherical k-means (:func:`fit_centroids` /
+  :func:`probe_ivf_kmeans`): the production default — recall@3 ~0.58
+  reading <10% of cells at k=64/nprobe=6 (operating point pinned in
+  tests/test_ivf_layout.py).
 
 Two physical details matter:
 
@@ -53,6 +65,150 @@ def hamming_neighbors(code: str, radius: int = 1) -> list[str]:
             flipped = bits[:i] + ("1" if bits[i] == "0" else "0") + bits[i + 1:]
             out.append("c" + flipped)
     return out
+
+
+def fit_centroids(
+    embeddings: DataFrame,
+    k: int = 64,
+    *,
+    iters: int = 20,
+    sample_limit: int = 65536,
+) -> list[tuple[int, list[float]]]:
+    """Fit ``k`` spherical k-means centroids on a bounded sample.
+
+    Training runs DRIVER-SIDE on at most ``sample_limit`` vectors (the
+    lowest ``vec_id``s — deterministic), the standard IVF recipe: the
+    coarse quantizer is fit on a sample, while every corpus-scale pass
+    (assignment, index write, probe) stays distributed. A
+    driver-side Lloyd loop over <=64k x dim floats is milliseconds;
+    a distributed Lloyd would pay ``iters`` shuffles to average the
+    same sample. Deterministic: init = first ``k`` vectors by
+    ``vec_id``, fixed iteration count, numpy float64 in sorted order.
+
+    Why k-means and not more hyperplanes: the recall sweep
+    (tests/test_ivf_layout.py) showed hyperplane-LSH tops out at
+    recall@3 ~0.33 on the synthetic corpus even probing 14% of cells
+    (radius 2), because random hyperplanes ignore data geometry;
+    data-fitted centroids reach ~0.58 reading <10% of cells.
+    """
+    import numpy as np
+
+    sample = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(sample_limit)
+        .collect()
+    )
+    E = np.array([list(r["embedding"]) for r in sample], dtype=np.float64)
+    U = E / np.linalg.norm(E, axis=1, keepdims=True)
+    C = U[:k].copy()
+    for _ in range(iters):
+        assign = np.argmax(U @ C.T, axis=1)
+        for j in range(k):
+            members = U[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+        C /= np.linalg.norm(C, axis=1, keepdims=True)
+    return [(j, [float(x) for x in C[j]]) for j in range(k)]
+
+
+def _centroid_frame(spark: SparkSession, centroids) -> DataFrame:
+    return spark.createDataFrame(
+        centroids, "centroid_id int, cv array<double>"
+    )
+
+
+def assign_cells(
+    embeddings: DataFrame, centroids_df: DataFrame, *, out_col: str = "cell"
+) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the k-row centroid table,
+    one streamed pass over the corpus (k dot products per vector, no
+    shuffle of the embeddings), argmax by (dot DESC, centroid_id ASC).
+    The cell key is string-prefixed ("k<id>") for the same
+    directory-type-inference reason as :func:`with_code`."""
+    dot = _dot(F.col("embedding").cast("array<double>"), F.col("cv"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("_ivf_dot"), F.asc("centroid_id")
+    )
+    return (
+        embeddings.crossJoin(F.broadcast(centroids_df))
+        .withColumn("_ivf_dot", dot)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .withColumn(out_col, F.concat(F.lit("k"), F.col("centroid_id")))
+        .drop("_ivf_dot", "_rn", "centroid_id", "cv")
+    )
+
+
+def write_ivf_kmeans(
+    embeddings: DataFrame, centroids, path: str, spark: SparkSession
+) -> None:
+    """Materialize the corpus partitioned by nearest-centroid cell —
+    the k-means IVF index (one directory per cell)."""
+    cdf = _centroid_frame(spark, centroids)
+    write_parquet(assign_cells(embeddings, cdf), path, partition_by=["cell"])
+
+
+def probe_ivf_kmeans(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    centroids,
+    k: int = 3,
+    *,
+    nprobe: int = 6,
+) -> DataFrame:
+    """Top-k cosine neighbors reading only each query's ``nprobe``
+    nearest-centroid cells.
+
+    Default operating point (pinned by tests/test_ivf_layout.py on the
+    synthetic corpus): k=64 centroids, nprobe=6 -> recall@3 ~0.58
+    while scanning <10% of the cells. Scale rule of thumb: centroids
+    ~ sqrt(corpus), nprobe ~ 10% of centroids; raise nprobe for
+    recall, raise centroid count for pruning.
+
+    The probe map (query x nprobe cells) is bounded by the query
+    batch, never the corpus; its distinct cell list drives static
+    partition pruning via an IN-list, and each corpus vector lives in
+    exactly one cell so no candidate is scored twice.
+    """
+    cdf = _centroid_frame(spark, centroids)
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    dot = _dot(F.col("qv").cast("array<double>"), F.col("cv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_ivf_dot"), F.asc("centroid_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cdf))
+        .withColumn("_ivf_dot", dot)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= nprobe)
+        .withColumn("cell", F.concat(F.lit("k"), F.col("centroid_id")))
+        .select("query_id", "qv", "cell")
+    )
+    cells_wanted = sorted(
+        {r["cell"] for r in probes.select("cell").distinct().collect()}
+    )
+    cells = spark.read.parquet(index_path).filter(
+        F.col("cell").isin(cells_wanted)
+    )
+    cand = cells.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = _dot(F.col("embedding"), F.col("qv")) / (
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    )
+    scored = cand.select("query_id", "vec_id", F.round(cos, 4).alias("cosine"))
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "rn", "vec_id", "cosine")
+        .orderBy("query_id", "rn")
+    )
 
 
 def probe_ivf(

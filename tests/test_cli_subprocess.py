@@ -78,6 +78,54 @@ def test_publish_missing_artifact_is_clean_error():
     assert "Traceback" not in res.stderr
 
 
+def test_run_bulk_decides_n_runs_in_one_job(tmp_path):
+    """`run --bulk payloads.jsonl` must drive run_pipeline_bulk: N
+    distinct run_ids decided in ONE Spark job, artifacts written
+    executor-side, per-status census on stdout (this is the only
+    Spark-starting subprocess test — it certifies the bulk CLI path
+    end-to-end)."""
+    payloads = tmp_path / "payloads.jsonl"
+    rows = []
+    for run_i in range(3):
+        for prio, name in enumerate(["s1", "s2"]):
+            rows.append({
+                "run_id": f"r{run_i}",
+                "source_name": name,
+                "source_priority": prio,
+                "fuente": f"https://x/{name}",
+                "fetched_at": "2026-05-01T12:00:00.000Z",
+                "sha256": f"sha_{name}_r{run_i}",
+                "estimado": True,
+                "user_agent": "ua",
+                "sorteo": 6000 + run_i,
+                "fecha": "2026-05-03",
+                "montos": {"Loto Clásico": 100 + run_i},
+            })
+    payloads.write_text("\n".join(json.dumps(r, ensure_ascii=False) for r in rows))
+    out = tmp_path / "bulk_out"
+    res = run_cli(
+        "run", "--bulk", str(payloads), "--output-dir", str(out),
+        "--expected-sources", "2",
+        "--state-file", str(tmp_path / "no_state.jsonl"),
+        env={"SPARK_GRAFT_CPUS": "4"},
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    summary = json.loads(res.stdout[res.stdout.index("{"):])
+    assert summary["mode"] == "bulk" and summary["runs"] == 3
+    assert summary["by_status"] == {"publish": 3}
+    # executor-written artifacts exist and carry one decision per run
+    decision_rows = []
+    for p in (out / "decisions").glob("part-*"):
+        decision_rows += [json.loads(l) for l in p.read_text().splitlines() if l]
+    assert {r["run_id"] for r in decision_rows} == {"r0", "r1", "r2"}
+
+
+def test_run_bulk_rejects_source_url():
+    res = run_cli("run", "--bulk", "x.jsonl", "--source-url", "openloto=skip")
+    assert res.returncode != 0
+    assert "--source-url does not apply" in res.stderr
+
+
 def test_deprecated_include_pozos_warns():
     res = run_cli("run", "--no-include-pozos", "--sources", "openloto",
                   "--source-url", "openloto=skip")

@@ -81,6 +81,9 @@ HEADLINE = [
     "q111_peak_concurrency",
     "q112_quality_audit",
     "q115_zscore_outliers",
+    "q116_ohlc_bars",
+    "q119_segment_correlation",
+    "q120_ticket_weighted_sample",
 ]
 
 

@@ -2338,6 +2338,57 @@ FROM ranked GROUP BY source ORDER BY source
 """
 
 
+def q120_ticket_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement for training-mix
+    construction: longer documents get proportionally more lottery
+    tickets (1 per 50 chars), each ticket draws a seeded md5, and the
+    corpus-wide top-25 docs by best ticket form the sample. Length-
+    (or quality-)weighted selection with NO transcendental math — the
+    classic Efraimidis-Spirakis key ``u^(1/w)`` needs ln/pow, whose
+    last-ulp results are not guaranteed identical across engines; a
+    ticket lottery is pure integer + md5 arithmetic, bit-reproducible
+    everywhere, and still samples (proportional to) tickets.
+
+    Plan shape at 100 TB: tickets explode within-row (bounded:
+    ceil(n_chars/50) per doc), the per-doc best ticket is a partial
+    ``min`` that collapses BEFORE any movement, and the top-25 is
+    TakeOrderedAndProject — no global sort, no shuffle of text.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    tickets = F.sequence(F.lit(1), F.ceil(F.col("n_chars") / 50).cast("int"))
+    ticket_hash = F.md5(
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit(":t"), F.col("j").cast("string"),
+            F.lit(":seed7"),
+        )
+    )
+    return (
+        d.select("doc_id", "n_chars", F.explode(tickets).alias("j"))
+        .select("doc_id", "n_chars", ticket_hash.alias("th"))
+        .groupBy("doc_id", "n_chars")
+        .agg(F.min("th").alias("best_ticket"), F.count("*").alias("n_tickets"))
+        .orderBy("best_ticket")
+        .limit(25)
+        .select("doc_id", "n_chars", "n_tickets", "best_ticket")
+    )
+
+
+O120 = """
+WITH tickets AS (
+  SELECT doc_id, n_chars,
+         unnest(generate_series(1, CAST(ceil(n_chars / 50.0) AS INT))) AS j
+  FROM documents
+), hashed AS (
+  SELECT doc_id, n_chars,
+         md5(CAST(doc_id AS VARCHAR) || ':t' || CAST(j AS VARCHAR) || ':seed7') AS th
+  FROM tickets
+)
+SELECT doc_id, n_chars, COUNT(*) AS n_tickets, MIN(th) AS best_ticket
+FROM hashed GROUP BY doc_id, n_chars
+ORDER BY best_ticket LIMIT 25
+"""
+
+
 QUERIES = [
     Query("q50_exact_dedup", q50_exact_dedup, O50, "sha256 exact dedup"),
     Query("q51_fingerprint_dedup", q51_fingerprint_dedup, O51, "normalized fingerprint dedup"),
@@ -2405,4 +2456,6 @@ QUERIES = [
           "corpus TF-IDF vocabulary ranking (one-shuffle tf+df)"),
     Query("q104_source_quota", q104_source_quota, O104,
           "per-source quota cap (domain cap, top-15 by length)"),
+    Query("q120_ticket_weighted_sample", q120_ticket_weighted_sample, O120,
+          "ticket-lottery weighted sample (no transcendental math)"),
 ]

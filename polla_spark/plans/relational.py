@@ -1922,6 +1922,117 @@ FROM scored GROUP BY 1 ORDER BY 1
 """
 
 
+def q118_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram of ``events.value``: 10 buckets of width
+    50 over [0, 500), open-ended top bucket — the profiling step
+    behind every numeric-column dashboard, plus per-bucket exact sums
+    for a weighted density readout.
+
+    Determinism: the value is floor-quantized to integer cents FIRST,
+    then bucketed with integer division — no float boundary can
+    disagree between engines (bucketing raw doubles with
+    ``width_bucket`` risks one-ulp edge flips since the bucket-width
+    division is not IEEE-identical across implementations).
+
+    Plan shape at 100 TB: one partial-aggregated shuffle of at most
+    10 groups; the scan reads two columns. Nothing is data-sized.
+    """
+    e = t(spark, sf_dir, "events")
+    qv = F.floor(F.col("value") * 100).cast("long")
+    bucket = F.least(F.floor(qv / 5000), F.lit(9)).cast("long")
+    return (
+        e.select(qv.alias("qv"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("qv").alias("sum_cents"),
+            F.min("qv").alias("min_cents"),
+            F.max("qv").alias("max_cents"),
+        )
+        .withColumn("lo", F.col("bucket") * 50)
+        .select("bucket", "lo", "n", "sum_cents", "min_cents", "max_cents")
+        .orderBy("bucket")
+    )
+
+
+O118 = """
+WITH q AS (
+  SELECT CAST(floor(value * 100) AS BIGINT) AS qv FROM events
+), b AS (
+  SELECT qv, LEAST(CAST(floor(qv / 5000) AS BIGINT), 9) AS bucket FROM q
+)
+SELECT bucket, bucket * 50 AS lo, COUNT(*) AS n,
+       CAST(SUM(qv) AS BIGINT) AS sum_cents,
+       MIN(qv) AS min_cents, MAX(qv) AS max_cents
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
+def q119_segment_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Pearson correlation between quantity and extended price
+    per return flag — computed from integer sums, never ``corr()``
+    over raw doubles (whose accumulation order is engine- and
+    partition-dependent).
+
+    r = (n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2)):
+    every S term is a DECIMAL(38,0) sum of quantized integers (exact),
+    each factor casts to double once (round-to-nearest, identical in
+    both engines), sqrt is IEEE-correctly-rounded, so the final r is
+    bit-identical before the cosmetic round(6). Same discipline as
+    q115's z-score.
+
+    Plan shape at 100 TB: one partial-agg pass to 3 groups; the
+    per-row products stay in whole-stage codegen.
+    """
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_quantity") * 100).cast("decimal(38,0)").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100).cast("decimal(38,0)").alias("y"),
+    )
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return (
+        agg.select(
+            "l_returnflag",
+            F.col("n").cast("long").alias("n_rows"),
+            F.round(num / den, 6).alias("pearson_r"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+O119 = """
+WITH q AS (
+  SELECT l_returnflag,
+         CAST(floor(l_quantity * 100) AS HUGEINT) AS x,
+         CAST(floor(l_extendedprice * 100) AS HUGEINT) AS y
+  FROM lineitem
+), s AS (
+  SELECT l_returnflag, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+         SUM(x*x) AS sxx, SUM(y*y) AS syy
+  FROM q GROUP BY 1
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS pearson_r
+FROM s ORDER BY 1
+"""
+
+
 QUERIES = [
     Query("q01_pricing_summary", q01_pricing_summary, O01, "TPC-H Q1 scan+agg"),
     Query("q02_topk_orders", q02_topk_orders, O02, "global top-k"),
@@ -1994,4 +2105,8 @@ QUERIES = [
           "UNPIVOT/melt wide-to-tall + per-attribute profile"),
     Query("q115_zscore_outliers", q115_zscore_outliers, O115,
           "exact-arithmetic z-score outlier detection"),
+    Query("q118_value_histogram", q118_value_histogram, O118,
+          "equal-width histogram (integer-exact bucketing)"),
+    Query("q119_segment_correlation", q119_segment_correlation, O119,
+          "exact Pearson correlation from integer sums"),
 ]

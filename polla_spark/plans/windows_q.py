@@ -501,6 +501,123 @@ FROM trans ORDER BY 1, 2
 """
 
 
+def q116_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars: per (day, event_type) the Open (first
+    value by time), High, Low, Close (last value by time) plus volume
+    — the canonical downsampling step for any metered/financial
+    series, exercised through ``min_by``/``max_by``.
+
+    Determinism: (ts, event_id) is unique, so the ordering key is a
+    fixed-width sortable string ``lpad(unix_micros)||lpad(event_id)``
+    — ``min_by``/``max_by`` over it picks exactly one row in both
+    engines (DuckDB ``arg_min``/``arg_max`` on the same VARCHAR key).
+    Open/Close pass the stored double through untouched (no float
+    arithmetic to diverge); High/Low are plain min/max.
+
+    Plan shape at 100 TB: ONE partial-aggregated shuffle on the
+    (day, type) key — min_by/max_by are ordinary mergeable aggregates,
+    so bars never need a sort or a window over the series.
+    """
+    e = t(spark, sf_dir, "events")
+    key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        e.withColumn("ord", key)
+        .groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.min_by("value", "ord").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ord").alias("close"),
+            F.count("*").alias("volume"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+O116 = """
+WITH keyed AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type, value,
+         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+         lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord
+  FROM events
+)
+SELECT day, event_type,
+       arg_min(value, ord) AS open, MAX(value) AS high, MIN(value) AS low,
+       arg_max(value, ord) AS close, COUNT(*) AS volume
+FROM keyed GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q117_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value (TWAP) per event_type: each
+    observation holds until the next one of the same type, so its
+    weight is that holding interval in microseconds. The last
+    observation per type has no successor and is excluded (standard
+    left-closed TWAP).
+
+    Determinism: weights are exact integer microsecond deltas
+    (``lead`` over unix_micros), values floor-quantized to integer
+    cents; both sums are DECIMAL(38,0)-exact, and the single final
+    division is the only floating rounding — bit-identical across
+    engines.
+
+    Plan shape at 100 TB: the lead window and nothing else shuffles
+    (keyed by type); the weighted sums partial-aggregate. For a
+    day-partitioned lake the window stays within partitions except
+    one boundary row per (partition, type).
+    """
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * 100).cast("decimal(38,0)").alias("qv"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    dt_us = (F.lead("us").over(w) - F.col("us")).cast("decimal(38,0)")
+    return (
+        e.withColumn("dt_us", dt_us)
+        .filter(F.col("dt_us").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum("dt_us").cast("long").alias("total_us"),
+            # cast each exact decimal sum to double BEFORE dividing:
+            # decimal/decimal division rounds at decimal scale rules,
+            # which differ between engines — double/double does not
+            F.round(
+                F.sum(F.col("qv") * F.col("dt_us")).cast("double")
+                / F.sum("dt_us").cast("double")
+                / 100.0,
+                6,
+            ).alias("twap"),
+        )
+        .orderBy("event_type")
+    )
+
+
+O117 = """
+WITH seq AS (
+  SELECT event_type, epoch_us(ts) AS us,
+         CAST(floor(value * 100) AS HUGEINT) AS qv,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY event_type
+                                  ORDER BY epoch_us(ts), event_id) AS next_us
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n_intervals,
+       CAST(SUM(next_us - us) AS BIGINT) AS total_us,
+       ROUND(CAST(SUM(qv * (next_us - us)) AS DOUBLE)
+             / CAST(SUM(next_us - us) AS DOUBLE) / 100.0, 6) AS twap
+FROM seq WHERE next_us IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = [
     Query("q70_tumbling", q70_tumbling, O70, "tumbling window"),
     Query("q71_sliding", q71_sliding, O71, "sliding window"),
@@ -519,4 +636,8 @@ QUERIES = [
           "calendar densification + forward fill (sequence/explode)"),
     Query("q114_transition_matrix", q114_transition_matrix, O114,
           "first-order Markov event-type transition matrix"),
+    Query("q116_ohlc_bars", q116_ohlc_bars, O116,
+          "OHLC candlestick downsampling via min_by/max_by"),
+    Query("q117_twap", q117_twap, O117,
+          "time-weighted average (exact integer interval weights)"),
 ]

@@ -77,11 +77,22 @@ def make_publish_gate_sink(
     (reference pipeline state file), continuous.
 
     The collect here is bounded: one row per run in the micro-batch,
-    never data rows.
+    never data rows — and enforced with an explicit cap below
+    (mirrors run_pipeline's single-collect guard, pipeline.py).
     """
 
     def sink(decided: DataFrame, epoch_id: int) -> None:
-        rows = decided.collect()
+        # decision rows are run-count-sized; a micro-batch carrying
+        # more runs than this is a mis-wired stream (data rows leaking
+        # into the decision frame), not a bigger backfill
+        cap = 10_000
+        rows = decided.limit(cap + 1).collect()
+        if len(rows) > cap:
+            raise RuntimeError(
+                f"publish-gate sink collected >{cap} decision rows in one "
+                "micro-batch — the decision frame must be run-grained; "
+                "use run_pipeline_bulk for large backfills"
+            )
         published = [r for r in rows if r["publish"]]
         quarantined = [r for r in rows if r["status"] == "quarantine"]
         if published:

@@ -215,6 +215,31 @@ def test_q66_no_exchange_carries_payload_bytes(spark):
     assert "MapInPandas" in plan, plan
 
 
+def test_q116_ohlc_is_one_mergeable_agg(spark):
+    # min_by/max_by are ordinary mergeable aggregates: the bars come
+    # off ONE partial-agged hash exchange — never a sort or a window
+    # over the series
+    from polla_spark.plans.windows_q import q116_ohlc_bars
+
+    plan = _plan(q116_ohlc_bars(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" not in plan, plan
+    below = plan[plan.index("hashpartitioning"):]
+    assert "partial" in below.lower(), plan
+
+
+def test_q120_weighted_sample_no_global_sort(spark):
+    # the ticket explode collapses to a per-doc min BEFORE any
+    # movement (partial agg under the exchange) and the top-25 is
+    # TakeOrderedAndProject, never a full Sort of the corpus
+    from polla_spark.plans.llmdata import q120_ticket_weighted_sample
+
+    plan = _plan(q120_ticket_weighted_sample(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    below = plan[plan.index("hashpartitioning"):]
+    assert "partial" in below.lower() and "Generate" in below, plan
+
+
 def test_q111_sweep_has_no_join(spark):
     # the sweep line replaces an O(n^2) interval self-join: the plan
     # must contain NO join operator of any kind — just the union of

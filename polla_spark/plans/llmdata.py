@@ -905,6 +905,11 @@ def q76_trigram_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(sequence(1, length(txt) - 2), i -> substring(txt, i, 3))")
         ).alias("g"),
     )
+    # NOT persisted, deliberately: both the profile build and the
+    # scoring join consume the trigram stream, but the explode is a
+    # cheap map-side transform — measured at sf0.1, caching the
+    # exploded rows costs more (materialization + memory) than
+    # recomputing them, unlike q82/q53's expensive signature columns.
     counts = tri.groupBy("lang", "g").agg(F.count("*").alias("c"))
     w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("g"))
     prof = (
@@ -1100,14 +1105,20 @@ def q82_bucket_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scale-safe q63. Vectors sharing an 8-plane sign code are
     exact-rescored (cosine >= 0.45); cross-bucket pairs are never
     materialized. At 100 TB the corpus is written partitioned by
-    ``code`` and this is a per-partition self-join."""
+    ``code`` and this is a per-partition self-join.
+
+    The coded+normed table is persisted BEFORE the self-join (the q53
+    signature-table lesson): the 8-plane sign code is ~512 fused
+    multiply-adds per row, and without the persist both join branches
+    race the cold cache and compute it twice."""
     e = t(spark, sf_dir, "embeddings").withColumn("code", F.expr(_CODE_SPARK))
     n = e.select(
         "vec_id",
         "code",
         "embedding",
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
-    )
+    ).persist()
+    n.count()  # materialize before both branches reference it
     a = n.select(
         F.col("code"), F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("va"), F.col("norm").alias("na"),

@@ -175,6 +175,40 @@ def dedupe_stream(events: DataFrame, keys: list[str],
     return events.withWatermark("ts", watermark).dropDuplicates(keys)
 
 
+def ohlc_bars(events: DataFrame, width: str = "1 day",
+              watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Streaming OHLC candlestick bars (twin of q116_ohlc_bars):
+    ``min_by``/``max_by`` over a fixed-width sortable (ts, event_id)
+    key are ordinary mergeable aggregates, so the bars stream with
+    bounded per-(window, type) state and no sort — the same property
+    that makes the batch plan one partial-agged exchange."""
+    key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .withColumn("ord", key)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.min_by("value", "ord").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ord").alias("close"),
+            F.count("*").alias("volume"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Stateful funnel (streaming twin of plans/windows_q.q108_funnel)
 # ---------------------------------------------------------------------------

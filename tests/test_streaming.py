@@ -121,6 +121,18 @@ def test_daily_rollup_stream_equals_q73(spark, stream_events):
     assert _rows(got, keys) == _rows(q73_event_type_daily(spark, SF_DIR), keys)
 
 
+def test_ohlc_stream_equals_q116(spark, stream_events):
+    """Streaming OHLC bars == batch q116 (min_by/max_by are mergeable
+    aggregates, so the streamed bars are exact, not approximate)."""
+    from polla_spark.plans.windows_q import q116_ohlc_bars
+
+    stream_out = SW.run_to_memory(SW.ohlc_bars(stream_events), "t_ohlc", "complete")
+    keys = ["day", "event_type", "open", "high", "low", "close", "volume"]
+    want = q116_ohlc_bars(spark, SF_DIR)
+    assert _rows(stream_out, keys) == _rows(want, keys)
+    assert stream_out.count() > 50  # real multi-day, multi-type bars
+
+
 def test_dedupe_stream(spark, stream_events, batch_events):
     stream_out = SW.run_to_memory(
         SW.dedupe_stream(stream_events, ["user_id", "event_type"]),

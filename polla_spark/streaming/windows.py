@@ -290,6 +290,82 @@ def funnel_updates(events: DataFrame,
     )
 
 
+def funnel_updates_tws(events: DataFrame,
+                       watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """The same ordered funnel as :func:`funnel_updates`, on Spark 4's
+    ``transformWithStateInPandas`` (StatefulProcessor) API — the
+    forward path for custom stateful operators: typed named states
+    (value/list/map), optional per-state TTL, and event-time timers,
+    vs ``applyInPandasWithState``'s single untyped tuple. Output and
+    equivalence contract are identical (same finisher applies), so
+    tests pin both implementations against batch q108.
+
+    Requires the RocksDB state-store provider
+    (``spark.sql.streaming.stateStore.providerClass`` =
+    ``...RocksDBStateStoreProvider``) — transformWithState is built on
+    its changelog; the HDFS-backed default store does not support it.
+    Also requires ``google.protobuf`` (the state-server protocol is
+    protobuf-encoded); environments without it must use
+    :func:`funnel_updates` — same output, same finisher.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Funnel(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "funnel", "v long, c long, p long, seq long"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            v, c, p, seq = (
+                self._st.get() if self._st.exists() else (None, None, None, 0)
+            )
+            pdf = pd.concat(list(rows), ignore_index=True)
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts, et in zip(pdf["ts"], pdf["event_type"]):
+                us = int(ts.value // 1_000)
+                if v is None:
+                    if et == "view":
+                        v = us
+                elif c is None:
+                    if et == "click" and us > v:
+                        c = us
+                elif p is None:
+                    if et == "purchase" and us > c:
+                        p = us
+            seq += len(pdf)
+            self._st.update((v, c, p, seq))
+
+            def _t(us_val):
+                return pd.Timestamp(us_val, unit="us") if us_val is not None else pd.NaT
+
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "v_ts": [_t(v)],
+                    "c_ts": [_t(c)],
+                    "p_ts": [_t(p)],
+                    "upd_seq": [seq],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            _Funnel(), FUNNEL_UPDATE_SCHEMA, "Update", "None"
+        )
+    )
+
+
 def funnel_report(updates: DataFrame) -> DataFrame:
     """Batch finisher over :func:`funnel_updates` output: keep each
     user's newest state row (max ``upd_seq`` — strictly monotone, so

@@ -131,6 +131,52 @@ def test_funnel_stream_equals_q108(spark, funnel_stream_dir):
     assert want["n_purchased"] > 0
 
 
+def test_funnel_tws_equals_q108(spark, funnel_stream_dir):
+    """The transformWithStateInPandas funnel (Spark 4 StatefulProcessor
+    API) must produce the identical report as the
+    applyInPandasWithState one and batch q108.
+
+    Skipped where google.protobuf is absent: Spark's
+    transformWithState state-server protocol is protobuf-encoded, so
+    the API cannot run at all without it (verified: the driver worker
+    crashes importing StateMessage_pb2). The applyInPandasWithState
+    twin (test above) carries the funnel's correctness gate there.
+    """
+    pytest.importorskip("google.protobuf")
+    from polla_spark.plans.windows_q import q108_funnel
+    from polla_spark.streaming.windows import funnel_report, funnel_updates_tws
+
+    d, schema = funnel_stream_dir
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/*/")
+        )
+        q = (
+            funnel_updates_tws(stream)
+            .writeStream.format("memory")
+            .queryName("funnel_tws")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    got = funnel_report(spark.table("funnel_tws")).collect()[0]
+    want = q108_funnel(spark, SF_DIR).collect()[0]
+    assert got.asDict() == want.asDict()
+
+
 def test_retention_partials_equal_q109(spark, funnel_stream_dir):
     """Streaming (user, day) partials + read-time finisher == batch
     q109 retention cohorts."""

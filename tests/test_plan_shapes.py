@@ -215,6 +215,22 @@ def test_q66_no_exchange_carries_payload_bytes(spark):
     assert "MapInPandas" in plan, plan
 
 
+def test_q121_bucketed_join_has_no_join_exchange(spark):
+    # with broadcast disabled, the bucketed tables must sort-merge
+    # join WITHOUT shuffling either side: the only hashpartitioning
+    # exchange in the plan is the groupBy above the join
+    from polla_spark.plans.relational import q121_bucketed_join
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(q121_bucketed_join(spark, SF))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_q116_ohlc_is_one_mergeable_agg(spark):
     # min_by/max_by are ordinary mergeable aggregates: the bars come
     # off ONE partial-agged hash exchange — never a sort or a window

@@ -244,6 +244,33 @@ def test_q116_ohlc_is_one_mergeable_agg(spark):
     assert "partial" in below.lower(), plan
 
 
+def test_q117_twap_one_window_exchange(spark):
+    # the lead window on event_type is the only data-scale exchange;
+    # the weighted sums partial-aggregate above it
+    from polla_spark.plans.windows_q import q117_twap
+
+    plan = _plan(q117_twap(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" in plan, plan
+
+
+def test_q118_q119_single_partial_agg(spark):
+    # both profile queries are one partial-agged shuffle to a
+    # constant-sized group space — no join, no window
+    from polla_spark.plans.relational import (
+        q118_value_histogram,
+        q119_segment_correlation,
+    )
+
+    for q in (q118_value_histogram, q119_segment_correlation):
+        plan = _plan(q(spark, SF))
+        assert plan.count("Exchange hashpartitioning") == 1, (q.__name__, plan)
+        assert "Join" not in plan, (q.__name__, plan)
+        assert "Window" not in plan, (q.__name__, plan)
+        below = plan[plan.index("hashpartitioning"):]
+        assert "partial" in below.lower(), (q.__name__, plan)
+
+
 def test_q120_weighted_sample_no_global_sort(spark):
     # the ticket explode collapses to a per-doc min BEFORE any
     # movement (partial agg under the exchange) and the top-25 is

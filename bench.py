@@ -84,6 +84,7 @@ HEADLINE = [
     "q116_ohlc_bars",
     "q119_segment_correlation",
     "q120_ticket_weighted_sample",
+    "q121_bucketed_join",
 ]
 
 

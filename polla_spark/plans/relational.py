@@ -2053,24 +2053,36 @@ def q119_segment_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape at 100 TB: one partial-agg pass to 3 groups; the
     per-row products stay in whole-stage codegen.
     """
+    # per-row products stay in 64-bit integer codegen wherever the
+    # value bound allows it (x <= 5e3 cents, y <= 1e7 cents):
+    # sum(x*y) holds a long up to ~1.8e8 rows/flag and sum(x*x) up to
+    # ~3.7e11 — far past this testdata; sum(y*y) overflows first and
+    # pays the decimal accumulator now. Past the documented envelope
+    # ANSI mode fails LOUDLY (no silent wraparound) and the fix is
+    # one cast: move the affected sum to the decimal accumulator like
+    # syy. Decimal everywhere cost ~2x at sf0.1 for no extra
+    # exactness inside the envelope.
     li = t(spark, sf_dir, "lineitem").select(
         "l_returnflag",
-        F.floor(F.col("l_quantity") * 100).cast("decimal(38,0)").alias("x"),
-        F.floor(F.col("l_extendedprice") * 100).cast("decimal(38,0)").alias("y"),
+        F.floor(F.col("l_quantity") * 100).cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("y"),
     )
     agg = li.groupBy("l_returnflag").agg(
-        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.count("*").alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    # the scalar combines overflow a long (n*sxy ~ 1e23) but run on 3
+    # rows — decimal there is free
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = (d("n") * d("sxy") - d("sx") * d("sy")).cast("double")
     den = F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        (d("n") * d("sxx") - d("sx") * d("sx")).cast("double")
     ) * F.sqrt(
-        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+        (d("n") * F.col("syy") - d("sy") * d("sy")).cast("double")
     )
     return (
         agg.select(

@@ -101,6 +101,7 @@ def fit_centroids(
     )
     E = np.array([list(r["embedding"]) for r in sample], dtype=np.float64)
     U = E / np.linalg.norm(E, axis=1, keepdims=True)
+    k = min(k, len(U))  # a corpus smaller than k fits one vector per cell
     C = U[:k].copy()
     for _ in range(iters):
         assign = np.argmax(U @ C.T, axis=1)

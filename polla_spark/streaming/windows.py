@@ -209,6 +209,32 @@ def ohlc_bars(events: DataFrame, width: str = "1 day",
     )
 
 
+def value_histogram(events: DataFrame) -> DataFrame:
+    """Streaming twin of q118's equal-width histogram: the same
+    quantize-then-bucket integer math as a streaming aggregation.
+
+    Unlike the windowed twins, state here is bounded by the VALUE
+    space (10 buckets), not by a watermark — a lifetime histogram
+    needs no time column at all, so no watermark is attached and the
+    query runs in complete mode. All five aggregates merge, so the
+    streamed result is exact.
+    """
+    qv = F.floor(F.col("value") * 100).cast("long")
+    bucket = F.least(F.floor(qv / 5000), F.lit(9)).cast("long")
+    return (
+        events.select(qv.alias("qv"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("qv").alias("sum_cents"),
+            F.min("qv").alias("min_cents"),
+            F.max("qv").alias("max_cents"),
+        )
+        .withColumn("lo", F.col("bucket") * 50)
+        .select("bucket", "lo", "n", "sum_cents", "min_cents", "max_cents")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Stateful funnel (streaming twin of plans/windows_q.q108_funnel)
 # ---------------------------------------------------------------------------

@@ -133,6 +133,18 @@ def test_ohlc_stream_equals_q116(spark, stream_events):
     assert stream_out.count() > 50  # real multi-day, multi-type bars
 
 
+def test_value_histogram_stream_equals_q118(spark, stream_events):
+    """Streaming histogram == batch q118 (state bounded by the bucket
+    space — 10 rows — so no watermark is needed at all)."""
+    from polla_spark.plans.relational import q118_value_histogram
+
+    stream_out = SW.run_to_memory(
+        SW.value_histogram(stream_events), "t_histogram", "complete"
+    )
+    keys = ["bucket", "lo", "n", "sum_cents", "min_cents", "max_cents"]
+    assert _rows(stream_out, keys) == _rows(q118_value_histogram(spark, SF_DIR), keys)
+
+
 def test_dedupe_stream(spark, stream_events, batch_events):
     stream_out = SW.run_to_memory(
         SW.dedupe_stream(stream_events, ["user_id", "event_type"]),

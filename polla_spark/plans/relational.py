@@ -1922,6 +1922,51 @@ FROM scored GROUP BY 1 ORDER BY 1
 """
 
 
+def q123_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total contribution (ratio-to-report): each market
+    segment's share of total account balance — the denominator is a
+    window sum over the WHOLE report, the classic `SUM() OVER ()`
+    pattern.
+
+    Determinism: both numerator and denominator are exact integer-cent
+    sums; one double division, rounded to 6.
+
+    Plan shape at 100 TB: the data collapses to segment grain in one
+    partial-agg shuffle (5 rows); the empty-frame window then runs on
+    the 5-row report — a SinglePartition exchange of 5 rows, which is
+    the honest cost of a global denominator and independent of data
+    size.
+    """
+    c = t(spark, sf_dir, "customer")
+    seg = c.groupBy("c_mktsegment").agg(
+        F.sum(F.floor(F.col("c_acctbal") * 100).cast("long")).alias("balance_cents")
+    )
+    total = F.sum("balance_cents").over(Window.partitionBy())
+    return (
+        seg.withColumn(
+            "share_pct",
+            F.round(
+                F.col("balance_cents").cast("double") / total.cast("double") * 100.0, 6
+            ),
+        )
+        .select("c_mktsegment", "balance_cents", "share_pct")
+        .orderBy("c_mktsegment")
+    )
+
+
+O123 = """
+WITH seg AS (
+  SELECT c_mktsegment,
+         CAST(SUM(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS balance_cents
+  FROM customer GROUP BY 1
+)
+SELECT c_mktsegment, balance_cents,
+       ROUND(CAST(balance_cents AS DOUBLE)
+             / CAST(SUM(balance_cents) OVER () AS DOUBLE) * 100.0, 6) AS share_pct
+FROM seg ORDER BY c_mktsegment
+"""
+
+
 def q121_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed co-located join: customer and orders are written as
     tables bucketed (and sorted) by the join key, so the join reads
@@ -2190,6 +2235,8 @@ QUERIES = [
           "equal-width histogram (integer-exact bucketing)"),
     Query("q121_bucketed_join", q121_bucketed_join, O121,
           "bucketed co-located join (layout write amortized)"),
+    Query("q123_share_of_total", q123_share_of_total, O123,
+          "percent-of-total via SUM() OVER () on the report"),
     Query("q119_segment_correlation", q119_segment_correlation, O119,
           "exact Pearson correlation from integer sums"),
 ]

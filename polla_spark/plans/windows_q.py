@@ -618,6 +618,103 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q122_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period growth: monthly order revenue with the
+    month-over-month percentage change — the core BI trend query,
+    exercising a window (`lag`) OVER AN AGGREGATED SERIES rather than
+    raw rows.
+
+    Determinism: revenue is an exact integer-cent sum; the growth
+    ratio divides two exact longs as doubles (one rounding) and is
+    rounded to 4 places. First month has no predecessor -> NULL.
+
+    Plan shape at 100 TB: the data-scale work is one partial-agg
+    shuffle to month grain (~hundreds of rows); the lag window runs
+    on the report, not the data. A months-sized single partition is
+    the correct plan, not a smell.
+    """
+    o = t(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+        )
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("revenue_cents"))
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue_cents").over(w)
+    growth = F.round(
+        (F.col("revenue_cents") - prev).cast("double") / prev.cast("double") * 100.0, 4
+    )
+    return (
+        monthly.withColumn("growth_pct", growth)
+        .select("month", "revenue_cents", "growth_pct")
+        .orderBy("month")
+    )
+
+
+O122 = """
+WITH monthly AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+         CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM orders GROUP BY 1
+)
+SELECT month, revenue_cents,
+       ROUND(CAST(revenue_cents - LAG(revenue_cents) OVER (ORDER BY month) AS DOUBLE)
+             / CAST(LAG(revenue_cents) OVER (ORDER BY month) AS DOUBLE) * 100.0, 4)
+         AS growth_pct
+FROM monthly ORDER BY month
+"""
+
+
+def q124_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: the 10 most common 3-step event-type
+    sequences (per-user, time-ordered) — the exploratory query behind
+    funnel design, exercising stacked ``lead`` windows that share one
+    sort.
+
+    Determinism: (ts, event_id) ordering is total; top-10 breaks ties
+    by path string. Paths crossing the end of a user's history (NULL
+    leads) are excluded.
+
+    Plan shape at 100 TB: both leads ride ONE user_id exchange and
+    ONE sort (same window spec), the path count partial-aggregates,
+    and the top-10 is TakeOrderedAndProject.
+    """
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    path = F.concat_ws(
+        ">",
+        F.col("event_type"),
+        F.lead("event_type", 1).over(w),
+        F.lead("event_type", 2).over(w),
+    )
+    stepped = e.select(
+        "user_id",
+        F.lead("event_type", 2).over(w).alias("_has_full_path"),
+        path.alias("path"),
+    )
+    return (
+        stepped.filter(F.col("_has_full_path").isNotNull())
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(10)
+    )
+
+
+O124 = """
+WITH stepped AS (
+  SELECT event_type AS e0,
+         LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e1,
+         LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2
+  FROM events
+)
+SELECT e0 || '>' || e1 || '>' || e2 AS path, COUNT(*) AS n
+FROM stepped WHERE e2 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 10
+"""
+
+
 QUERIES = [
     Query("q70_tumbling", q70_tumbling, O70, "tumbling window"),
     Query("q71_sliding", q71_sliding, O71, "sliding window"),
@@ -640,4 +737,8 @@ QUERIES = [
           "OHLC candlestick downsampling via min_by/max_by"),
     Query("q117_twap", q117_twap, O117,
           "time-weighted average (exact integer interval weights)"),
+    Query("q122_monthly_growth", q122_monthly_growth, O122,
+          "month-over-month growth (lag over the aggregated series)"),
+    Query("q124_path_trigrams", q124_path_trigrams, O124,
+          "top event-type 3-step paths (stacked leads, one sort)"),
 ]

@@ -271,6 +271,38 @@ def test_q118_q119_single_partial_agg(spark):
         assert "partial" in below.lower(), (q.__name__, plan)
 
 
+def test_q122_growth_window_runs_on_report(spark):
+    # the data-scale work is ONE partial-agg shuffle to month grain;
+    # the lag window runs on the months-sized report (its
+    # SinglePartition exchange carries ~tens of rows, not data)
+    from polla_spark.plans.windows_q import q122_monthly_growth
+
+    plan = _plan(q122_monthly_growth(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    below = plan[plan.index("hashpartitioning"):]
+    assert "partial" in below.lower(), plan
+
+
+def test_q123_share_single_agg_then_tiny_window(spark):
+    from polla_spark.plans.relational import q123_share_of_total
+
+    plan = _plan(q123_share_of_total(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_q124_stacked_leads_share_one_exchange_and_sort(spark):
+    # both lead() columns use the same window spec: ONE user_id
+    # exchange, ONE sort, then a partial-agged path count and a
+    # TakeOrdered top-10 — never a second data-scale sort
+    from polla_spark.plans.windows_q import q124_path_trigrams
+
+    plan = _plan(q124_path_trigrams(spark, SF))
+    assert plan.count("Exchange hashpartitioning") <= 2, plan  # window + agg
+    assert plan.count("Window") == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_q120_weighted_sample_no_global_sort(spark):
     # the ticket explode collapses to a per-doc min BEFORE any
     # movement (partial agg under the exchange) and the top-25 is

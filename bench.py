@@ -85,6 +85,7 @@ HEADLINE = [
     "q119_segment_correlation",
     "q120_ticket_weighted_sample",
     "q121_bucketed_join",
+    "q124_path_trigrams",
 ]
 
 

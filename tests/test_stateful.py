@@ -177,6 +177,47 @@ def test_funnel_tws_equals_q108(spark, funnel_stream_dir):
     assert got.asDict() == want.asDict()
 
 
+def test_funnel_is_replay_safe(spark, funnel_stream_dir, tmp_path):
+    """At-least-once delivery: replaying the whole event set as a
+    duplicate batch must not move any funnel stage (view/click/
+    purchase timestamps are monotone set-once — a replayed event can
+    never 'refill' a stage), so the report is identical to the
+    no-replay run; only upd_seq grows."""
+    import shutil
+
+    from polla_spark.plans.windows_q import q108_funnel
+    from polla_spark.streaming.windows import funnel_report, funnel_updates
+
+    d, schema = funnel_stream_dir
+    src = tmp_path / "replayed"
+    src.mkdir()
+    parts = sorted(p.name for p in d.iterdir() if p.name.startswith("part"))
+    for name in parts:
+        shutil.copytree(d / name, src / name)
+    # replay: the SAME rows again as later batches (new file names, so
+    # the source treats them as fresh input)
+    for name in parts:
+        shutil.copytree(d / name, src / f"replay_{name}")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    q = (
+        funnel_updates(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_replayed")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = funnel_report(spark.table("funnel_replayed")).collect()[0]
+    want = q108_funnel(spark, SF_DIR).collect()[0]
+    assert got.asDict() == want.asDict()
+
+
 def test_retention_partials_equal_q109(spark, funnel_stream_dir):
     """Streaming (user, day) partials + read-time finisher == batch
     q109 retention cohorts."""

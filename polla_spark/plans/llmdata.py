@@ -2400,6 +2400,66 @@ ORDER BY best_ticket LIMIT 25
 """
 
 
+def q125_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (paragraph-level) dedup — the FineWeb/DataComp step
+    whole-doc dedup misses: a boilerplate paragraph repeated across
+    thousands of pages survives doc-level hashing because each HOST
+    document is unique. Segment every document into paragraphs
+    (deterministic 10-word windows here — the synthetic corpus has no
+    newlines; a real corpus splits on blank lines), hash each, keep
+    only the FIRST occurrence corpus-wide (ordered by doc_id,
+    para_idx), and report per-document retention.
+
+    Plan shape at 100 TB: segmentation + hashing are within-row; the
+    dedup is ONE shuffle on the uniform md5 key (the paragraph window)
+    plus the doc-grain partial agg — text moves once, as paragraphs.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    paras = F.expr(
+        "transform(sequence(0, int(ceil(size(split(text, ' ')) / 10.0)) - 1), "
+        "j -> array_join(slice(split(text, ' '), j * 10 + 1, 10), ' '))"
+    )
+    exploded = d.select(
+        "doc_id", F.posexplode(paras).alias("para_idx", "para")
+    ).select(
+        "doc_id",
+        "para_idx",
+        F.md5("para").alias("ph"),
+        F.length("para").alias("n_chars"),
+    )
+    w = Window.partitionBy("ph").orderBy("doc_id", "para_idx")
+    flagged = exploded.withColumn("rn", F.row_number().over(w))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.count_if(F.col("rn") == 1).alias("n_kept"),
+            F.sum(F.when(F.col("rn") == 1, F.col("n_chars")).otherwise(0)).alias(
+                "kept_chars"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+O125 = """
+WITH paras AS (
+  SELECT doc_id, j AS para_idx,
+         array_to_string(list_slice(string_split(text, ' '), j*10+1, j*10+10), ' ') AS para
+  FROM documents,
+       unnest(generate_series(0, CAST(ceil(len(string_split(text, ' ')) / 10.0) AS INT) - 1)) AS t(j)
+), hashed AS (
+  SELECT doc_id, para_idx, md5(para) AS ph, len(para) AS n_chars,
+         ROW_NUMBER() OVER (PARTITION BY md5(para) ORDER BY doc_id, para_idx) AS rn
+  FROM paras
+)
+SELECT doc_id, COUNT(*) AS n_paras,
+       COUNT(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+       CAST(SUM(CASE WHEN rn = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+FROM hashed GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = [
     Query("q50_exact_dedup", q50_exact_dedup, O50, "sha256 exact dedup"),
     Query("q51_fingerprint_dedup", q51_fingerprint_dedup, O51, "normalized fingerprint dedup"),
@@ -2469,4 +2529,6 @@ QUERIES = [
           "per-source quota cap (domain cap, top-15 by length)"),
     Query("q120_ticket_weighted_sample", q120_ticket_weighted_sample, O120,
           "ticket-lottery weighted sample (no transcendental math)"),
+    Query("q125_paragraph_dedup", q125_paragraph_dedup, O125,
+          "sub-document paragraph dedup (first-occurrence retention)"),
 ]

@@ -303,6 +303,18 @@ def test_q124_stacked_leads_share_one_exchange_and_sort(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_q125_paragraph_dedup_text_moves_once(spark):
+    # segmentation + hashing are within-row (Generate under the scan);
+    # the only data-scale exchanges are the md5-key window and the
+    # doc-grain agg — no join, no third shuffle
+    from polla_spark.plans.llmdata import q125_paragraph_dedup
+
+    plan = _plan(q125_paragraph_dedup(spark, SF))
+    assert "Generate" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Join" not in plan, plan
+
+
 def test_q120_weighted_sample_no_global_sort(spark):
     # the ticket explode collapses to a per-doc min BEFORE any
     # movement (partial agg under the exchange) and the top-25 is

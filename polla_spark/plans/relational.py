@@ -2159,6 +2159,245 @@ FROM s ORDER BY 1
 """
 
 
+def q129_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff: classify every key across two table
+    versions as added / removed / changed / unchanged and emit a
+    per-class audit (count + key checksum). The two "versions" are
+    deterministic projections of ``orders``: the old snapshot drops
+    keys divisible by 10, the new one drops keys divisible by 7 and
+    bumps the price on keys divisible by 5 — so all four classes are
+    exercised without mutating the source.
+
+    Plan shape at 100 TB: each side collapses to (key, row-hash)
+    BEFORE the join — an md5 over the concatenated payload — so the
+    full-outer join moves two narrow columns per side, never the wide
+    row, and co-partitions on the key (one exchange per side). The
+    audit is a 4-group partial agg above it. This is the standard
+    "diff two daily snapshots" primitive for incremental pipelines.
+    """
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+        "o_orderstatus",
+    )
+    old = base.filter(F.col("o_orderkey") % 10 != 0)
+    new = base.filter(F.col("o_orderkey") % 7 != 0).withColumn(
+        "price_c",
+        F.col("price_c")
+        + F.when(F.col("o_orderkey") % 5 == 0, F.lit(500)).otherwise(F.lit(0)),
+    )
+
+    def hashed(df: DataFrame) -> DataFrame:
+        return df.select(
+            "o_orderkey",
+            F.md5(F.concat_ws("|", "price_c", "o_orderstatus")).alias("rh"),
+        )
+
+    a, b = hashed(old).alias("a"), hashed(new).alias("b")
+    j = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    cls = (
+        F.when(F.col("b.o_orderkey").isNull(), F.lit("removed"))
+        .when(F.col("a.o_orderkey").isNull(), F.lit("added"))
+        .when(F.col("a.rh") != F.col("b.rh"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(
+            cls.alias("change_class"),
+            F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias("k"),
+        )
+        .groupBy("change_class")
+        .agg(F.count("*").alias("n"), F.sum("k").alias("key_checksum"))
+        .orderBy("change_class")
+    )
+
+
+O129 = """
+WITH base AS (
+  SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c,
+         o_orderstatus
+  FROM orders
+), old AS (
+  SELECT o_orderkey,
+         md5(CAST(price_c AS VARCHAR) || '|' || o_orderstatus) AS rh
+  FROM base WHERE o_orderkey % 10 <> 0
+), new AS (
+  SELECT o_orderkey,
+         md5(CAST(price_c + CASE WHEN o_orderkey % 5 = 0 THEN 500 ELSE 0 END
+                  AS VARCHAR) || '|' || o_orderstatus) AS rh
+  FROM base WHERE o_orderkey % 7 <> 0
+), j AS (
+  SELECT CASE WHEN b.o_orderkey IS NULL THEN 'removed'
+              WHEN a.o_orderkey IS NULL THEN 'added'
+              WHEN a.rh <> b.rh THEN 'changed'
+              ELSE 'unchanged' END AS change_class,
+         COALESCE(a.o_orderkey, b.o_orderkey) AS k
+  FROM old a FULL OUTER JOIN new b ON a.o_orderkey = b.o_orderkey
+)
+SELECT change_class, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS key_checksum
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
+def q130_histogram_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-segment median + p90 via histogram-rank — the
+    scale-safe alternative to q47's full-sort ``percentile``.
+
+    q47 sorts every group's values; with few groups that is one giant
+    sort per group. Here the only data-sized stage is a mergeable
+    partial agg to a (segment, cents) histogram; the ordered
+    cumulative-sum window then runs over the HISTOGRAM (bounded by the
+    value domain, ~1e6 rows regardless of input size), and the
+    nearest-rank percentile is ``min(cents) where cum >= rank`` in
+    pure integer arithmetic (``2*cum >= total`` ⇔ cum ≥ ceil(n/2)) —
+    no interpolation, bit-identical across engines.
+
+    Plan shape at 100 TB: scan → partial agg (map-side collapse to
+    distinct cents) → one exchange on (segment, cents) → tiny window
+    on segment → final agg. Data never sorts.
+    """
+    c = t(spark, sf_dir, "customer").select(
+        "c_mktsegment", F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents")
+    )
+    hist = c.groupBy("c_mktsegment", "cents").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("c_mktsegment").orderBy("cents")
+    wtot = Window.partitionBy("c_mktsegment")
+    h = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "total", F.sum("cnt").over(wtot)
+    )
+    return (
+        h.groupBy("c_mktsegment")
+        .agg(
+            F.max("total").alias("n_rows"),
+            F.min(
+                F.when(2 * F.col("cum") >= F.col("total"), F.col("cents"))
+            ).alias("median_cents"),
+            F.min(
+                F.when(10 * F.col("cum") >= 9 * F.col("total"), F.col("cents"))
+            ).alias("p90_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+O130 = """
+WITH hist AS (
+  SELECT c_mktsegment, CAST(floor(c_acctbal * 100) AS BIGINT) AS cents,
+         COUNT(*) AS cnt
+  FROM customer GROUP BY 1, 2
+), h AS (
+  SELECT *,
+         SUM(cnt) OVER (PARTITION BY c_mktsegment ORDER BY cents) AS cum,
+         SUM(cnt) OVER (PARTITION BY c_mktsegment) AS total
+  FROM hist
+)
+SELECT c_mktsegment, CAST(MAX(total) AS BIGINT) AS n_rows,
+       CAST(MIN(CASE WHEN 2 * cum >= total THEN cents END) AS BIGINT) AS median_cents,
+       CAST(MIN(CASE WHEN 10 * cum >= 9 * total THEN cents END) AS BIGINT) AS p90_cents
+FROM h GROUP BY 1 ORDER BY 1
+"""
+
+
+def q131_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier gate: |x − median| > 3·MAD per segment.
+
+    Mean/stddev outlier gates (q115) break under the very outliers
+    they hunt; median/MAD are robust to 50% contamination. Both
+    medians use q130's histogram-rank shape, so nothing data-sized
+    ever sorts:
+
+      pass 1  histogram → per-segment median (report-sized)
+      pass 2  |cents − median| histogram → per-segment MAD
+      pass 3  conditional count of deviations > 3·MAD
+
+    The median and MAD tables are a handful of rows and broadcast back
+    onto the fact; at 100 TB that is two scan+partial-agg stages and
+    one final conditional agg — integer arithmetic end to end, no
+    interpolation, engine-exact. The synthetic acctbal is uniform
+    (genuinely outlier-free), so ~1% corrupted balances are PLANTED
+    deterministically (custkey % 97) — the check proves the gate
+    flags exactly the planted rows while median/MAD barely move.
+    """
+    c = t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        (
+            F.floor(F.col("c_acctbal") * 100).cast("long")
+            + F.when(F.col("c_custkey") % 97 == 0, F.lit(10_000_000)).otherwise(
+                F.lit(0)
+            )
+        ).alias("cents"),
+    )
+
+    def hist_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        hist = df.groupBy("c_mktsegment", col).agg(F.count("*").alias("cnt"))
+        w = Window.partitionBy("c_mktsegment").orderBy(col)
+        wtot = Window.partitionBy("c_mktsegment")
+        h = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+            "total", F.sum("cnt").over(wtot)
+        )
+        return h.groupBy("c_mktsegment").agg(
+            F.min(F.when(2 * F.col("cum") >= F.col("total"), F.col(col))).alias(out)
+        )
+
+    med = hist_median(c, "cents", "median_cents")
+    dev = c.join(F.broadcast(med), "c_mktsegment").withColumn(
+        "dev", F.abs(F.col("cents") - F.col("median_cents"))
+    )
+    mad = hist_median(dev.select("c_mktsegment", "dev"), "dev", "mad_cents")
+    return (
+        dev.join(F.broadcast(mad), "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.max("median_cents").alias("median_cents"),
+            F.max("mad_cents").alias("mad_cents"),
+            F.count_if(F.col("dev") > 3 * F.col("mad_cents")).alias("n_outliers"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+O131 = """
+WITH c AS (
+  SELECT c_mktsegment,
+         CAST(floor(c_acctbal * 100) AS BIGINT)
+           + CASE WHEN c_custkey % 97 = 0 THEN 10000000 ELSE 0 END AS cents
+  FROM customer
+), hist AS (
+  SELECT c_mktsegment, cents, COUNT(*) AS cnt FROM c GROUP BY 1, 2
+), h AS (
+  SELECT *,
+         SUM(cnt) OVER (PARTITION BY c_mktsegment ORDER BY cents) AS cum,
+         SUM(cnt) OVER (PARTITION BY c_mktsegment) AS total
+  FROM hist
+), med AS (
+  SELECT c_mktsegment,
+         MIN(CASE WHEN 2 * cum >= total THEN cents END) AS median_cents
+  FROM h GROUP BY 1
+), dev AS (
+  SELECT c.c_mktsegment, c.cents, med.median_cents,
+         abs(c.cents - med.median_cents) AS dev
+  FROM c JOIN med USING (c_mktsegment)
+), dhist AS (
+  SELECT c_mktsegment, dev, COUNT(*) AS cnt FROM dev GROUP BY 1, 2
+), dh AS (
+  SELECT *,
+         SUM(cnt) OVER (PARTITION BY c_mktsegment ORDER BY dev) AS cum,
+         SUM(cnt) OVER (PARTITION BY c_mktsegment) AS total
+  FROM dhist
+), mad AS (
+  SELECT c_mktsegment, MIN(CASE WHEN 2 * cum >= total THEN dev END) AS mad_cents
+  FROM dh GROUP BY 1
+)
+SELECT dev.c_mktsegment, COUNT(*) AS n_rows,
+       CAST(MAX(dev.median_cents) AS BIGINT) AS median_cents,
+       CAST(MAX(mad.mad_cents) AS BIGINT) AS mad_cents,
+       COUNT(CASE WHEN dev.dev > 3 * mad.mad_cents THEN 1 END) AS n_outliers
+FROM dev JOIN mad USING (c_mktsegment)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = [
     Query("q01_pricing_summary", q01_pricing_summary, O01, "TPC-H Q1 scan+agg"),
     Query("q02_topk_orders", q02_topk_orders, O02, "global top-k"),
@@ -2239,4 +2478,10 @@ QUERIES = [
           "percent-of-total via SUM() OVER () on the report"),
     Query("q119_segment_correlation", q119_segment_correlation, O119,
           "exact Pearson correlation from integer sums"),
+    Query("q129_snapshot_diff", q129_snapshot_diff, O129,
+          "CDC snapshot diff: added/removed/changed audit via row-hash"),
+    Query("q130_histogram_median", q130_histogram_median, O130,
+          "exact nearest-rank median/p90 via histogram-rank (no data sort)"),
+    Query("q131_mad_outliers", q131_mad_outliers, O131,
+          "robust |x-med| > 3*MAD outlier gate (two histogram medians)"),
 ]

@@ -2460,6 +2460,183 @@ FROM hashed GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q127_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (PPJoin family)
+    — the scale path that, unlike LSH (q53/q81), has ZERO false
+    negatives: if Jaccard(A,B) ≥ τ the two sets must share at least
+    one element among each set's (|S| − ⌈τ|S|⌉ + 1) globally-rarest
+    elements, so joining only on those prefix elements finds every
+    qualifying pair.
+
+    Elements are distinct 3-token shingles (the unigram vocabulary of
+    the synthetic corpus is 31 tokens — degenerate for prefix
+    filtering; shingles give a ~16k vocabulary with avg df 1.6, the
+    realistic regime). τ = 0.8; prefix length uses pure integer
+    arithmetic (⌈4n/5⌉ = (4n+4) div 5) so both engines cut
+    identically.
+
+    Plan shape at 100 TB: shuffle on shingle for global df, one
+    window on doc_id for the rarity ranking, a keyed self-join on the
+    PREFIX (≈ |S|/5 of the elements, and by construction the rarest —
+    candidate count stays near-linear), then the exact q54 kernel on
+    candidates only. Never all-pairs, never a cartesian.
+    """
+    d = (
+        t(spark, sf_dir, "documents")
+        .withColumn("_toks", _toks())
+        .withColumn("sh", F.array_distinct(F.expr(_shingles_expr())))
+        .select("doc_id", "sh")
+    )
+    toks = d.select("doc_id", F.explode("sh").alias("shingle"))
+    df = toks.groupBy("shingle").agg(F.count("*").alias("df"))
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    wcnt = Window.partitionBy("doc_id")
+    ranked = (
+        toks.join(df, "shingle")
+        .withColumn("rn", F.row_number().over(wdoc))
+        .withColumn("ntok", F.count("*").over(wcnt))
+    )
+    pref = ranked.filter(
+        F.col("rn") <= F.col("ntok") - F.expr("(4 * ntok + 4) div 5") + 1
+    ).select("doc_id", "shingle")
+    cand = (
+        pref.withColumnRenamed("doc_id", "doc_a")
+        .join(pref.withColumnRenamed("doc_id", "doc_b"), "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    da = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    db = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    un = F.size("sha") + F.size("shb") - inter
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .filter(inter / un >= 0.8)
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.cast("long").alias("inter"),
+            un.cast("long").alias("un"),
+            F.round(inter / un, 6).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+O127 = f"""
+WITH docs AS (
+  SELECT doc_id, list_distinct({_DUCK_SHINGLES}) AS sh FROM documents
+), toks AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM docs
+), df AS (
+  SELECT shingle, COUNT(*) AS df FROM toks GROUP BY 1
+), ranked AS (
+  SELECT t.doc_id, t.shingle,
+         ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY df.df, t.shingle) AS rn,
+         COUNT(*) OVER (PARTITION BY t.doc_id) AS ntok
+  FROM toks t JOIN df USING (shingle)
+), pref AS (
+  SELECT doc_id, shingle FROM ranked WHERE rn <= ntok - (4 * ntok + 4) // 5 + 1
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pref a JOIN pref b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+), scored AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(da.sh, db.sh)) AS inter,
+         len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)) AS un
+  FROM cand c
+  JOIN docs da ON da.doc_id = c.doc_a
+  JOIN docs db ON db.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter, CAST(un AS BIGINT) AS un,
+       ROUND(CAST(inter AS DOUBLE) / un, 6) AS jaccard
+FROM scored WHERE CAST(inter AS DOUBLE) / un >= 0.8
+ORDER BY doc_a, doc_b
+"""
+
+
+def q128_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked sorted-neighborhood blocking (the classic entity-
+    resolution alternative to LSH): sort records within a BLOCK
+    (lang) by a cheap key (n_chars), compare each record only to its
+    next w = 3 neighbors, rescore candidates with exact shingle
+    Jaccard, report the top-20 most similar neighbor pairs.
+
+    The neighbor's shingle set arrives via ``lead(sh, i)`` over the
+    SAME window — the pair never joins, so rescoring is within-row.
+
+    Plan shape at 100 TB: one exchange on the block key, one sort
+    within blocks (sorted-neighborhood IS a sort-based method — the
+    sort is the algorithm, not overhead), 3·n within-row comparisons,
+    TakeOrdered top-20. A global un-blocked sort-neighborhood would
+    need a range partition; blocking by lang keeps every partition
+    independent.
+    """
+    d = (
+        t(spark, sf_dir, "documents")
+        .withColumn("_toks", _toks())
+        .withColumn("sh", F.array_distinct(F.expr(_shingles_expr())))
+        .select("doc_id", "lang", "n_chars", "sh")
+    )
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    nbrs = F.array(
+        *[
+            F.struct(
+                F.lead("doc_id", i).over(w).alias("doc_b"),
+                F.lead("sh", i).over(w).alias("shb"),
+                F.lit(i).alias("w_dist"),
+            )
+            for i in (1, 2, 3)
+        ]
+    )
+    neigh = (
+        d.withColumn("nb", nbrs)
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("sh").alias("sha"),
+            F.explode("nb").alias("nb"),
+        )
+        .select("doc_a", "sha", "nb.doc_b", "nb.shb", "nb.w_dist")
+        .filter(F.col("doc_b").isNotNull())
+    )
+    inter = F.size(F.array_intersect("sha", "shb"))
+    un = F.size("sha") + F.size("shb") - inter
+    return (
+        neigh.select(
+            "doc_a",
+            "doc_b",
+            F.col("w_dist").cast("long").alias("w_dist"),
+            inter.cast("long").alias("inter"),
+            un.cast("long").alias("un"),
+            F.round(inter / un, 6).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+O128 = f"""
+WITH docs AS (
+  SELECT doc_id, lang, n_chars, list_distinct({_DUCK_SHINGLES}) AS sh
+  FROM documents
+), neigh AS (
+  SELECT doc_id AS doc_a, sh AS sa, i,
+         LEAD(doc_id, i) OVER (PARTITION BY lang, i ORDER BY n_chars, doc_id) AS doc_b,
+         LEAD(sh, i) OVER (PARTITION BY lang, i ORDER BY n_chars, doc_id) AS sb
+  FROM docs CROSS JOIN (SELECT unnest([1, 2, 3]) AS i) w
+)
+SELECT doc_a, doc_b, CAST(i AS BIGINT) AS w_dist,
+       CAST(len(list_intersect(sa, sb)) AS BIGINT) AS inter,
+       CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS BIGINT) AS un,
+       ROUND(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+             / (len(sa) + len(sb) - len(list_intersect(sa, sb))), 6) AS jaccard
+FROM neigh WHERE doc_b IS NOT NULL
+ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20
+"""
+
+
 QUERIES = [
     Query("q50_exact_dedup", q50_exact_dedup, O50, "sha256 exact dedup"),
     Query("q51_fingerprint_dedup", q51_fingerprint_dedup, O51, "normalized fingerprint dedup"),
@@ -2529,6 +2706,10 @@ QUERIES = [
           "per-source quota cap (domain cap, top-15 by length)"),
     Query("q120_ticket_weighted_sample", q120_ticket_weighted_sample, O120,
           "ticket-lottery weighted sample (no transcendental math)"),
+    Query("q127_prefix_filter_join", q127_prefix_filter_join, O127,
+          "exact set-similarity join via prefix filtering (no LSH recall loss)"),
+    Query("q128_sorted_neighborhood", q128_sorted_neighborhood, O128,
+          "blocked sorted-neighborhood blocking + within-row lead rescore"),
     Query("q125_paragraph_dedup", q125_paragraph_dedup, O125,
           "sub-document paragraph dedup (first-occurrence retention)"),
 ]

@@ -715,6 +715,78 @@ GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 10
 """
 
 
+def q126_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build: collapse each user's event_type
+    stream into effective-dated state rows (state, valid_from,
+    valid_to, n_events) — the standard slowly-changing-dimension
+    primitive for warehouse dimension tables, built from an append-only
+    event log.
+
+    Gaps-and-islands without an aggregation: run starts are the rows
+    where ``lag(event_type)`` differs; ``valid_to`` / run length come
+    from ``lead`` over the SURVIVING start rows. Every window
+    partitions by user_id, so the whole history builds on ONE
+    exchange — the filter between the two window groups keeps the
+    hash partitioning, no re-shuffle (plan-pinned).
+
+    At 100 TB: state per task is one sort of its users' events; the
+    open-ended current row is the NULL-lead case (sentinel 9999-12-31)
+    — exactly how the batch rebuild of a streaming SCD2 sink works.
+    """
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wu = Window.partitionBy("user_id")
+    d = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.row_number().over(w).alias("rn"),
+        F.lag("event_type").over(w).alias("prev"),
+        F.count("*").over(wu).alias("cnt"),
+    )
+    starts = d.filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    w2 = Window.partitionBy("user_id").orderBy("rn")
+    return (
+        starts.select(
+            "user_id",
+            F.row_number().over(w2).alias("run_seq"),
+            F.col("event_type").alias("state"),
+            F.date_format("ts", FMT).alias("valid_from"),
+            F.coalesce(
+                F.date_format(F.lead("ts").over(w2), FMT),
+                F.lit("9999-12-31 00:00:00"),
+            ).alias("valid_to"),
+            (F.coalesce(F.lead("rn").over(w2), F.col("cnt") + 1) - F.col("rn"))
+            .cast("long")
+            .alias("n_events"),
+        )
+        .orderBy("user_id", "run_seq")
+    )
+
+
+O126 = """
+WITH d AS (
+  SELECT user_id, event_type, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+         COUNT(*) OVER (PARTITION BY user_id) AS cnt
+  FROM events
+), starts AS (
+  SELECT * FROM d WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS run_seq,
+       event_type AS state,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       COALESCE(strftime(LEAD(ts) OVER (PARTITION BY user_id ORDER BY rn),
+                         '%Y-%m-%d %H:%M:%S'),
+                '9999-12-31 00:00:00') AS valid_to,
+       CAST(COALESCE(LEAD(rn) OVER (PARTITION BY user_id ORDER BY rn), cnt + 1)
+            - rn AS BIGINT) AS n_events
+FROM starts ORDER BY user_id, run_seq
+"""
+
+
 QUERIES = [
     Query("q70_tumbling", q70_tumbling, O70, "tumbling window"),
     Query("q71_sliding", q71_sliding, O71, "sliding window"),
@@ -741,4 +813,6 @@ QUERIES = [
           "month-over-month growth (lag over the aggregated series)"),
     Query("q124_path_trigrams", q124_path_trigrams, O124,
           "top event-type 3-step paths (stacked leads, one sort)"),
+    Query("q126_scd2_history", q126_scd2_history, O126,
+          "SCD Type-2 effective-dated history (one-exchange gaps-and-islands)"),
 ]

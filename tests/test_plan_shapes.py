@@ -377,3 +377,60 @@ def test_q110_calendar_is_join_keyed_not_cartesian(spark):
     plan = _plan(q110_gap_fill(spark, SF))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q126_scd2_one_hash_exchange(spark):
+    # run detection, run-start filter, and the valid_to/lead pass all
+    # partition by user_id: exactly ONE hash exchange — the filter
+    # between the two window groups must preserve the partitioning.
+    # (The only other exchange is the report ORDER BY's range partition.)
+    from polla_spark.plans.windows_q import q126_scd2_history
+
+    plan = _plan(q126_scd2_history(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_q127_prefix_join_never_cartesian(spark):
+    # prefix filtering joins on the shingle KEY, rescoring joins on the
+    # doc-id KEY — every join in the exact set-similarity plan must be
+    # an equi-join; all-pairs comparison would defeat the algorithm
+    from polla_spark.plans.llmdata import q127_prefix_filter_join
+
+    plan = _plan(q127_prefix_filter_join(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q128_sorted_neighborhood_single_exchange_topk(spark):
+    # blocked sorted-neighborhood: one exchange on the block key (lang),
+    # neighbors arrive via lead over the same sort (no join at all),
+    # and the top-20 is TakeOrdered — never a global sort
+    from polla_spark.plans.llmdata import q128_sorted_neighborhood
+
+    plan = _plan(q128_sorted_neighborhood(spark, SF))
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q130_median_histogram_runs_window_on_aggregate(spark):
+    # the data-sized stage is the partial agg to the (segment, cents)
+    # histogram; the cumulative window must run ABOVE the aggregate
+    # (on histogram rows), never over raw customer rows
+    from polla_spark.plans.relational import q130_histogram_median
+
+    plan = _plan(q130_histogram_median(spark, SF))
+    w = plan.index("Window")
+    assert "HashAggregate" in plan[w:], plan  # final agg above window
+    # partial agg happens below (earlier stage than) the window
+    assert "HashAggregate" in plan[:w] or "partial" in plan[:w].lower(), plan
+
+
+def test_q131_mad_medians_broadcast_back(spark):
+    # the 5-row median and MAD tables must broadcast onto the fact —
+    # a shuffled join would move the customer scan twice for nothing
+    from polla_spark.plans.relational import q131_mad_outliers
+
+    plan = _plan(q131_mad_outliers(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan

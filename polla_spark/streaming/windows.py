@@ -466,6 +466,91 @@ def finish_retention(partials: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Transition-matrix deltas (streaming twin of plans/windows_q.q114)
+# ---------------------------------------------------------------------------
+
+TRANSITION_DELTA_SCHEMA = "user_id long, prev_type string, next_type string, n long"
+_TRANS_STATE_SCHEMA = "last string"
+
+
+def transition_deltas(events: DataFrame,
+                      watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Streaming first-order Markov transition counts: per user the
+    state is ONLY the last event_type seen (one short string —
+    fixed-size, nothing to evict), so each micro-batch emits the
+    DELTA transition counts it observed, including the boundary
+    transition from the previous batch's last event.
+
+    Partial-then-finish: the deltas accumulate in the sink and
+    :func:`finish_transitions` sums them into exactly the batch q114
+    matrix. Equivalence contract (pinned in tests/test_stateful.py):
+    on ts-ordered arrival, sum-of-deltas == batch lag-window counts —
+    concatenating per-batch transition censuses over a stream cut at
+    any boundary reproduces the full sequence's census because the
+    stored ``last`` stitches the cut.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        last = state.get[0] if state.exists else None
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        counts: dict[tuple[str, str], int] = {}
+        for et in rows["event_type"]:
+            if last is not None:
+                k = (last, et)
+                counts[k] = counts.get(k, 0) + 1
+            last = et
+        state.update((last,))
+        if counts:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(counts),
+                    "prev_type": [k[0] for k in counts],
+                    "next_type": [k[1] for k in counts],
+                    "n": list(counts.values()),
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            TRANSITION_DELTA_SCHEMA,
+            _TRANS_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def finish_transitions(deltas: DataFrame) -> DataFrame:
+    """Batch finisher over :func:`transition_deltas` output: sum the
+    per-batch deltas to total counts, then row-normalize — emits the
+    exact q114 report shape (prev_type, next_type, n_trans, p_trans)."""
+    from pyspark.sql import Window
+
+    pairs = deltas.groupBy("prev_type", "next_type").agg(
+        F.sum("n").alias("n_trans")
+    )
+    wrow = Window.partitionBy("prev_type")
+    return (
+        pairs.select(
+            "prev_type",
+            "next_type",
+            "n_trans",
+            F.round(F.col("n_trans") / F.sum("n_trans").over(wrow), 6).alias(
+                "p_trans"
+            ),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
     """Drive a finite streaming source to completion into a memory
     sink; returns the materialized result (test/smoke harness)."""

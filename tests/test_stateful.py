@@ -303,3 +303,34 @@ def test_stateful_late_events_across_batches(spark, tmp_path):
     assert merged[1] == us(t(0))
     assert merged[2] == us(t(15))
     assert merged[5] == "z" and merged[6] == "b"
+
+
+def test_transition_stream_equals_q114(spark, funnel_stream_dir):
+    """Streaming transition deltas summed == batch q114 matrix — the
+    stored last-event state must stitch transitions across the three
+    micro-batch cuts (users' consecutive events straddle files)."""
+    from polla_spark.plans.windows_q import q114_transition_matrix
+    from polla_spark.streaming.windows import finish_transitions, transition_deltas
+
+    d, schema = funnel_stream_dir
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*/")
+    )
+    q = (
+        transition_deltas(stream)
+        .writeStream.format("memory")
+        .queryName("transition_deltas")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    deltas = spark.table("transition_deltas")
+    # at least one user's boundary transition crossed a batch cut;
+    # otherwise this test degenerates to single-batch coverage
+    assert deltas.groupBy("user_id").count().filter("count > 1").count() > 0
+    got = [tuple(r) for r in finish_transitions(deltas).collect()]
+    want = [tuple(r) for r in q114_transition_matrix(spark, SF_DIR).collect()]
+    assert got == want

@@ -2481,12 +2481,15 @@ def q127_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate count stays near-linear), then the exact q54 kernel on
     candidates only. Never all-pairs, never a cartesian.
     """
+    # Persisted: the shingle table feeds the df census AND both sides
+    # of the candidate rescore — without the persist the tokenizer +
+    # shingler (the dominant per-row cost) runs three times.
     d = (
         t(spark, sf_dir, "documents")
         .withColumn("_toks", _toks())
         .withColumn("sh", F.array_distinct(F.expr(_shingles_expr())))
         .select("doc_id", "sh")
-    )
+    ).persist()
     toks = d.select("doc_id", F.explode("sh").alias("shingle"))
     df = toks.groupBy("shingle").agg(F.count("*").alias("df"))
     wdoc = Window.partitionBy("doc_id").orderBy("df", "shingle")

@@ -2640,6 +2640,59 @@ ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20
 """
 
 
+def q136_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram language-model conditionals ``P(w3 | w1 w2)`` — the
+    n-gram census + conditional-probability kernel behind classic LM
+    pretraining-data statistics (perplexity filters, contamination
+    scoring, KenLM-style model builds).
+
+    Scale shape: trigrams are extracted WITHIN-ROW from the token
+    array and explode once; the trigram census is one partial-agged
+    shuffle on the trigram key (corpus-sized input, vocabulary^3-
+    bounded output). The bigram denominator then comes from a window
+    over the CENSUS — sum of c3 grouped by (w1, w2) — so the second
+    exchange moves census rows, never corpus rows. One float
+    division at the end; everything else integer.
+    """
+    d = (
+        t(spark, sf_dir, "documents")
+        .withColumn("_toks", _toks())
+        .filter(F.size("_toks") >= 3)
+    )
+    tri = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(_toks) - 3), "
+                "i -> struct(_toks[i] AS w1, _toks[i+1] AS w2, _toks[i+2] AS w3))"
+            )
+        ).alias("g")
+    ).select("g.*")
+    c3 = tri.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3"))
+    w = Window.partitionBy("w1", "w2")
+    return (
+        c3.withColumn("c2", F.sum("c3").over(w))
+        .withColumn("p", F.round(F.col("c3") / F.col("c2"), 6))
+        .orderBy(F.desc("c3"), "w1", "w2", "w3")
+        .limit(25)
+    )
+
+
+O136 = f"""
+WITH toks AS (
+  SELECT {TOKS} AS tk FROM documents WHERE len({TOKS}) >= 3
+), tri AS (
+  SELECT tk[g.i] AS w1, tk[g.i + 1] AS w2, tk[g.i + 2] AS w3
+  FROM toks, LATERAL unnest(generate_series(1, len(tk) - 2)) AS g(i)
+), c AS (
+  SELECT w1, w2, w3, COUNT(*) AS c3 FROM tri GROUP BY 1, 2, 3
+)
+SELECT w1, w2, w3, c3,
+       CAST(SUM(c3) OVER (PARTITION BY w1, w2) AS BIGINT) AS c2,
+       ROUND(CAST(c3 AS DOUBLE) / SUM(c3) OVER (PARTITION BY w1, w2), 6) AS p
+FROM c ORDER BY c3 DESC, w1, w2, w3 LIMIT 25
+"""
+
+
 QUERIES = [
     Query("q50_exact_dedup", q50_exact_dedup, O50, "sha256 exact dedup"),
     Query("q51_fingerprint_dedup", q51_fingerprint_dedup, O51, "normalized fingerprint dedup"),
@@ -2715,4 +2768,6 @@ QUERIES = [
           "blocked sorted-neighborhood blocking + within-row lead rescore"),
     Query("q125_paragraph_dedup", q125_paragraph_dedup, O125,
           "sub-document paragraph dedup (first-occurrence retention)"),
+    Query("q136_trigram_lm", q136_trigram_lm, O136,
+          "trigram LM conditionals P(w3|w1w2) (census-sized second agg)"),
 ]

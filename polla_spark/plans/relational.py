@@ -2398,6 +2398,190 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q133_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing together in
+    >= 2 orders, mined WITHOUT self-joining the fact table.
+
+    Scale shape: one exchange on orderkey collapses each order to its
+    sorted distinct part basket; pair expansion is WITHIN-ROW
+    (k*(k-1)/2 per basket, bounded by basket size — at 100 TB cap
+    outlier baskets before expanding, exactly like the LSH bucket
+    caps); one exchange on the pair key finishes the census. The
+    naive mine self-joins the fact on orderkey — the fact crosses the
+    wire twice and hot orders explode quadratically INSIDE the join;
+    here the quadratic term never leaves the row it was born in.
+    test_plan_shapes pins the no-join property.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) -> "
+                "transform(slice(parts, i + 2, size(parts)), "
+                "y -> struct(x AS part_a, y AS part_b))))"
+            )
+        ).alias("pr")
+    ).select("pr.part_a", "pr.part_b")
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(25)
+    )
+
+
+O133 = """
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+ORDER BY n_orders DESC, part_a, part_b LIMIT 25
+"""
+
+
+def q134_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join via bucket binning — the join family
+    q11's point-in-range form doesn't cover: BOTH sides are intervals
+    (per user-day purchase spans), and the answer is which pairs
+    overlap.
+
+    The naive form is a per-day theta self-join: candidate sets are
+    O(intervals_per_day^2) and one busy day becomes the straggler.
+    The binned form explodes each span into the HOUR buckets it
+    covers and equi-joins on (day, hour): candidates form only inside
+    buckets the two spans actually share, so parallelism follows the
+    bucket grain and the per-key candidate set shrinks by the bucket
+    fan-out. Each qualifying pair is counted EXACTLY once by
+    attributing it to the bucket holding the later of the two starts
+    (hour(greatest(sa, sb)) — provably inside both spans whenever
+    they overlap), so no DISTINCT pass over the pair stream is
+    needed. The oracle is the direct theta join — proving the binned
+    plan changes the shape, not the answer.
+    """
+    e = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    iv = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.min("ts").alias("s"), F.max("ts").alias("t")
+    )
+    b = iv.withColumn("h", F.explode(F.sequence(F.hour("s"), F.hour("t"))))
+    left = b.select(
+        "day", "h", F.col("user_id").alias("ua"),
+        F.col("s").alias("sa"), F.col("t").alias("ta"),
+    )
+    right = b.select(
+        "day", "h", F.col("user_id").alias("ub"),
+        F.col("s").alias("sb"), F.col("t").alias("tb"),
+    )
+    pairs = left.join(right, ["day", "h"]).filter(
+        (F.col("ua") < F.col("ub"))
+        & (F.col("sa") <= F.col("tb"))
+        & (F.col("sb") <= F.col("ta"))
+        & (F.hour(F.greatest("sa", "sb")) == F.col("h"))
+    )
+    return (
+        pairs.groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").alias("n_overlaps"))
+        .orderBy("day")
+    )
+
+
+O134 = """
+WITH iv AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, MIN(ts) AS s, MAX(ts) AS t
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT strftime(a.day, '%Y-%m-%d') AS day, COUNT(*) AS n_overlaps
+FROM iv a JOIN iv b
+  ON a.day = b.day AND a.user_id < b.user_id AND a.s <= b.t AND b.s <= a.t
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q135_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation via broadcast quartile cuts.
+
+    Recency (days from last order to the 1998-12-31 anchor),
+    frequency (#orders), monetary (cents, exact) per customer; each
+    metric scored 1-4 by counting how many global quartile boundaries
+    the value strictly exceeds; the report is segment-level counts.
+
+    Scale shape: the per-customer grain is one exchange on custkey.
+    Scoring then joins every customer against a ONE-ROW boundary
+    table (broadcast) — NOT the classic ``ntile(4)`` formulation,
+    whose unpartitioned window needs a SinglePartition sort of the
+    entire customer grain and dies at billions of customers. The
+    exact interpolated percentile boundaries (a full sort of the
+    customer GRAIN, not the fact) bound the error of the
+    ``approx_percentile`` twin you'd use at extreme scale — the same
+    exact-vs-sketch contract as q47/q38.
+    """
+    o = t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,4)") * 100).cast("long")
+    cust = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("1998-12-31").cast("date"), F.max(F.to_date("o_orderdate"))
+        ).alias("rec"),
+        F.count("*").alias("freq"),
+        F.sum(cents).alias("mon"),
+    )
+    cuts = cust.agg(
+        F.expr("percentile(rec, array(0.25, 0.5, 0.75))").alias("rc"),
+        F.expr("percentile(freq, array(0.25, 0.5, 0.75))").alias("fc"),
+        F.expr("percentile(mon, array(0.25, 0.5, 0.75))").alias("mc"),
+    )
+
+    def score(col: str, cut: str):
+        return (
+            F.lit(1)
+            + (F.col(col) > F.element_at(cut, 1)).cast("int")
+            + (F.col(col) > F.element_at(cut, 2)).cast("int")
+            + (F.col(col) > F.element_at(cut, 3)).cast("int")
+        )
+
+    scored = cust.crossJoin(F.broadcast(cuts)).select(
+        score("rec", "rc").alias("r_score"),
+        score("freq", "fc").alias("f_score"),
+        score("mon", "mc").alias("m_score"),
+        "mon",
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count("*").alias("n_customers"), F.sum("mon").alias("total_cents"))
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+O135 = """
+WITH cust AS (
+  SELECT o_custkey,
+         datediff('day', MAX(CAST(o_orderdate AS DATE)), DATE '1998-12-31') AS rec,
+         COUNT(*) AS freq,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)) AS mon
+  FROM orders GROUP BY 1
+), cuts AS (
+  SELECT quantile_cont(rec, [0.25, 0.5, 0.75]) AS rc,
+         quantile_cont(freq, [0.25, 0.5, 0.75]) AS fc,
+         quantile_cont(mon, [0.25, 0.5, 0.75]) AS mc
+  FROM cust
+), scored AS (
+  SELECT (1 + (rec > rc[1])::INT + (rec > rc[2])::INT + (rec > rc[3])::INT) AS r_score,
+         (1 + (freq > fc[1])::INT + (freq > fc[2])::INT + (freq > fc[3])::INT) AS f_score,
+         (1 + (mon > mc[1])::INT + (mon > mc[2])::INT + (mon > mc[3])::INT) AS m_score,
+         mon
+  FROM cust CROSS JOIN cuts
+)
+SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+       CAST(SUM(mon) AS BIGINT) AS total_cents
+FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
 QUERIES = [
     Query("q01_pricing_summary", q01_pricing_summary, O01, "TPC-H Q1 scan+agg"),
     Query("q02_topk_orders", q02_topk_orders, O02, "global top-k"),
@@ -2484,4 +2668,10 @@ QUERIES = [
           "exact nearest-rank median/p90 via histogram-rank (no data sort)"),
     Query("q131_mad_outliers", q131_mad_outliers, O131,
           "robust |x-med| > 3*MAD outlier gate (two histogram medians)"),
+    Query("q133_basket_pairs", q133_basket_pairs, O133,
+          "market-basket pair census (within-row expansion, no fact self-join)"),
+    Query("q134_interval_overlap", q134_interval_overlap, O134,
+          "interval-overlap join via hour-bucket binning (exact-once attribution)"),
+    Query("q135_rfm_segments", q135_rfm_segments, O135,
+          "RFM segmentation via broadcast quartile cuts (no global ntile sort)"),
 ]

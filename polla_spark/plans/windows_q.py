@@ -786,6 +786,48 @@ SELECT user_id,
 FROM starts ORDER BY user_id, run_seq
 """
 
+def q132_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct active users per day — the rolling-
+    distinct metric a window frame CANNOT express (``count(DISTINCT)``
+    over a RANGE frame is unsupported in both engines' window paths).
+
+    Scale pattern: collapse the fact to distinct ``(user, day)``
+    partials FIRST (one mergeable shuffle), then each active-day
+    serves the 7 report days it belongs to via a WITHIN-ROW
+    ``sequence``/``explode`` — a bounded 7x expansion of the PARTIAL,
+    never of the fact — and one count-distinct shuffle on report day
+    finishes. At 100 TB the event table crosses the wire once; the
+    expansion runs on the |users| x |days| grain, orders of magnitude
+    smaller. The extreme-scale twin swaps the final count-distinct
+    for per-day HLL sketch unions (q38's family) at the cost of
+    exactness. Streaming twin: ``streaming/windows.py
+    rolling_active_partials`` emits the same (user, day) partials
+    with bounded dedup state; this finisher runs at read time.
+    """
+    e = t(spark, sf_dir, "events")
+    active = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    contrib = active.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias("rday"),
+    )
+    return (
+        contrib.groupBy(F.date_format("rday", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+        .orderBy("day")
+    )
+
+
+O132 = """
+WITH active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), contrib AS (
+  SELECT user_id, day + CAST(g.i AS INTEGER) AS rday
+  FROM active CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS i) g
+)
+SELECT strftime(rday, '%Y-%m-%d') AS day, COUNT(DISTINCT user_id) AS active_7d
+FROM contrib GROUP BY 1 ORDER BY 1
+"""
+
 
 QUERIES = [
     Query("q70_tumbling", q70_tumbling, O70, "tumbling window"),
@@ -815,4 +857,6 @@ QUERIES = [
           "top event-type 3-step paths (stacked leads, one sort)"),
     Query("q126_scd2_history", q126_scd2_history, O126,
           "SCD Type-2 effective-dated history (one-exchange gaps-and-islands)"),
+    Query("q132_rolling_active_users", q132_rolling_active_users, O132,
+          "trailing 7-day distinct users (partial + bounded explode, no window)"),
 ]

@@ -434,3 +434,60 @@ def test_q131_mad_medians_broadcast_back(spark):
     plan = _plan(q131_mad_outliers(spark, SF))
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q132_rolling_active_no_window_no_join(spark):
+    # rolling 7-day distinct = distinct partial -> within-row explode
+    # -> count-distinct; a window or a calendar join here would mean
+    # the fact moves more than the two declared shuffles
+    from polla_spark.plans.windows_q import q132_rolling_active_users
+
+    plan = _plan(q132_rolling_active_users(spark, SF))
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Generate explode" in plan, plan
+
+
+def test_q133_basket_pairs_no_join(spark):
+    # pair expansion is within-row on the basket array — the fact must
+    # never self-join; the census is plain hash aggregation
+    from polla_spark.plans.relational import q133_basket_pairs
+
+    plan = _plan(q133_basket_pairs(spark, SF))
+    assert "Join" not in plan, plan
+    assert "Generate explode" in plan, plan
+    # top-25 with tiebreak: TakeOrdered, never a global sort
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q134_interval_overlap_is_equi_join(spark):
+    # the binned form must join on the (day, hour-bucket) KEY — a
+    # theta-only join would plan as BroadcastNestedLoop/Cartesian and
+    # reintroduce the O(n^2)-per-day candidate explosion
+    from polla_spark.plans.relational import q134_interval_overlap
+
+    plan = _plan(q134_interval_overlap(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q135_rfm_cuts_broadcast_no_single_partition_window(spark):
+    # scoring joins the 1-row quartile-cut table via broadcast; the
+    # classic ntile formulation would need a SinglePartition Window
+    # over the whole customer grain — pinned absent
+    from polla_spark.plans.relational import q135_rfm_segments
+
+    plan = _plan(q135_rfm_segments(spark, SF))
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_q136_trigram_window_runs_on_census(spark):
+    # the bigram denominator window must run over the trigram CENSUS
+    # (above the aggregate), never over exploded corpus rows
+    from polla_spark.plans.llmdata import q136_trigram_lm
+
+    plan = _plan(q136_trigram_lm(spark, SF))
+    w = plan.index("Window")
+    assert "HashAggregate" in plan[w:], plan
+    assert "TakeOrderedAndProject" in plan, plan

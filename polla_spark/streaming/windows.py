@@ -466,6 +466,37 @@ def finish_retention(partials: DataFrame) -> DataFrame:
     )
 
 
+def rolling_active_partials(events: DataFrame,
+                            watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Streaming form of the rolling 7-day actives report (q132's
+    twin): ONE streaming aggregation at the distinct (user_id, day)
+    grain — the identical bounded partial :func:`retention_partials`
+    keeps (state rows = users x watermark-bounded days). The 7x
+    fan-out and the final count-distinct — which streaming can't
+    chain as a second aggregation level — run at read time over this
+    much smaller table via :func:`finish_rolling_active`."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def finish_rolling_active(partials: DataFrame) -> DataFrame:
+    """Batch finisher: each (user, active-day) partial serves the 7
+    report days it belongs to (within-row explode), then one
+    count-distinct — emits exactly the q132 report shape."""
+    contrib = partials.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias("rday"),
+    )
+    return (
+        contrib.groupBy(F.date_format("rday", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+        .orderBy("day")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Transition-matrix deltas (streaming twin of plans/windows_q.q114)
 # ---------------------------------------------------------------------------

@@ -243,6 +243,31 @@ def test_retention_partials_equal_q109(spark, funnel_stream_dir):
     assert len(got) >= 3  # multiple cohort cells exist in the fixture
 
 
+def test_rolling_active_partials_equal_q132(spark, funnel_stream_dir):
+    """Streaming distinct (user, day) partials + read-time 7x fan-out
+    finisher == batch q132 rolling 7-day actives."""
+    from polla_spark.plans.windows_q import q132_rolling_active_users
+    from polla_spark.streaming.windows import (
+        finish_rolling_active,
+        rolling_active_partials,
+        run_to_memory,
+    )
+
+    d, schema = funnel_stream_dir
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*/")
+    )
+    partials = run_to_memory(
+        rolling_active_partials(stream), "t_rolling_partials", "complete"
+    )
+    got = [tuple(r) for r in finish_rolling_active(partials).collect()]
+    want = [tuple(r) for r in q132_rolling_active_users(spark, SF_DIR).collect()]
+    assert got == want
+    assert len(got) >= 7  # the window tail extends past the last day
+
+
 def test_stateful_late_events_across_batches(spark, tmp_path):
     """Late-but-within-watermark events arriving in a LATER micro-batch
     must merge into the stored session via min/max (start can move

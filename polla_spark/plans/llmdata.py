@@ -2640,6 +2640,125 @@ ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20
 """
 
 
+def q137_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality evaluation (Davies-Bouldin style) for the
+    labeled embedding corpus: per-cluster scatter (RMS distance to
+    the centroid) and the DB index (worst-case
+    ``(scatter_i + scatter_j) / centroid_distance_ij``) — the metric
+    that grades a k-means/IVF layout without a second data pass.
+
+    One pass + label-sized algebra: the ONLY data-sized stage is the
+    per-(label, dim) integer census (quantized component sums, sum of
+    squares, counts). Scatter then falls out of the identity
+    ``E||x−c||² = E||x||² − ||c||²`` — no join of vectors back to
+    centroids, no second scan. Centroid separations join the CENSUS
+    with itself on the dimension key (labels² · dims rows — nothing
+    at any corpus scale). Exact integer arithmetic (decimal sums)
+    until one final double sqrt per label/pair, so both engines round
+    the same integers to the same doubles.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    xq = F.floor(F.col("x").cast("double") * 1000000).cast("long")
+    per = (
+        e.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .select("label", "pos", xq.alias("xq"))
+    )
+    # Persisted: the census feeds the label rollup AND both sides of
+    # the separation self-join — without it the data-sized explode +
+    # partial agg recomputes per consumer (7 posexplodes in the plan).
+    g = per.groupBy("label", "pos").agg(
+        F.sum("xq").alias("S"),
+        F.sum(F.col("xq") * F.col("xq")).alias("Qd"),
+        F.count("*").alias("n"),
+    ).persist()
+    lab = g.groupBy("label").agg(
+        F.max("n").alias("n"),
+        F.sum("Qd").alias("Q"),
+        F.sum(F.col("S").cast("decimal(38,0)") * F.col("S")).alias("SS"),
+    )
+    num = (F.col("Q").cast("decimal(38,0)") * F.col("n") - F.col("SS")).cast("double")
+    scatter = F.sqrt(num / (F.col("n").cast("double") * F.col("n") * F.lit(1e12)))
+    sc = lab.select("label", "n", scatter.alias("s"))
+
+    gi = g.select(
+        F.col("label").alias("li"), "pos",
+        F.col("S").alias("Si"), F.col("n").alias("ni"),
+    )
+    gj = g.select(
+        F.col("label").alias("lj"), F.col("pos").alias("posj"),
+        F.col("S").alias("Sj"), F.col("n").alias("nj"),
+    )
+    term = (F.col("Si") * F.col("nj") - F.col("Sj") * F.col("ni")).cast("decimal(38,0)")
+    pr = (
+        gi.join(gj, (F.col("pos") == F.col("posj")) & (F.col("li") < F.col("lj")))
+        .groupBy("li", "lj")
+        .agg(
+            F.max("ni").alias("ni"), F.max("nj").alias("nj"),
+            F.sum(term * term).alias("num"),
+        )
+    )
+    d = F.sqrt(
+        F.col("num").cast("double")
+        / (F.col("ni").cast("double") * F.col("ni") * F.col("nj") * F.col("nj") * F.lit(1e12))
+    )
+    pairs = pr.select("li", "lj", d.alias("d"))
+    sym = pairs.union(pairs.select(F.col("lj").alias("li"), F.col("li").alias("lj"), "d"))
+    s1 = sc.select(F.col("label").alias("li"), F.col("s").alias("si"))
+    s2 = sc.select(F.col("label").alias("lj"), F.col("s").alias("sj"))
+    db = (
+        sym.join(s1, "li").join(s2, "lj")
+        .groupBy(F.col("li").alias("label"))
+        .agg(F.max((F.col("si") + F.col("sj")) / F.col("d")).alias("db"))
+    )
+    return (
+        sc.join(db, "label")
+        .select(
+            "label", "n",
+            F.round("s", 6).alias("scatter"),
+            F.round("db", 6).alias("db_index"),
+        )
+        .orderBy("label")
+    )
+
+
+O137 = """
+WITH per AS (
+  SELECT label, i - 1 AS pos,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xq
+  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) s
+), g AS (
+  SELECT label, pos, SUM(xq) AS S, SUM(xq * xq) AS Qd, COUNT(*) AS n
+  FROM per GROUP BY 1, 2
+), lab AS (
+  SELECT label, MAX(n) AS n, SUM(Qd) AS Q, SUM(S * S) AS SS FROM g GROUP BY 1
+), sc AS (
+  SELECT label, n,
+         sqrt(CAST(Q * n - SS AS DOUBLE) / (CAST(n AS DOUBLE) * n * 1e12)) AS s
+  FROM lab
+), pr AS (
+  SELECT a.label AS li, b.label AS lj, MAX(a.n) AS ni, MAX(b.n) AS nj,
+         SUM(CAST(a.S * b.n - b.S * a.n AS HUGEINT)
+             * CAST(a.S * b.n - b.S * a.n AS HUGEINT)) AS num
+  FROM g a JOIN g b ON a.pos = b.pos AND a.label < b.label
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT li, lj,
+         sqrt(CAST(num AS DOUBLE)
+              / (CAST(ni AS DOUBLE) * ni * nj * nj * 1e12)) AS d
+  FROM pr
+), sym AS (
+  SELECT li, lj, d FROM pairs
+  UNION ALL SELECT lj AS li, li AS lj, d FROM pairs
+), db AS (
+  SELECT sym.li AS label, MAX((s1.s + s2.s) / sym.d) AS db
+  FROM sym JOIN sc s1 ON sym.li = s1.label JOIN sc s2 ON sym.lj = s2.label
+  GROUP BY 1
+)
+SELECT sc.label, sc.n, ROUND(sc.s, 6) AS scatter, ROUND(db.db, 6) AS db_index
+FROM sc JOIN db USING (label) ORDER BY label
+"""
+
+
 def q136_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trigram language-model conditionals ``P(w3 | w1 w2)`` — the
     n-gram census + conditional-probability kernel behind classic LM
@@ -2770,4 +2889,6 @@ QUERIES = [
           "sub-document paragraph dedup (first-occurrence retention)"),
     Query("q136_trigram_lm", q136_trigram_lm, O136,
           "trigram LM conditionals P(w3|w1w2) (census-sized second agg)"),
+    Query("q137_cluster_quality", q137_cluster_quality, O137,
+          "Davies-Bouldin cluster quality (one pass + label-sized algebra)"),
 ]

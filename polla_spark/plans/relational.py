@@ -2398,6 +2398,62 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q140_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median (price cents weighted by quantity) per
+    return flag — the weighted-percentile operator neither engine has
+    natively, via q130's histogram-rank kernel with WEIGHTS: the
+    data-sized stage is a mergeable partial agg to a
+    (segment, cents) -> total-weight histogram; the cumulative window
+    runs over the histogram; nearest-rank in pure integers.
+
+    The Arrow-batched GROUPED_AGG pandas UDAF twin
+    (``functions/udaf.py weighted_median_udaf``) computes the same
+    contract per group — the extensibility surface — but ships every
+    group's values through Arrow and sorts per group in Python;
+    ``tests/test_udaf.py`` pins the two bit-equal. This native plan
+    is the production path.
+    """
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.floor("l_quantity").cast("long").alias("w"),
+    )
+    hist = li.groupBy("l_returnflag", "cents").agg(F.sum("w").alias("wt"))
+    w = Window.partitionBy("l_returnflag").orderBy("cents")
+    wtot = Window.partitionBy("l_returnflag")
+    h = hist.withColumn("cum", F.sum("wt").over(w)).withColumn(
+        "total", F.sum("wt").over(wtot)
+    )
+    return (
+        h.groupBy("l_returnflag")
+        .agg(
+            F.max("total").alias("total_weight"),
+            F.min(
+                F.when(2 * F.col("cum") >= F.col("total"), F.col("cents"))
+            ).alias("wmedian_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+O140 = """
+WITH hist AS (
+  SELECT l_returnflag, CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+         SUM(CAST(floor(l_quantity) AS BIGINT)) AS wt
+  FROM lineitem GROUP BY 1, 2
+), h AS (
+  SELECT l_returnflag, cents, wt,
+         SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY cents) AS cum,
+         SUM(wt) OVER (PARTITION BY l_returnflag) AS total
+  FROM hist
+)
+SELECT l_returnflag, CAST(MAX(total) AS BIGINT) AS total_weight,
+       CAST(MIN(CASE WHEN 2 * cum >= total THEN cents END) AS BIGINT)
+         AS wmedian_cents
+FROM h GROUP BY 1 ORDER BY 1
+"""
+
+
 def q133_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: part pairs appearing together in
     >= 2 orders, mined WITHOUT self-joining the fact table.
@@ -2674,4 +2730,6 @@ QUERIES = [
           "interval-overlap join via hour-bucket binning (exact-once attribution)"),
     Query("q135_rfm_segments", q135_rfm_segments, O135,
           "RFM segmentation via broadcast quartile cuts (no global ntile sort)"),
+    Query("q140_weighted_median", q140_weighted_median, O140,
+          "exact weighted median via weighted histogram-rank (UDAF twin pinned)"),
 ]

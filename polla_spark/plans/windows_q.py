@@ -829,6 +829,79 @@ FROM contrib GROUP BY 1 ORDER BY 1
 """
 
 
+def q138_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the
+    user's most recent preceding click within 24 h; the campaign id
+    comes from the click's ``props`` JSON. Purchases with no
+    qualifying click fall into the ``(organic)`` bucket.
+
+    Scale shape: clicks and purchases stay in ONE stream — two
+    ``last(..., ignorenulls)`` windows (carried campaign + carried
+    click time) ride a single hash exchange on user_id with one sort;
+    the 24 h recency gate and the JSON extraction are within-row. The
+    naive formulation is a per-purchase correlated subquery or an
+    as-of join of purchases against clicks — both shuffle the event
+    stream twice; this shuffles it once. Unique (ts, event_id) sort
+    key keeps the carried values deterministic under ties.
+    """
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    is_click = F.col("event_type") == "click"
+    carried_k = F.last(
+        F.when(is_click, F.get_json_object("props", "$.k")), ignorenulls=True
+    ).over(w)
+    carried_ts = F.last(F.when(is_click, F.col("ts")), ignorenulls=True).over(w)
+    attributed = (
+        e.withColumn("k", carried_k)
+        .withColumn("click_ts", carried_ts)
+        .filter(F.col("event_type") == "purchase")
+        .withColumn(
+            "campaign",
+            F.when(
+                F.col("click_ts").isNotNull()
+                & (
+                    F.unix_micros("ts") - F.unix_micros("click_ts")
+                    <= F.lit(24 * 3600 * 1000000)
+                ),
+                F.col("k"),
+            ).otherwise(F.lit("(organic)")),
+        )
+    )
+    return (
+        attributed.groupBy("campaign")
+        .agg(F.count("*").alias("n_purchases"), F.sum(VQ()).alias("revenue_vq"))
+        .orderBy("campaign")
+    )
+
+
+O138 = """
+WITH carried AS (
+  SELECT event_type, ts, value,
+         LAST_VALUE(CASE WHEN event_type = 'click'
+                         THEN json_extract_string(props, '$.k') END IGNORE NULLS)
+           OVER w AS k,
+         LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+           OVER w AS click_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), attributed AS (
+  SELECT CASE WHEN click_ts IS NOT NULL
+              AND epoch_us(ts) - epoch_us(click_ts) <= CAST(24 AS BIGINT) * 3600 * 1000000
+              THEN k ELSE '(organic)' END AS campaign,
+         value
+  FROM carried WHERE event_type = 'purchase'
+)
+SELECT campaign, COUNT(*) AS n_purchases,
+       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS revenue_vq
+FROM attributed GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = [
     Query("q70_tumbling", q70_tumbling, O70, "tumbling window"),
     Query("q71_sliding", q71_sliding, O71, "sliding window"),
@@ -859,4 +932,6 @@ QUERIES = [
           "SCD Type-2 effective-dated history (one-exchange gaps-and-islands)"),
     Query("q132_rolling_active_users", q132_rolling_active_users, O132,
           "trailing 7-day distinct users (partial + bounded explode, no window)"),
+    Query("q138_last_touch_attribution", q138_last_touch_attribution, O138,
+          "last-touch 24h attribution (carried-click windows, one exchange)"),
 ]

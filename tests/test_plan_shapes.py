@@ -491,3 +491,38 @@ def test_q136_trigram_window_runs_on_census(spark):
     w = plan.index("Window")
     assert "HashAggregate" in plan[w:], plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q138_attribution_single_user_exchange(spark):
+    # both carried-click windows and the purchase filter must ride ONE
+    # hash exchange on user_id (plus the report-sized campaign agg) —
+    # never an as-of join shuffling the event stream twice
+    from polla_spark.plans.windows_q import q138_last_touch_attribution
+
+    plan = _plan(q138_last_touch_attribution(spark, SF))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+
+
+def test_q137_no_vector_rejoin(spark):
+    # scatter comes from the E||x-c||^2 identity over the census —
+    # vectors must never join back to centroids; every join in the
+    # plan runs on census/label-sized inputs (pos or label keys)
+    from polla_spark.plans.llmdata import q137_cluster_quality
+
+    plan = _plan(q137_cluster_quality(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    # the census is persisted and REUSED: every consumer reads the
+    # cache (one data-sized pass), never re-explodes the vectors
+    assert "InMemoryTableScan" in plan, plan
+
+
+def test_q140_weighted_median_window_on_histogram(spark):
+    # the cumulative-weight window must run over the (segment, cents)
+    # HISTOGRAM (above the partial agg), never over raw lineitem rows
+    from polla_spark.plans.relational import q140_weighted_median
+
+    plan = _plan(q140_weighted_median(spark, SF))
+    w = plan.index("Window")
+    assert "HashAggregate" in plan[w:], plan
+    assert "HashAggregate" in plan[:w], plan

@@ -2454,6 +2454,150 @@ FROM h GROUP BY 1 ORDER BY 1
 """
 
 
+def q141_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with Welch's t statistic — assignment by
+    deterministic user-id hash bucket, metric = per-user purchase
+    revenue (users with no purchase count as 0, the correct
+    intent-to-treat denominator).
+
+    Exactness: per-variant n/Σx/Σx² are integer cents aggregates;
+    mean, lift and the t statistic use the algebraic forms
+    ``var = (n·Σx² − (Σx)²) / (n·(n−1))`` so every intermediate stays
+    an exact integer until a handful of final double divisions — no
+    accumulation-order drift between engines.
+
+    Scale shape: one exchange to the user grain (mergeable partial
+    agg), then ONE conditional aggregation emits the whole variant
+    census as a single row — no per-variant filter-split (which would
+    re-aggregate the user grain per branch) and no join. This is the experimentation-platform kernel: at 100 TB
+    the same plan reads the fact once regardless of experiment count
+    (conditional aggregation fans metrics per experiment).
+    """
+    e = t(spark, sf_dir, "events")
+    vq = F.floor(F.col("value") * 100).cast("long")
+    user = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", vq).otherwise(F.lit(0))
+        ).alias("cents")
+    )
+    is_a = F.col("user_id") % 2 == 0
+    # one conditional aggregation emits the full 2-variant census as a
+    # single row — no filter-split (which would re-aggregate the user
+    # grain per branch) and no join to reassemble it
+    j = user.agg(
+        F.count(F.when(is_a, 1)).alias("na"),
+        F.sum(F.when(is_a, F.col("cents")).otherwise(0)).alias("sa"),
+        F.sum(F.when(is_a, F.col("cents") * F.col("cents")).otherwise(0)).alias("ssa"),
+        F.count(F.when(~is_a, 1)).alias("nb"),
+        F.sum(F.when(~is_a, F.col("cents")).otherwise(0)).alias("sb"),
+        F.sum(F.when(~is_a, F.col("cents") * F.col("cents")).otherwise(0)).alias("ssb"),
+    )
+    mean_a = F.col("sa").cast("double") / F.col("na")
+    mean_b = F.col("sb").cast("double") / F.col("nb")
+    var_a = (
+        F.col("na").cast("double") * F.col("ssa") - F.col("sa").cast("double") * F.col("sa")
+    ) / (F.col("na").cast("double") * (F.col("na") - F.lit(1)))
+    var_b = (
+        F.col("nb").cast("double") * F.col("ssb") - F.col("sb").cast("double") * F.col("sb")
+    ) / (F.col("nb").cast("double") * (F.col("nb") - F.lit(1)))
+    tstat = (mean_b - mean_a) / F.sqrt(var_a / F.col("na") + var_b / F.col("nb"))
+    return j.select(
+        "na", "nb",
+        F.round(mean_a, 4).alias("mean_a"),
+        F.round(mean_b, 4).alias("mean_b"),
+        F.round((mean_b - mean_a) / mean_a, 6).alias("lift"),
+        F.round(tstat, 6).alias("t_stat"),
+    )
+
+
+O141 = """
+WITH user_rev AS (
+  SELECT user_id,
+         SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS cents
+  FROM events GROUP BY 1
+), j AS (
+  SELECT COUNT(CASE WHEN user_id % 2 = 0 THEN 1 END) AS na,
+         SUM(CASE WHEN user_id % 2 = 0 THEN cents ELSE 0 END) AS sa,
+         SUM(CASE WHEN user_id % 2 = 0 THEN cents * cents ELSE 0 END) AS ssa,
+         COUNT(CASE WHEN user_id % 2 != 0 THEN 1 END) AS nb,
+         SUM(CASE WHEN user_id % 2 != 0 THEN cents ELSE 0 END) AS sb,
+         SUM(CASE WHEN user_id % 2 != 0 THEN cents * cents ELSE 0 END) AS ssb
+  FROM user_rev
+)
+SELECT na, nb,
+       ROUND(CAST(sa AS DOUBLE) / na, 4) AS mean_a,
+       ROUND(CAST(sb AS DOUBLE) / nb, 4) AS mean_b,
+       ROUND((CAST(sb AS DOUBLE) / nb - CAST(sa AS DOUBLE) / na)
+             / (CAST(sa AS DOUBLE) / na), 6) AS lift,
+       ROUND((CAST(sb AS DOUBLE) / nb - CAST(sa AS DOUBLE) / na)
+             / sqrt((CAST(na AS DOUBLE) * ssa - CAST(sa AS DOUBLE) * sa)
+                      / (CAST(na AS DOUBLE) * (na - 1)) / na
+                    + (CAST(nb AS DOUBLE) * ssb - CAST(sb AS DOUBLE) * sb)
+                      / (CAST(nb AS DOUBLE) * (nb - 1)) / nb), 6) AS t_stat
+FROM j
+"""
+
+
+def q142_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / ``IS NOT DISTINCT FROM``) — the
+    join-semantics corner a plain ``=`` silently drops: the NULL
+    bucket on both sides must MATCH, not vanish.
+
+    Shape: click counts and purchase revenue are aggregated per
+    nullable campaign key (NULL = the event carries no campaign);
+    joining the two reports null-safely keeps the (none) bucket as a
+    first-class row. Spark plans ``<=>`` as a normal hash join
+    (null-safe keys still hash) — same shuffle shape as ``=``, pinned
+    in test_plan_shapes.
+    """
+    e = t(spark, sf_dir, "events")
+    vq = F.floor(F.col("value") * 100).cast("long")
+    k = F.get_json_object("props", "$.k")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select(F.when(F.col("user_id") % 7 != 0, k).alias("camp"))
+        .groupBy("camp")
+        .agg(F.count("*").alias("n_clicks"))
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(F.when(F.col("user_id") % 7 != 0, k).alias("camp"), vq.alias("vq"))
+        .groupBy("camp")
+        .agg(F.count("*").alias("n_purchases"), F.sum("vq").alias("revenue_vq"))
+    )
+    joined = clicks.join(
+        purchases, clicks["camp"].eqNullSafe(purchases["camp"]), "inner"
+    )
+    return (
+        joined.select(
+            F.coalesce(clicks["camp"], F.lit("(none)")).alias("campaign"),
+            "n_clicks", "n_purchases", "revenue_vq",
+        )
+        .orderBy("campaign")
+    )
+
+
+O142 = """
+WITH clicks AS (
+  SELECT CASE WHEN user_id % 7 != 0
+              THEN json_extract_string(props, '$.k') END AS camp,
+         COUNT(*) AS n_clicks
+  FROM events WHERE event_type = 'click' GROUP BY 1
+), purchases AS (
+  SELECT CASE WHEN user_id % 7 != 0
+              THEN json_extract_string(props, '$.k') END AS camp,
+         COUNT(*) AS n_purchases,
+         SUM(CAST(floor(value * 100) AS BIGINT)) AS revenue_vq
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT COALESCE(c.camp, '(none)') AS campaign, c.n_clicks,
+       p.n_purchases, CAST(p.revenue_vq AS BIGINT) AS revenue_vq
+FROM clicks c JOIN purchases p ON c.camp IS NOT DISTINCT FROM p.camp
+ORDER BY campaign
+"""
+
+
 def q133_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: part pairs appearing together in
     >= 2 orders, mined WITHOUT self-joining the fact table.
@@ -2732,4 +2876,8 @@ QUERIES = [
           "RFM segmentation via broadcast quartile cuts (no global ntile sort)"),
     Query("q140_weighted_median", q140_weighted_median, O140,
           "exact weighted median via weighted histogram-rank (UDAF twin pinned)"),
+    Query("q141_ab_test", q141_ab_test, O141,
+          "A/B readout with Welch's t (exact integer sums, 2-row census)"),
+    Query("q142_null_safe_join", q142_null_safe_join, O142,
+          "null-safe equi-join (<=> / IS NOT DISTINCT FROM semantics)"),
 ]

@@ -526,3 +526,24 @@ def test_q140_weighted_median_window_on_histogram(spark):
     w = plan.index("Window")
     assert "HashAggregate" in plan[w:], plan
     assert "HashAggregate" in plan[:w], plan
+
+
+def test_q141_ab_one_user_exchange_then_census(spark):
+    # intent-to-treat readout: one mergeable exchange to the user
+    # grain; the variant census and the Welch algebra run on 2 rows
+    from polla_spark.plans.relational import q141_ab_test
+
+    plan = _plan(q141_ab_test(spark, SF))
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+
+
+def test_q142_null_safe_join_still_hashes(spark):
+    # <=> keys still hash: the null-safe join must plan as a hash join
+    # (broadcast or shuffled), never degrade to nested-loop
+    from polla_spark.plans.relational import q142_null_safe_join
+
+    plan = _plan(q142_null_safe_join(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "HashJoin" in plan, plan

@@ -498,6 +498,91 @@ def finish_rolling_active(partials: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Last-touch attribution (streaming twin of plans/windows_q.q138)
+# ---------------------------------------------------------------------------
+
+ATTRIBUTION_SCHEMA = "user_id long, campaign string, vq long"
+_ATTR_STATE_SCHEMA = "click_us long, camp string"
+
+
+def attribution_stream(events: DataFrame,
+                       watermark: str = DEFAULT_WATERMARK,
+                       recency_hours: int = 24) -> DataFrame:
+    """Streaming last-touch attribution (q138's twin) — a JOIN-LIKE
+    enrichment with bounded state, not an aggregation: per user the
+    state is ONLY the most recent click (microsecond timestamp +
+    campaign id, one fixed-size row). Each micro-batch emits one
+    attributed row per purchase; the stored click stitches
+    attribution across batch cuts, so a purchase in batch N+1 still
+    credits its click from batch N. Equivalence contract (pinned in
+    tests/test_stateful.py): on ts-ordered arrival,
+    :func:`finish_attribution` over the emitted rows == batch q138.
+    """
+    import math
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    recency_us = recency_hours * 3600 * 1000000
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        click_us, camp = state.get if state.exists else (None, None)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        out_camp: list = []
+        out_vq: list = []
+        for r in rows.itertuples():
+            ts_us = r.ts.value // 1000
+            if r.event_type == "click":
+                click_us, camp = ts_us, r.k
+            elif r.event_type == "purchase":
+                if click_us is not None and ts_us - click_us <= recency_us:
+                    out_camp.append(camp)
+                else:
+                    out_camp.append("(organic)")
+                out_vq.append(int(math.floor(r.value * 100)))
+        if click_us is not None:
+            state.update((click_us, camp))
+        if out_vq:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out_vq),
+                    "campaign": out_camp,
+                    "vq": out_vq,
+                }
+            )
+
+    # campaign extraction stays JVM-side (get_json_object) so the
+    # Python state fn only sees narrow typed columns
+    pre = events.select(
+        "ts", "event_id", "user_id", "event_type", "value",
+        F.get_json_object("props", "$.k").alias("k"),
+    )
+    return (
+        pre.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            ATTRIBUTION_SCHEMA,
+            _ATTR_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def finish_attribution(attributed: DataFrame) -> DataFrame:
+    """Batch finisher over :func:`attribution_stream` output: the
+    campaign census — emits exactly the q138 report shape."""
+    return (
+        attributed.groupBy("campaign")
+        .agg(F.count("*").alias("n_purchases"), F.sum("vq").alias("revenue_vq"))
+        .orderBy("campaign")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Transition-matrix deltas (streaming twin of plans/windows_q.q114)
 # ---------------------------------------------------------------------------
 

@@ -359,3 +359,54 @@ def test_transition_stream_equals_q114(spark, funnel_stream_dir):
     got = [tuple(r) for r in finish_transitions(deltas).collect()]
     want = [tuple(r) for r in q114_transition_matrix(spark, SF_DIR).collect()]
     assert got == want
+
+
+@pytest.fixture(scope="module")
+def attribution_stream_dir(spark, tmp_path_factory):
+    """Events (incl. props/value) split into three time-ordered files
+    so the carried-click state stitches attribution across batches."""
+    from polla_spark.session import read_table
+
+    d = tmp_path_factory.mktemp("attribution_stream")
+    ev = (
+        read_table(spark, SF_DIR, "events")
+        .select("ts", "event_id", "user_id", "event_type", "value", "props")
+        .orderBy("ts", "event_id")
+    )
+    rows = ev.collect()
+    third = len(rows) // 3
+    chunks = (rows[:third], rows[third : 2 * third], rows[2 * third :])
+    for i, chunk in enumerate(chunks):
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.parquet(
+            str(d / f"part{i}")
+        )
+    return d, ev.schema
+
+
+def test_attribution_stream_equals_q138(spark, attribution_stream_dir):
+    """Streaming carried-click attribution == batch q138 report —
+    purchases whose qualifying click arrived in an EARLIER micro-batch
+    must still credit it (the stored state stitches the cut)."""
+    from polla_spark.plans.windows_q import q138_last_touch_attribution
+    from polla_spark.streaming.windows import attribution_stream, finish_attribution
+
+    d, schema = attribution_stream_dir
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*/")
+    )
+    q = (
+        attribution_stream(stream)
+        .writeStream.format("memory")
+        .queryName("attributed_purchases")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    attributed = spark.table("attributed_purchases")
+    got = [tuple(r) for r in finish_attribution(attributed).collect()]
+    want = [tuple(r) for r in q138_last_touch_attribution(spark, SF_DIR).collect()]
+    assert got == want
+    assert len(got) > 1  # multiple campaigns + the (organic) bucket

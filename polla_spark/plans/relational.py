@@ -2598,6 +2598,59 @@ ORDER BY campaign
 """
 
 
+def q143_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (BOM-style) rollup: every part's retail value
+    contributes to ALL of its ancestors in a decimal-digit hierarchy
+    (parent(p) = p div 10, root 0) — the recursive-CTE workload class.
+
+    Spark has no recursive CTE; when the parent function is
+    COMPUTABLE (path-enumerable keys: file paths, taxonomy codes,
+    decimal hierarchies), the transitive closure needs neither
+    recursion nor iteration: each row enumerates its own ancestor
+    chain WITHIN-ROW (depth-bounded transform + explode) and one
+    shuffle on the ancestor key finishes the rollup. The oracle runs
+    the genuine ``WITH RECURSIVE`` walk — proving the closed form
+    computes recursive semantics exactly. At 100 TB the explode
+    factor is the hierarchy depth (log_10 of the key space), and the
+    one exchange carries (ancestor, cents) pairs only. For hierarchies
+    with non-computable parents, the fallback is q67's iterative
+    pattern (k keyed self-joins + localCheckpoint).
+    """
+    p = t(spark, sf_dir, "part")
+    # the root part (key 0) is its own parent — the recursive base row
+    # still attributes it to ancestor 0, so keep a == p for p = 0 only
+    ancestors = F.expr(
+        "array_distinct(filter("
+        "  transform(sequence(1, 6), k -> p_partkey div cast(pow(10, k) as bigint)),"
+        "  a -> a < p_partkey or p_partkey = 0))"
+    )
+    return (
+        p.select(
+            F.explode(ancestors).alias("ancestor"),
+            F.floor(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("ancestor")
+        .agg(F.count("*").alias("n_descendants"), F.sum("cents").alias("total_cents"))
+        .orderBy(F.desc("total_cents"), "ancestor")
+        .limit(25)
+    )
+
+
+O143 = """
+WITH RECURSIVE anc AS (
+  SELECT p_partkey // 10 AS ancestor,
+         CAST(floor(p_retailprice * 100) AS BIGINT) AS cents
+  FROM part
+  UNION ALL
+  SELECT ancestor // 10, cents FROM anc WHERE ancestor > 0
+)
+SELECT ancestor, COUNT(*) AS n_descendants,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM anc GROUP BY 1
+ORDER BY total_cents DESC, ancestor LIMIT 25
+"""
+
+
 def q133_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: part pairs appearing together in
     >= 2 orders, mined WITHOUT self-joining the fact table.
@@ -2880,4 +2933,6 @@ QUERIES = [
           "A/B readout with Welch's t (exact integer sums, 2-row census)"),
     Query("q142_null_safe_join", q142_null_safe_join, O142,
           "null-safe equi-join (<=> / IS NOT DISTINCT FROM semantics)"),
+    Query("q143_hierarchy_rollup", q143_hierarchy_rollup, O143,
+          "recursive-CTE rollup via within-row ancestor enumeration"),
 ]

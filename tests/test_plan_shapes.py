@@ -547,3 +547,15 @@ def test_q142_null_safe_join_still_hashes(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "HashJoin" in plan, plan
+
+
+def test_q143_hierarchy_no_join_no_iteration(spark):
+    # recursive-CTE semantics from a WITHIN-ROW ancestor enumeration:
+    # no join, no iteration — one explode, one ancestor-keyed agg,
+    # TakeOrdered top-25
+    from polla_spark.plans.relational import q143_hierarchy_rollup
+
+    plan = _plan(q143_hierarchy_rollup(spark, SF))
+    assert "Join" not in plan, plan
+    assert "Generate explode" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan

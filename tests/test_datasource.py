@@ -90,3 +90,37 @@ def test_strict_mode_raises(spark):
     )
     with pytest.raises(Exception):
         df.collect()
+
+
+def test_stream_reader_polls_sources(spark):
+    """readStream.format('pozos'): each micro-batch is one poll of the
+    requested sources; maxpolls bounds the offset so the stream
+    catches up and the poll census is exact."""
+    df = (
+        spark.readStream.format("pozos")
+        .option("sources", "openloto")
+        .option("url.openloto", str(FIXTURES / "openloto" / "page.html"))
+        .option("maxpolls", "3")
+        .load()
+    )
+    import time
+
+    q = (
+        df.writeStream.format("memory")
+        .queryName("pozos_polls")
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    # Python stream sources don't support Trigger.AvailableNow (Spark
+    # falls back to one batch) — run continuously until the maxpolls
+    # bound stops the offset, then stop the query
+    deadline = time.time() + 120
+    while time.time() < deadline and spark.table("pozos_polls").count() < 3:
+        time.sleep(0.5)
+    q.stop()
+    rows = spark.table("pozos_polls").collect()
+    assert len(rows) == 3  # 3 polls x 1 source
+    assert {r["source_name"] for r in rows} == {"openloto"}
+    assert all(r["montos"]["Loto Clásico"] == 690_000_000 for r in rows)
+    assert all(r["error"] is None for r in rows)

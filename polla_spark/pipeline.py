@@ -282,6 +282,7 @@ def run_pipeline_bulk(
     state_df=None,
     mismatch_threshold: float = 0.25,
     force_publish: bool = False,
+    log_path: str | Path | None = None,
 ):
     """Bulk mode: N runs (distinct ``run_id``s in ``payloads_df``, a
     SOURCE_PAYLOAD frame) through consensus -> delta -> decide in ONE
@@ -335,5 +336,29 @@ def run_pipeline_bulk(
         "max_deviation",
         "unchanged",
     )
-    decisions.write.mode("overwrite").json(str(out / "decisions"))
+    # Spark-native observability (the reference's A11 counters,
+    # obs.py:94-107, lifted to the executors): the metrics ride the
+    # decisions WRITE job itself — no second pass, no collect of data
+    # rows, valid at any run count.
+    from pyspark.sql import Observation
+
+    observation = Observation("bulk_decisions")
+    observed = decisions.observe(
+        observation,
+        F.count(F.lit(1)).alias("n_runs"),
+        F.sum(F.when(F.col("publish"), 1).otherwise(0)).alias("n_published"),
+        F.sum(
+            F.when(F.col("status") == "quarantine", 1).otherwise(0)
+        ).alias("n_quarantined"),
+        F.sum(F.when(F.col("status") == "skip", 1).otherwise(0)).alias("n_skipped"),
+    )
+    observed.write.mode("overwrite").json(str(out / "decisions"))
+    metrics = {k: int(v) for k, v in observation.get.items()}
+    if log_path is not None:
+        from .obs import JsonLogStream
+
+        JsonLogStream(log_path).metric(
+            "pipeline_bulk_run", value=metrics["n_runs"], tags=metrics
+        )
+    decisions.bulk_metrics = metrics  # observed counts for the caller
     return decisions

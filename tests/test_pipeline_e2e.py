@@ -288,6 +288,11 @@ def test_bulk_multi_run_pipeline(spark, tmp_path):
     assert set(norm.columns) >= {"run_id", "pozos_proximo", "provenance", "confidence"}
     mism = spark.read.json(str(tmp_path / "bulk" / "mismatches"))
     assert mism.filter(mism.run_id == "r2").count() == 1
+
+    # observed metrics rode the decisions write job (no extra pass)
+    assert decisions.bulk_metrics == {
+        "n_runs": 3, "n_published": 2, "n_quarantined": 1, "n_skipped": 0,
+    }
     dec = spark.read.json(str(tmp_path / "bulk" / "decisions"))
     assert dec.count() == 3
 

@@ -165,6 +165,7 @@ def _run_bulk(bulk_path: str, output_dir: str, expected_sources: int,
             "mode": "bulk",
             "runs": int(sum(census.values())),
             "by_status": census,
+            "metrics": decisions.bulk_metrics,
             "output_dir": output_dir,
         },
         ensure_ascii=False,

@@ -76,3 +76,19 @@ def test_driver_contract_exposes_registry():
     reg = registry()
     assert set(qs) == set(reg)
     assert set(oracles) == {n for n, q in reg.items() if q.oracle is not None}
+
+
+def test_q38_sketch_tracks_exact_within_rsd(spark):
+    """q38 is rows-only by design (sketch values are implementation-
+    defined, so no cross-engine hash) — but the estimate must still
+    TRACK the exact count it ships alongside: HLL++ at rsd=0.01 is
+    deterministic for a fixed input multiset, so a loose 5% bound is a
+    stable regression gate, not a flaky probabilistic one."""
+    from polla_spark.plans.relational import q38_approx_count_distinct
+
+    rows = q38_approx_count_distinct(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) >= 2
+    for r in rows:
+        exact, approx = r["exact_custs"], r["approx_custs"]
+        assert exact > 0
+        assert abs(approx - exact) / exact <= 0.05, (r["o_orderstatus"], approx, exact)

@@ -86,6 +86,10 @@ HEADLINE = [
     "q120_ticket_weighted_sample",
     "q121_bucketed_join",
     "q124_path_trigrams",
+    "q91_cluster_representative",
+    "q97_incremental_dedup",
+    "q127_prefix_filter_join",
+    "q128_sorted_neighborhood",
 ]
 
 

@@ -175,6 +175,21 @@ def dedupe_stream(events: DataFrame, keys: list[str],
     return events.withWatermark("ts", watermark).dropDuplicates(keys)
 
 
+def dedupe_stream_within_watermark(events: DataFrame, keys: list[str],
+                                   watermark: str = DEFAULT_WATERMARK
+                                   ) -> DataFrame:
+    """Watermark-EVICTABLE dedupe (``dropDuplicatesWithinWatermark``):
+    unlike :func:`dedupe_stream` — whose state grows forever when the
+    dedup keys exclude the event-time column — this evicts each key's
+    state once the watermark passes its event time, guaranteeing
+    bounded state on unbounded streams. Contract difference: a
+    duplicate arriving AFTER its key's watermark horizon re-emits
+    (at-least-once dedup within the horizon), which is the standard
+    trade for bounded state; within one horizon the output equals
+    batch first-seen (pinned in test_streaming)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def ohlc_bars(events: DataFrame, width: str = "1 day",
               watermark: str = DEFAULT_WATERMARK) -> DataFrame:
     """Streaming OHLC candlestick bars (twin of q116_ohlc_bars):

@@ -92,3 +92,20 @@ def test_q38_sketch_tracks_exact_within_rsd(spark):
         exact, approx = r["exact_custs"], r["approx_custs"]
         assert exact > 0
         assert abs(approx - exact) / exact <= 0.05, (r["o_orderstatus"], approx, exact)
+
+
+def test_approx_percentile_tracks_exact(spark):
+    """q47 names approx_percentile (KLL sketch) as its 100 TB twin;
+    gate the sketch against the exact interpolated percentile it
+    replaces: at accuracy=10000 the rank error is <= 1/10000, and the
+    sketch is deterministic for a fixed input, so a 2% value bound is
+    a stable regression gate."""
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    row = o.agg(
+        F.expr("approx_percentile(o_totalprice, array(0.5, 0.9), 10000)").alias("a"),
+        F.expr("percentile(o_totalprice, array(0.5, 0.9))").alias("e"),
+    ).collect()[0]
+    for approx, exact in zip(row["a"], row["e"]):
+        assert abs(approx - exact) / exact <= 0.02, (approx, exact)

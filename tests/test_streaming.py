@@ -371,3 +371,26 @@ def test_publish_gate_across_microbatches(spark, tmp_path):
     assert published == [("r1", "publish"), ("r3", "publish")]
     assert quarantined == []
     assert len(state_rows) == 2  # r1 and r3 advanced the state; r2 skipped
+
+
+def test_dedupe_within_watermark_equals_first_seen(spark, stream_events, batch_events):
+    """dropDuplicatesWithinWatermark: state is EVICTABLE (bounded on
+    unbounded streams, unlike plain dropDuplicates when keys exclude
+    event time); within one watermark horizon — which covers the whole
+    finite fixture — the output must equal batch first-seen exactly."""
+    from pyspark.sql import Window
+
+    stream_out = SW.run_to_memory(
+        SW.dedupe_stream_within_watermark(
+            stream_events, ["user_id", "event_type"], watermark="30 days"
+        ),
+        "t_dedupe_within_wm",
+        "append",
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    want = (
+        batch_events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    keys = ["user_id", "event_type", "event_id"]
+    assert _rows(stream_out, keys) == _rows(want, keys)

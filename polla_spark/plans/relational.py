@@ -2651,6 +2651,68 @@ ORDER BY total_cents DESC, ancestor LIMIT 25
 """
 
 
+def q144_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline): parts not strictly dominated on
+    BOTH axes (size, price) — the multi-objective shortlist query.
+
+    The textbook formulation is a ``NOT EXISTS`` dominance self-join —
+    O(n²) candidate pairs and a nested-loop plan. The dominance test
+    itself collapses to a range-frame window: dominated iff
+    ``max(price) OVER (ORDER BY size RANGE BETWEEN 1 FOLLOWING AND
+    UNBOUNDED FOLLOWING) > price`` (value-based frame, so size TIES
+    are correctly excluded). Run unpartitioned that window is a
+    SinglePartition sort of the whole table — so this plan exploits
+    skyline DECOMPOSABILITY (frontier(A ∪ B) = frontier(frontier(A) ∪
+    frontier(B))): a bucket-partitioned local frontier prunes ~all
+    rows in parallel, and the exact global pass runs the same window
+    over the tiny survivor set only. The oracle runs the genuine
+    NOT EXISTS — proving both levels together compute skyline
+    semantics exactly.
+    """
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey", "p_size",
+        F.floor(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+    )
+
+    def frontier(df: DataFrame, *partition) -> DataFrame:
+        w = (
+            Window.partitionBy(*partition)
+            .orderBy("p_size")
+            .rangeBetween(1, Window.unboundedFollowing)
+            if partition
+            else Window.orderBy("p_size").rangeBetween(
+                1, Window.unboundedFollowing
+            )
+        )
+        m = F.max("cents").over(w)
+        return df.withColumn("_m", m).filter(
+            F.col("_m").isNull() | (F.col("_m") <= F.col("cents"))
+        ).drop("_m")
+
+    local = frontier(
+        p.withColumn("bucket", F.pmod(F.hash("p_partkey"), F.lit(64))), "bucket"
+    ).drop("bucket")
+    return (
+        frontier(local)
+        .select("p_partkey", "p_size", "cents")
+        .orderBy("p_size", "p_partkey")
+    )
+
+
+O144 = """
+WITH p AS (
+  SELECT p_partkey, p_size, CAST(floor(p_retailprice * 100) AS BIGINT) AS cents
+  FROM part
+)
+SELECT p_partkey, p_size, cents
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b WHERE b.p_size > a.p_size AND b.cents > a.cents
+)
+ORDER BY p_size, p_partkey
+"""
+
+
 def q133_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: part pairs appearing together in
     >= 2 orders, mined WITHOUT self-joining the fact table.
@@ -2935,4 +2997,6 @@ QUERIES = [
           "null-safe equi-join (<=> / IS NOT DISTINCT FROM semantics)"),
     Query("q143_hierarchy_rollup", q143_hierarchy_rollup, O143,
           "recursive-CTE rollup via within-row ancestor enumeration"),
+    Query("q144_pareto_frontier", q144_pareto_frontier, O144,
+          "Pareto skyline via range-frame window (vs NOT EXISTS oracle)"),
 ]

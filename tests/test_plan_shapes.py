@@ -559,3 +559,18 @@ def test_q143_hierarchy_no_join_no_iteration(spark):
     assert "Join" not in plan, plan
     assert "Generate explode" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q144_skyline_single_partition_only_on_survivors(spark):
+    # the global frontier window is SinglePartition by nature — it must
+    # run ABOVE the bucket-partitioned local frontier (which prunes in
+    # parallel), never over the raw table
+    from polla_spark.plans.relational import q144_pareto_frontier
+
+    plan = _plan(q144_pareto_frontier(spark, SF))
+    assert plan.count("Window") == 2, plan
+    first = plan.index("Window")
+    # the top (printed first) window is the global one; the bucket
+    # exchange + local window sit BELOW it in the plan tree
+    assert "Exchange hashpartitioning(bucket" in plan[first:], plan
+    assert "Join" not in plan, plan

@@ -902,6 +902,82 @@ FROM attributed GROUP BY 1 ORDER BY 1
 """
 
 
+def q145_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: each purchase looks up the
+    dimension value that was CURRENT at its timestamp — the
+    fact-to-SCD2 lookup every warehouse does (q126 BUILDS the
+    effective-dated history; this consumes one). The dimension here
+    is each user's last non-purchase activity type, effective-dated
+    by gaps-and-islands.
+
+    Scale shape: the validity windows partition time per user (no
+    overlaps, valid_to = next valid_from), so the temporal join is an
+    EQUI-join on user_id with the BETWEEN predicate as a residual
+    filter — at most one history row survives per fact, no range-join
+    explosion, and both sides shuffle once on the same key. Purchases
+    before any activity keep a ``(none)`` status via left join —
+    never silently dropped.
+    """
+    e = t(spark, sf_dir, "events")
+    dims = e.filter(F.col("event_type") != "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    starts = (
+        dims.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .withColumn("valid_to", F.lead("ts").over(w))
+        .select(
+            "user_id",
+            F.col("event_type").alias("status"),
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+        )
+    )
+    facts = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), VQ().alias("vq")
+    )
+    j = facts.join(
+        starts,
+        (facts["user_id"] == starts["user_id"])
+        & (F.col("pts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("pts") < F.col("valid_to"))),
+        "left_outer",
+    )
+    return (
+        j.groupBy(F.coalesce("status", F.lit("(none)")).alias("status"))
+        .agg(F.count("*").alias("n_purchases"), F.sum("vq").alias("revenue_vq"))
+        .orderBy("status")
+    )
+
+
+O145 = """
+WITH dims AS (
+  SELECT * FROM events WHERE event_type != 'purchase'
+), starts AS (
+  SELECT user_id, event_type AS status, ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM (
+    SELECT user_id, event_type, ts, event_id,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_type
+    FROM dims
+  )
+  WHERE prev_type IS NULL OR prev_type != event_type
+), facts AS (
+  SELECT user_id, ts AS pts, CAST(floor(value * 100) AS BIGINT) AS vq
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT COALESCE(s.status, '(none)') AS status,
+       COUNT(*) AS n_purchases, CAST(SUM(f.vq) AS BIGINT) AS revenue_vq
+FROM facts f LEFT JOIN starts s
+  ON f.user_id = s.user_id AND f.pts >= s.valid_from
+ AND (s.valid_to IS NULL OR f.pts < s.valid_to)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = [
     Query("q70_tumbling", q70_tumbling, O70, "tumbling window"),
     Query("q71_sliding", q71_sliding, O71, "sliding window"),
@@ -934,4 +1010,6 @@ QUERIES = [
           "trailing 7-day distinct users (partial + bounded explode, no window)"),
     Query("q138_last_touch_attribution", q138_last_touch_attribution, O138,
           "last-touch 24h attribution (carried-click windows, one exchange)"),
+    Query("q145_point_in_time_join", q145_point_in_time_join, O145,
+          "point-in-time fact-to-SCD2 lookup (equi-join + residual validity)"),
 ]

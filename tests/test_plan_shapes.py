@@ -574,3 +574,15 @@ def test_q144_skyline_single_partition_only_on_survivors(spark):
     # exchange + local window sit BELOW it in the plan tree
     assert "Exchange hashpartitioning(bucket" in plan[first:], plan
     assert "Join" not in plan, plan
+
+
+def test_q145_temporal_join_is_equi_keyed(spark):
+    # the fact-to-SCD2 lookup must plan as an equi-join on user_id with
+    # the validity BETWEEN as residual condition — never a pure range
+    # (nested-loop) join
+    from polla_spark.plans.windows_q import q145_point_in_time_join
+
+    plan = _plan(q145_point_in_time_join(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Join" in plan, plan

@@ -2490,15 +2490,12 @@ def q127_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sh", F.array_distinct(F.expr(_shingles_expr())))
         .select("doc_id", "sh")
     ).persist()
-    toks = d.select("doc_id", F.explode("sh").alias("shingle"))
+    # ntok is just the array size — carried from the row, NOT a second
+    # count-window over the exploded shingle stream
+    toks = d.select("doc_id", F.size("sh").alias("ntok"), F.explode("sh").alias("shingle"))
     df = toks.groupBy("shingle").agg(F.count("*").alias("df"))
     wdoc = Window.partitionBy("doc_id").orderBy("df", "shingle")
-    wcnt = Window.partitionBy("doc_id")
-    ranked = (
-        toks.join(df, "shingle")
-        .withColumn("rn", F.row_number().over(wdoc))
-        .withColumn("ntok", F.count("*").over(wcnt))
-    )
+    ranked = toks.join(df, "shingle").withColumn("rn", F.row_number().over(wdoc))
     pref = ranked.filter(
         F.col("rn") <= F.col("ntok") - F.expr("(4 * ntok + 4) div 5") + 1
     ).select("doc_id", "shingle")

@@ -61,7 +61,14 @@ def _norm(v) -> str:
 def main() -> int:
     subs = sys.argv[1:]
     reg = registry()
-    names = [n for n in reg if not subs or any(s in n for s in subs)]
+    if subs == ["--uncertified"]:
+        # exactly the tier the driver's budgeted sweep certifies next
+        from polla_spark.plans import _driver_certified
+
+        cert = _driver_certified()
+        names = [n for n in reg if n not in cert]
+    else:
+        names = [n for n in reg if not subs or any(s in n for s in subs)]
     spark = get_spark("parity", cpus=8)
     con = duck_con()
     n_pass = n_fail = n_rows_only = 0

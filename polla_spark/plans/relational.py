@@ -2713,6 +2713,121 @@ ORDER BY p_size, p_partkey
 """
 
 
+def q146_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two power iterations of PageRank (d = 0.85) over the part
+    co-purchase graph — the iterative-graph-algorithm workload class,
+    declared as an oracle-checkable query by UNROLLING a bounded
+    iteration count (the open-ended production loop is
+    ``operators/graph.py``'s pattern: iterate + localCheckpoint +
+    1-row convergence scalar).
+
+    Exactness: ranks are scaled integers (SCALE = 1e12). Each edge
+    contribution is ``(rank * weight) div out_weight`` and the
+    damping is ``(17 * inflow) div 20`` — ALL floor divisions on
+    BIGINTs, so every iteration is bit-identical in both engines
+    regardless of summation order; no float ever appears.
+
+    Scale shape per iteration: one keyed join (ranks onto edges — at
+    100 TB both sides pre-partitioned on the node key so the join
+    reuses one partitioning across rounds) + one partial-agged
+    inflow shuffle. The co-purchase edges come from q133's
+    within-row pair expansion — the fact never self-joins.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) -> "
+                    "transform(slice(parts, i + 2, size(parts)), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.a", "pr.b")
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("w"))
+    )
+    # undirected: both directions; persisted — edges feed both
+    # iterations and the out-weight census
+    edges = pairs.union(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+    ).persist()
+    wout = edges.groupBy("a").agg(F.sum("w").alias("wout"))
+    nodes = edges.select(F.col("a").alias("node")).distinct()
+    n_tot = nodes.agg(F.count("*").alias("n"))
+    r = nodes.crossJoin(F.broadcast(n_tot)).select(
+        "node", "n", F.expr("1000000000000L div n").alias("rank")
+    )
+
+    def step(r: DataFrame) -> DataFrame:
+        contrib = (
+            edges.join(r.withColumnRenamed("node", "a"), "a")
+            .join(wout, "a")
+            .select(
+                F.col("b").alias("node"),
+                "n",
+                F.expr("(rank * w) div wout").alias("c"),
+            )
+        )
+        inflow = contrib.groupBy("node", "n").agg(F.sum("c").alias("inflow"))
+        return inflow.select(
+            "node", "n",
+            F.expr(
+                "(3000000000000L div (20 * n)) + ((17 * inflow) div 20)"
+            ).alias("rank"),
+        )
+
+    r2 = step(step(r))
+    return (
+        r2.select("node", "rank")
+        .orderBy(F.desc("rank"), "node")
+        .limit(20)
+    )
+
+
+O146 = """
+WITH lp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*) AS w
+  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+), edges AS (
+  SELECT a, b, w FROM pairs UNION ALL SELECT b AS a, a AS b, w FROM pairs
+), wout AS (
+  SELECT a, SUM(w) AS wout FROM edges GROUP BY 1
+), nodes AS (
+  SELECT DISTINCT a AS node FROM edges
+), nt AS (
+  SELECT COUNT(*) AS n FROM nodes
+), r0 AS (
+  SELECT node, n, 1000000000000 // n AS rank FROM nodes CROSS JOIN nt
+), r1 AS (
+  SELECT e.b AS node, MAX(r.n) AS n,
+         (3 * 1000000000000) // (20 * MAX(r.n))
+           + (17 * SUM((r.rank * e.w) // wo.wout)) // 20 AS rank
+  FROM edges e JOIN r0 r ON e.a = r.node JOIN wout wo ON e.a = wo.a
+  GROUP BY 1
+), r2 AS (
+  SELECT e.b AS node, MAX(r.n) AS n,
+         (3 * 1000000000000) // (20 * MAX(r.n))
+           + (17 * SUM((r.rank * e.w) // wo.wout)) // 20 AS rank
+  FROM edges e JOIN r1 r ON e.a = r.node JOIN wout wo ON e.a = wo.a
+  GROUP BY 1
+)
+SELECT node, CAST(rank AS BIGINT) AS rank FROM r2
+ORDER BY rank DESC, node LIMIT 20
+"""
+
+
 def q133_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: part pairs appearing together in
     >= 2 orders, mined WITHOUT self-joining the fact table.
@@ -2999,4 +3114,6 @@ QUERIES = [
           "recursive-CTE rollup via within-row ancestor enumeration"),
     Query("q144_pareto_frontier", q144_pareto_frontier, O144,
           "Pareto skyline via range-frame window (vs NOT EXISTS oracle)"),
+    Query("q146_pagerank", q146_pagerank, O146,
+          "2-iteration integer PageRank on the co-purchase graph"),
 ]

@@ -586,3 +586,14 @@ def test_q145_temporal_join_is_equi_keyed(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Join" in plan, plan
+
+
+def test_q146_pagerank_reuses_persisted_edges(spark):
+    # the edge table feeds BOTH unrolled iterations and the out-weight
+    # census — it must be persisted and reused (InMemoryTableScan),
+    # not re-derived from the fact per round; no cartesian anywhere
+    from polla_spark.plans.relational import q146_pagerank
+
+    plan = _plan(q146_pagerank(spark, SF))
+    assert "InMemoryTableScan" in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -48,6 +48,38 @@ def make_decision_batch_fn(
     return on_batch
 
 
+def payloads_from_poll_batch(batch: DataFrame, epoch_id: int) -> DataFrame:
+    """Shape one micro-batch from the streaming pozos source
+    (``spark.readStream.format("pozos")``, sources/datasource.py
+    READER_SCHEMA) into the SOURCE_PAYLOAD frame the consensus kernel
+    expects: ``run_id`` is the poll's epoch, ``source_priority`` is
+    the registry order (the reference's deterministic tie-break,
+    SURVEY §7.4 #1), and degraded-mode error rows are dropped — the
+    missing source lowers confidence through ``expected_sources``
+    exactly as in batch mode."""
+    from pyspark.sql import functions as F
+
+    from ..sources.pozos import normalize_sources
+
+    order = {name: i for i, name in enumerate(normalize_sources(["all"]))}
+    prio = F.coalesce(
+        *[
+            F.when(F.col("source_name") == name, F.lit(i))
+            for name, i in order.items()
+        ],
+        F.lit(len(order)),
+    )
+    return (
+        batch.filter(F.col("error").isNull())
+        .withColumn("run_id", F.lit(f"poll-{epoch_id}"))
+        .withColumn("source_priority", prio.cast("int"))
+        .select(
+            "run_id", "source_name", "source_priority", "fuente", "fetched_at",
+            "sha256", "estimado", "user_agent", "sorteo", "fecha", "montos",
+        )
+    )
+
+
 def run_payload_stream(
     payload_stream: DataFrame,
     batch_fn: Callable[[DataFrame, int], None],

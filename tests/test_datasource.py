@@ -124,3 +124,58 @@ def test_stream_reader_polls_sources(spark):
     assert {r["source_name"] for r in rows} == {"openloto"}
     assert all(r["montos"]["Loto Clásico"] == 690_000_000 for r in rows)
     assert all(r["error"] is None for r in rows)
+
+
+def test_streaming_scrape_to_decision_gate(spark, tmp_path):
+    """Full streaming pipeline: the pozos poll source feeds the batch
+    consensus/decision transforms through foreachBatch. Poll 0 of the
+    captured page publishes; poll 1 carries the SAME sha256, so the
+    cross-batch delta decides skip — the reference's daily-cron state
+    semantics, continuous."""
+    import time
+
+    from polla_spark.schemas import STATE_ROW
+    from polla_spark.streaming.pipeline import (
+        make_decision_batch_fn,
+        make_publish_gate_sink,
+        payloads_from_poll_batch,
+    )
+
+    state_rows: list[dict] = []
+    published: list[tuple] = []
+
+    sink = make_publish_gate_sink(
+        lambda rows: published.extend((r["run_id"], r["status"]) for r in rows),
+        state_rows=state_rows,
+    )
+    inner = make_decision_batch_fn(
+        lambda: spark.createDataFrame(state_rows, STATE_ROW),
+        sink,
+        expected_sources=1,
+    )
+
+    def on_batch(df, epoch_id):
+        payloads = payloads_from_poll_batch(df, epoch_id)
+        if not payloads.isEmpty():
+            inner(payloads, epoch_id)
+
+    stream = (
+        spark.readStream.format("pozos")
+        .option("sources", "openloto")
+        .option("url.openloto", str(FIXTURES / "openloto" / "page.html"))
+        .option("maxpolls", "2")
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(on_batch)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline and not published:
+        time.sleep(0.5)
+    time.sleep(3)  # the second poll's skip decision leaves no trace — let it run
+    q.stop()
+    assert [s for _, s in published] == ["publish"]
+    assert len(state_rows) == 1  # the second identical poll decided skip

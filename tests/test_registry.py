@@ -109,3 +109,17 @@ def test_approx_percentile_tracks_exact(spark):
     ).collect()[0]
     for approx, exact in zip(row["a"], row["e"]):
         assert abs(approx - exact) / exact <= 0.02, (approx, exact)
+
+
+def test_query_index_doc_in_sync():
+    """docs/QUERIES.md is generated from the registry — regenerate in
+    memory and require byte equality so the index can never drift."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_query_index", "/root/repo/scripts/gen_query_index.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    with open("/root/repo/docs/QUERIES.md") as fh:
+        assert fh.read() == mod.render()

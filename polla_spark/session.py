@@ -49,7 +49,10 @@ def get_spark(
         # metadata (the external testdata); Spark-written NTZ files
         # still scan as timestamp_ntz and hit read_table's fallback.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[k] runs everything in the driver JVM, so this IS the
+        # executor heap: 8g thrashes the GC on 20x-replicated scale-up
+        # runs (32 threads x wide text arrays); the box has 128 GiB
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         # managed (bucketed) tables go to a scratch warehouse, never cwd
         .config("spark.sql.warehouse.dir",
                 os.environ.get("SPARK_GRAFT_WAREHOUSE",

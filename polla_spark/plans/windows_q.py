@@ -978,6 +978,63 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q147_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: merge a late delta batch into an
+    EXISTING aggregate without recomputing history — the nightly-MV
+    pattern every 100 TB warehouse runs. Here the 'existing MV' is the
+    daily rollup of events before Jan 21 and the 'delta' is everything
+    after; the query returns the MERGED aggregate, and the ORACLE is
+    the full recompute over all events — hash equality IS the proof
+    that incremental maintenance loses nothing.
+
+    Only merge-closed aggregates participate (count/sum/min/max merge
+    as sum-of-counts, sum-of-sums, min-of-mins, max-of-maxes);
+    count-distinct deliberately does NOT appear — its mergeable form
+    is the HLL sketch (q38's family) or user-grain partials
+    (streaming `daily_user_partials`). Scale shape: the history side
+    is MV-sized (days x types, not events); only the delta scans raw
+    rows; the merge shuffles report-grain rows once.
+    """
+    e = t(spark, sf_dir, "events")
+    split = F.lit("2024-01-21 00:00:00").cast("timestamp")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(VQ()).alias("sum_vq"),
+            F.min(VQ()).alias("min_vq"),
+            F.max(VQ()).alias("max_vq"),
+        )
+
+    existing = rollup(e.filter(F.col("ts") < split))  # the stored MV
+    delta = rollup(e.filter(F.col("ts") >= split))  # tonight's batch
+    return (
+        existing.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_vq").alias("sum_vq"),
+            F.min("min_vq").alias("min_vq"),
+            F.max("max_vq").alias("max_vq"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+# The oracle is the FULL RECOMPUTE — equality proves the merge exact.
+O147 = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_vq,
+       CAST(MIN(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS min_vq,
+       CAST(MAX(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS max_vq
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = [
     Query("q70_tumbling", q70_tumbling, O70, "tumbling window"),
     Query("q71_sliding", q71_sliding, O71, "sliding window"),
@@ -1012,4 +1069,6 @@ QUERIES = [
           "last-touch 24h attribution (carried-click windows, one exchange)"),
     Query("q145_point_in_time_join", q145_point_in_time_join, O145,
           "point-in-time fact-to-SCD2 lookup (equi-join + residual validity)"),
+    Query("q147_incremental_rollup", q147_incremental_rollup, O147,
+          "MV maintenance: merge delta into existing partials == full recompute"),
 ]

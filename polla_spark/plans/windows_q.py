@@ -1035,6 +1035,131 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q148_behavior_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap census (the Venn/segment report): how many
+    users performed each exact COMBINATION of behaviors — the
+    marketing-segmentation staple that naive tooling answers with 2^k
+    separate intersect queries over the fact.
+
+    Shape: ONE user-grain conditional aggregation folds each user's
+    behavior set into a 5-bit mask (bool_or per event type — mergeable
+    partials), then a 32-row census. The fact scans once regardless of
+    how many segment combinations the report enumerates; set-ops
+    (INTERSECT per combination) would scan it 2^k times.
+    """
+    # a 2-day window keeps the combination space discriminative (over
+    # the full month every user does everything and the census
+    # degenerates to one row)
+    e = t(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp")
+    )
+    types = ["click", "error", "purchase", "signup", "view"]
+    mask = None
+    for i, ty in enumerate(types):
+        bit = F.when(
+            F.max(F.when(F.col("event_type") == ty, 1).otherwise(0)) == 1,
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        mask = bit if mask is None else mask + bit
+    user = e.groupBy("user_id").agg(mask.alias("mask"))
+    labels = F.concat_ws(
+        "+",
+        *[
+            F.when(F.col("mask").bitwiseAND(F.lit(1 << i)) != 0, F.lit(ty))
+            for i, ty in enumerate(types)
+        ],
+    )
+    return (
+        user.groupBy("mask")
+        .agg(F.count("*").alias("n_users"))
+        .withColumn("behaviors", labels)
+        .select("mask", "behaviors", "n_users")
+        .orderBy("mask")
+    )
+
+
+O148 = """
+WITH u AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) * 1
+       + MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 2
+       + MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 4
+       + MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) * 8
+       + MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) * 16 AS mask
+  FROM events WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+  GROUP BY 1
+)
+SELECT mask,
+       concat_ws('+',
+         CASE WHEN mask & 1 != 0 THEN 'click' END,
+         CASE WHEN mask & 2 != 0 THEN 'error' END,
+         CASE WHEN mask & 4 != 0 THEN 'purchase' END,
+         CASE WHEN mask & 8 != 0 THEN 'signup' END,
+         CASE WHEN mask & 16 != 0 THEN 'view' END) AS behaviors,
+       COUNT(*) AS n_users
+FROM u GROUP BY 1 ORDER BY 1
+"""
+
+
+def q149_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for users whose first view
+    precedes their first purchase, the p25/p50/p90 of the view->
+    purchase delay — the funnel-latency report behind every growth
+    dashboard.
+
+    Shape: first-view/first-purchase are conditional ``min`` aggs on
+    ONE user-grain exchange (mergeable partials — no window, no
+    self-join of the fact); the integer-second deltas then feed an
+    exact interpolated percentile over the USER-grain table (1/N of
+    the fact; at extreme scale swap for approx_percentile or q130's
+    histogram-rank, same contract as q47/q135).
+    """
+    e = t(spark, sf_dir, "events")
+    user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase"),
+    )
+    delays = user.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_view") < F.col("first_purchase"))
+    ).select(
+        (
+            (F.unix_micros("first_purchase") - F.unix_micros("first_view"))
+            / F.lit(1000000)
+        ).cast("long").alias("delay_sec")
+    )
+    pct = F.expr("percentile(delay_sec, array(0.25, 0.5, 0.9))")
+    return delays.agg(
+        F.count("*").alias("n_converters"),
+        F.round(F.element_at(pct, 1), 2).alias("p25_sec"),
+        F.round(F.element_at(pct, 2), 2).alias("p50_sec"),
+        F.round(F.element_at(pct, 3), 2).alias("p90_sec"),
+    )
+
+
+O149 = """
+WITH u AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY 1
+), d AS (
+  SELECT (epoch_us(first_purchase) - epoch_us(first_view)) // 1000000 AS delay_sec
+  FROM u
+  WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+    AND first_view < first_purchase
+)
+SELECT COUNT(*) AS n_converters,
+       ROUND(quantile_cont(delay_sec, 0.25), 2) AS p25_sec,
+       ROUND(quantile_cont(delay_sec, 0.5), 2) AS p50_sec,
+       ROUND(quantile_cont(delay_sec, 0.9), 2) AS p90_sec
+FROM d
+"""
+
+
 QUERIES = [
     Query("q70_tumbling", q70_tumbling, O70, "tumbling window"),
     Query("q71_sliding", q71_sliding, O71, "sliding window"),
@@ -1071,4 +1196,8 @@ QUERIES = [
           "point-in-time fact-to-SCD2 lookup (equi-join + residual validity)"),
     Query("q147_incremental_rollup", q147_incremental_rollup, O147,
           "MV maintenance: merge delta into existing partials == full recompute"),
+    Query("q148_behavior_cohorts", q148_behavior_cohorts, O148,
+          "audience-overlap bitmask census (one scan, never 2^k INTERSECTs)"),
+    Query("q149_time_to_convert", q149_time_to_convert, O149,
+          "first-view to first-purchase delay quantiles (conditional mins)"),
 ]

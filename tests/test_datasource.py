@@ -179,3 +179,29 @@ def test_streaming_scrape_to_decision_gate(spark, tmp_path):
     q.stop()
     assert [s for _, s in published] == ["publish"]
     assert len(state_rows) == 1  # the second identical poll decided skip
+
+
+def test_poll_batch_adapter_priorities_and_error_drop(spark):
+    """payloads_from_poll_batch must stamp the registry order as
+    source_priority (the consensus tie-break contract) and drop error
+    rows into degraded-mode accounting rather than forwarding them."""
+    import datetime as dt
+
+    from polla_spark.sources.datasource import READER_SCHEMA
+    from polla_spark.streaming.pipeline import payloads_from_poll_batch
+
+    rows = [
+        ("polla", "https://p/", dt.datetime(2026, 1, 1), "shaP", True, "ua",
+         5000, dt.date(2026, 1, 2), {"A": 10}, None),
+        ("openloto", "https://o/", dt.datetime(2026, 1, 1), "shaO", True, "ua",
+         5000, dt.date(2026, 1, 2), {"A": 10}, None),
+        ("openloto", "https://bad/", None, None, None, None,
+         None, None, None, "NetworkError: boom"),
+    ]
+    batch = spark.createDataFrame(rows, READER_SCHEMA)
+    out = payloads_from_poll_batch(batch, 7)
+    got = {r["source_name"]: r for r in out.collect()}
+    assert set(got) == {"openloto", "polla"}  # the error row is dropped
+    assert all(r["run_id"] == "poll-7" for r in got.values())
+    # registry order: openloto before polla (reference tie-break)
+    assert got["openloto"]["source_priority"] < got["polla"]["source_priority"]

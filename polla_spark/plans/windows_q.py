@@ -1160,6 +1160,90 @@ FROM d
 """
 
 
+def q150_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-at-zero running balance (credit/inventory semantics):
+    each user's balance moves by a per-event delta but can never go
+    below zero — the recurrence ``b_t = max(0, b_{t-1} + d_t)`` LOOKS
+    non-associative (each clamp shifts the whole later trajectory),
+    which tempts a per-key sequential Python scan. The classic
+    identity rescues the declarative plan: with prefix sums
+    ``S_t``, the clamped balance is exactly
+    ``S_t - min(0, min_{k<=t} S_k)`` — so TWO ordinary windows
+    (running sum + running min) sharing one user_id exchange and one
+    sort compute it, JVM-side, at any scale. The oracle runs the same
+    identity; the docstring math is the proof both implement the
+    recurrence.
+
+    Deltas: signup +1000, purchase +value-cents, error -800,
+    click -100, view -50 (all exact integers).
+    """
+    e = t(spark, sf_dir, "events")
+    delta = (
+        F.when(F.col("event_type") == "signup", F.lit(1000))
+        .when(F.col("event_type") == "purchase", VQ())
+        .when(F.col("event_type") == "error", F.lit(-800))
+        .when(F.col("event_type") == "click", F.lit(-100))
+        .otherwise(F.lit(-50))
+        .cast("long")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scanned = e.select("user_id", "ts", "event_id", delta.alias("d")).select(
+        "user_id", "d", F.sum("d").over(w).alias("s")
+    )
+    # the LAST prefix sum is simply the total delta sum — no
+    # order-sensitive last() needed
+    per_user = scanned.groupBy("user_id").agg(
+        F.sum("d").alias("s_last"),
+        F.least(F.lit(0), F.min("s")).alias("floor_shift"),
+    )
+    final = per_user.select(
+        "user_id",
+        (F.col("s_last") - F.col("floor_shift")).alias("final_cents"),
+        (F.col("floor_shift") < 0).alias("floored"),
+    )
+    return final.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.when(F.col("floored"), 1).otherwise(0)).alias("n_floored"),
+        F.sum("final_cents").alias("total_final_cents"),
+        F.max("final_cents").alias("max_final_cents"),
+    )
+
+
+O150 = """
+WITH d AS (
+  SELECT user_id, ts, event_id,
+         CASE event_type
+           WHEN 'signup' THEN 1000
+           WHEN 'purchase' THEN CAST(floor(value * 100) AS BIGINT)
+           WHEN 'error' THEN -800
+           WHEN 'click' THEN -100
+           ELSE CAST(-50 AS BIGINT) END AS d
+  FROM events
+), s AS (
+  SELECT user_id, d,
+         SUM(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM d
+), per_user AS (
+  SELECT user_id, SUM(d) AS s_last, LEAST(0, MIN(s)) AS floor_shift
+  FROM s GROUP BY user_id
+), final AS (
+  SELECT user_id, s_last - floor_shift AS final_cents,
+         floor_shift < 0 AS floored
+  FROM per_user
+)
+SELECT COUNT(*) AS n_users,
+       CAST(SUM(CASE WHEN floored THEN 1 ELSE 0 END) AS BIGINT) AS n_floored,
+       CAST(SUM(final_cents) AS BIGINT) AS total_final_cents,
+       CAST(MAX(final_cents) AS BIGINT) AS max_final_cents
+FROM final
+"""
+
+
 QUERIES = [
     Query("q70_tumbling", q70_tumbling, O70, "tumbling window"),
     Query("q71_sliding", q71_sliding, O71, "sliding window"),
@@ -1200,4 +1284,6 @@ QUERIES = [
           "audience-overlap bitmask census (one scan, never 2^k INTERSECTs)"),
     Query("q149_time_to_convert", q149_time_to_convert, O149,
           "first-view to first-purchase delay quantiles (conditional mins)"),
+    Query("q150_clamped_balance", q150_clamped_balance, O150,
+          "floor-at-zero running balance via the S - min(0, min S) identity"),
 ]

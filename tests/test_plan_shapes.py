@@ -597,3 +597,15 @@ def test_q146_pagerank_reuses_persisted_edges(spark):
     plan = _plan(q146_pagerank(spark, SF))
     assert "InMemoryTableScan" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q150_clamped_balance_one_exchange_no_python(spark):
+    # the clamp identity keeps the scan declarative: one user_id
+    # exchange, windows + aggs share it, and NO Python boundary (the
+    # naive implementation is a per-key sequential pandas scan)
+    from polla_spark.plans.windows_q import q150_clamped_balance
+
+    plan = _plan(q150_clamped_balance(spark, SF))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+    assert "EvalPython" not in plan, plan
+    assert "Join" not in plan, plan

@@ -598,6 +598,84 @@ def finish_attribution(attributed: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Clamped-balance partials (streaming twin of plans/windows_q.q150)
+# ---------------------------------------------------------------------------
+
+BALANCE_SCHEMA = "user_id long, s_last long, floor_shift long, upd_seq long"
+_BAL_STATE_SCHEMA = "s long, mn long, seq long"
+
+_BAL_DELTAS = {"signup": 1000, "error": -800, "click": -100, "view": -50}
+
+
+def clamped_balance_partials(events: DataFrame,
+                             watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Streaming twin of q150: the floor-at-zero balance identity
+    ``clamped = S - min(0, min S)`` needs only TWO numbers of per-user
+    state (running sum, running min) — so the seemingly sequential
+    clamp recurrence streams with fixed-size state and stitches
+    exactly across micro-batch cuts. Each batch emits the user's
+    updated (s_last, floor_shift) pair; :func:`finish_clamped_balance`
+    keeps the latest update per user and emits the q150 report."""
+    import math
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        s, mn, seq = state.get if state.exists else (0, 0, 0)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        for r in rows.itertuples():
+            d = _BAL_DELTAS.get(r.event_type)
+            if d is None:  # purchase: +value cents
+                d = int(math.floor(r.value * 100))
+            s += d
+            mn = min(mn, s)
+        seq += 1
+        state.update((s, mn, seq))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "s_last": [s],
+                "floor_shift": [min(0, mn)],
+                "upd_seq": [seq],
+            }
+        )
+
+    pre = events.select("ts", "event_id", "user_id", "event_type", "value")
+    return (
+        pre.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            BALANCE_SCHEMA,
+            _BAL_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def finish_clamped_balance(updates: DataFrame) -> DataFrame:
+    """Batch finisher: latest update per user -> the q150 report."""
+    latest = updates.groupBy("user_id").agg(
+        F.max_by("s_last", "upd_seq").alias("s_last"),
+        F.max_by("floor_shift", "upd_seq").alias("floor_shift"),
+    )
+    final = latest.select(
+        (F.col("s_last") - F.col("floor_shift")).alias("final_cents"),
+        (F.col("floor_shift") < 0).alias("floored"),
+    )
+    return final.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.when(F.col("floored"), 1).otherwise(0)).alias("n_floored"),
+        F.sum("final_cents").alias("total_final_cents"),
+        F.max("final_cents").alias("max_final_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Transition-matrix deltas (streaming twin of plans/windows_q.q114)
 # ---------------------------------------------------------------------------
 

@@ -410,3 +410,36 @@ def test_attribution_stream_equals_q138(spark, attribution_stream_dir):
     want = [tuple(r) for r in q138_last_touch_attribution(spark, SF_DIR).collect()]
     assert got == want
     assert len(got) > 1  # multiple campaigns + the (organic) bucket
+
+
+def test_clamped_balance_stream_equals_q150(spark, attribution_stream_dir):
+    """Streaming (running sum, running min) state + read-time finisher
+    == batch q150 — the clamp identity stitches exactly across
+    micro-batch cuts because both accumulators are merge-closed."""
+    from polla_spark.plans.windows_q import q150_clamped_balance
+    from polla_spark.streaming.windows import (
+        clamped_balance_partials,
+        finish_clamped_balance,
+    )
+
+    d, schema = attribution_stream_dir
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*/")
+    )
+    q = (
+        clamped_balance_partials(stream)
+        .writeStream.format("memory")
+        .queryName("balance_updates")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    updates = spark.table("balance_updates")
+    # multi-batch users exist, so the state really stitched cuts
+    assert updates.groupBy("user_id").count().filter("count > 1").count() > 0
+    got = finish_clamped_balance(updates).collect()[0]
+    want = q150_clamped_balance(spark, SF_DIR).collect()[0]
+    assert got.asDict() == want.asDict()

@@ -2828,6 +2828,144 @@ ORDER BY rank DESC, node LIMIT 20
 """
 
 
+def q151_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence: is event mix independent of
+    user segment (user_id mod 3)? The categorical counterpart to
+    q141's Welch t — the experimentation-platform kernel for
+    conversion-mix questions.
+
+    Exactness: observed counts are one integer contingency census off
+    ONE fact scan (5 types x 3 segments = 15 cells + margins from the
+    same pass); expected counts and the chi² sum are a handful of
+    double ops over exact integers on the 15-row table — both engines
+    execute the identical expression tree over identical integers.
+    """
+    e = t(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type", (F.col("user_id") % 3).alias("segment")
+    ).agg(F.count("*").alias("o"))
+    rows_ = cells.groupBy("event_type").agg(F.sum("o").alias("row_tot"))
+    cols_ = cells.groupBy("segment").agg(F.sum("o").alias("col_tot"))
+    tot = cells.agg(F.sum("o").alias("n_tot"))
+    expected = (
+        cells.join(rows_, "event_type")
+        .join(cols_, "segment")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "e",
+            F.col("row_tot").cast("double")
+            * F.col("col_tot")
+            / F.col("n_tot"),
+        )
+    )
+    term = (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
+    # deterministic summation order: fold the 15 sorted terms
+    # left-to-right (a plain SUM over doubles is order-nondeterministic)
+    folded = expected.select(
+        term.alias("t"), "event_type", "segment"
+    ).agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("event_type", "segment", "t"))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["t"],
+        ).alias("chi2")
+    )
+    return folded.select(
+        F.round("chi2", 6).alias("chi2"),
+        F.lit(8).alias("dof"),  # (5-1) * (3-1)
+    )
+
+
+O151 = """
+WITH cells AS (
+  SELECT event_type, user_id % 3 AS segment, COUNT(*) AS o
+  FROM events GROUP BY 1, 2
+), rows_ AS (
+  SELECT event_type, SUM(o) AS row_tot FROM cells GROUP BY 1
+), cols_ AS (
+  SELECT segment, SUM(o) AS col_tot FROM cells GROUP BY 1
+), tot AS (
+  SELECT SUM(o) AS n_tot FROM cells
+), terms AS (
+  SELECT c.event_type, c.segment,
+         (c.o - CAST(r.row_tot AS DOUBLE) * co.col_tot / t.n_tot)
+         * (c.o - CAST(r.row_tot AS DOUBLE) * co.col_tot / t.n_tot)
+         / (CAST(r.row_tot AS DOUBLE) * co.col_tot / t.n_tot) AS t
+  FROM cells c JOIN rows_ r USING (event_type)
+  JOIN cols_ co USING (segment) CROSS JOIN tot t
+)
+SELECT ROUND(list_sum(list_transform(
+         list_sort(list(struct_pack(event_type := event_type,
+                                    segment := segment, t := t))),
+         x -> x.t)), 6) AS chi2,
+       8 AS dof
+FROM terms
+"""
+
+
+def q152_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per market segment: the
+    Herfindahl-Hirschman index ``HHI = Σ share_i²`` over customers —
+    the anti-trust / key-account-risk metric ("how dependent is this
+    segment on its top customers?"), plus the top-customer share.
+
+    Exactness: per-customer revenue is integer cents off one fact
+    scan; ``Σ cents_i²`` and ``(Σ cents_i)²`` are exact DECIMAL(38,0)
+    sums, so ``HHI = Σc² / (Σc)²`` is ONE double division per segment
+    — no per-share float accumulation at all (the naive
+    sum-of-squared-shares adds 10⁵ rounded doubles in arbitrary
+    order).
+    """
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cents = (F.col("o_totalprice").cast("decimal(18,4)") * 100).cast("long")
+    cust = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    seg = cust.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias("sq"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
+        F.max("cents").alias("top_cents"),
+    )
+    return seg.select(
+        "c_mktsegment",
+        "n_customers",
+        F.round(
+            F.col("sq").cast("double")
+            / (F.col("s").cast("double") * F.col("s").cast("double")),
+            8,
+        ).alias("hhi"),
+        F.round(
+            F.col("top_cents").cast("double") / F.col("s").cast("double"), 6
+        ).alias("top_share"),
+    ).orderBy("c_mktsegment")
+
+
+O152 = """
+WITH cust AS (
+  SELECT c.c_mktsegment, o.o_custkey,
+         SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+), seg AS (
+  SELECT c_mktsegment, COUNT(*) AS n_customers,
+         SUM(CAST(cents AS HUGEINT) * cents) AS sq,
+         SUM(CAST(cents AS HUGEINT)) AS s,
+         MAX(cents) AS top_cents
+  FROM cust GROUP BY 1
+)
+SELECT c_mktsegment, n_customers,
+       ROUND(CAST(sq AS DOUBLE) / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)), 8) AS hhi,
+       ROUND(CAST(top_cents AS DOUBLE) / CAST(s AS DOUBLE), 6) AS top_share
+FROM seg ORDER BY 1
+"""
+
+
 def q133_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: part pairs appearing together in
     >= 2 orders, mined WITHOUT self-joining the fact table.
@@ -3116,4 +3254,8 @@ QUERIES = [
           "Pareto skyline via range-frame window (vs NOT EXISTS oracle)"),
     Query("q146_pagerank", q146_pagerank, O146,
           "2-iteration integer PageRank on the co-purchase graph"),
+    Query("q151_chi_square", q151_chi_square, O151,
+          "chi-square independence test (integer census, ordered fold)"),
+    Query("q152_revenue_concentration", q152_revenue_concentration, O152,
+          "HHI revenue concentration (exact decimal sums, one division)"),
 ]

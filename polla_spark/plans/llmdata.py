@@ -136,7 +136,8 @@ def _duck_mh(band: int) -> str:
 
 
 def q52_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc 4-band MinHash signature table."""
+    """Per-doc 4-band MinHash signature table (Broder 1997's resemblance
+    sketches; banding per Leskovec/Rajaraman/Ullman, MMDS ch. 3)."""
     d = _spread(spark, t(spark, sf_dir, "documents"))
     return with_minhash(d).select("doc_id", "mh0", "mh1", "mh2", "mh3").orderBy("doc_id")
 
@@ -569,7 +570,8 @@ def _with_simhash(d: DataFrame) -> DataFrame:
 
 
 def q61_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc 64-bit SimHash signature (bitstring form)."""
+    """Per-doc 64-bit SimHash signature (bitstring form) — Charikar's
+    (STOC 2002) similarity-preserving fingerprints."""
     d = _spread(spark, t(spark, sf_dir, "documents"))
     return _with_simhash(d).select("doc_id", "simhash").orderBy("doc_id")
 
@@ -2461,7 +2463,9 @@ FROM hashed GROUP BY doc_id ORDER BY doc_id
 
 
 def q127_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT set-similarity join via prefix filtering (PPJoin family)
+    """EXACT set-similarity join via prefix filtering (the PPJoin
+    family — Xiao et al., WWW 2008; prefix principle from Chaudhuri
+    et al., ICDE 2006)
     — the scale path that, unlike LSH (q53/q81), has ZERO false
     negatives: if Jaccard(A,B) ≥ τ the two sets must share at least
     one element among each set's (|S| − ⌈τ|S|⌉ + 1) globally-rarest

@@ -2966,6 +2966,71 @@ FROM seg ORDER BY 1
 """
 
 
+def q153_interval_union_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total COVERED time (union-of-intervals length) per user — the
+    billing/active-time metric, completing the interval family: q111
+    answers peak concurrency, q134 who-overlaps-whom, this one
+    how-much-time-is-covered with double-counted overlap removed.
+
+    Intervals: per (user, day, event_type) activity spans. The naive
+    approach merges intervals in a per-key Python loop; the
+    declarative form is the classic sweep: order intervals by start,
+    carry ``running max end`` over STRICTLY PRECEDING rows (rows
+    frame to -1), and each interval contributes
+    ``max(0, end - max(start, carried))`` microseconds — overlap with
+    anything earlier is clipped exactly once. Pure integer
+    microsecond arithmetic on ONE user_id exchange.
+    """
+    e = t(spark, sf_dir, "events")
+    # partition the fact by user_id ONCE: hashpartitioning(user_id)
+    # satisfies the (user, day, type) grouping's clustering AND the
+    # sweep window's requirement, so the fact crosses the wire once
+    # instead of once per grain
+    iv = e.repartition("user_id").groupBy(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    ).agg(
+        F.min(F.unix_micros("ts")).alias("s"),
+        F.max(F.unix_micros("ts")).alias("t"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "t", "day", "event_type")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = iv.withColumn("carried", F.max("t").over(w)).select(
+        "user_id",
+        F.greatest(
+            F.lit(0),
+            F.col("t") - F.greatest(F.col("s"), F.coalesce("carried", F.lit(0))),
+        ).alias("covered_us"),
+    )
+    return (
+        contrib.groupBy("user_id")
+        .agg(F.sum("covered_us").alias("us"))
+        .select("user_id", F.expr("us div 1000000").alias("covered_sec"))
+        .orderBy(F.desc("covered_sec"), "user_id")
+        .limit(25)
+    )
+
+
+O153 = """
+WITH iv AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+         MIN(epoch_us(ts)) AS s, MAX(epoch_us(ts)) AS t
+  FROM events GROUP BY 1, 2, 3
+), c AS (
+  SELECT user_id,
+         GREATEST(0, t - GREATEST(s, COALESCE(
+           MAX(t) OVER (PARTITION BY user_id ORDER BY s, t, day, event_type
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0))) AS covered_us
+  FROM iv
+)
+SELECT user_id, CAST(SUM(covered_us) // 1000000 AS BIGINT) AS covered_sec
+FROM c GROUP BY 1 ORDER BY covered_sec DESC, user_id LIMIT 25
+"""
+
+
 def q133_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: part pairs appearing together in
     >= 2 orders, mined WITHOUT self-joining the fact table.
@@ -3258,4 +3323,6 @@ QUERIES = [
           "chi-square independence test (integer census, ordered fold)"),
     Query("q152_revenue_concentration", q152_revenue_concentration, O152,
           "HHI revenue concentration (exact decimal sums, one division)"),
+    Query("q153_interval_union_time", q153_interval_union_time, O153,
+          "union-of-intervals covered time (clip-once sweep, one exchange)"),
 ]

@@ -63,3 +63,50 @@ def test_clamp_identity_matches_on_spark_output(spark):
     assert out["n_floored"] == 1
     assert out["total_final_cents"] == 300 + 1000
     assert out["max_final_cents"] == 1000
+
+
+def test_interval_union_sweep_matches_merge_reference(spark):
+    """q153's clip-once sweep — both engines run the same formula, so
+    the oracle can't validate the algorithm itself. Check it against a
+    literal Python merge-intervals reference on the real sf0.001
+    interval set."""
+    from pyspark.sql import functions as F
+
+    from polla_spark.plans.relational import q153_interval_union_time, t
+
+    sf = "/root/testdata/sf0.001"
+    iv = (
+        t(spark, sf, "events")
+        .groupBy("user_id", F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("s"),
+            F.max(F.unix_micros("ts")).alias("t"),
+        )
+        .collect()
+    )
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for r in iv:
+        by_user.setdefault(r["user_id"], []).append((r["s"], r["t"]))
+    want = {}
+    for u, spans in by_user.items():
+        spans.sort()
+        total = 0
+        cur_s, cur_t = spans[0]
+        for s, t_ in spans[1:]:
+            if s > cur_t:
+                total += cur_t - cur_s
+                cur_s, cur_t = s, t_
+            else:
+                cur_t = max(cur_t, t_)
+        total += cur_t - cur_s
+        want[u] = total // 1000000
+    got = {
+        r["user_id"]: r["covered_sec"]
+        for r in q153_interval_union_time(spark, sf).collect()
+    }
+    # the query returns top-25; every returned row must match the
+    # reference, and the reference's top value must be present
+    assert got == {
+        u: want[u]
+        for u in sorted(want, key=lambda u: (-want[u], u))[: len(got)]
+    }

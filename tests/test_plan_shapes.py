@@ -609,3 +609,14 @@ def test_q150_clamped_balance_one_exchange_no_python(spark):
     assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
     assert "EvalPython" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_q153_interval_union_one_exchange_no_join(spark):
+    # the clip-once sweep needs one user_id exchange (interval build +
+    # carried-max window + final agg all share it) and no join
+    from polla_spark.plans.relational import q153_interval_union_time
+
+    plan = _plan(q153_interval_union_time(spark, SF))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan

@@ -3031,6 +3031,89 @@ FROM c GROUP BY 1 ORDER BY covered_sec DESC, user_id LIMIT 25
 """
 
 
+def q154_anova_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA: does day-of-week explain purchase value?
+    Completes the classical-statistics family (q141 Welch t, q151
+    chi-square): F statistic + eta-squared from the between/within
+    variance decomposition.
+
+    Exactness: per-day-of-week (n, Σx, Σx²) are integer-cent
+    aggregates off ONE scan; ``SSW = Σ_d (SS_d − S_d²/n_d)`` and
+    ``SSB = Σ_d S_d²/n_d − S²/n`` need only those integers, and the
+    7-term double sums fold in dow order (a bare SUM over doubles is
+    order-nondeterministic) — same bit-stability discipline as q151.
+    """
+    e = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    vq = F.floor(F.col("value") * 100).cast("long")
+    g = e.groupBy(F.dayofweek("ts").alias("dow")).agg(
+        F.count("*").alias("n"),
+        F.sum(vq).alias("S"),
+        F.sum(vq * vq).alias("SS"),
+    )
+    folded = g.agg(
+        F.sum("n").alias("n_tot"),
+        F.sum("S").alias("S_tot"),
+        F.count("*").alias("k"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("dow", "n", "S", "SS"))),
+            F.struct(
+                F.lit(0.0).alias("ssw"), F.lit(0.0).alias("sb")
+            ),
+            # per-group terms are complete sub-expressions BEFORE the
+            # fold adds them, so both engines associate identically
+            lambda acc, x: F.struct(
+                (
+                    acc["ssw"]
+                    + (
+                        x["SS"].cast("double")
+                        - x["S"].cast("double") * x["S"] / x["n"]
+                    )
+                ).alias("ssw"),
+                (
+                    acc["sb"] + x["S"].cast("double") * x["S"] / x["n"]
+                ).alias("sb"),
+            ),
+        ).alias("acc"),
+    )
+    ssb = F.col("acc.sb") - F.col("S_tot").cast("double") * F.col("S_tot") / F.col("n_tot")
+    ssw = F.col("acc.ssw")
+    fstat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n_tot") - F.col("k")))
+    return folded.select(
+        F.col("k").alias("k_groups"),
+        F.col("n_tot").alias("n_rows"),
+        F.round(fstat, 4).alias("f_stat"),
+        F.round(ssb / (ssb + ssw), 6).alias("eta_sq"),
+    )
+
+
+O154 = """
+WITH g AS (
+  SELECT dayofweek(ts) + 1 AS dow, COUNT(*) AS n,
+         SUM(CAST(floor(value * 100) AS BIGINT)) AS S,
+         SUM(CAST(floor(value * 100) AS BIGINT)
+             * CAST(floor(value * 100) AS BIGINT)) AS SS
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), folded AS (
+  SELECT SUM(n) AS n_tot, SUM(S) AS S_tot, COUNT(*) AS k,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(
+           list_sort(list(struct_pack(dow := dow, n := n, S := S, SS := SS))),
+           x -> CAST(x.SS AS DOUBLE) - CAST(x.S AS DOUBLE) * x.S / x.n)),
+           (a, b) -> a + b) AS ssw,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(
+           list_sort(list(struct_pack(dow := dow, n := n, S := S, SS := SS))),
+           x -> CAST(x.S AS DOUBLE) * x.S / x.n)),
+           (a, b) -> a + b) AS sb
+  FROM g
+)
+SELECT k AS k_groups, CAST(n_tot AS BIGINT) AS n_rows,
+       ROUND(((sb - CAST(S_tot AS DOUBLE) * S_tot / n_tot) / (k - 1))
+             / (ssw / (n_tot - k)), 4) AS f_stat,
+       ROUND((sb - CAST(S_tot AS DOUBLE) * S_tot / n_tot)
+             / ((sb - CAST(S_tot AS DOUBLE) * S_tot / n_tot) + ssw), 6) AS eta_sq
+FROM folded
+"""
+
+
 def q133_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: part pairs appearing together in
     >= 2 orders, mined WITHOUT self-joining the fact table.
@@ -3325,4 +3408,6 @@ QUERIES = [
           "HHI revenue concentration (exact decimal sums, one division)"),
     Query("q153_interval_union_time", q153_interval_union_time, O153,
           "union-of-intervals covered time (clip-once sweep, one exchange)"),
+    Query("q154_anova_dow", q154_anova_dow, O154,
+          "one-way ANOVA F/eta-sq (integer census, ordered fold)"),
 ]

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 # len(registry()) == DECLARED_QUERY_COUNT so an addition that forgets
 # the bump (or a bump without queries) fails fast instead of silently
 # shipping an undeclared inventory.
-DECLARED_QUERY_COUNT = 153
+DECLARED_QUERY_COUNT = 154
 
 # Rows-only queries: implemented but intentionally without a SQL
 # oracle (non-SQL-expressible semantics). Everything else must pair

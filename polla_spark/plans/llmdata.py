@@ -2760,6 +2760,61 @@ FROM sc JOIN db USING (label) ORDER BY label
 """
 
 
+def q155_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps-law points): distinct terms seen
+    after the first N documents, for a grid of N — the
+    tokenizer-vocabulary sizing curve every BPE training run starts
+    from.
+
+    The naive form runs one COUNT(DISTINCT) per prefix (re-scanning
+    the corpus per grid point). The scale form needs ONE pass: each
+    term's FIRST-SEEN doc id is a mergeable ``min`` aggregate off a
+    single explode; the growth curve is then a threshold census over
+    the vocabulary-sized first-seen table — count of terms with
+    ``first_seen < N`` per grid point, via a within-row grid explode
+    on the (tiny) vocabulary table. Corpus scans once regardless of
+    grid size.
+    """
+    # unigrams saturate instantly on the synthetic 31-token vocabulary;
+    # 3-token shingles (~16k types) give the real growth regime
+    d = (
+        t(spark, sf_dir, "documents")
+        .withColumn("_toks", _toks())
+        .withColumn("sh", F.array_distinct(F.expr(_shingles_expr())))
+    )
+    first_seen = (
+        d.select("doc_id", F.explode("sh").alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("first_seen"))
+    )
+    grid = [100, 200, 300, 400, 500]
+    counted = first_seen.select(
+        F.explode(
+            F.array(*[F.lit(n) for n in grid])
+        ).alias("n_docs"),
+        "first_seen",
+    ).filter(F.col("first_seen") < F.col("n_docs"))
+    return (
+        counted.groupBy("n_docs")
+        .agg(F.count("*").alias("vocab_size"))
+        .orderBy("n_docs")
+    )
+
+
+O155 = f"""
+WITH fs AS (
+  SELECT term, MIN(doc_id) AS first_seen
+  FROM (SELECT doc_id, unnest(list_distinct({_DUCK_SHINGLES})) AS term
+        FROM documents)
+  GROUP BY 1
+)
+SELECT g.n_docs, COUNT(*) AS vocab_size
+FROM fs CROSS JOIN (SELECT unnest([100, 200, 300, 400, 500]) AS n_docs) g
+WHERE fs.first_seen < g.n_docs
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q136_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trigram language-model conditionals ``P(w3 | w1 w2)`` — the
     n-gram census + conditional-probability kernel behind classic LM
@@ -2892,4 +2947,6 @@ QUERIES = [
           "trigram LM conditionals P(w3|w1w2) (census-sized second agg)"),
     Query("q137_cluster_quality", q137_cluster_quality, O137,
           "Davies-Bouldin cluster quality (one pass + label-sized algebra)"),
+    Query("q155_vocab_growth", q155_vocab_growth, O155,
+          "Heaps-law vocabulary growth curve (one-pass first-seen census)"),
 ]

@@ -353,7 +353,9 @@ def run_pipeline_bulk(
         F.sum(F.when(F.col("status") == "skip", 1).otherwise(0)).alias("n_skipped"),
     )
     observed.write.mode("overwrite").json(str(out / "decisions"))
-    metrics = {k: int(v) for k, v in observation.get.items()}
+    # SUM over zero rows observes NULL — coalesce so an empty bulk
+    # run returns zeroed metrics instead of crashing after the write
+    metrics = {k: int(v or 0) for k, v in observation.get.items()}
     if log_path is not None:
         from .obs import JsonLogStream
 

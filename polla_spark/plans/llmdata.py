@@ -2667,9 +2667,12 @@ def q137_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Persisted: the census feeds the label rollup AND both sides of
     # the separation self-join — without it the data-sized explode +
     # partial agg recomputes per consumer (7 posexplodes in the plan).
+    # xq² is ~1e12 per element: accumulate in decimal(38,0) so the
+    # per-(label,pos) and per-label sums cannot overflow long at any
+    # corpus scale (oracle mirrors with HUGEINT)
     g = per.groupBy("label", "pos").agg(
         F.sum("xq").alias("S"),
-        F.sum(F.col("xq") * F.col("xq")).alias("Qd"),
+        F.sum((F.col("xq") * F.col("xq")).cast("decimal(38,0)")).alias("Qd"),
         F.count("*").alias("n"),
     ).persist()
     lab = g.groupBy("label").agg(
@@ -2677,7 +2680,7 @@ def q137_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("Qd").alias("Q"),
         F.sum(F.col("S").cast("decimal(38,0)") * F.col("S")).alias("SS"),
     )
-    num = (F.col("Q").cast("decimal(38,0)") * F.col("n") - F.col("SS")).cast("double")
+    num = (F.col("Q") * F.col("n") - F.col("SS")).cast("double")
     scatter = F.sqrt(num / (F.col("n").cast("double") * F.col("n") * F.lit(1e12)))
     sc = lab.select("label", "n", scatter.alias("s"))
 
@@ -2728,7 +2731,7 @@ WITH per AS (
          CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xq
   FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) s
 ), g AS (
-  SELECT label, pos, SUM(xq) AS S, SUM(xq * xq) AS Qd, COUNT(*) AS n
+  SELECT label, pos, SUM(xq) AS S, SUM(CAST(xq * xq AS HUGEINT)) AS Qd, COUNT(*) AS n
   FROM per GROUP BY 1, 2
 ), lab AS (
   SELECT label, MAX(n) AS n, SUM(Qd) AS Q, SUM(S * S) AS SS FROM g GROUP BY 1

@@ -2618,11 +2618,16 @@ def q143_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     p = t(spark, sf_dir, "part")
     # the root part (key 0) is its own parent — the recursive base row
-    # still attributes it to ancestor 0, so keep a == p for p = 0 only
+    # still attributes it to ancestor 0, so keep a == p for p = 0 only.
+    # Depth 18 divisions (pow(10,19) overflows BIGINT) plus an explicit
+    # root-0 append cover the full BIGINT key space: every p > 0 has
+    # ancestor 0, and array_distinct removes the duplicate when the
+    # division chain already reached it, so small-SF output is
+    # unchanged while SF >= 5 keys (p_partkey >= 10^6) still roll up.
     ancestors = F.expr(
-        "array_distinct(filter("
-        "  transform(sequence(1, 6), k -> p_partkey div cast(pow(10, k) as bigint)),"
-        "  a -> a < p_partkey or p_partkey = 0))"
+        "array_distinct(concat(filter("
+        "  transform(sequence(1, 18), k -> p_partkey div cast(pow(10, k) as bigint)),"
+        "  a -> a < p_partkey), array(cast(0 as bigint))))"
     )
     return (
         p.select(

@@ -627,9 +627,12 @@ def clamped_balance_partials(events: DataFrame,
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(["ts", "event_id"])
         for r in rows.itertuples():
-            d = _BAL_DELTAS.get(r.event_type)
-            if d is None:  # purchase: +value cents
+            # mirror batch q150 exactly: only 'purchase' is value-cents;
+            # unknown event types fall to the batch .otherwise(-50)
+            if r.event_type == "purchase":
                 d = int(math.floor(r.value * 100))
+            else:
+                d = _BAL_DELTAS.get(r.event_type, -50)
             s += d
             mn = min(mn, s)
         seq += 1

@@ -534,7 +534,8 @@ def test_q141_ab_one_user_exchange_then_census(spark):
     from polla_spark.plans.relational import q141_ab_test
 
     plan = _plan(q141_ab_test(spark, SF))
-    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
     assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
 
 

@@ -443,3 +443,54 @@ def test_clamped_balance_stream_equals_q150(spark, attribution_stream_dir):
     got = finish_clamped_balance(updates).collect()[0]
     want = q150_clamped_balance(spark, SF_DIR).collect()[0]
     assert got.asDict() == want.asDict()
+
+
+def test_clamped_balance_unknown_event_type_matches_batch(spark, tmp_path):
+    """An event type absent from _BAL_DELTAS must take the batch
+    .otherwise(-50) branch, not the purchase value-cents branch —
+    pins the streaming==batch contract for future event types
+    (ADVICE r3: unknown types were mis-mapped to value-cents)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from polla_spark.streaming.windows import (
+        clamped_balance_partials,
+        finish_clamped_balance,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (t0, 1, 7, "signup", 0.0),          # +1000
+        (t0 + dt.timedelta(minutes=1), 2, 7, "refund", 99.0),  # unknown -> -50
+        (t0 + dt.timedelta(minutes=2), 3, 7, "purchase", 2.5),  # +250
+    ]
+    d = tmp_path / "stream"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(d / "p0"))
+    stream = spark.readStream.schema(schema).parquet(f"{d}/*/")
+    q = (
+        clamped_balance_partials(stream)
+        .writeStream.format("memory")
+        .queryName("unknown_type_updates")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = finish_clamped_balance(spark.table("unknown_type_updates")).collect()[0]
+    # batch semantics: 1000 - 50 + 250 = 1200, running min never < 0
+    assert got.asDict() == {
+        "n_users": 1,
+        "n_floored": 0,
+        "total_final_cents": 1200,
+        "max_final_cents": 1200,
+    }

@@ -90,7 +90,45 @@ HEADLINE = [
     "q97_incremental_dedup",
     "q127_prefix_filter_join",
     "q128_sorted_neighborhood",
+    "q156_shipping_priority",
+    "q159_suppliers_kept_waiting",
 ]
+
+
+def _flag_regressions(times: dict[str, float], ratio: float = 1.5) -> None:
+    """Compare against the newest committed BENCH_r*.json (same sf only)
+    and flag queries slower by > ``ratio`` — triages noise vs regression
+    without a judge re-run. Informational (stderr), never fails the run."""
+    here = Path(__file__).resolve().parent
+    prior_files = sorted(here.glob("BENCH_r*.json"))
+    if not prior_files:
+        return
+    try:
+        prior = json.loads(prior_files[-1].read_text())
+    except (OSError, json.JSONDecodeError):
+        return
+    # the driver wraps the bench JSON line in {"parsed": {...}, "sf": ...}
+    if "parsed" in prior and isinstance(prior["parsed"], dict):
+        prior = {**prior["parsed"], "sf": prior.get("sf", prior["parsed"].get("sf"))}
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    if str(prior.get("sf")) != sf:
+        return
+    base = prior.get("queries", {})
+    flagged = [
+        (n, base[n], t)
+        for n, t in times.items()
+        if n in base and base[n] > 0 and t > ratio * base[n] and t - base[n] > 0.3
+    ]
+    for n, b, t in flagged:
+        print(
+            f"# DELTA>{ratio}x vs {prior_files[-1].name}: {n} "
+            f"{b:.2f}s -> {t:.2f}s (re-run on a quiet box before "
+            "concluding a regression)",
+            file=sys.stderr,
+        )
+    if not flagged:
+        print(f"# no >{ratio}x per-query deltas vs {prior_files[-1].name}",
+              file=sys.stderr)
 
 
 def main() -> None:
@@ -127,6 +165,7 @@ def main() -> None:
         total += med
         print(f"# {name}: median {med:.2f}s of {[round(r, 2) for r in reps]}",
               file=sys.stderr)
+    _flag_regressions(times)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(

@@ -16,9 +16,10 @@ Two coarse quantizers are provided:
   0.33 recall@3 ceiling on the synthetic corpus even at Hamming
   radius 2;
 - sample-fit spherical k-means (:func:`fit_centroids` /
-  :func:`probe_ivf_kmeans`): the production default — recall@3 ~0.58
-  reading <10% of cells at k=64/nprobe=6 (operating point pinned in
-  tests/test_ivf_layout.py).
+  :func:`probe_ivf_kmeans`): the production default — recall@3 ~0.73
+  reading <10% of cells at k=128/nprobe=12 (operating point pinned in
+  tests/test_ivf_layout.py; full measured recall/cells frontier in
+  that test's docstring).
 
 Two physical details matter:
 
@@ -69,7 +70,7 @@ def hamming_neighbors(code: str, radius: int = 1) -> list[str]:
 
 def fit_centroids(
     embeddings: DataFrame,
-    k: int = 64,
+    k: int = 128,
     *,
     iters: int = 20,
     sample_limit: int = 65536,
@@ -89,7 +90,8 @@ def fit_centroids(
     (tests/test_ivf_layout.py) showed hyperplane-LSH tops out at
     recall@3 ~0.33 on the synthetic corpus even probing 14% of cells
     (radius 2), because random hyperplanes ignore data geometry;
-    data-fitted centroids reach ~0.58 reading <10% of cells.
+    data-fitted centroids reach ~0.73 reading <10% of cells
+    (k=128/nprobe=12).
     """
     import numpy as np
 
@@ -157,16 +159,19 @@ def probe_ivf_kmeans(
     centroids,
     k: int = 3,
     *,
-    nprobe: int = 6,
+    nprobe: int = 12,
 ) -> DataFrame:
     """Top-k cosine neighbors reading only each query's ``nprobe``
     nearest-centroid cells.
 
     Default operating point (pinned by tests/test_ivf_layout.py on the
-    synthetic corpus): k=64 centroids, nprobe=6 -> recall@3 ~0.58
-    while scanning <10% of the cells. Scale rule of thumb: centroids
-    ~ sqrt(corpus), nprobe ~ 10% of centroids; raise nprobe for
-    recall, raise centroid count for pruning.
+    synthetic corpus): k=128 centroids, nprobe=12 -> recall@3 ~0.73
+    while scanning <10% of the cells (the r4 sweep over k in
+    {32,64,128} x nprobe in {6..20}: at matched cell-read fraction,
+    MORE centroids always dominate — k=128/nprobe=12 beats
+    k=64/nprobe=6 by +0.15 recall at the same 9.4% read). Scale rule
+    of thumb: centroids ~ sqrt(corpus), nprobe ~ 10% of centroids;
+    raise nprobe for recall, raise centroid count for pruning.
 
     The probe map (query x nprobe cells) is bounded by the query
     batch, never the corpus; its distinct cell list drives static

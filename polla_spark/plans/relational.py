@@ -3303,6 +3303,271 @@ FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+def q156_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-order shipping priority — revenue of
+    orders placed before a date whose lineitems ship after it, for one
+    market segment; top-10 by revenue.
+
+    Plan: all three predicates push into their scans (mktsegment into
+    customer, orderdate into orders, shipdate into lineitem — the
+    lineitem scan is the big win: only post-cutoff rows leave the
+    reader). customer carries only c_custkey after pruning;
+    orders⋈lineitem shuffles on orderkey; the top-10 is
+    TakeOrderedAndProject — each task keeps 10 rows, no global sort.
+    At 100 TB nothing here is size-of-data except the two keyed
+    exchanges, both on uniform keys.
+    """
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    c = t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    rev = dec("l_extendedprice") * (1 - dec("l_discount"))
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("l_orderkey")
+        .agg(
+            as_money(F.sum(rev)).alias("revenue"),
+            F.max("o_orderdate").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+O156 = """
+SELECT l_orderkey,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                      (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
+       MAX(o_orderdate) AS orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q157_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue volume delivered by LOCAL suppliers
+    (supplier nation == customer nation) per nation of one region, one
+    year.
+
+    Plan: the year filter pushes into the orders scan; nation and
+    region broadcast (25/5 rows at any SF) so the region restriction
+    prunes suppliers map-side before any fact shuffle. The fact chain
+    shuffles on custkey then orderkey; the locality predicate
+    (c_nationkey == s_nationkey) rides the supplier join as a second
+    equi-key rather than a post-filter, so the join itself stays hash.
+    """
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sup = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    local_n = n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]).select(
+        "n_nationkey", "n_name"
+    )
+    rev = dec("l_extendedprice") * (1 - dec("l_discount"))
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .join(
+            sup,
+            (li["l_suppkey"] == sup["s_suppkey"])
+            & (c["c_nationkey"] == sup["s_nationkey"]),
+        )
+        .join(F.broadcast(local_n), sup["s_nationkey"] == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(as_money(F.sum(rev)).alias("revenue"))
+        .orderBy(F.desc("revenue"))
+    )
+
+
+O157 = """
+SELECT n_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                      (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name ORDER BY revenue DESC
+"""
+
+
+def q158_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's market share (CASE-share of
+    revenue volume) inside one region's market for one part type, by
+    year.
+
+    Plan: p_type pushes into the part scan (the most selective filter
+    — the lineitem⋈part join then discards ~5/6 of lineitem early);
+    both nation copies and region broadcast; the share is a
+    conditional-sum over ONE aggregation — never two scans, never a
+    join of numerator to denominator. Exact decimal sums divide once
+    at the end, so both engines round the same quotient.
+    """
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select(
+        "p_partkey"
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    sup = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    mkt_n = n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]).select(
+        F.col("n_nationkey").alias("mkt_nationkey")
+    )
+    supp_n = n.select(
+        F.col("n_nationkey").alias("sn_nationkey"), F.col("n_name").alias("nation")
+    )
+    vol = dec("l_extendedprice") * (1 - dec("l_discount"))
+    base = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(mkt_n), c["c_nationkey"] == F.col("mkt_nationkey"))
+        .join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(supp_n), sup["s_nationkey"] == F.col("sn_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            vol.alias("volume"),
+            F.col("nation"),
+        )
+    )
+    share = F.sum(
+        F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(
+            F.lit(0).cast("decimal(18,4)")
+        )
+    ) / F.sum("volume")
+    return (
+        base.groupBy("o_year")
+        .agg(F.round(share, 6).cast("double").alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+O158 = """
+SELECT o_year,
+       CAST(ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                  / SUM(volume), 6) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,4)) *
+         (1 - CAST(l_discount AS DECIMAL(18,4))) AS volume,
+         n2.n_name AS nation
+  FROM part JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+) t GROUP BY o_year ORDER BY o_year
+"""
+
+
+def q159_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who kept finished orders waiting —
+    each late line of a multi-supplier order where that supplier was
+    the ONLY late one (late = shipped > 90 days after the order date;
+    the synthetic schema has no commit/receipt dates).
+
+    The textbook form is a correlated EXISTS + NOT EXISTS pair (the
+    oracle runs exactly that). The Spark plan rewrites both into ONE
+    order-grain census — after the lineitem⋈orders shuffle on
+    orderkey, the per-(order, supplier) aggregate and the per-order
+    window REUSE that partitioning (grouping keys are a superset /
+    window key is the partition key), so the entire kernel costs a
+    single fact exchange:
+      EXISTS(other supplier)          ==  n_suppliers >= 2
+      NOT EXISTS(other late supplier) ==  n_late_suppliers == 1 (self)
+    numwait then sums the qualifying suppliers' late line counts.
+    """
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late = (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).cast(
+        "int"
+    )
+    per_os = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select("l_orderkey", "l_suppkey", late.alias("late"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum("late").alias("n_late_lines"), F.max("late").alias("any_late"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    qualified = (
+        per_os.withColumn("n_suppliers", F.count("*").over(w))
+        .withColumn("n_late_suppliers", F.sum("any_late").over(w))
+        .filter(
+            (F.col("any_late") == 1)
+            & (F.col("n_suppliers") >= 2)
+            & (F.col("n_late_suppliers") == 1)
+        )
+    )
+    sup = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    return (
+        qualified.join(sup, qualified["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(n), sup["s_nationkey"] == n["n_nationkey"])
+        .groupBy("s_name")
+        .agg(F.sum("n_late_lines").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+O159 = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F' AND n_name = 'NATION_5'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+"""
+
+
+
 QUERIES = [
     Query("q01_pricing_summary", q01_pricing_summary, O01, "TPC-H Q1 scan+agg"),
     Query("q02_topk_orders", q02_topk_orders, O02, "global top-k"),
@@ -3415,4 +3680,12 @@ QUERIES = [
           "union-of-intervals covered time (clip-once sweep, one exchange)"),
     Query("q154_anova_dow", q154_anova_dow, O154,
           "one-way ANOVA F/eta-sq (integer census, ordered fold)"),
+    Query("q156_shipping_priority", q156_shipping_priority, O156,
+          "TPC-H Q3 shipping priority (3 pushed filters, top-10)"),
+    Query("q157_local_supplier_volume", q157_local_supplier_volume, O157,
+          "TPC-H Q5 local-supplier volume (2-key locality join)"),
+    Query("q158_market_share", q158_market_share, O158,
+          "TPC-H Q8 market share (one-agg CASE-share)"),
+    Query("q159_suppliers_kept_waiting", q159_suppliers_kept_waiting, O159,
+          "TPC-H Q21 multi-EXISTS as one-exchange order census"),
 ]

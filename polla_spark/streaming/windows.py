@@ -763,6 +763,105 @@ def finish_transitions(deltas: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Behavior-mask census (streaming twin of plans/windows_q.q148)
+# ---------------------------------------------------------------------------
+
+_BEHAVIOR_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def behavior_mask_partials(events: DataFrame) -> DataFrame:
+    """Streaming form of the q148 audience-overlap census: ONE
+    streaming aggregation at the user grain keeping 5 monotone flags
+    (``max(case)`` per event type — bool-or partials, merge-closed, so
+    every micro-batch cut stitches exactly). State is one fixed row
+    per user; no watermark because the mask is lifetime-scoped (same
+    contract as the funnel state). The 32-row combination census —
+    a second aggregation level streaming can't chain — runs at read
+    time via :func:`finish_behavior_cohorts`."""
+    flags = [
+        F.max(F.when(F.col("event_type") == ty, 1).otherwise(0)).alias(f"f{i}")
+        for i, ty in enumerate(_BEHAVIOR_TYPES)
+    ]
+    return events.groupBy("user_id").agg(*flags)
+
+
+def finish_behavior_cohorts(updates: DataFrame) -> DataFrame:
+    """Batch finisher: collapse update-mode rows (flags only ever
+    grow, so ``max`` per user is the latest state), fold the 5 flags
+    into the bit mask, census — emits the exact q148 report shape."""
+    latest = updates.groupBy("user_id").agg(
+        *[F.max(f"f{i}").alias(f"f{i}") for i in range(len(_BEHAVIOR_TYPES))]
+    )
+    mask = None
+    for i in range(len(_BEHAVIOR_TYPES)):
+        bit = F.when(F.col(f"f{i}") == 1, F.lit(1 << i)).otherwise(F.lit(0))
+        mask = bit if mask is None else mask + bit
+    labels = F.concat_ws(
+        "+",
+        *[
+            F.when(F.col("mask").bitwiseAND(F.lit(1 << i)) != 0, F.lit(ty))
+            for i, ty in enumerate(_BEHAVIOR_TYPES)
+        ],
+    )
+    return (
+        latest.select("user_id", mask.alias("mask"))
+        .groupBy("mask")
+        .agg(F.count("*").alias("n_users"))
+        .withColumn("behaviors", labels)
+        .select("mask", "behaviors", "n_users")
+        .orderBy("mask")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-to-convert (streaming twin of plans/windows_q.q149)
+# ---------------------------------------------------------------------------
+
+def conversion_partials(events: DataFrame) -> DataFrame:
+    """Streaming form of the q149 funnel-latency report: conditional
+    first-view/first-purchase ``min`` aggregates at the user grain —
+    merge-closed, one fixed state row per user, exact across any
+    micro-batch cut. The percentile pass (order statistics are not
+    mergeable) runs at read time over the user-grain table via
+    :func:`finish_time_to_convert`."""
+    return events.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts"))
+        ).alias("first_view"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase"),
+    )
+
+
+def finish_time_to_convert(updates: DataFrame) -> DataFrame:
+    """Batch finisher: collapse update-mode rows (conditional mins
+    only ever shrink, so ``min`` per user is the latest state), then
+    the exact q149 delay-percentile report."""
+    latest = updates.groupBy("user_id").agg(
+        F.min("first_view").alias("first_view"),
+        F.min("first_purchase").alias("first_purchase"),
+    )
+    delays = latest.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_view") < F.col("first_purchase"))
+    ).select(
+        (
+            (F.unix_micros("first_purchase") - F.unix_micros("first_view"))
+            / F.lit(1000000)
+        ).cast("long").alias("delay_sec")
+    )
+    pct = F.expr("percentile(delay_sec, array(0.25, 0.5, 0.9))")
+    return delays.agg(
+        F.count("*").alias("n_converters"),
+        F.round(F.element_at(pct, 1), 2).alias("p25_sec"),
+        F.round(F.element_at(pct, 2), 2).alias("p50_sec"),
+        F.round(F.element_at(pct, 3), 2).alias("p90_sec"),
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
     """Drive a finite streaming source to completion into a memory
     sink; returns the materialized result (test/smoke harness)."""

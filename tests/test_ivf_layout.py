@@ -65,18 +65,30 @@ def _recall_at_3(probe_df, exact_df) -> float:
 
 
 def test_kmeans_ivf_default_operating_point(spark, tmp_path):
-    """The k-means IVF default (k=64 centroids, nprobe=6) must clear
-    recall@3 >= 0.5 against exact brute force over the full synthetic
-    corpus while probing <= 10% of the occupied cells per query.
+    """The k-means IVF default (k=128 centroids, nprobe=12) must clear
+    recall@3 >= 0.7 against exact brute force over the full synthetic
+    corpus while probing <= 15% of the occupied cells per query.
 
-    Chosen by sweep (r3): hyperplane-LSH at planes {8,12,16} x
-    Hamming radius {0,1,2} peaked at recall 0.33 while reading 14.6%
-    of cells (8 planes, radius 2) — random hyperplanes ignore data
-    geometry, so on a near-random corpus (mean NN cosine 0.37) the
-    true neighbor rarely shares a cell. Data-fitted centroids at
-    k=64/nprobe=6 measure ~0.58 recall reading 9.4% of cells; higher
-    nprobe buys recall linearly (8 -> 0.65, 12 -> 0.73) at
-    proportional read cost.
+    Chosen by sweep. r3: hyperplane-LSH at planes {8,12,16} x Hamming
+    radius {0,1,2} peaked at recall 0.33 while reading 14.6% of cells
+    — random hyperplanes ignore data geometry, so on a near-random
+    corpus (mean NN cosine 0.37) the true neighbor rarely shares a
+    cell. r4: the k-means frontier over k in {32,64,128} x nprobe in
+    {6,8,10,12,16,20} on this 500-vector corpus (recall@3 at
+    cells-read fraction):
+
+        k= 32: 6->0.624@18.8%  10->0.784@31.2%  16->0.899@50.0%
+        k= 64: 6->0.584@ 9.4%  12->0.731@18.8%  16->0.804@25.0%
+        k=128: 6->0.602@ 4.7%  12->0.732@ 9.4%  16->0.785@12.5%
+
+    At MATCHED read fraction more centroids always dominate (finer
+    cells waste fewer reads on far vectors), so the default is
+    k=128/nprobe=12: recall 0.732 reading 9.4% of cells — vs the old
+    k=64/nprobe=6 point's 0.584 at the same 9.4%. On the larger
+    sf0.1 corpus (2000 near-random vectors) the same grid tops at
+    0.673@15.6% (k=128/nprobe=20): this synthetic corpus genuinely
+    ceilings near-random, which is exactly why the frontier is
+    recorded here as data.
     """
     import numpy as np
 
@@ -88,13 +100,13 @@ def test_kmeans_ivf_default_operating_point(spark, tmp_path):
 
     e = spark.read.parquet(f"{SF}/embeddings.parquet")
     out = str(tmp_path / "ivf_kmeans")
-    cents = fit_centroids(e, k=64)
+    cents = fit_centroids(e, k=128)
     write_ivf_kmeans(e, cents, out, spark)
 
     occupied = spark.read.parquet(out).select("cell").distinct().count()
-    assert 6 / occupied <= 0.10  # >= 90% of cells pruned per query
+    assert 12 / occupied <= 0.15  # >= 85% of cells pruned per query
 
-    got = probe_ivf_kmeans(spark, out, e, cents, k=3, nprobe=6)
+    got = probe_ivf_kmeans(spark, out, e, cents, k=3, nprobe=12)
     probed = {}
     for r in got.collect():
         probed.setdefault(r["query_id"], set()).add(r["vec_id"])
@@ -115,7 +127,7 @@ def test_kmeans_ivf_default_operating_point(spark, tmp_path):
         hits += len(probed.get(int(ids[qi]), set()) & truth)
         total += 3
     recall = hits / total
-    assert recall >= 0.5, f"recall@3 {recall:.3f} below the 0.5 bar"
+    assert recall >= 0.7, f"recall@3 {recall:.3f} below the 0.7 bar"
 
 
 def test_kmeans_ivf_probe_prunes_partitions(spark, tmp_path):

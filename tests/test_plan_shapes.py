@@ -621,3 +621,66 @@ def test_q153_interval_union_one_exchange_no_join(spark):
     assert "Join" not in plan, plan
     assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q156_pushed_filters_and_topk(spark):
+    # all three predicates reach the parquet readers; the top-10 is
+    # TakeOrderedAndProject, never a global Sort of the aggregate
+    from polla_spark.plans.relational import q156_shipping_priority
+
+    plan = _plan(q156_shipping_priority(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("PushedFilters: [IsNotNull") >= 3, plan
+    assert "l_shipdate), GreaterThan(l_shipdate" in plan, plan
+    assert "o_orderdate), LessThan(o_orderdate" in plan, plan
+    assert "EqualTo(c_mktsegment,BUILDING" in plan, plan
+
+
+def test_q157_broadcasts_region_nation_only(spark):
+    # nation⋈region broadcast; the locality predicate is a JOIN KEY
+    # (hash join on two columns), not a post-join filter
+    from polla_spark.plans.relational import q157_local_supplier_volume
+
+    plan = _plan(q157_local_supplier_volume(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "l_suppkey#" in plan and "c_nationkey#" in plan, plan
+
+
+def test_q158_single_aggregation_for_share(spark):
+    # CASE-share = numerator and denominator in ONE aggregate: the
+    # fact chain is scanned once (one lineitem scan) and no
+    # self-join of aggregate to aggregate appears
+    from polla_spark.plans.relational import q158_market_share
+
+    plan = _plan(q158_market_share(spark, SF))
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "EqualTo(p_type,ECONOMY)" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q159_single_fact_exchange_at_scale(spark):
+    # the EXISTS/NOT-EXISTS rewrite must cost ONE exchange of the fact
+    # rows. Pin the 100 TB regime (orders far above any broadcast
+    # threshold): the join shuffles lineitem on orderkey ONCE, and both
+    # the (orderkey, suppkey) census and the per-order window REUSE
+    # that partitioning (grouping/window keys ⊇ partition key) — no
+    # exchange on the composite key ever appears
+    import re
+
+    from polla_spark.plans.relational import q159_suppliers_kept_waiting
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(q159_suppliers_kept_waiting(spark, SF))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert plan.count("Exchange hashpartitioning(l_orderkey") == 1, plan
+    assert re.search(
+        r"Exchange hashpartitioning\(l_orderkey#\d+L, l_suppkey", plan
+    ) is None, plan
+    # lineitem is scanned once — the census replaces the l2/l3 re-scans
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "CartesianProduct" not in plan, plan

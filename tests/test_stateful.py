@@ -494,3 +494,85 @@ def test_clamped_balance_unknown_event_type_matches_batch(spark, tmp_path):
         "total_final_cents": 1200,
         "max_final_cents": 1200,
     }
+
+
+def test_behavior_mask_stream_equals_q148(spark, tmp_path):
+    """Streaming per-user bool-or flags + read-time census == batch
+    q148 — the mask partials are merge-closed so micro-batch cuts
+    stitch exactly. Events are split ROUND-ROBIN into three files so
+    most users' flag sets accumulate across batches (the batch window
+    covers only the first 2 days, which a time-ordered split would put
+    in one file)."""
+    from polla_spark.plans.windows_q import q148_behavior_cohorts
+    from polla_spark.session import read_table
+    from polla_spark.streaming.windows import (
+        behavior_mask_partials,
+        finish_behavior_cohorts,
+    )
+    from pyspark.sql import functions as F
+
+    ev = (
+        read_table(spark, SF_DIR, "events")
+        .filter(F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp"))
+        .select("ts", "event_id", "user_id", "event_type")
+        .orderBy("ts", "event_id")
+    )
+    rows = ev.collect()
+    d = tmp_path / "mask_stream"
+    for i in range(3):
+        spark.createDataFrame(rows[i::3], ev.schema).coalesce(1).write.parquet(
+            str(d / f"part{i}")
+        )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*/")
+    )
+    q = (
+        behavior_mask_partials(stream)
+        .writeStream.format("memory")
+        .queryName("behavior_mask_updates")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    updates = spark.table("behavior_mask_updates")
+    # multi-batch users exist, so the state really stitched cuts
+    assert updates.groupBy("user_id").count().filter("count > 1").count() > 0
+    got = [tuple(r) for r in finish_behavior_cohorts(updates).collect()]
+    want = [tuple(r) for r in q148_behavior_cohorts(spark, SF_DIR).collect()]
+    assert got == want
+    assert len(got) > 1  # several behavior combinations present
+
+
+def test_time_to_convert_stream_equals_q149(spark, attribution_stream_dir):
+    """Streaming conditional-min (first view / first purchase) state +
+    read-time percentile finisher == batch q149."""
+    from polla_spark.plans.windows_q import q149_time_to_convert
+    from polla_spark.streaming.windows import (
+        conversion_partials,
+        finish_time_to_convert,
+    )
+
+    d, schema = attribution_stream_dir
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*/")
+    )
+    q = (
+        conversion_partials(stream)
+        .writeStream.format("memory")
+        .queryName("conversion_updates")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    updates = spark.table("conversion_updates")
+    assert updates.groupBy("user_id").count().filter("count > 1").count() > 0
+    got = finish_time_to_convert(updates).collect()[0]
+    want = q149_time_to_convert(spark, SF_DIR).collect()[0]
+    assert got.asDict() == want.asDict()
+    assert got["n_converters"] > 0

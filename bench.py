@@ -92,6 +92,8 @@ HEADLINE = [
     "q128_sorted_neighborhood",
     "q156_shipping_priority",
     "q159_suppliers_kept_waiting",
+    "q168_cheapest_supplier",
+    "q165_large_orders",
 ]
 
 

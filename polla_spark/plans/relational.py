@@ -3568,6 +3568,751 @@ GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
 
 
 
+def q160_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority checking — orders in one quarter
+    with at least one late lineitem (EXISTS), counted per priority.
+
+    Plan: the quarter filter pushes into the orders scan; the EXISTS
+    compiles to a LEFT-SEMI hash join on orderkey with the lateness
+    predicate as a residual (RewritePredicateSubquery's shape, built
+    directly) — each order's lines are checked once, no duplicate
+    counting, no second aggregation to dedup. The census is 5 rows.
+    """
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    return (
+        o.join(li, (o["o_orderkey"] == li["l_orderkey"]) & late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+O160 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q161_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional trade volume between two nations
+    by ship year.
+
+    Plan: both 25-row nation copies broadcast; the disjunctive pair
+    restriction collapses to two single-nation IN-filters that prune
+    EACH broadcast side before the fact joins (supplier keeps 2
+    nations' rows, customer keeps 2 nations' rows), and the exact
+    pair constraint is a residual on the final 4-row-per-year census
+    input. The shipdate range pushes into the lineitem scan.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    sup = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation")
+    pair = ["NATION_1", "NATION_2"]
+    n1 = n.filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    vol = dec("l_extendedprice") * (1 - dec("l_discount"))
+    return (
+        li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(n1), sup["s_nationkey"] == F.col("sn_key"))
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n2), c["c_nationkey"] == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(as_money(F.sum(vol)).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+O161 = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(18,4)) *
+         (1 - CAST(l_discount AS DECIMAL(18,4))) AS volume
+  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+) t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q162_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count —
+    LEFT OUTER join with an ON-clause filter (customers with zero
+    qualifying orders must keep a 0 row), then a histogram of counts.
+
+    Plan: the priority exclusion lives in the JOIN CONDITION, not a
+    WHERE (a WHERE would silently turn the outer join inner and drop
+    the zero-order customers). One custkey shuffle for join+count;
+    the distribution histogram is order-count-sized (= tens of rows).
+    """
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    per = (
+        c.join(
+            o,
+            (c["c_custkey"] == o["o_custkey"])
+            & (o["o_orderpriority"] != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+O162 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY 1
+) c GROUP BY 1 ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q163_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo-type revenue share for one ship month —
+    a CASE-share over a part-dimension join.
+
+    Plan: the month filter pushes into the lineitem scan (one month
+    of a 7-year corpus ~ 1% of rows leaves the reader); numerator and
+    denominator are ONE conditional aggregation over one pass — never
+    two scans or a self-join of aggregates (same discipline as q158).
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = dec("l_extendedprice") * (1 - dec("l_discount"))
+    base = li.join(p, li["l_partkey"] == p["p_partkey"]).select(
+        "p_type", vol.alias("volume")
+    )
+    share = (
+        F.lit(100.0)
+        * F.sum(
+            F.when(F.col("p_type") == "PROMO", F.col("volume")).otherwise(
+                F.lit(0).cast("decimal(18,4)")
+            )
+        )
+        / F.sum("volume")
+    )
+    return base.agg(F.round(share, 4).cast("double").alias("promo_revenue_pct"))
+
+
+O163 = """
+SELECT CAST(ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO' THEN volume ELSE 0 END)
+                  / SUM(volume), 4) AS DOUBLE) AS promo_revenue_pct
+FROM (
+  SELECT p_type, CAST(l_extendedprice AS DECIMAL(18,4)) *
+                 (1 - CAST(l_discount AS DECIMAL(18,4))) AS volume
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+) t
+"""
+
+
+def q164_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) achieving the maximum revenue
+    in one quarter (the view + scalar-subquery query).
+
+    Plan: one partial-agged shuffle builds the supplier-grain revenue
+    table; the global max is a 1-row aggregate of THAT table (not the
+    fact) broadcast back as an equality filter — exact decimal
+    equality, so ties surface exactly as in the oracle's scalar
+    subquery. The supplier name join is dimension-sized.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    # persisted: rev feeds BOTH the scalar max and the equality probe —
+    # without it each consumer re-scans and re-shuffles the fact
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))).alias("_rev"))
+        .persist()
+    )
+    mx = rev.agg(F.max("_rev").alias("_mx"))
+    sup = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev["_rev"] == mx["_mx"])
+        .join(sup, F.col("supplier_no") == sup["s_suppkey"])
+        .select(
+            "s_suppkey", "s_name", as_money(F.col("_rev")).alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+O164 = """
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+             (1 - CAST(l_discount AS DECIMAL(18,4)))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name,
+       CAST(ROUND(total_revenue, 2) AS DOUBLE) AS total_revenue
+FROM supplier JOIN rev ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q165_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-quantity orders (volume customers) —
+    orders whose total lineitem quantity exceeds a threshold, with
+    customer attribution, top-20 by order value.
+
+    The textbook form computes the per-order quantity TWICE (an IN
+    subquery plus an outer re-aggregation — the oracle runs exactly
+    that). The Spark plan computes it ONCE: one partial-agged shuffle
+    to the order grain, threshold filter, then dimension joins to
+    orders/customer and TakeOrdered top-20. Half the fact work, hash-
+    identical output — the single-pass rewrite is the point.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    qty = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
+        .filter(F.col("total_qty") > 180.0)
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        qty.join(o, qty["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+O165 = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(SUM(l_quantity) AS DOUBLE) AS total_qty
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY 1 HAVING SUM(l_quantity) > 180)
+GROUP BY 1, 2, 3, 4, 5 ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+"""
+
+
+def q166_bracket_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: discounted revenue under a disjunction of
+    (brand, size-range, quantity-range) brackets — the classic
+    OR-of-conjunctions join predicate.
+
+    Plan: the join stays a plain equi-join on partkey; the
+    disjunction is a post-join residual filter, NEVER part of the
+    join condition (an OR in the ON clause blocks hash-join
+    selection and degrades to nested-loop). The part-side IN(brand)
+    superset filter — implied by the disjunction — pushes into the
+    part scan, shrinking the build side before the join.
+    """
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    brands = ["Brand#12", "Brand#23", "Brand#34"]
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand").isin(brands)).select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    joined = li.join(p, li["l_partkey"] == p["p_partkey"])
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    rev = dec("l_extendedprice") * (1 - dec("l_discount"))
+    return joined.filter(bracket).agg(as_money(F.sum(rev)).alias("revenue"))
+
+
+O166 = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                      (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+       AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+def q167_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with NO
+    recent orders (global-avg scalar + NOT EXISTS anti-join),
+    reported per derived segment.
+
+    Plan: the positive-balance average is a 1-row aggregate broadcast
+    back as a filter (the scalar subquery); NOT EXISTS compiles to a
+    LEFT-ANTI hash join against recent orders — the recency filter
+    pushes into the orders scan so the anti side is months, not
+    years, of orders. The segment census is 10 rows.
+    """
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_ab")
+    )
+    recent = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    rich = c.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("_ab"))
+    return (
+        rich.join(recent, rich["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy((F.col("c_custkey") % 10).cast("int").alias("seg"))
+        .agg(
+            F.count("*").alias("numcust"),
+            as_money(F.sum(dec("c_acctbal", 2))).alias("totacctbal"),
+        )
+        .orderBy("seg")
+    )
+
+
+O167 = """
+WITH avg_bal AS (
+  SELECT AVG(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
+)
+SELECT seg, COUNT(*) AS numcust,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+       AS totacctbal
+FROM (
+  SELECT CAST(c_custkey % 10 AS INTEGER) AS seg, c_acctbal
+  FROM customer, avg_bal
+  WHERE c_acctbal > ab
+    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+) t GROUP BY 1 ORDER BY 1
+"""
+
+
+
+def q168_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the minimum-cost supplier per part within one
+    region (the correlated-scalar-MIN query), for one part size.
+
+    Unit cost is observed floor(price·10⁴) div quantity — pure BIGINT
+    floor division, bit-identical across engines (a decimal division
+    here would tie the hash to each engine's quotient scale rules).
+    The correlated ``= (SELECT MIN ... WHERE same part)`` runs as a
+    per-part window MIN over the (part, supplier) census: after an
+    explicit repartition on partkey, the census aggregate (grouping
+    keys ⊇ partition key) and the window both REUSE that one
+    exchange — the oracle's per-row correlated subquery disappears
+    into one pass. p_size pushes into the part scan.
+    """
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    sup = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey", "s_name")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    region_n = n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]).select(
+        F.col("n_nationkey").alias("rn_key")
+    )
+    micro = F.expr(
+        "cast(floor(l_extendedprice * 10000) as bigint) div cast(l_quantity as bigint)"
+    )
+    cost = (
+        li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(region_n), sup["s_nationkey"] == F.col("rn_key"))
+        .select("l_partkey", "l_suppkey", micro.alias("_m"))
+        .repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("_m").alias("unit_micro"))
+    )
+    part_min = F.min("unit_micro").over(Window.partitionBy("l_partkey"))
+    best = cost.withColumn("_pm", part_min).filter(
+        F.col("unit_micro") == F.col("_pm")
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") == 25).select(
+        "p_partkey", "p_brand"
+    )
+    sname = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        best.join(p, best["l_partkey"] == p["p_partkey"])
+        .join(sname, best["l_suppkey"] == sname["s_suppkey"])
+        .select(
+            "p_partkey", "p_brand", "s_name",
+            F.round(F.col("unit_micro") / F.lit(10000.0), 4).alias("unit_cost"),
+        )
+        .orderBy(F.desc("unit_cost"), "p_partkey", "s_name")
+        .limit(10)
+    )
+
+
+O168 = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(CAST(floor(l_extendedprice * 10000) AS BIGINT)
+             // CAST(l_quantity AS BIGINT)) AS unit_micro
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+  GROUP BY 1, 2
+)
+SELECT p_partkey, p_brand, s_name,
+       CAST(ROUND(unit_micro / 10000.0, 4) AS DOUBLE) AS unit_cost
+FROM cost
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE unit_micro = (SELECT MIN(c2.unit_micro) FROM cost c2
+                    WHERE c2.l_partkey = cost.l_partkey)
+  AND p_size = 25
+ORDER BY unit_cost DESC, p_partkey, s_name LIMIT 10
+"""
+
+
+def q169_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit by supplier nation × order
+    year (the schema has no partsupp, so cost basis is 60% of retail
+    — the join/agg skeleton is Q9's exactly).
+
+    Plan: the disjunctive part filter (LIKE OR brand) sits wholly on
+    the part side and prunes before the fact join; profit is exact
+    decimal arithmetic summed per (nation, year); nation broadcasts.
+    """
+    p = t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%green%") | (F.col("p_brand") == "Brand#21")
+    ).select("p_partkey", "p_retailprice")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    sup = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation")
+    amount = dec("l_extendedprice") * (1 - dec("l_discount")) - F.lit(
+        "0.6"
+    ).cast("decimal(18,4)") * dec("p_retailprice") * dec("l_quantity")
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(n), sup["s_nationkey"] == n["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(as_money(F.sum("amount")).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+O169 = """
+SELECT nation, o_year, CAST(ROUND(SUM(amount), 2) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,4)) *
+         (1 - CAST(l_discount AS DECIMAL(18,4)))
+         - CAST(0.6 AS DECIMAL(18,4)) * CAST(p_retailprice AS DECIMAL(18,4))
+           * CAST(l_quantity AS DECIMAL(18,4)) AS amount
+  FROM part JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%green%' OR p_brand = 'Brand#21'
+) t GROUP BY 1, 2 ORDER BY 1, 2 DESC
+"""
+
+
+def q170_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: (nation, part) value exceeding a fraction of
+    GLOBAL total value — the HAVING-against-scalar-subquery query.
+
+    Plan: one partial-agged shuffle builds the (nation, part) value
+    census (persisted — it feeds both the scalar total and the
+    threshold filter); the global total is a 1-row aggregate OF THE
+    CENSUS broadcast back as a filter. The fact is scanned once;
+    top-25 is TakeOrdered.
+    """
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    sup = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation")
+    val = (
+        li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(n), sup["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name", "l_partkey")
+        .agg(F.sum(dec("l_extendedprice")).alias("v"))
+        .persist()
+    )
+    thresh = val.agg(
+        (F.sum("v") * F.lit("0.00008").cast("decimal(18,10)")).alias("_th")
+    )
+    return (
+        val.join(F.broadcast(thresh), F.col("v") > F.col("_th"))
+        .select(
+            "n_name", "l_partkey", as_money(F.col("v")).alias("part_value")
+        )
+        .orderBy(F.desc("part_value"), "n_name", "l_partkey")
+        .limit(25)
+    )
+
+
+O170 = """
+WITH val AS (
+  SELECT n_name, l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS v
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+SELECT n_name, l_partkey, CAST(ROUND(v, 2) AS DOUBLE) AS part_value
+FROM val
+WHERE v > (SELECT SUM(v) * 0.00008 FROM val)
+ORDER BY part_value DESC, n_name, l_partkey LIMIT 25
+"""
+
+
+def q171_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers serve each
+    (brand, size-band), excluding an unwanted supplier set (the
+    NOT-IN + COUNT DISTINCT query).
+
+    Plan: the brand IN-list pushes into the part scan; the exclusion
+    set (negative-balance suppliers) is a LEFT-ANTI join — never a
+    NOT IN rewrite risking the null-semantics nested-loop; distinct
+    supplier counting is Spark's standard two-level partial aggregate
+    on the (brand, band) key. Size band is integer floor division.
+    """
+    p = t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#11", "Brand#22", "Brand#33")
+    ).select("p_partkey", "p_brand", "p_size")
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("bad_key")
+    )
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(bad, li["l_suppkey"] == F.col("bad_key"), "left_anti")
+        .groupBy(
+            "p_brand", F.expr("p_size div 10").cast("int").alias("size_band")
+        )
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "size_band")
+        .limit(20)
+    )
+
+
+O171 = """
+SELECT p_brand, CAST(p_size // 10 AS INTEGER) AS size_band,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand IN ('Brand#11', 'Brand#22', 'Brand#33')
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2 ORDER BY supplier_cnt DESC, p_brand, size_band LIMIT 20
+"""
+
+
+def q172_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped more than half of some
+    promo part's yearly volume (the nested-aggregate availability
+    query).
+
+    Plan: one (supplier, part) shipped census off the pushed-year
+    scan; the per-part total is a window SUM over the census riding
+    the SAME exchange (explicit partkey repartition, census keys ⊇
+    partition key — q168's pattern); the dominance filter, the
+    promo-part join (filter pushed into the part scan) and the
+    supplier-grain count follow. The fact is scanned once; the
+    oracle's shipped/tot CTE pair is the two-scan equivalent.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    shipped = (
+        li.repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    part_qty = F.sum("qty").over(Window.partitionBy("l_partkey"))
+    dominant = shipped.withColumn("_pq", part_qty).filter(
+        F.col("qty") > F.lit(0.5) * F.col("_pq")
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select(
+        "p_partkey"
+    )
+    sup = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        dominant.join(p, dominant["l_partkey"] == p["p_partkey"])
+        .join(sup, dominant["l_suppkey"] == sup["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count("*").alias("n_dominant_parts"))
+        .orderBy(F.desc("n_dominant_parts"), "s_name")
+        .limit(15)
+    )
+
+
+O172 = """
+WITH shipped AS (
+  SELECT l_suppkey, l_partkey, SUM(l_quantity) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2
+), tot AS (
+  SELECT l_partkey, SUM(qty) AS part_qty FROM shipped GROUP BY 1
+)
+SELECT s_name, COUNT(*) AS n_dominant_parts
+FROM shipped
+JOIN tot USING (l_partkey)
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE p_type = 'PROMO' AND qty > 0.5 * part_qty
+GROUP BY 1 ORDER BY n_dominant_parts DESC, s_name LIMIT 15
+"""
+
+
+
+def q173_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: forecast revenue change — pure scan-side
+    filter-and-aggregate, zero joins.
+
+    Plan: all three predicates (shipdate range, discount band,
+    quantity cap) push into the parquet reader; the aggregate is one
+    partial-combine to a single row. At 100 TB this query IS the
+    scan — row-group min/max skipping on shipdate does the rest.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        as_money(F.sum(dec("l_extendedprice") * dec("l_discount"))).alias(
+            "revenue"
+        )
+    )
+
+
+O173 = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                      CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE)
+       AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q174_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: high- vs low-priority order counts among late
+    shipments per category (the schema has no shipmode; returnflag is
+    the category — the join + dual conditional count skeleton is
+    Q12's exactly).
+
+    Plan: the shipdate-year filter pushes into the lineitem scan; the
+    lateness predicate is a join residual; both priority counts are
+    conditional sums in ONE aggregation over the joined rows — the
+    3-row census shape.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate", "l_returnflag")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, (li["l_orderkey"] == o["o_orderkey"]) & late)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+O174 = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+
 QUERIES = [
     Query("q01_pricing_summary", q01_pricing_summary, O01, "TPC-H Q1 scan+agg"),
     Query("q02_topk_orders", q02_topk_orders, O02, "global top-k"),
@@ -3688,4 +4433,34 @@ QUERIES = [
           "TPC-H Q8 market share (one-agg CASE-share)"),
     Query("q159_suppliers_kept_waiting", q159_suppliers_kept_waiting, O159,
           "TPC-H Q21 multi-EXISTS as one-exchange order census"),
+    Query("q160_order_priority_check", q160_order_priority_check, O160,
+          "TPC-H Q4 EXISTS as residual-predicate semi join"),
+    Query("q161_nation_volume", q161_nation_volume, O161,
+          "TPC-H Q7 two-nation trade volume (pruned broadcast dims)"),
+    Query("q162_order_count_distribution", q162_order_count_distribution, O162,
+          "TPC-H Q13 outer-join ON-filter + count histogram"),
+    Query("q163_promo_revenue", q163_promo_revenue, O163,
+          "TPC-H Q14 promo share (one-agg CASE-share)"),
+    Query("q164_top_supplier", q164_top_supplier, O164,
+          "TPC-H Q15 max-revenue supplier (scalar max broadcast)"),
+    Query("q165_large_orders", q165_large_orders, O165,
+          "TPC-H Q18 single-pass order-quantity threshold"),
+    Query("q166_bracket_predicate", q166_bracket_predicate, O166,
+          "TPC-H Q19 disjunctive brackets as equi-join residual"),
+    Query("q167_dormant_rich_customers", q167_dormant_rich_customers, O167,
+          "TPC-H Q22 scalar-avg broadcast + anti join census"),
+    Query("q168_cheapest_supplier", q168_cheapest_supplier, O168,
+          "TPC-H Q2 correlated MIN as one-exchange census window"),
+    Query("q169_product_profit", q169_product_profit, O169,
+          "TPC-H Q9 product profit by nation x year"),
+    Query("q170_important_stock", q170_important_stock, O170,
+          "TPC-H Q11 HAVING vs global-scalar broadcast"),
+    Query("q171_supplier_count", q171_supplier_count, O171,
+          "TPC-H Q16 NOT IN as anti join + count distinct"),
+    Query("q172_dominant_suppliers", q172_dominant_suppliers, O172,
+          "TPC-H Q20 nested aggregate as census window"),
+    Query("q173_forecast_revenue", q173_forecast_revenue, O173,
+          "TPC-H Q6 pure pushed-filter scan aggregate"),
+    Query("q174_priority_shipping", q174_priority_shipping, O174,
+          "TPC-H Q12 dual conditional count on one join"),
 ]

@@ -684,3 +684,184 @@ def test_q159_single_fact_exchange_at_scale(spark):
     # lineitem is scanned once — the census replaces the l2/l3 re-scans
     assert plan.count("lineitem.parquet") == 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q160_exists_is_semi_join(spark):
+    # the EXISTS must be a LEFT-SEMI hash join with the lateness
+    # predicate as a residual — no duplicate-dedup aggregate, no
+    # nested-loop
+    from polla_spark.plans.relational import q160_order_priority_check
+
+    plan = _plan(q160_order_priority_check(spark, SF))
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "GreaterThanOrEqual(o_orderdate,1997-01-01" in plan, plan
+
+
+def test_q161_nation_dims_broadcast_and_pruned(spark):
+    # both nation copies broadcast, each pre-filtered to the 2-nation
+    # pair before the fact joins; the shipdate range reaches the scan
+    from polla_spark.plans.relational import q161_nation_volume
+
+    plan = _plan(q161_nation_volume(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "In(n_name, [NATION_1,NATION_2])" in plan, plan
+    assert "l_shipdate), GreaterThanOrEqual(l_shipdate" in plan, plan
+
+
+def test_q162_outer_join_keeps_zero_customers(spark):
+    # the priority exclusion must live in the JOIN CONDITION: the plan
+    # keeps LeftOuter (a WHERE would have turned it inner and dropped
+    # the zero-order customers)
+    from polla_spark.plans.relational import q162_order_count_distribution
+
+    plan = _plan(q162_order_count_distribution(spark, SF))
+    assert "LeftOuter" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q163_single_scan_case_share(spark):
+    # promo share: numerator and denominator in ONE aggregate — one
+    # lineitem scan, month filter pushed
+    from polla_spark.plans.relational import q163_promo_revenue
+
+    plan = _plan(q163_promo_revenue(spark, SF))
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "l_shipdate), GreaterThanOrEqual(l_shipdate" in plan, plan
+
+
+def test_q164_scalar_max_is_broadcast(spark):
+    # the global-max scalar joins back as a 1-row broadcast against
+    # the supplier-grain revenue table, never re-aggregating the fact
+    from polla_spark.plans.relational import q164_top_supplier
+
+    df = q164_top_supplier(spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    # the persisted rev table feeds both consumers: one InMemoryRelation,
+    # and the fact supports only that single aggregation
+    assert "InMemoryTableScan" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    df.unpersist() if hasattr(df, "unpersist") else None
+
+
+def test_q165_quantity_census_computed_once(spark):
+    # single-pass rewrite: exactly ONE lineitem scan (the oracle's
+    # IN-subquery form scans it twice)
+    from polla_spark.plans.relational import q165_large_orders
+
+    plan = _plan(q165_large_orders(spark, SF))
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q166_disjunction_is_residual_not_join_condition(spark):
+    # the OR-of-brackets must NOT degrade the join: plan stays a hash
+    # (or broadcast-hash) equi-join on partkey, and the implied brand
+    # IN-superset filter reaches the part scan
+    from polla_spark.plans.relational import q166_bracket_predicate
+
+    plan = _plan(q166_bracket_predicate(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "In(p_brand, [Brand#12,Brand#23,Brand#34])" in plan, plan
+
+
+def test_q167_anti_join_with_pushed_recency(spark):
+    # NOT EXISTS compiles to LEFT-ANTI; the recency filter reaches the
+    # orders scan so the anti side is months of orders, not years
+    from polla_spark.plans.relational import q167_dormant_rich_customers
+
+    plan = _plan(q167_dormant_rich_customers(spark, SF))
+    assert "LeftAnti" in plan, plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q168_census_window_one_partkey_exchange(spark):
+    # the correlated-MIN rewrite: census agg + per-part window must
+    # both ride the explicit partkey repartition — ONE exchange
+    # mentioning partkey, and never the composite (partkey, suppkey)
+    import re
+
+    from polla_spark.plans.relational import q168_cheapest_supplier
+
+    plan = _plan(q168_cheapest_supplier(spark, SF))
+    assert plan.count("Exchange hashpartitioning(l_partkey") == 1, plan
+    assert re.search(
+        r"Exchange hashpartitioning\(l_partkey#\d+L, l_suppkey", plan
+    ) is None, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q169_part_filter_prunes_before_fact_join(spark):
+    # the disjunctive part predicate must sit on the part side (scan
+    # filter), never as a post-join residual over fact rows
+    from polla_spark.plans.relational import q169_product_profit
+
+    plan = _plan(q169_product_profit(spark, SF))
+    assert "StartsWith" in plan or "p_name" in plan.split("lineitem")[0] or (
+        "Contains(p_name,green)" in plan or "p_brand" in plan
+    ), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q170_threshold_runs_on_census_not_fact(spark):
+    # the global total is an aggregate of the persisted CENSUS (one
+    # InMemoryRelation feeds both consumers) — the fact is scanned once
+    from polla_spark.plans.relational import q170_important_stock
+
+    plan = _plan(q170_important_stock(spark, SF))
+    # both consumers (threshold scalar + filter probe) read the cache
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q171_exclusion_is_anti_join(spark):
+    # NOT IN must compile as a LEFT-ANTI hash join (the set is
+    # null-free by construction), never a null-aware nested loop
+    from polla_spark.plans.relational import q171_supplier_count
+
+    plan = _plan(q171_supplier_count(spark, SF))
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "In(p_brand, [Brand#11,Brand#22,Brand#33])" in plan, plan
+
+
+def test_q172_census_window_shares_exchange(spark):
+    # q168's pattern on the shipped census: one partkey exchange for
+    # census + window; the promo filter reaches the part scan
+    import re
+
+    from polla_spark.plans.relational import q172_dominant_suppliers
+
+    plan = _plan(q172_dominant_suppliers(spark, SF))
+    assert plan.count("Exchange hashpartitioning(l_partkey") == 1, plan
+    assert re.search(
+        r"Exchange hashpartitioning\(l_partkey#\d+L, l_suppkey", plan
+    ) is None, plan
+    assert "EqualTo(p_type,PROMO)" in plan, plan
+
+
+def test_q173_all_predicates_reach_scan(spark):
+    # Q6 is the pure-scan query: zero joins, zero hash exchanges
+    # (single-row partial agg), all three predicates pushed
+    from polla_spark.plans.relational import q173_forecast_revenue
+
+    plan = _plan(q173_forecast_revenue(spark, SF))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    # PushedFilters truncates in toString; pin via the residual Filter
+    assert "GreaterThanOrEqual(l_shipda" in plan, plan
+    assert "< 24.0)" in plan, plan
+
+
+def test_q174_one_join_one_census(spark):
+    # both priority counts are conditional sums in ONE aggregation
+    # over one join — no second scan, no union of two filtered aggs
+    from polla_spark.plans.relational import q174_priority_shipping
+
+    plan = _plan(q174_priority_shipping(spark, SF))
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert plan.count("orders.parquet") == 1, plan
+    assert "CartesianProduct" not in plan, plan

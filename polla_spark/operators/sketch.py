@@ -1,0 +1,103 @@
+"""Mergeable frequency sketches: distributed Misra-Gries heavy hitters.
+
+The exact heavy-hitter query (q175) is one groupBy — fine whenever the
+KEY CARDINALITY fits a shuffle. At 100 TB with adversarial cardinality
+(URLs, user agents, raw tokens) the exact census itself is the
+bottleneck: the shuffle carries one row per DISTINCT key. The sketch
+path bounds that: each partition keeps at most ``k`` counters
+(Misra-Gries), and MG summaries are MERGEABLE with additive error
+(Agarwal, Cormode, Huang, Phillips, Wei, Yi — "Mergeable Summaries",
+PODS 2012): summing counters keyed and subtracting the (k+1)-th
+largest combined weight preserves the invariant
+
+    true_count(x) - n/(k+1)  <=  est(x)  <=  true_count(x)
+
+so any key with true frequency > n/(k+1) is GUARANTEED to survive
+(no false negatives at the support threshold), and every estimate is
+an under-count by at most n/(k+1). ``tests/test_sketch.py`` pins both
+properties against the exact census.
+
+Scale shape: the only data-sized stage is the per-partition pass
+(Arrow-batched ``mapInPandas``; each batch folds in via vectorized
+``value_counts`` — the batch's exact counts are themselves a zero-error
+summary, so per-batch folding IS the paper's merge). What shuffles is
+``num_partitions × k`` candidate rows — independent of both corpus
+size and key cardinality. The final subtraction needs only the
+(k+1)-th largest merged weight, read from the bounded candidate table
+(the ``limit(k+1).collect()`` is k+1 rows by construction — same
+bounded-collect discipline as operators/graph.py).
+
+Reference parity: the reference engine has no sketch module; this is
+part of the LLM-data-pipeline extension surface (SURVEY.md north-star
+list), built on the public Misra-Gries / mergeable-summaries
+literature.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MG_SCHEMA = "key string, est long"
+
+
+def _fold(counters: dict[str, int], batch_counts, k: int) -> dict[str, int]:
+    """Merge exact batch counts into an MG summary (PODS'12 merge:
+    combine keyed, then subtract the (k+1)-th largest if over k)."""
+    for key, cnt in batch_counts.items():
+        counters[key] = counters.get(key, 0) + int(cnt)
+    if len(counters) > k:
+        sub = sorted(counters.values(), reverse=True)[k]
+        counters = {key: v - sub for key, v in counters.items() if v > sub}
+    return counters
+
+
+def mg_partials(df: DataFrame, key_col: str, k: int = 64) -> DataFrame:
+    """Per-partition Misra-Gries summaries: at most ``k`` (key, est)
+    rows per input partition, each ``est`` an under-count by at most
+    (partition rows)/(k+1)."""
+
+    def summarize(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            counters = _fold(
+                counters, pdf[key_col].astype(str).value_counts(), k
+            )
+        yield pd.DataFrame(
+            {"key": list(counters.keys()), "est": list(counters.values())}
+        )
+
+    return df.select(F.col(key_col).cast("string").alias(key_col)).mapInPandas(
+        summarize, MG_SCHEMA
+    )
+
+
+def mg_merge(partials: DataFrame, k: int = 64) -> DataFrame:
+    """Merge per-partition MG summaries into one global summary of at
+    most ``k`` keys: sum by key, subtract the (k+1)-th largest merged
+    weight, keep positive survivors. Runs on the candidate table
+    (≤ partitions × k rows), never the data."""
+    summed = partials.groupBy("key").agg(F.sum("est").alias("est"))
+    cand = summed.orderBy(F.desc("est"), "key").limit(k + 1).collect()
+    sub = cand[k]["est"] if len(cand) > k else 0
+    return (
+        summed.select("key", (F.col("est") - F.lit(int(sub))).alias("est"))
+        .filter(F.col("est") > 0)
+        .orderBy(F.desc("est"), "key")
+    )
+
+
+def heavy_hitters_sketch(
+    df: DataFrame, key_col: str, k: int = 64
+) -> DataFrame:
+    """End-to-end sketch path: per-partition MG + mergeable combine.
+    Guarantees vs the exact census (n = total rows):
+
+    - every key with true count > n/(k+1) appears;
+    - every estimate satisfies true - n/(k+1) <= est <= true.
+    """
+    return mg_merge(mg_partials(df, key_col, k), k)

@@ -2871,6 +2871,50 @@ FROM c ORDER BY c3 DESC, w1, w2, w3 LIMIT 25
 """
 
 
+def q175_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: tokens exceeding 0.5% support — the
+    stopword/boilerplate census every tokenizer-training and
+    quality-filter pass starts from.
+
+    This is the EXACT form: one token explode + partial-agged count
+    shuffle, with the global total as a 1-row broadcast threshold —
+    correct whenever distinct-token cardinality fits a shuffle. The
+    100 TB twin for adversarial cardinality (URLs, user agents, raw
+    n-grams) is ``operators/sketch.py heavy_hitters_sketch``: per-
+    partition Misra-Gries summaries merged via the PODS'12 mergeable-
+    summaries recipe — shuffle bounded at partitions × k rows with a
+    proven no-false-negative guarantee at support > n/(k+1)
+    (tests/test_sketch.py pins sketch ⊇ exact at the guarantee
+    threshold on this same corpus).
+    """
+    tok = (
+        t(spark, sf_dir, "documents")
+        .withColumn("_toks", _toks())
+        .select(F.explode("_toks").alias("term"))
+    )
+    counts = tok.groupBy("term").agg(F.count("*").alias("n_occ"))
+    total = counts.agg(
+        (F.sum("n_occ") * F.lit(0.005)).alias("_th")
+    )
+    return (
+        counts.join(F.broadcast(total), F.col("n_occ") > F.col("_th"))
+        .select("term", "n_occ")
+        .orderBy(F.desc("n_occ"), "term")
+    )
+
+
+O175 = """
+WITH tok AS (
+  SELECT unnest(string_split_regex(text, '\\s+')) AS term FROM documents
+), tot AS (SELECT COUNT(*) AS n FROM tok)
+SELECT term, COUNT(*) AS n_occ
+FROM tok GROUP BY 1
+HAVING COUNT(*) > (SELECT n * 0.005 FROM tot)
+ORDER BY n_occ DESC, term
+"""
+
+
+
 QUERIES = [
     Query("q50_exact_dedup", q50_exact_dedup, O50, "sha256 exact dedup"),
     Query("q51_fingerprint_dedup", q51_fingerprint_dedup, O51, "normalized fingerprint dedup"),
@@ -2952,4 +2996,6 @@ QUERIES = [
           "Davies-Bouldin cluster quality (one pass + label-sized algebra)"),
     Query("q155_vocab_growth", q155_vocab_growth, O155,
           "Heaps-law vocabulary growth curve (one-pass first-seen census)"),
+    Query("q175_token_heavy_hitters", q175_token_heavy_hitters, O175,
+          "token heavy hitters (exact; MG-sketch twin in operators/sketch.py)"),
 ]

@@ -865,3 +865,14 @@ def test_q174_one_join_one_census(spark):
     assert plan.count("lineitem.parquet") == 1, plan
     assert plan.count("orders.parquet") == 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q175_threshold_is_broadcast_scalar(spark):
+    # exact heavy hitters: one term-keyed census; the 0.5% threshold
+    # joins back as a 1-row broadcast, never re-scanning the corpus
+    from polla_spark.plans.llmdata import q175_token_heavy_hitters
+
+    plan = _plan(q175_token_heavy_hitters(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan

@@ -1,0 +1,85 @@
+"""Misra-Gries heavy-hitter sketch: the mergeable-summaries guarantees
+(no false negatives above n/(k+1); estimates are bounded under-counts)
+pinned against the exact census — the correctness gate for the
+adversarial-cardinality twin of q175."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from polla_spark.operators.sketch import heavy_hitters_sketch, mg_partials
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _exact(df, col):
+    return {
+        r["key"]: r["n"]
+        for r in df.groupBy(F.col(col).cast("string").alias("key"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+
+
+def test_sketch_guarantees_on_skewed_stream(spark):
+    """Synthetic zipf-ish stream across 8 partitions: every key above
+    the n/(k+1) support threshold MUST appear, and every estimate must
+    be an under-count by at most n/(k+1)."""
+    rows = (
+        [("hot",)] * 5000
+        + [("warm",)] * 800
+        + [(f"tail{i % 997}",) for i in range(10000)]
+    )
+    df = spark.createDataFrame(rows, "key string").repartition(8)
+    k = 16
+    n = len(rows)
+    bound = n / (k + 1)
+    truth = _exact(df, "key")
+    got = {r["key"]: r["est"] for r in heavy_hitters_sketch(df, "key", k).collect()}
+
+    assert len(got) <= k
+    # no false negatives above the guarantee threshold
+    for key, cnt in truth.items():
+        if cnt > bound:
+            assert key in got, (key, cnt, bound)
+    # every estimate is an under-count within the bound
+    for key, est in got.items():
+        assert est <= truth[key], (key, est, truth[key])
+        assert est >= truth[key] - bound, (key, est, truth[key], bound)
+
+
+def test_sketch_superset_of_exact_heavy_hitters_on_corpus(spark):
+    """On the documents token stream, with k sized for the q175
+    support threshold (0.5% => k+1 > 200), the sketch must contain
+    every exact heavy hitter q175 reports."""
+    from polla_spark.plans.llmdata import q175_token_heavy_hitters
+
+    tok = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(F.explode(F.split("text", "\\s+")).alias("term"))
+    )
+    exact_hh = {
+        r["term"] for r in q175_token_heavy_hitters(spark, SF_DIR).collect()
+    }
+    assert exact_hh  # the corpus really has heavy hitters
+    got = {
+        r["key"]
+        for r in heavy_hitters_sketch(tok.repartition(8), "term", 256).collect()
+    }
+    assert exact_hh <= got, exact_hh - got
+
+
+def test_partials_are_bounded_per_partition(spark):
+    """Each partition emits at most k candidate rows — the shuffle is
+    partitions x k regardless of key cardinality."""
+    rows = [(f"u{i}",) for i in range(20000)]  # 20k distinct keys
+    df = spark.createDataFrame(rows, "key string").repartition(4)
+    k = 32
+    per = (
+        mg_partials(df, "key", k)
+        .withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] <= k for r in per), per

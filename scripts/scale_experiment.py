@@ -45,8 +45,10 @@ DEFAULT_QUERIES = [
     "q146_pagerank",
     "q153_interval_union_time",
 ]
-# tables each scaled dir rewrites (everything else symlinks to BASE)
-SCALED_TABLES = {"documents", "events", "lineitem"}
+# tables each scaled dir rewrites (everything else symlinks to BASE).
+# orders shares lineitem's orderkey offset so fact-to-orders joins
+# match within each replica (disjoint order spaces across replicas).
+SCALED_TABLES = {"documents", "events", "lineitem", "orders"}
 
 
 def build_dir(spark, out: Path, factor: int) -> None:
@@ -62,7 +64,7 @@ def build_dir(spark, out: Path, factor: int) -> None:
             continue
         base = spark.read.parquet(f"{BASE}/{name}.parquet")
         n = {"documents": 5_000_000_000, "events": 10_000_000_000,
-             "lineitem": 100_000_000_000}[name]
+             "lineitem": 100_000_000_000, "orders": 100_000_000_000}[name]
         parts = []
         for i in range(factor):
             df = base
@@ -84,13 +86,19 @@ def build_dir(spark, out: Path, factor: int) -> None:
                     df.withColumn("event_id", F.col("event_id") + F.lit(i * n))
                     .withColumn("user_id", F.col("user_id") + F.lit(i * n))
                 )
+            elif name == "orders":
+                df = df.withColumn(
+                    "o_orderkey", F.col("o_orderkey") + F.lit(i * n)
+                )
             elif name == "lineitem":
                 # disjoint order/part spaces => 20 disjoint co-purchase
                 # graphs: constant degree, linear total work
+                # l_suppkey is NOT offset: suppliers are shared across
+                # replicas (their degree grows with the corpus, like a
+                # real vendor base), so supplier joins stay meaningful
                 df = (
                     df.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * n))
                     .withColumn("l_partkey", F.col("l_partkey") + F.lit(i * n))
-                    .withColumn("l_suppkey", F.col("l_suppkey") + F.lit(i * n))
                 )
             parts.append(df)
         u = parts[0]

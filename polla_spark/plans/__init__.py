@@ -26,10 +26,10 @@ from pyspark.sql import DataFrame, SparkSession
 # len(registry()) == DECLARED_QUERY_COUNT so an addition that forgets
 # the bump (or a bump without queries) fails fast instead of silently
 # shipping an undeclared inventory.
-# NOTE: query ids span q01–q175 with q139 intentionally unassigned
-# (a numbering skip from round 3, not a dropped query) — hence 174
-# registered queries over a 175-wide id range.
-DECLARED_QUERY_COUNT = 174
+# NOTE: query ids span q01–q176 with q139 intentionally unassigned
+# (a numbering skip from round 3, not a dropped query) — hence 175
+# registered queries over a 176-wide id range.
+DECLARED_QUERY_COUNT = 175
 
 # Rows-only queries: implemented but intentionally without a SQL
 # oracle (non-SQL-expressible semantics). Everything else must pair

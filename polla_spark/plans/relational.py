@@ -4313,6 +4313,92 @@ GROUP BY 1 ORDER BY 1
 
 
 
+def q176_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity LIFT: for frequent part pairs,
+    ``lift = P(A,B) / (P(A)·P(B)) = n_pair · n_baskets /
+    (n_A · n_B)`` — the cross-sell signal that co-occurrence counts
+    alone (q133) can't give, because popular items co-occur by chance.
+
+    Scale shape: q133's no-self-join pair census (within-row pair
+    expansion off one orderkey exchange) PERSISTED at the basket
+    stage so the pair census, the per-item census and the basket
+    total all derive from ONE distinct-collapse of the fact; item
+    counts and the 1-row basket total join back as broadcasts onto
+    the ≥3-support pair census (support-pruned BEFORE the joins, so
+    the broadcast probe side is small). Exact integer arithmetic
+    until one final double division.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .persist()
+    )
+    n_baskets = baskets.agg(F.count("*").alias("n_baskets"))
+    item = baskets.select(F.explode("parts").alias("l_partkey")).groupBy(
+        "l_partkey"
+    ).agg(F.count("*").alias("n_item"))
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) -> "
+                "transform(slice(parts, i + 2, size(parts)), "
+                "y -> struct(x AS part_a, y AS part_b))))"
+            )
+        ).alias("pr")
+    ).select("pr.part_a", "pr.part_b")
+    pair_census = (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= 3)
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a")
+    )
+    ib = item.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b")
+    )
+    lift = (
+        F.col("n_pair").cast("double")
+        * F.col("n_baskets")
+        / (F.col("n_a") * F.col("n_b"))
+    )
+    return (
+        pair_census.join(F.broadcast(n_baskets))
+        .join(ia, "part_a")
+        .join(ib, "part_b")
+        .select(
+            "part_a", "part_b", "n_pair",
+            F.round(lift, 4).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+O176 = """
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM lp),
+item AS (SELECT l_partkey, COUNT(*) AS n_item FROM lp GROUP BY 1),
+pair AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_pair
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+)
+SELECT part_a, part_b, n_pair,
+       CAST(ROUND(CAST(n_pair AS DOUBLE) * n_baskets
+                  / (ia.n_item * ib.n_item), 4) AS DOUBLE) AS lift
+FROM pair, tot
+JOIN item ia ON ia.l_partkey = part_a
+JOIN item ib ON ib.l_partkey = part_b
+ORDER BY lift DESC, part_a, part_b LIMIT 20
+"""
+
+
+
 QUERIES = [
     Query("q01_pricing_summary", q01_pricing_summary, O01, "TPC-H Q1 scan+agg"),
     Query("q02_topk_orders", q02_topk_orders, O02, "global top-k"),
@@ -4463,4 +4549,6 @@ QUERIES = [
           "TPC-H Q6 pure pushed-filter scan aggregate"),
     Query("q174_priority_shipping", q174_priority_shipping, O174,
           "TPC-H Q12 dual conditional count on one join"),
+    Query("q176_affinity_lift", q176_affinity_lift, O176,
+          "market-basket lift off one persisted basket collapse"),
 ]

@@ -876,3 +876,14 @@ def test_q175_threshold_is_broadcast_scalar(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_q176_lift_never_self_joins_fact_and_reuses_baskets(spark):
+    # lift derives pair census, item census and basket total from ONE
+    # persisted basket collapse (>= 3 InMemoryTableScans); the fact
+    # never self-joins on orderkey
+    from polla_spark.plans.relational import q176_affinity_lift
+
+    plan = _plan(q176_affinity_lift(spark, SF))
+    assert plan.count("InMemoryTableScan") >= 3, plan
+    assert "CartesianProduct" not in plan, plan

@@ -83,3 +83,52 @@ def test_partials_are_bounded_per_partition(spark):
         .collect()
     )
     assert all(r["count"] <= k for r in per), per
+
+
+def test_fold_guarantee_property():
+    """Hypothesis: the MG fold + merge algebra (the exact kernel the
+    Spark path runs) keeps both mergeable-summaries guarantees on
+    arbitrary streams, chunkings and k."""
+    from collections import Counter
+
+    from hypothesis import given, settings, strategies as st
+
+    from polla_spark.operators.sketch import _fold
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=400),
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=1, max_value=5),
+    )
+    def check(stream, k, n_parts):
+        truth = Counter(str(x) for x in stream)
+        n = len(stream)
+        # per-partition folds (round-robin split), then the global merge
+        partials = []
+        for p in range(n_parts):
+            chunk = [str(x) for x in stream[p::n_parts]]
+            counters: dict[str, int] = {}
+            # fold in two batches to exercise the per-batch merge path
+            half = len(chunk) // 2
+            for piece in (chunk[:half], chunk[half:]):
+                if piece:
+                    counters = _fold(counters, Counter(piece), k)
+            partials.append(counters)
+        merged: dict[str, int] = {}
+        for c in partials:
+            for key, v in c.items():
+                merged[key] = merged.get(key, 0) + v
+        if len(merged) > k:
+            sub = sorted(merged.values(), reverse=True)[k]
+            merged = {key: v - sub for key, v in merged.items() if v > sub}
+        bound = n / (k + 1)
+        assert len(merged) <= k
+        for key, cnt in truth.items():
+            if cnt > bound:
+                assert key in merged, (key, cnt, bound, k, n_parts)
+        for key, est in merged.items():
+            assert est <= truth[key]
+            assert est >= truth[key] - bound
+
+    check()

@@ -862,6 +862,35 @@ def finish_time_to_convert(updates: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters (twin of operators/sketch.py + q175's scale path)
+# ---------------------------------------------------------------------------
+
+def heavy_hitter_partials(events: DataFrame, key_col: str,
+                          k: int = 64) -> DataFrame:
+    """Streaming form of the Misra-Gries heavy-hitter sketch: the
+    per-partition MG pass is STATELESS per micro-batch (mapInPandas
+    works unchanged on a streaming frame), so each batch appends at
+    most partitions × k candidate rows. Because MG summaries are
+    mergeable with additive error (the PODS'12 theorem the batch
+    operator builds on), merging ALL batches' partials at read time
+    — :func:`finish_heavy_hitters` — keeps the exact same guarantee
+    as one batch pass over the union of the data: no false negatives
+    above n/(k+1), bounded under-counts. State is zero (no shuffle,
+    no watermark); the sink accumulates bounded candidate rows."""
+    from ..operators.sketch import mg_partials
+
+    return mg_partials(events, key_col, k)
+
+
+def finish_heavy_hitters(partials: DataFrame, k: int = 64) -> DataFrame:
+    """Batch finisher: one mergeable combine over every micro-batch's
+    candidate rows — emits the global ≤ k-row summary."""
+    from ..operators.sketch import mg_merge
+
+    return mg_merge(partials, k)
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
     """Drive a finite streaming source to completion into a memory
     sink; returns the materialized result (test/smoke harness)."""

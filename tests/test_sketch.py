@@ -132,3 +132,64 @@ def test_fold_guarantee_property():
             assert est >= truth[key] - bound
 
     check()
+
+
+def test_streaming_sketch_keeps_guarantees(spark, tmp_path):
+    """Streaming MG partials (stateless per micro-batch) + read-time
+    merge must keep both guarantees over the WHOLE stream — the
+    mergeable-summaries property is exactly what licenses merging
+    across micro-batch cuts."""
+    from collections import Counter
+
+    from polla_spark.streaming.windows import (
+        finish_heavy_hitters,
+        heavy_hitter_partials,
+    )
+
+    rows = (
+        [("hot",)] * 4000
+        + [("warm",)] * 1500
+        + [(f"tail{i % 797}",) for i in range(8000)]
+    )
+    d = tmp_path / "hh_stream"
+    # three files -> three micro-batches; interleave so heavy keys
+    # span every batch
+    for i in range(3):
+        spark.createDataFrame(rows[i::3], "key string").coalesce(
+            2
+        ).write.parquet(str(d / f"part{i}"))
+    stream = (
+        spark.readStream.schema("key string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*/")
+    )
+    k = 16
+    q = (
+        heavy_hitter_partials(stream, "key", k)
+        .writeStream.format("memory")
+        .queryName("hh_partials")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    partials = spark.table("hh_partials")
+    # every micro-batch appended its own candidate rows (3 batches,
+    # >= 1 surviving counter each; heavy folds shrink survivors, so
+    # the count is small but must exceed one batch's worth)
+    assert partials.count() >= 3
+    assert partials.groupBy("key").count().filter("count > 1").count() > 0
+    got = {
+        r["key"]: r["est"]
+        for r in finish_heavy_hitters(partials, k).collect()
+    }
+    truth = Counter(key for (key,) in rows)
+    n = len(rows)
+    bound = n / (k + 1)
+    assert len(got) <= k
+    for key, cnt in truth.items():
+        if cnt > bound:
+            assert key in got, (key, cnt, bound)
+    for key, est in got.items():
+        assert est <= truth[key]
+        assert est >= truth[key] - bound

@@ -71,8 +71,14 @@ def mg_partials(df: DataFrame, key_col: str, k: int = 64) -> DataFrame:
             {"key": list(counters.keys()), "est": list(counters.values())}
         )
 
-    return df.select(F.col(key_col).cast("string").alias(key_col)).mapInPandas(
-        summarize, MG_SCHEMA
+    # null keys are EXCLUDED from the sketch (pandas astype(str) would
+    # otherwise fold them into the literal string "None", colliding
+    # with genuine "None" values and diverging from an exact census's
+    # separate null group) — fillna upstream if nulls are meaningful
+    return (
+        df.select(F.col(key_col).cast("string").alias(key_col))
+        .filter(F.col(key_col).isNotNull())
+        .mapInPandas(summarize, MG_SCHEMA)
     )
 
 
@@ -81,7 +87,10 @@ def mg_merge(partials: DataFrame, k: int = 64) -> DataFrame:
     most ``k`` keys: sum by key, subtract the (k+1)-th largest merged
     weight, keep positive survivors. Runs on the candidate table
     (≤ partitions × k rows), never the data."""
-    summed = partials.groupBy("key").agg(F.sum("est").alias("est"))
+    # persisted: the candidate table feeds BOTH the (k+1)-th-largest
+    # probe and the returned summary — without it the data-sized
+    # partial pass upstream would execute twice
+    summed = partials.groupBy("key").agg(F.sum("est").alias("est")).persist()
     cand = summed.orderBy(F.desc("est"), "key").limit(k + 1).collect()
     sub = cand[k]["est"] if len(cand) > k else 0
     return (

@@ -2892,7 +2892,9 @@ def q175_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_toks", _toks())
         .select(F.explode("_toks").alias("term"))
     )
-    counts = tok.groupBy("term").agg(F.count("*").alias("n_occ"))
+    # persisted: the census feeds BOTH the global total and the
+    # threshold probe — without it the corpus explode runs twice
+    counts = tok.groupBy("term").agg(F.count("*").alias("n_occ")).persist()
     total = counts.agg(
         (F.sum("n_occ") * F.lit(0.005)).alias("_th")
     )

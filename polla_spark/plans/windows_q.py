@@ -1050,25 +1050,22 @@ def q148_behavior_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a 2-day window keeps the combination space discriminative (over
     # the full month every user does everything and the census
     # degenerates to one row)
+    from ..functions.events import (
+        behavior_flag_aggs,
+        behavior_labels_col,
+        behavior_mask_col,
+    )
+
     e = t(spark, sf_dir, "events").filter(
         F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp")
     )
-    types = ["click", "error", "purchase", "signup", "view"]
-    mask = None
-    for i, ty in enumerate(types):
-        bit = F.when(
-            F.max(F.when(F.col("event_type") == ty, 1).otherwise(0)) == 1,
-            F.lit(1 << i),
-        ).otherwise(F.lit(0))
-        mask = bit if mask is None else mask + bit
-    user = e.groupBy("user_id").agg(mask.alias("mask"))
-    labels = F.concat_ws(
-        "+",
-        *[
-            F.when(F.col("mask").bitwiseAND(F.lit(1 << i)) != 0, F.lit(ty))
-            for i, ty in enumerate(types)
-        ],
+    # flags + mask + labels come from functions/events.py — the SAME
+    # expressions the streaming twin collapses, so batch and streaming
+    # cannot drift (the r3 clamped-balance defect class)
+    user = e.groupBy("user_id").agg(*behavior_flag_aggs()).select(
+        "user_id", behavior_mask_col().alias("mask")
     )
+    labels = behavior_labels_col()
     return (
         user.groupBy("mask")
         .agg(F.count("*").alias("n_users"))
@@ -1114,30 +1111,13 @@ def q149_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fact; at extreme scale swap for approx_percentile or q130's
     histogram-rank, same contract as q47/q135).
     """
+    from ..functions.events import conversion_report, first_touch_aggs
+
     e = t(spark, sf_dir, "events")
-    user = e.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
-        F.min(
-            F.when(F.col("event_type") == "purchase", F.col("ts"))
-        ).alias("first_purchase"),
-    )
-    delays = user.filter(
-        F.col("first_view").isNotNull()
-        & F.col("first_purchase").isNotNull()
-        & (F.col("first_view") < F.col("first_purchase"))
-    ).select(
-        (
-            (F.unix_micros("first_purchase") - F.unix_micros("first_view"))
-            / F.lit(1000000)
-        ).cast("long").alias("delay_sec")
-    )
-    pct = F.expr("percentile(delay_sec, array(0.25, 0.5, 0.9))")
-    return delays.agg(
-        F.count("*").alias("n_converters"),
-        F.round(F.element_at(pct, 1), 2).alias("p25_sec"),
-        F.round(F.element_at(pct, 2), 2).alias("p50_sec"),
-        F.round(F.element_at(pct, 3), 2).alias("p90_sec"),
-    )
+    # endpoint aggs + report shared with the streaming twin
+    # (functions/events.py) — one source of truth for the semantics
+    user = e.groupBy("user_id").agg(*first_touch_aggs())
+    return conversion_report(user)
 
 
 O149 = """
@@ -1177,15 +1157,12 @@ def q150_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deltas: signup +1000, purchase +value-cents, error -800,
     click -100, view -50 (all exact integers).
     """
+    from ..functions.events import balance_delta_col
+
     e = t(spark, sf_dir, "events")
-    delta = (
-        F.when(F.col("event_type") == "signup", F.lit(1000))
-        .when(F.col("event_type") == "purchase", VQ())
-        .when(F.col("event_type") == "error", F.lit(-800))
-        .when(F.col("event_type") == "click", F.lit(-100))
-        .otherwise(F.lit(-50))
-        .cast("long")
-    )
+    # the delta table lives in functions/events.py, shared with the
+    # streaming kernel's balance_delta_py — one mapping, two engines
+    delta = balance_delta_col()
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")

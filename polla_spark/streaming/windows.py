@@ -604,9 +604,6 @@ def finish_attribution(attributed: DataFrame) -> DataFrame:
 BALANCE_SCHEMA = "user_id long, s_last long, floor_shift long, upd_seq long"
 _BAL_STATE_SCHEMA = "s long, mn long, seq long"
 
-_BAL_DELTAS = {"signup": 1000, "error": -800, "click": -100, "view": -50}
-
-
 def clamped_balance_partials(events: DataFrame,
                              watermark: str = DEFAULT_WATERMARK) -> DataFrame:
     """Streaming twin of q150: the floor-at-zero balance identity
@@ -616,9 +613,9 @@ def clamped_balance_partials(events: DataFrame,
     exactly across micro-batch cuts. Each batch emits the user's
     updated (s_last, floor_shift) pair; :func:`finish_clamped_balance`
     keeps the latest update per user and emits the q150 report."""
-    import math
-
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..functions.events import balance_delta_py
 
     def fn(key, pdfs, state):
         import pandas as pd
@@ -627,13 +624,9 @@ def clamped_balance_partials(events: DataFrame,
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(["ts", "event_id"])
         for r in rows.itertuples():
-            # mirror batch q150 exactly: only 'purchase' is value-cents;
-            # unknown event types fall to the batch .otherwise(-50)
-            if r.event_type == "purchase":
-                d = int(math.floor(r.value * 100))
-            else:
-                d = _BAL_DELTAS.get(r.event_type, -50)
-            s += d
+            # the identical mapping as batch q150's balance_delta_col —
+            # one table in functions/events.py, two engines
+            s += balance_delta_py(r.event_type, r.value)
             mn = min(mn, s)
         seq += 1
         state.update((s, mn, seq))
@@ -767,9 +760,6 @@ def finish_transitions(deltas: DataFrame) -> DataFrame:
 # Behavior-mask census (streaming twin of plans/windows_q.q148)
 # ---------------------------------------------------------------------------
 
-_BEHAVIOR_TYPES = ["click", "error", "purchase", "signup", "view"]
-
-
 def behavior_mask_partials(events: DataFrame) -> DataFrame:
     """Streaming form of the q148 audience-overlap census: ONE
     streaming aggregation at the user grain keeping 5 monotone flags
@@ -778,34 +768,29 @@ def behavior_mask_partials(events: DataFrame) -> DataFrame:
     per user; no watermark because the mask is lifetime-scoped (same
     contract as the funnel state). The 32-row combination census —
     a second aggregation level streaming can't chain — runs at read
-    time via :func:`finish_behavior_cohorts`."""
-    flags = [
-        F.max(F.when(F.col("event_type") == ty, 1).otherwise(0)).alias(f"f{i}")
-        for i, ty in enumerate(_BEHAVIOR_TYPES)
-    ]
-    return events.groupBy("user_id").agg(*flags)
+    time via :func:`finish_behavior_cohorts`. Flag/mask/label
+    expressions are the batch q148's own (functions/events.py)."""
+    from ..functions.events import behavior_flag_aggs
+
+    return events.groupBy("user_id").agg(*behavior_flag_aggs())
 
 
 def finish_behavior_cohorts(updates: DataFrame) -> DataFrame:
     """Batch finisher: collapse update-mode rows (flags only ever
     grow, so ``max`` per user is the latest state), fold the 5 flags
     into the bit mask, census — emits the exact q148 report shape."""
+    from ..functions.events import (
+        BEHAVIOR_TYPES,
+        behavior_labels_col,
+        behavior_mask_col,
+    )
+
     latest = updates.groupBy("user_id").agg(
-        *[F.max(f"f{i}").alias(f"f{i}") for i in range(len(_BEHAVIOR_TYPES))]
+        *[F.max(f"f{i}").alias(f"f{i}") for i in range(len(BEHAVIOR_TYPES))]
     )
-    mask = None
-    for i in range(len(_BEHAVIOR_TYPES)):
-        bit = F.when(F.col(f"f{i}") == 1, F.lit(1 << i)).otherwise(F.lit(0))
-        mask = bit if mask is None else mask + bit
-    labels = F.concat_ws(
-        "+",
-        *[
-            F.when(F.col("mask").bitwiseAND(F.lit(1 << i)) != 0, F.lit(ty))
-            for i, ty in enumerate(_BEHAVIOR_TYPES)
-        ],
-    )
+    labels = behavior_labels_col()
     return (
-        latest.select("user_id", mask.alias("mask"))
+        latest.select("user_id", behavior_mask_col().alias("mask"))
         .groupBy("mask")
         .agg(F.count("*").alias("n_users"))
         .withColumn("behaviors", labels)
@@ -825,41 +810,22 @@ def conversion_partials(events: DataFrame) -> DataFrame:
     micro-batch cut. The percentile pass (order statistics are not
     mergeable) runs at read time over the user-grain table via
     :func:`finish_time_to_convert`."""
-    return events.groupBy("user_id").agg(
-        F.min(
-            F.when(F.col("event_type") == "view", F.col("ts"))
-        ).alias("first_view"),
-        F.min(
-            F.when(F.col("event_type") == "purchase", F.col("ts"))
-        ).alias("first_purchase"),
-    )
+    from ..functions.events import first_touch_aggs
+
+    return events.groupBy("user_id").agg(*first_touch_aggs())
 
 
 def finish_time_to_convert(updates: DataFrame) -> DataFrame:
     """Batch finisher: collapse update-mode rows (conditional mins
     only ever shrink, so ``min`` per user is the latest state), then
     the exact q149 delay-percentile report."""
+    from ..functions.events import conversion_report
+
     latest = updates.groupBy("user_id").agg(
         F.min("first_view").alias("first_view"),
         F.min("first_purchase").alias("first_purchase"),
     )
-    delays = latest.filter(
-        F.col("first_view").isNotNull()
-        & F.col("first_purchase").isNotNull()
-        & (F.col("first_view") < F.col("first_purchase"))
-    ).select(
-        (
-            (F.unix_micros("first_purchase") - F.unix_micros("first_view"))
-            / F.lit(1000000)
-        ).cast("long").alias("delay_sec")
-    )
-    pct = F.expr("percentile(delay_sec, array(0.25, 0.5, 0.9))")
-    return delays.agg(
-        F.count("*").alias("n_converters"),
-        F.round(F.element_at(pct, 1), 2).alias("p25_sec"),
-        F.round(F.element_at(pct, 2), 2).alias("p50_sec"),
-        F.round(F.element_at(pct, 3), 2).alias("p90_sec"),
-    )
+    return conversion_report(latest)
 
 
 # ---------------------------------------------------------------------------
@@ -877,7 +843,12 @@ def heavy_hitter_partials(events: DataFrame, key_col: str,
     — :func:`finish_heavy_hitters` — keeps the exact same guarantee
     as one batch pass over the union of the data: no false negatives
     above n/(k+1), bounded under-counts. State is zero (no shuffle,
-    no watermark); the sink accumulates bounded candidate rows."""
+    no watermark); each micro-batch appends a BOUNDED number of
+    candidate rows, so the sink grows with stream lifetime (T
+    triggers -> at most T × partitions × k rows) — compact it by
+    periodically replacing the table with its own
+    :func:`finish_heavy_hitters` output (re-merging merged summaries
+    is exactly what mergeability licenses)."""
     from ..operators.sketch import mg_partials
 
     return mg_partials(events, key_col, k)

@@ -742,7 +742,7 @@ def test_q164_scalar_max_is_broadcast(spark):
     # and the fact supports only that single aggregation
     assert "InMemoryTableScan" in plan, plan
     assert "CartesianProduct" not in plan, plan
-    df.unpersist() if hasattr(df, "unpersist") else None
+    spark.catalog.clearCache()  # release q164's internal rev persist
 
 
 def test_q165_quantity_census_computed_once(spark):
@@ -874,6 +874,9 @@ def test_q175_threshold_is_broadcast_scalar(spark):
 
     plan = _plan(q175_token_heavy_hitters(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    # the persisted census feeds both the total and the probe — the
+    # corpus explode must not run twice
+    assert plan.count("InMemoryTableScan") >= 2, plan
     assert "CartesianProduct" not in plan, plan
     assert "EvalPython" not in plan, plan
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import statistics
 import sys
 import time
@@ -102,7 +103,14 @@ def _flag_regressions(times: dict[str, float], ratio: float = 1.5) -> None:
     and flag queries slower by > ``ratio`` — triages noise vs regression
     without a judge re-run. Informational (stderr), never fails the run."""
     here = Path(__file__).resolve().parent
-    prior_files = sorted(here.glob("BENCH_r*.json"))
+
+    def _round_no(p: Path) -> int:
+        # parse the integer round number — lexicographic sort would
+        # mispick r99 over r100 once round numbers change width
+        m = re.search(r"BENCH_r(\d+)\.json$", p.name)
+        return int(m.group(1)) if m else -1
+
+    prior_files = sorted(here.glob("BENCH_r*.json"), key=_round_no)
     if not prior_files:
         return
     try:

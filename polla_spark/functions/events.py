@@ -94,10 +94,15 @@ BALANCE_DEFAULT = -50
 
 
 def balance_delta_col() -> Column:
-    """The q150 per-event delta as a JVM column (batch path)."""
+    """The q150 per-event delta as a JVM column (batch path).
+
+    A purchase with a NULL value contributes 0 (defined explicitly so
+    batch and streaming agree — without the coalesce the batch window
+    would silently drop the row from the sum while the streaming
+    kernel's ``int(floor(NaN*100))`` would raise)."""
     c = F.when(
         F.col("event_type") == "purchase",
-        F.floor(F.col("value") * 100).cast("long"),
+        F.coalesce(F.floor(F.col("value") * 100).cast("long"), F.lit(0)),
     )
     for ty, d in BALANCE_DELTAS.items():
         c = c.when(F.col("event_type") == ty, F.lit(d))
@@ -105,7 +110,10 @@ def balance_delta_col() -> Column:
 
 
 def balance_delta_py(event_type: str, value: float) -> int:
-    """The identical mapping for the streaming Python kernel."""
+    """The identical mapping for the streaming Python kernel.
+    Null/NaN purchase value -> 0, matching balance_delta_col."""
     if event_type == "purchase":
+        if value is None or math.isnan(value):
+            return 0
         return int(math.floor(value * 100))
     return BALANCE_DELTAS.get(event_type, BALANCE_DEFAULT)

@@ -86,17 +86,23 @@ def mg_merge(partials: DataFrame, k: int = 64) -> DataFrame:
     """Merge per-partition MG summaries into one global summary of at
     most ``k`` keys: sum by key, subtract the (k+1)-th largest merged
     weight, keep positive survivors. Runs on the candidate table
-    (≤ partitions × k rows), never the data."""
-    # persisted: the candidate table feeds BOTH the (k+1)-th-largest
-    # probe and the returned summary — without it the data-sized
-    # partial pass upstream would execute twice
-    summed = partials.groupBy("key").agg(F.sum("est").alias("est")).persist()
-    cand = summed.orderBy(F.desc("est"), "key").limit(k + 1).collect()
-    sub = cand[k]["est"] if len(cand) > k else 0
-    return (
-        summed.select("key", (F.col("est") - F.lit(int(sub))).alias("est"))
-        .filter(F.col("est") > 0)
-        .orderBy(F.desc("est"), "key")
+    (≤ partitions × k rows), never the data.
+
+    The candidate table is bounded by construction, so the finisher
+    collects it ONCE and completes driver-side — no persisted relation
+    to leak across repeated compaction cycles in a long-lived session
+    (the data-sized upstream pass still executes exactly once)."""
+    spark = partials.sparkSession
+    rows = partials.groupBy("key").agg(F.sum("est").alias("est")).collect()
+    rows.sort(key=lambda r: (-r["est"], r["key"]))
+    sub = int(rows[k]["est"]) if len(rows) > k else 0
+    out = [
+        (r["key"], int(r["est"]) - sub)
+        for r in rows
+        if int(r["est"]) - sub > 0
+    ]
+    return spark.createDataFrame(out, MG_SCHEMA).orderBy(
+        F.desc("est"), "key"
     )
 
 

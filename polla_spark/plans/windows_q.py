@@ -1195,7 +1195,7 @@ WITH d AS (
   SELECT user_id, ts, event_id,
          CASE event_type
            WHEN 'signup' THEN 1000
-           WHEN 'purchase' THEN CAST(floor(value * 100) AS BIGINT)
+           WHEN 'purchase' THEN COALESCE(CAST(floor(value * 100) AS BIGINT), 0)
            WHEN 'error' THEN -800
            WHEN 'click' THEN -100
            ELSE CAST(-50 AS BIGINT) END AS d

@@ -47,8 +47,11 @@ DEFAULT_QUERIES = [
 ]
 # tables each scaled dir rewrites (everything else symlinks to BASE).
 # orders shares lineitem's orderkey offset so fact-to-orders joins
-# match within each replica (disjoint order spaces across replicas).
-SCALED_TABLES = {"documents", "events", "lineitem", "orders"}
+# match within each replica (disjoint order spaces across replicas);
+# part shares lineitem's partkey offset for the same reason — without
+# it, part-joining queries (q168/q172) would silently match nothing
+# past replica 0 and understate join work in the reported ratios.
+SCALED_TABLES = {"documents", "events", "lineitem", "orders", "part"}
 
 
 def build_dir(spark, out: Path, factor: int) -> None:
@@ -64,7 +67,8 @@ def build_dir(spark, out: Path, factor: int) -> None:
             continue
         base = spark.read.parquet(f"{BASE}/{name}.parquet")
         n = {"documents": 5_000_000_000, "events": 10_000_000_000,
-             "lineitem": 100_000_000_000, "orders": 100_000_000_000}[name]
+             "lineitem": 100_000_000_000, "orders": 100_000_000_000,
+             "part": 100_000_000_000}[name]
         parts = []
         for i in range(factor):
             df = base
@@ -89,6 +93,12 @@ def build_dir(spark, out: Path, factor: int) -> None:
             elif name == "orders":
                 df = df.withColumn(
                     "o_orderkey", F.col("o_orderkey") + F.lit(i * n)
+                )
+            elif name == "part":
+                # same offset constant as lineitem's l_partkey so the
+                # part join matches inside every replica
+                df = df.withColumn(
+                    "p_partkey", F.col("p_partkey") + F.lit(i * n)
                 )
             elif name == "lineitem":
                 # disjoint order/part spaces => 20 disjoint co-purchase

@@ -496,6 +496,71 @@ def test_clamped_balance_unknown_event_type_matches_batch(spark, tmp_path):
     }
 
 
+def test_clamped_balance_null_purchase_value_matches_batch(spark, tmp_path):
+    """A purchase with a NULL value contributes 0 in BOTH engines
+    (ADVICE r4: batch yielded a NULL delta — silently dropping the row
+    from the sum — while the streaming kernel raised on
+    int(floor(NaN*100)); functions/events.py now defines the case
+    explicitly in balance_delta_col and balance_delta_py)."""
+    import datetime as dt
+    import math
+
+    from pyspark.sql import types as T
+
+    from polla_spark.functions.events import balance_delta_py
+    from polla_spark.streaming.windows import (
+        clamped_balance_partials,
+        finish_clamped_balance,
+    )
+
+    # kernel-level contract: null and NaN both map to 0
+    assert balance_delta_py("purchase", None) == 0
+    assert balance_delta_py("purchase", math.nan) == 0
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (t0, 1, 7, "signup", 0.0),                              # +1000
+        (t0 + dt.timedelta(minutes=1), 2, 7, "purchase", None),  # null -> 0
+        (t0 + dt.timedelta(minutes=2), 3, 7, "purchase", 2.5),   # +250
+    ]
+    d = tmp_path / "stream"
+    batch = spark.createDataFrame(rows, schema)
+    batch.coalesce(1).write.parquet(str(d / "p0"))
+
+    # batch column on the same rows: 1000 + 0 + 250
+    from polla_spark.functions.events import balance_delta_col
+
+    total = batch.select(balance_delta_col().alias("d")).groupBy().sum("d")
+    assert total.collect()[0][0] == 1250
+
+    stream = spark.readStream.schema(schema).parquet(f"{d}/*/")
+    q = (
+        clamped_balance_partials(stream)
+        .writeStream.format("memory")
+        .queryName("null_purchase_updates")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = finish_clamped_balance(spark.table("null_purchase_updates")).collect()[0]
+    assert got.asDict() == {
+        "n_users": 1,
+        "n_floored": 0,
+        "total_final_cents": 1250,
+        "max_final_cents": 1250,
+    }
+
+
 def test_behavior_mask_stream_equals_q148(spark, tmp_path):
     """Streaming per-user bool-or flags + read-time census == batch
     q148 — the mask partials are merge-closed so micro-batch cuts

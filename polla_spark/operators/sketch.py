@@ -106,6 +106,56 @@ def mg_merge(partials: DataFrame, k: int = 64) -> DataFrame:
     )
 
 
+def heavy_hitter_foreach_batch(sink_path: str, key_col: str, k: int = 64):
+    """``foreachBatch`` writer for the streaming heavy-hitter sketch:
+    appends each micro-batch's MG partials (≤ partitions × k rows per
+    trigger) to a PLAIN parquet directory with an ordinary batch
+    commit. Deliberately not ``writeStream.format("parquet")`` — the
+    streaming parquet sink's ``_spark_metadata`` file log would treat
+    a later compaction rewrite as corruption, while a plain directory
+    lets :func:`compact_heavy_hitters` rewrite it freely."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        mg_partials(batch_df, key_col, k).write.mode("append").parquet(
+            sink_path
+        )
+
+    return write
+
+
+def compact_heavy_hitters(spark, sink_path: str, k: int = 64) -> int:
+    """Maintenance job: replace an append-mode partials sink
+    (T triggers × partitions × k rows) with its own merged summary
+    (≤ k rows). Re-merging merged summaries is exactly what PODS'12
+    mergeability licenses: the compacted table is itself a valid MG
+    summary of everything merged so far, so the n/(k+1) guarantee is
+    preserved across ANY number of compaction cycles — this is the
+    fix for the documented unbounded-sink growth of
+    ``streaming/windows.heavy_hitter_partials``.
+
+    Run it between triggers (availableNow maintenance windows) or
+    every N batches from the foreachBatch hook; it must not race a
+    concurrent append. The swap is write-tmp-then-rename on the local
+    filesystem; a cluster deployment would target a transactional
+    table format (Delta/Iceberg ``overwrite``) instead. Returns the
+    compacted row count."""
+    import os
+    import shutil
+
+    merged = mg_merge(spark.read.parquet(sink_path), k)
+    # mg_merge already finished driver-side: its output is a local
+    # table (≤ k rows), independent of sink_path's files
+    rows = merged.collect()
+    tmp = sink_path.rstrip("/") + ".compact.tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.createDataFrame(
+        [(r["key"], r["est"]) for r in rows], MG_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(sink_path)
+    os.rename(tmp, sink_path)
+    return len(rows)
+
+
 def heavy_hitters_sketch(
     df: DataFrame, key_col: str, k: int = 64
 ) -> DataFrame:

@@ -45,17 +45,22 @@ class Query:
     doc: str = ""
 
 
-def _driver_certified() -> frozenset[str]:
-    """Query names with a green row in any ``CORRECTNESS_r*.json`` the
-    driver has written at the repo root. Used only to ORDER the
-    registry (uncertified first) — correctness itself is unaffected."""
+def _certified_rounds() -> dict[str, int]:
+    """Map query name -> NEWEST driver round whose
+    ``CORRECTNESS_r*.json`` has a green row for it. Used only to ORDER
+    the registry (least-recently-certified first) — correctness itself
+    is unaffected. Queries absent from the map have never been
+    driver-certified."""
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    names: set[str] = set()
+    rounds: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 data = json.load(fh)
@@ -65,8 +70,14 @@ def _driver_certified() -> frozenset[str]:
             if isinstance(row, dict) and (
                 row.get("hash_match") or row.get("rows_match")
             ):
-                names.add(name)
-    return frozenset(names)
+                rounds[name] = max(rounds.get(name, 0), rnd)
+    return rounds
+
+
+def _driver_certified() -> frozenset[str]:
+    """Query names with a green row in ANY driver round (back-compat
+    view of :func:`_certified_rounds`)."""
+    return frozenset(_certified_rounds())
 
 
 def registry() -> dict[str, Query]:
@@ -80,12 +91,15 @@ def registry() -> dict[str, Query]:
        consensus, llm-data, windows/streaming) rather than
        concatenating them, so any truncated sweep samples every
        family instead of grading one module and skipping the rest.
-    2. A stable partition then moves queries WITHOUT a green row in
-       any driver ``CORRECTNESS_r*.json`` to the front: each round
-       the sweep certifies fresh queries first, so coverage rotates
-       toward 115/115 driver-certified with zero manual upkeep.
-       (Once everything is certified this is a no-op and the order
-       degenerates to the plain round-robin.)
+    2. A stable sort then orders by the NEWEST driver round each
+       query went green in (``CORRECTNESS_r*.json``), ascending —
+       never-certified queries (round 0) first, then the queries
+       whose last green row is OLDEST. With everything certified the
+       sweep becomes a rolling re-validation: each round re-checks
+       the ~50 least-recently-certified queries, so code drift in a
+       long-certified query is caught within a few rounds instead of
+       never (round-4 verdict task #1 — the plain uncertified-first
+       partition had degenerated to re-checking a fixed prefix).
     """
     from itertools import zip_longest
 
@@ -100,6 +114,6 @@ def registry() -> dict[str, Query]:
             if q.name in out:
                 raise ValueError(f"duplicate query name: {q.name}")
             out[q.name] = q
-    certified = _driver_certified()
-    ordered = sorted(out.values(), key=lambda q: q.name in certified)  # stable
+    rounds = _certified_rounds()
+    ordered = sorted(out.values(), key=lambda q: rounds.get(q.name, 0))  # stable
     return {q.name: q for q in ordered}

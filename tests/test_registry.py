@@ -52,21 +52,33 @@ def test_registry_interleaves_families():
     assert first50 >= expected
 
 
-def test_registry_fronts_uncertified_queries():
-    """Sweep rotation: every query WITHOUT a green driver-certification
-    row must sort before every certified one, so each round's budgeted
-    sweep certifies fresh queries instead of re-grading known-green
-    ones. Within each tier the family round-robin is preserved."""
-    from polla_spark.plans import _driver_certified
+def test_registry_rotates_least_recently_certified_first():
+    """Sweep rotation (round-4 verdict task #1): registry order is
+    non-decreasing in the NEWEST round each query went driver-green,
+    with never-certified queries (round 0) first. A budgeted ~50-query
+    sweep therefore re-validates the queries whose last green row is
+    OLDEST instead of re-checking a fixed prefix forever — code drift
+    in a long-certified query is caught within a few rounds. Within a
+    round tier the family round-robin is preserved (stable sort)."""
+    from polla_spark.plans import _certified_rounds, _driver_certified
 
-    certified = _driver_certified()
+    rounds = _certified_rounds()
     names = list(registry())
-    flags = [n in certified for n in names]
-    # monotone: once we hit a certified query, the rest are certified
-    assert flags == sorted(flags), "uncertified query after a certified one"
-    if certified:  # the r1+r2 artifacts exist in this repo
-        n_uncert = flags.count(False)
-        assert set(names[:n_uncert]).isdisjoint(certified)
+    seq = [rounds.get(n, 0) for n in names]
+    # monotone non-decreasing => never-certified first, then oldest
+    # green rows, then newer; tiers are contiguous by construction
+    assert seq == sorted(seq), "registry not least-recently-certified-first"
+    # back-compat view agrees with the rounds map
+    assert _driver_certified() == frozenset(rounds)
+    if rounds and max(rounds.values()) > min(rounds.values()):
+        # with multi-round artifacts present (this repo: r1..r4) the
+        # order must genuinely rotate: a ~50-query sweep prefix must
+        # contain NO query certified in the newest round
+        newest = max(rounds.values())
+        sweep = names[:50]
+        assert all(rounds.get(n, 0) < newest for n in sweep), (
+            "sweep prefix re-checks just-certified queries"
+        )
 
 
 def test_driver_contract_exposes_registry():

@@ -193,3 +193,76 @@ def test_streaming_sketch_keeps_guarantees(spark, tmp_path):
     for key, est in got.items():
         assert est <= truth[key]
         assert est >= truth[key] - bound
+
+
+def test_streaming_sketch_compaction_bounds_sink(spark, tmp_path):
+    """The documented fix for unbounded partials-sink growth
+    (round-4 verdict task #3): ``compact_heavy_hitters`` periodically
+    replaces the sink with its own merged summary. Three
+    ingest→compact cycles over a multi-batch stream must keep
+    (a) the sink bounded at ≤ k rows after every compaction (vs
+    T × partitions × k growth without it), and (b) the full-stream
+    n/(k+1) no-false-negative + bounded-under-count guarantee intact
+    — re-merging merged summaries is exactly what PODS'12
+    mergeability licenses."""
+    from collections import Counter
+
+    from polla_spark.operators.sketch import (
+        compact_heavy_hitters,
+        heavy_hitter_foreach_batch,
+    )
+    from polla_spark.streaming.windows import finish_heavy_hitters
+
+    rows = (
+        [("hot",)] * 4000
+        + [("warm",)] * 1500
+        + [(f"tail{i % 797}",) for i in range(8000)]
+    )
+    src = tmp_path / "hh_src"
+    sink = str(tmp_path / "hh_sink")
+    ckpt = str(tmp_path / "hh_ckpt")
+    k = 16
+    n_files = 6
+    for cycle in range(3):
+        # two new source files per cycle; interleaved slices so the
+        # heavy keys span every micro-batch
+        for i in (2 * cycle, 2 * cycle + 1):
+            spark.createDataFrame(rows[i::n_files], "key string").coalesce(
+                2
+            ).write.parquet(str(src / f"part{i}"))
+        stream = (
+            spark.readStream.schema("key string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*/")
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                heavy_hitter_foreach_batch(sink, "key", k)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        pre = spark.read.parquet(sink).count()
+        compacted = compact_heavy_hitters(spark, sink, k)
+        assert compacted <= k
+        assert spark.read.parquet(sink).count() == compacted
+        # the first cycle's two batches already exceed one summary's
+        # worth of candidates — compaction genuinely shrinks the sink
+        if cycle == 0:
+            assert pre > compacted
+    got = {
+        r["key"]: r["est"]
+        for r in finish_heavy_hitters(spark.read.parquet(sink), k).collect()
+    }
+    truth = Counter(key for (key,) in rows)
+    n = len(rows)
+    bound = n / (k + 1)
+    assert len(got) <= k
+    for key, cnt in truth.items():
+        if cnt > bound:
+            assert key in got, (key, cnt, bound)
+    for key, est in got.items():
+        assert est <= truth[key]
+        assert est >= truth[key] - bound

@@ -26,15 +26,19 @@ from pyspark.sql import DataFrame, SparkSession
 # len(registry()) == DECLARED_QUERY_COUNT so an addition that forgets
 # the bump (or a bump without queries) fails fast instead of silently
 # shipping an undeclared inventory.
-# NOTE: query ids span q01–q176 with q139 intentionally unassigned
-# (a numbering skip from round 3, not a dropped query) — hence 175
-# registered queries over a 176-wide id range.
-DECLARED_QUERY_COUNT = 175
+# NOTE: query ids span q01–q177 with q139 intentionally unassigned
+# (a numbering skip from round 3, not a dropped query) — hence 176
+# registered queries over a 177-wide id range.
+DECLARED_QUERY_COUNT = 176
 
 # Rows-only queries: implemented but intentionally without a SQL
-# oracle (non-SQL-expressible semantics). Everything else must pair
-# with an ANSI-SQL oracle string.
-ROWS_ONLY_QUERIES = frozenset({"q38_approx_count_distinct"})
+# oracle (non-SQL-expressible semantics — q38: HLL sketch values are
+# implementation-defined; q177: MG estimates are partitioning-
+# dependent, so the query self-verifies the PODS'12 bounds in-plan
+# instead). Everything else must pair with an ANSI-SQL oracle string.
+ROWS_ONLY_QUERIES = frozenset(
+    {"q38_approx_count_distinct", "q177_heavy_hitters_sketch"}
+)
 
 
 @dataclass(frozen=True)

@@ -2916,6 +2916,78 @@ ORDER BY n_occ DESC, term
 """
 
 
+def q177_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries sketch path of the token heavy-hitter census,
+    SELF-VERIFYING against the exact census in-plan (rows-only
+    registry entry — round-4 verdict task #4: the driver sweep now
+    exercises ``operators/sketch.py`` end-to-end, not just pytest).
+
+    The sketch's estimates are partitioning-dependent (any MG summary
+    is), so a value-hash oracle is impossible BY CONSTRUCTION — the
+    declared rows-only contract. What IS deterministic is the
+    guarantee: every token with true count > n/(k+1) must appear in
+    the sketch with ``true - n/(k+1) <= est <= true``. The plan
+    returns one row per GUARANTEED heavy hitter (exact count above
+    threshold — a deterministic set; 30 rows on this corpus) with its
+    sketch estimate and a ``verified`` flag, UNIONed with any bound
+    violations from the rest of the sketch (empty when correct) — so
+    a sketch regression changes the row count / flips flags, and the
+    driver's rows-only row catches it.
+
+    100 TB shape: the sketch pass shuffles partitions × k candidate
+    rows regardless of token cardinality (the exact census q175 is
+    the small-cardinality twin); the verification census here is the
+    TEST harness, not the production path.
+    """
+    from ..operators.sketch import heavy_hitters_sketch
+
+    k = 64
+    tok = (
+        t(spark, sf_dir, "documents")
+        .withColumn("_toks", _toks())
+        .select(F.explode("_toks").alias("term"))
+    )
+    # persisted: the token stream feeds the sketch pass AND the
+    # verification census — one explode, two consumers
+    tok = tok.persist()
+    # the sketch runs on the scan's NATURAL partitioning — no
+    # data-sized exchange (that's the whole point; the guarantee holds
+    # for any partitioning, only the estimates shift within bounds)
+    sketch = heavy_hitters_sketch(tok, "term", k)
+    exact = tok.groupBy("term").agg(F.count("*").alias("exact_n"))
+    thresh = exact.agg((F.sum("exact_n") / F.lit(k + 1)).alias("_th"))
+    heavy = exact.join(F.broadcast(thresh), F.col("exact_n") > F.col("_th"))
+    guaranteed = (
+        heavy.join(sketch.withColumnRenamed("key", "term"), "term", "left")
+        .select(
+            "term",
+            "exact_n",
+            "est",
+            (
+                F.col("est").isNotNull()
+                & (F.col("est") <= F.col("exact_n"))
+                & (F.col("est") >= F.col("exact_n") - F.col("_th"))
+            ).alias("verified"),
+        )
+    )
+    # bound violations OUTSIDE the guaranteed set (overcounts or
+    # under-counts past n/(k+1)) — empty when the sketch is correct
+    violations = (
+        sketch.withColumnRenamed("key", "term")
+        .join(exact, "term", "left")
+        .crossJoin(F.broadcast(thresh))
+        .filter(
+            F.col("exact_n").isNull()
+            | (F.col("est") > F.col("exact_n"))
+            | (F.col("est") < F.col("exact_n") - F.col("_th"))
+        )
+        .select("term", "exact_n", "est", F.lit(False).alias("verified"))
+    )
+    return guaranteed.unionByName(violations).orderBy(
+        F.desc("exact_n"), "term"
+    )
+
+
 
 QUERIES = [
     Query("q50_exact_dedup", q50_exact_dedup, O50, "sha256 exact dedup"),
@@ -3000,4 +3072,7 @@ QUERIES = [
           "Heaps-law vocabulary growth curve (one-pass first-seen census)"),
     Query("q175_token_heavy_hitters", q175_token_heavy_hitters, O175,
           "token heavy hitters (exact; MG-sketch twin in operators/sketch.py)"),
+    Query("q177_heavy_hitters_sketch", q177_heavy_hitters_sketch, None,
+          "MG-sketch heavy hitters, self-verifying vs the exact census "
+          "(rows-only: MG estimates are partitioning-dependent by design)"),
 ]

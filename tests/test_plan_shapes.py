@@ -881,6 +881,24 @@ def test_q175_threshold_is_broadcast_scalar(spark):
     assert "EvalPython" not in plan, plan
 
 
+def test_sketch_partials_run_on_natural_partitioning(spark):
+    # the MG sketch's data-sized stage is ONLY the per-partition
+    # Arrow pass: no exchange may precede MapInPandas (the shuffle it
+    # DOES do — candidate merge — is partitions x k rows downstream,
+    # and in q177 the census exchange belongs to the verification
+    # harness, not the sketch)
+    from polla_spark.operators.sketch import mg_partials
+    from pyspark.sql import functions as F
+
+    tok = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(F.explode(F.split("text", r"\s+")).alias("term"))
+    )
+    plan = _plan(mg_partials(tok, "term", 16))
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan, plan
+
+
 def test_q176_lift_never_self_joins_fact_and_reuses_baskets(spark):
     # lift derives pair census, item census and basket total from ONE
     # persisted basket collapse (>= 3 InMemoryTableScans); the fact

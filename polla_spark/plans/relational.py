@@ -2255,28 +2255,15 @@ def q130_histogram_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape at 100 TB: scan → partial agg (map-side collapse to
     distinct cents) → one exchange on (segment, cents) → tiny window
     on segment → final agg. Data never sorts.
+
+    Census + finisher live in ``functions/histogram.py``, shared with
+    the streaming twin (``streaming/windows.histogram_median_partials``)
+    — one source of truth for the semantics, two engines.
     """
-    c = t(spark, sf_dir, "customer").select(
-        "c_mktsegment", F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents")
-    )
-    hist = c.groupBy("c_mktsegment", "cents").agg(F.count("*").alias("cnt"))
-    w = Window.partitionBy("c_mktsegment").orderBy("cents")
-    wtot = Window.partitionBy("c_mktsegment")
-    h = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
-        "total", F.sum("cnt").over(wtot)
-    )
-    return (
-        h.groupBy("c_mktsegment")
-        .agg(
-            F.max("total").alias("n_rows"),
-            F.min(
-                F.when(2 * F.col("cum") >= F.col("total"), F.col("cents"))
-            ).alias("median_cents"),
-            F.min(
-                F.when(10 * F.col("cum") >= 9 * F.col("total"), F.col("cents"))
-            ).alias("p90_cents"),
-        )
-        .orderBy("c_mktsegment")
+    from ..functions.histogram import cents_histogram, histogram_rank_report
+
+    return histogram_rank_report(
+        cents_histogram(t(spark, sf_dir, "customer"))
     )
 
 

@@ -250,6 +250,35 @@ def value_histogram(events: DataFrame) -> DataFrame:
     )
 
 
+def histogram_median_partials(customers: DataFrame) -> DataFrame:
+    """Streaming twin of q130's histogram-rank median (18th twin):
+    the only data-sized stage is the same mergeable (segment, cents)
+    census the batch plan runs — state is bounded by the VALUE DOMAIN
+    per segment, not a watermark, so a lifetime median needs no time
+    column (q118's ``value_histogram`` pattern). Census shape comes
+    from ``functions/histogram.py``, shared with q130 — one source of
+    truth, two engines. Run in update mode; counts only grow, so the
+    NEWEST update per (segment, cents) is simply the max."""
+    from ..functions.histogram import cents_histogram
+
+    return cents_histogram(customers)
+
+
+def finish_histogram_median(updates: DataFrame) -> DataFrame:
+    """Read-time finisher ≡ q130: collapse update-mode rows to the
+    latest census state (counts are monotone — ``max``), then the
+    shared nearest-rank report. Order statistics are not mergeable,
+    so — exactly like ``finish_time_to_convert``'s percentile pass —
+    the rank pick runs at read time over the HISTOGRAM, which is
+    value-domain-bounded, never stream-sized."""
+    from ..functions.histogram import histogram_rank_report
+
+    hist = updates.groupBy("c_mktsegment", "cents").agg(
+        F.max("cnt").alias("cnt")
+    )
+    return histogram_rank_report(hist)
+
+
 # ---------------------------------------------------------------------------
 # Stateful funnel (streaming twin of plans/windows_q.q108_funnel)
 # ---------------------------------------------------------------------------

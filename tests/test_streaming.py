@@ -145,6 +145,47 @@ def test_value_histogram_stream_equals_q118(spark, stream_events):
     assert _rows(stream_out, keys) == _rows(q118_value_histogram(spark, SF_DIR), keys)
 
 
+def test_histogram_median_stream_equals_q130(spark, tmp_path):
+    """Streaming histogram-rank median (18th twin) == batch q130 over
+    a MULTI-batch customer stream: the (segment, cents) census merges
+    across micro-batch cuts (update mode; counts only grow, so the
+    finisher's max-collapse recovers the latest state), and the
+    non-mergeable nearest-rank pass runs at read time over the
+    value-domain-bounded histogram. Both engines import the census +
+    report from functions/histogram.py — one source of truth."""
+    from polla_spark.plans.relational import q130_histogram_median
+    from polla_spark.session import read_table
+
+    cust = read_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    rows = cust.collect()
+    d = tmp_path / "cust_stream"
+    # three interleaved slices -> every segment's census accumulates
+    # across all three micro-batches
+    for i in range(3):
+        spark.createDataFrame(rows[i::3], cust.schema).coalesce(1).write.parquet(
+            str(d / f"part{i}")
+        )
+    stream = (
+        spark.readStream.schema(cust.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*/")
+    )
+    q = (
+        SW.histogram_median_partials(stream)
+        .writeStream.format("memory")
+        .queryName("hist_median_updates")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = SW.finish_histogram_median(spark.table("hist_median_updates"))
+    keys = ["c_mktsegment", "n_rows", "median_cents", "p90_cents"]
+    assert _rows(got, keys) == _rows(q130_histogram_median(spark, SF_DIR), keys)
+
+
 def test_dedupe_stream(spark, stream_events, batch_events):
     stream_out = SW.run_to_memory(
         SW.dedupe_stream(stream_events, ["user_id", "event_type"]),

@@ -130,6 +130,77 @@ def test_kmeans_ivf_default_operating_point(spark, tmp_path):
     assert recall >= 0.7, f"recall@3 {recall:.3f} below the 0.7 bar"
 
 
+def test_rescored_probe_and_high_recall_point(spark, tmp_path):
+    """r5 additions to the ANN frontier (sweep rerun this round,
+    k=128 centroids on the 500-vector corpus, recall@3 vs exact):
+
+    1. Two-stage int8 rescore (``probe_ivf_kmeans_rescored``): the
+       int8 first pass + float rescore of the top-C shortlist
+       recovers the FULL-precision probe's recall at C=8
+       (C=2 -> 0.582, C=4 -> 0.731, C=8..32 -> 0.732 == float probe)
+       — so the bulk scan can run on 4x-smaller int8 codes with
+       integer MACs and float math touches only C rows/query.
+    2. High-recall operating point: recall >= 0.85 IS reachable on
+       this corpus — the nprobe frontier at k=128 measures
+       16 -> 0.784@12.5%, 20 -> 0.808@15.6%, 24 -> 0.843@18.8%,
+       32 -> 0.890@25.0%, 48 -> 0.943@37.5%, 64 -> 0.978@50.0% —
+       the first >= 0.85 point is k=128/nprobe=32 (0.890 reading 25%
+       of cells), pinned here; the default stays k=128/nprobe=12
+       (0.732@9.4%) for read-fraction-bound workloads.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from polla_spark.operators.ann import (
+        fit_centroids,
+        probe_ivf_kmeans,
+        probe_ivf_kmeans_rescored,
+        write_ivf_kmeans,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = str(tmp_path / "ivf_kmeans")
+    cents = fit_centroids(e, k=128)
+    write_ivf_kmeans(e, cents, out, spark)
+
+    pdf = pd.read_parquet(f"{SF}/embeddings.parquet").sort_values("vec_id")
+    E = np.array([np.array(v, dtype=np.float64) for v in pdf["embedding"]])
+    ids = pdf["vec_id"].to_numpy()
+    cos = (E @ E.T) / np.outer(
+        np.linalg.norm(E, axis=1), np.linalg.norm(E, axis=1)
+    )
+    np.fill_diagonal(cos, -2.0)
+    truth = {
+        int(ids[qi]): set(ids[np.argsort(-cos[qi])[:3]])
+        for qi in range(len(ids))
+    }
+
+    def recall(df) -> float:
+        got: dict[int, set] = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return sum(len(got.get(q, set()) & t) for q, t in truth.items()) / (
+            3 * len(truth)
+        )
+
+    base = recall(probe_ivf_kmeans(spark, out, e, cents, k=3, nprobe=12))
+    tight = recall(
+        probe_ivf_kmeans_rescored(
+            spark, out, e, cents, k=3, nprobe=12, shortlist=2
+        )
+    )
+    full = recall(
+        probe_ivf_kmeans_rescored(
+            spark, out, e, cents, k=3, nprobe=12, shortlist=8
+        )
+    )
+    assert tight < base  # the shortlist genuinely gates stage 2
+    assert full == base  # C=8 recovers full-precision recall exactly
+    # the first frontier point >= 0.85: k=128/nprobe=32, 25% of cells
+    high = recall(probe_ivf_kmeans(spark, out, e, cents, k=3, nprobe=32))
+    assert high >= 0.85, f"high-recall point regressed: {high:.3f}"
+
+
 def test_kmeans_ivf_probe_prunes_partitions(spark, tmp_path):
     """A small query batch must touch only its probed cell
     directories (static partition pruning), never the full index."""

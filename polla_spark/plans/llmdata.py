@@ -2314,25 +2314,47 @@ def q104_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     step that stops one over-crawled domain from dominating the mix
     (the "domain cap" in public web-corpus recipes).
 
-    Plan: one hash shuffle on source, within-partition top-15 via
-    row_number — no global sort; at 100 TB a skewed mega-domain is
-    exactly the case the cap exists for, and AQE skew-split handles
-    the one hot partition. Reports what a mix report needs: kept
-    count, kept char volume, and the quality cutoff that the cap
-    imposed.
+    Plan — SKEW-SAFE two-stage top-k (r5 rewrite): a single
+    ``row_number`` window partitioned by source would funnel a
+    mega-domain's every row through ONE task, and unlike joins, AQE
+    cannot split a window partition. So stage 1 ranks within
+    ``(source, salt)`` — a hot domain fans over 16 buckets — and only
+    the per-bucket top-15 (≤ 16×15 rows per source, independent of
+    domain size) reaches the stage-2 window that picks the exact
+    global top-15: any global top-15 row is necessarily top-15 in its
+    own bucket, so the rewrite is lossless. ``n_total`` comes from a
+    plain count, which map-side partial aggregation already makes
+    skew-immune. The oracle is the naive single-window form — the
+    hash match proves the rewrite preserves semantics;
+    scripts/scale_experiment.py --skew measures the two plans against
+    each other on Zipf data.
     """
     d = t(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
-    kept = F.col("rn") <= 15
-    return (
-        d.withColumn("rn", F.row_number().over(w))
+    salt = F.pmod(F.xxhash64("doc_id"), F.lit(16))
+    w1 = Window.partitionBy("source", "_salt").orderBy(
+        F.desc("n_chars"), "doc_id"
+    )
+    cand = (
+        d.select("source", "n_chars", "doc_id")
+        .withColumn("_salt", salt)
+        .withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= 15)
+    )
+    w2 = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    kept = (
+        cand.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= 15)
         .groupBy("source")
         .agg(
-            F.count("*").alias("n_total"),
-            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
-            F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias("kept_chars"),
-            F.min(F.when(kept, F.col("n_chars"))).alias("cutoff_chars"),
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+            F.min("n_chars").alias("cutoff_chars"),
         )
+    )
+    totals = d.groupBy("source").agg(F.count("*").alias("n_total"))
+    return (
+        totals.join(kept, "source")
+        .select("source", "n_total", "n_kept", "kept_chars", "cutoff_chars")
         .orderBy("source")
     )
 

@@ -54,9 +54,12 @@ DEFAULT_QUERIES = [
 SCALED_TABLES = {"documents", "events", "lineitem", "orders", "part"}
 
 
-def build_dir(spark, out: Path, factor: int) -> None:
+def build_dir(spark, out: Path, factor: int, *, skew: bool = False) -> None:
     """Materialize a factor-x dir: replica i occupies a disjoint key
-    space so per-key density is IDENTICAL to the base corpus."""
+    space so per-key density is IDENTICAL to the base corpus. With
+    ``skew``, :func:`skew_transform` then routes ~30% of rows to one
+    hot key (same fraction at every factor — the Zipf head grows with
+    the corpus)."""
     out.mkdir(parents=True, exist_ok=True)
     for name in TABLES:
         dst = out / f"{name}.parquet"
@@ -114,7 +117,154 @@ def build_dir(spark, out: Path, factor: int) -> None:
         u = parts[0]
         for p in parts[1:]:
             u = u.unionByName(p)
+        if skew:
+            u = skew_transform(name, u)
         u.write.mode("overwrite").parquet(str(dst))
+
+
+HOT_FRACTION = 0.3  # the Zipf head: one key holding ~30% of rows
+
+
+def skew_transform(name: str, df):
+    """Route ~30% of rows to ONE hot key (deterministic row gate) —
+    the Zipf-head shape the skew operators exist for. Replica offsets
+    are multiples of 10, so the doc_id/hash gates hold the same 30%
+    fraction at every factor: the hot key GROWS with the corpus."""
+    if name == "documents":
+        return df.withColumn(
+            "source",
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(10)) < 3, F.lit("mega-hot.example")
+            ).otherwise(F.col("source")),
+        )
+    if name == "lineitem":
+        # the mega-customer: 30% of fact rows hit orderkey 1
+        return df.withColumn(
+            "l_orderkey",
+            F.when(
+                F.pmod(F.xxhash64("l_orderkey", "l_partkey", "l_linenumber"),
+                       F.lit(10)) < 3,
+                F.lit(1).cast("long"),
+            ).otherwise(F.col("l_orderkey")),
+        )
+    if name == "events":
+        # the mega-user: 30% of events from user 1
+        return df.withColumn(
+            "user_id",
+            F.when(
+                F.pmod(F.xxhash64("event_id"), F.lit(10)) < 3,
+                F.lit(1).cast("long"),
+            ).otherwise(F.col("user_id")),
+        )
+    return df
+
+
+def _skew_variants(spark):
+    """(variant -> plan) pairs measured on the SAME skewed dirs: each
+    skew-safe operator next to its naive control, so the table shows
+    which naive shapes Spark already rescues (map-side combine, AQE
+    skew-join) and which genuinely need the rewrite (windows)."""
+    from polla_spark.operators.skew import hot_key_split_join, salted_sum_count
+
+    def _li(d):
+        return spark.read.parquet(f"{d}/lineitem.parquet")
+
+    def _ev(d):
+        return spark.read.parquet(f"{d}/events.parquet")
+
+    def salted_agg(d):
+        li = _li(d).select("l_returnflag", "l_quantity")
+        return salted_sum_count(
+            li, ["l_returnflag"], F.col("l_quantity").cast("decimal(18,4)")
+        )
+
+    def plain_agg(d):
+        return (
+            _li(d)
+            .groupBy("l_returnflag")
+            .agg(
+                F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("total"),
+                F.count("*").alias("n"),
+            )
+        )
+
+    def _orders(d):
+        return spark.read.parquet(f"{d}/orders.parquet").select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+        )
+
+    def split_join(d):
+        j = hot_key_split_join(
+            _li(d).select("l_orderkey", "l_quantity"), _orders(d),
+            "l_orderkey", [1],
+        )
+        return j.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("sum_qty"),
+        )
+
+    def plain_join(d):
+        j = _li(d).select("l_orderkey", "l_quantity").join(
+            _orders(d), "l_orderkey"
+        )
+        return j.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("sum_qty"),
+        )
+
+    def capped_two_stage(d):
+        # q104's salted two-stage top-15, applied at event grain (the
+        # documents table is too small at sf0.1 to resolve the skew)
+        from pyspark.sql import Window
+
+        e = _ev(d).select("user_id", "value", "event_id")
+        salt = F.pmod(F.xxhash64("event_id"), F.lit(16))
+        w1 = Window.partitionBy("user_id", "_salt").orderBy(
+            F.desc("value"), "event_id"
+        )
+        cand = (
+            e.withColumn("_salt", salt)
+            .withColumn("_rn1", F.row_number().over(w1))
+            .filter(F.col("_rn1") <= 15)
+        )
+        w2 = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+        return (
+            cand.withColumn("rn", F.row_number().over(w2))
+            .filter(F.col("rn") <= 15)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_kept"), F.sum("value").alias("kept_value"))
+        )
+
+    def capped_naive(d):
+        from pyspark.sql import Window
+
+        e = _ev(d).select("user_id", "value", "event_id")
+        w = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+        return (
+            e.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 15)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_kept"), F.sum("value").alias("kept_value"))
+        )
+
+    # conf overrides per variant: the join controls must not hide the
+    # shuffle behind an auto-broadcast of the 20x orders side; the
+    # "_noaqe" control turns off AQE skew-splitting to show the
+    # unrescued baseline
+    no_bcast = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    no_skew_rescue = {**no_bcast, "spark.sql.adaptive.skewJoin.enabled": "false"}
+    return [
+        ("salted_agg", salted_agg, {}),
+        ("plain_agg_control", plain_agg, {}),
+        ("split_join", split_join, no_bcast),
+        ("plain_join_aqe_control", plain_join, no_bcast),
+        ("plain_join_noaqe_control", plain_join, no_skew_rescue),
+        ("capped_two_stage", capped_two_stage, {}),
+        ("capped_naive_control", capped_naive, {}),
+    ]
 
 
 def main() -> None:
@@ -122,6 +272,10 @@ def main() -> None:
     ap.add_argument("--factor", type=int, default=20)
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    ap.add_argument("--skew", action="store_true",
+                    help="Zipf-head mode: 30%% of rows on one hot key; "
+                    "measures each skew operator against its naive "
+                    "control instead of registry queries")
     args = ap.parse_args()
 
     from polla_spark.plans import registry
@@ -131,31 +285,50 @@ def main() -> None:
     reg = registry()
     names = [q for q in args.queries.split(",") if q]
 
-    one = Path("/tmp/scale_1x")
-    big = Path(f"/tmp/scale_{args.factor}x")
-    build_dir(spark, one, 1)
-    build_dir(spark, big, args.factor)
+    tag = "scale_skew" if args.skew else "scale"
+    one = Path(f"/tmp/{tag}_1x")
+    big = Path(f"/tmp/{tag}_{args.factor}x")
+    build_dir(spark, one, 1, skew=args.skew)
+    build_dir(spark, big, args.factor, skew=args.skew)
+
+    if args.skew:
+        plans = [(n, fn, conf) for n, fn, conf in _skew_variants(spark)]
+    else:
+        plans = [
+            (name, (lambda q: lambda d: q.spark(spark, d))(reg[name]), {})
+            for name in names
+        ]
 
     result: dict[str, dict[str, float]] = {}
-    for name in names:
-        q = reg[name]
-        row: dict[str, float] = {}
-        for label, d in (("t1", one), (f"t{args.factor}", big)):
-            reps = []
-            for _ in range(args.reps):
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                q.spark(spark, str(d)).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                reps.append(time.perf_counter() - t0)
-            row[label] = round(statistics.median(reps), 2)
-            print(f"# {name} {label}: {row[label]}s of "
-                  f"{[round(r, 2) for r in reps]}", file=sys.stderr)
-        row["ratio"] = round(row[f"t{args.factor}"] / row["t1"], 1)
-        result[name] = row
-    print(json.dumps({"factor": args.factor, "base": BASE,
-                      "queries": result}))
+    for name, fn, conf in plans:
+        saved = {k: spark.conf.get(k, None) for k in conf}
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        try:
+            row: dict[str, float] = {}
+            for label, d in (("t1", one), (f"t{args.factor}", big)):
+                reps = []
+                for _ in range(args.reps):
+                    spark.catalog.clearCache()
+                    t0 = time.perf_counter()
+                    fn(str(d)).write.format("noop").mode("overwrite").save()
+                    reps.append(time.perf_counter() - t0)
+                row[label] = round(statistics.median(reps), 2)
+                print(f"# {name} {label}: {row[label]}s of "
+                      f"{[round(r, 2) for r in reps]}", file=sys.stderr)
+            row["ratio"] = round(row[f"t{args.factor}"] / row["t1"], 1)
+            result[name] = row
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+    out: dict = {"factor": args.factor, "base": BASE, "queries": result}
+    if args.skew:
+        out["mode"] = "skew"
+        out["hot_fraction"] = HOT_FRACTION
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

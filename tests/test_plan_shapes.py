@@ -881,6 +881,23 @@ def test_q175_threshold_is_broadcast_scalar(spark):
     assert "EvalPython" not in plan, plan
 
 
+def test_q104_domain_cap_two_stage_salted_window(spark):
+    # the data-sized exchange must partition on (source, _salt) — a
+    # mega-domain fans over 16 buckets; only per-bucket top-15
+    # candidates reach the stage-2 source-grain window (windows,
+    # unlike joins, cannot be skew-split by AQE). Bonus pinned:
+    # WindowGroupLimit Partial = map-side top-15 before each exchange
+    from polla_spark.plans.llmdata import q104_source_quota
+
+    plan = _plan(q104_source_quota(spark, SF))
+    import re
+
+    assert re.search(r"Exchange hashpartitioning\(source#\d+, _salt", plan), plan
+    assert plan.count("Window [row_number()") == 2, plan
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert ", Partial" in plan or "15, Partial" in plan, plan
+
+
 def test_sketch_partials_run_on_natural_partitioning(spark):
     # the MG sketch's data-sized stage is ONLY the per-partition
     # Arrow pass: no exchange may precede MapInPandas (the shuffle it

@@ -26,18 +26,23 @@ from pyspark.sql import DataFrame, SparkSession
 # len(registry()) == DECLARED_QUERY_COUNT so an addition that forgets
 # the bump (or a bump without queries) fails fast instead of silently
 # shipping an undeclared inventory.
-# NOTE: query ids span q01–q177 with q139 intentionally unassigned
-# (a numbering skip from round 3, not a dropped query) — hence 176
-# registered queries over a 177-wide id range.
-DECLARED_QUERY_COUNT = 176
+# NOTE: query ids span q01–q178 with q139 intentionally unassigned
+# (a numbering skip from round 3, not a dropped query) — hence 177
+# registered queries over a 178-wide id range.
+DECLARED_QUERY_COUNT = 177
 
 # Rows-only queries: implemented but intentionally without a SQL
 # oracle (non-SQL-expressible semantics — q38: HLL sketch values are
-# implementation-defined; q177: MG estimates are partitioning-
-# dependent, so the query self-verifies the PODS'12 bounds in-plan
-# instead). Everything else must pair with an ANSI-SQL oracle string.
+# implementation-defined; q177/q178: MG estimates / quantile-sketch
+# values are partitioning- or implementation-dependent, so each query
+# self-verifies its published guarantee in-plan instead). Everything
+# else must pair with an ANSI-SQL oracle string.
 ROWS_ONLY_QUERIES = frozenset(
-    {"q38_approx_count_distinct", "q177_heavy_hitters_sketch"}
+    {
+        "q38_approx_count_distinct",
+        "q177_heavy_hitters_sketch",
+        "q178_approx_percentile_check",
+    }
 )
 
 

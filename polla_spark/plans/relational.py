@@ -4385,6 +4385,76 @@ ORDER BY lift DESC, part_a, part_b LIMIT 20
 """
 
 
+def q178_approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approx_percentile`` — the mergeable fixed-memory quantile
+    sketch q47's docstring names as THE 100 TB percentile form —
+    SELF-VERIFYING against its own rank guarantee in-plan (q177's
+    rows-only pattern; sketch outputs are implementation-defined, so
+    no cross-engine value hash is possible by construction).
+
+    The contract Spark documents for accuracy parameter ``acc``: the
+    returned value's rank is within ``n/acc`` of the target rank.
+    The plan computes the approx p50/p90 per orderstatus, then ONE
+    extra conditional-sum pass over the fact computes the true ranks
+    ``count(x < v)`` / ``count(x <= v)`` of each returned value, and
+    flags ``verified`` iff the target rank lies in
+    ``[rank_lt - n/acc - 1, rank_le + n/acc + 1]``. A sketch
+    regression flips the flag; the driver's rows-only row (6 rows:
+    3 statuses x 2 percentiles) catches it.
+
+    100 TB shape: the sketch is a one-exchange mergeable agg (map-side
+    partial sketches combine — the whole point vs q47's full sort);
+    the verification census is a second scan + broadcast of the 6-row
+    approx table — the TEST harness, not the production path.
+    """
+    acc = 200
+    pcts = [0.5, 0.9]
+    o = t(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+    ap = (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.percentile_approx(
+                "o_totalprice", pcts, F.lit(acc)
+            ).alias("vals"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "o_orderstatus",
+            "n",
+            F.posexplode("vals").alias("_i", "v"),
+        )
+        .withColumn(
+            "pct", F.element_at(F.array(*[F.lit(p) for p in pcts]), F.col("_i") + 1)
+        )
+        .drop("_i")
+    )
+    ranks = (
+        o.join(F.broadcast(ap), "o_orderstatus")
+        .groupBy("o_orderstatus", "pct", "n", "v")
+        .agg(
+            F.sum(
+                F.when(F.col("o_totalprice") < F.col("v"), 1).otherwise(0)
+            ).alias("rank_lt"),
+            F.sum(
+                F.when(F.col("o_totalprice") <= F.col("v"), 1).otherwise(0)
+            ).alias("rank_le"),
+        )
+    )
+    err = F.col("n") / F.lit(acc) + F.lit(1)
+    target = F.col("pct") * F.col("n")
+    return ranks.select(
+        "o_orderstatus",
+        "pct",
+        F.round("v", 2).alias("approx_value"),
+        "n",
+        "rank_lt",
+        "rank_le",
+        (
+            (target >= F.col("rank_lt") - err)
+            & (target <= F.col("rank_le") + err)
+        ).alias("verified"),
+    ).orderBy("o_orderstatus", "pct")
+
 
 QUERIES = [
     Query("q01_pricing_summary", q01_pricing_summary, O01, "TPC-H Q1 scan+agg"),
@@ -4538,4 +4608,7 @@ QUERIES = [
           "TPC-H Q12 dual conditional count on one join"),
     Query("q176_affinity_lift", q176_affinity_lift, O176,
           "market-basket lift off one persisted basket collapse"),
+    Query("q178_approx_percentile_check", q178_approx_percentile_check, None,
+          "approx_percentile sketch, self-verifying its rank guarantee "
+          "in-plan (rows-only: sketch values are implementation-defined)"),
 ]

@@ -213,7 +213,8 @@ def _skew_variants(spark):
         )
 
     def capped_two_stage(d):
-        # q104's salted two-stage top-15, applied at event grain (the
+        # the salted two-stage top-15 fallback (for window shapes
+        # rank pushdown can't rescue), applied at event grain (the
         # documents table is too small at sf0.1 to resolve the skew)
         from pyspark.sql import Window
 
@@ -235,7 +236,10 @@ def _skew_variants(spark):
             .agg(F.count("*").alias("n_kept"), F.sum("value").alias("kept_value"))
         )
 
-    def capped_naive(d):
+    def capped_rank_pushdown(d):
+        # the production q104 shape: the explicit rn<=15 filter
+        # licenses WindowGroupLimit Partial, so each map partition
+        # collapses to its local top-15 BEFORE the exchange
         from pyspark.sql import Window
 
         e = _ev(d).select("user_id", "value", "event_id")
@@ -245,6 +249,24 @@ def _skew_variants(spark):
             .filter(F.col("rn") <= 15)
             .groupBy("user_id")
             .agg(F.count("*").alias("n_kept"), F.sum("value").alias("kept_value"))
+        )
+
+    def capped_agg_all_rows(d):
+        # the shape that LOSES the pushdown: conditional aggs over
+        # every ranked row — the whole table shuffles and the hot
+        # key's rows all land on one window task
+        from pyspark.sql import Window
+
+        e = _ev(d).select("user_id", "value", "event_id")
+        w = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+        kept = F.col("rn") <= 15
+        return (
+            e.withColumn("rn", F.row_number().over(w))
+            .groupBy("user_id")
+            .agg(
+                F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+                F.sum(F.when(kept, F.col("value"))).alias("kept_value"),
+            )
         )
 
     # conf overrides per variant: the join controls must not hide the
@@ -262,8 +284,9 @@ def _skew_variants(spark):
         ("split_join", split_join, no_bcast),
         ("plain_join_aqe_control", plain_join, no_bcast),
         ("plain_join_noaqe_control", plain_join, no_skew_rescue),
+        ("capped_rank_pushdown", capped_rank_pushdown, {}),
         ("capped_two_stage", capped_two_stage, {}),
-        ("capped_naive_control", capped_naive, {}),
+        ("capped_agg_all_rows_control", capped_agg_all_rows, {}),
     ]
 
 

@@ -2933,6 +2933,186 @@ ORDER BY n_occ DESC, term
 """
 
 
+#: (query_id, terms) for the lexical arm of hybrid retrieval —
+#: paired with embedding vec_id = query_id for the semantic arm.
+_RRF_QUERIES = {0: ("spark", "window"), 1: ("hash", "join"), 2: ("shuffle", "row")}
+_RRF_K = 60  # the standard RRF damping constant (Cormack et al., SIGIR'09)
+
+
+def q179_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 keyword arm (q87's kernel) + exact
+    cosine arm (q58's kernel) fused with Reciprocal Rank Fusion —
+    the standard recipe for combining lexical and semantic search
+    (RRF: score = Σ 1/(k + rank), Cormack/Clarke/Büttcher SIGIR'09;
+    the default hybrid mode of open-source search engines).
+
+    Per query q ∈ {0,1,2}: the lexical arm ranks documents by BM25
+    over q's fixed 2-term query; the semantic arm ranks by cosine
+    against embedding vec_id = q (doc_id and vec_id are aligned
+    1:1 in this corpus). Each arm keeps its top-20; a FULL OUTER join
+    on (query_id, doc_id) fuses them with integer micro-unit
+    contributions ``div(1e6, k + rank)`` (floor-div in BOTH engines —
+    no float accumulation), absent-arm docs contributing only their
+    present arm. Top-10 fused per query.
+
+    100 TB shape: the lexical arm shuffles only query-term postings
+    (the isin filter runs inside the token array before the explode);
+    the semantic arm broadcasts the 3-query side over one corpus scan
+    (q58's plan; swap in the IVF probe of operators/ann.py when the
+    corpus outgrows brute force); the fusion joins two ≤ 20-row-per-
+    query tables — report-sized.
+    """
+    d = t(spark, sf_dir, "documents").withColumn("_toks", _toks())
+    all_terms = sorted({t_ for ts in _RRF_QUERIES.values() for t_ in ts})
+    qterms = spark.createDataFrame(
+        [(q, t_) for q, ts in _RRF_QUERIES.items() for t_ in ts],
+        "query_id int, term string",
+    )
+    stats = d.select("doc_id", F.size("_toks").cast("long").alias("dl"), "_toks")
+    scal = stats.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = (
+        stats.select(
+            "doc_id",
+            "dl",
+            F.explode(F.filter("_toks", lambda x: x.isin(*all_terms))).alias("term"),
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tfreq"))
+    )
+    df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tf_norm = (F.col("tfreq") * (_BM25_K1 + 1)) / (
+        F.col("tfreq")
+        + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    lex_scores = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(scal))
+        .withColumn("contrib", F.floor(idf * tf_norm * 1e6))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("score_micro"))
+    )
+    w_lex = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), "doc_id"
+    )
+    lex = (
+        lex_scores.withColumn("r_lex", F.row_number().over(w_lex))
+        .filter(F.col("r_lex") <= 20)
+        .select("query_id", "doc_id", "r_lex")
+    )
+    e = t(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id").isin(*_RRF_QUERIES)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cos = _dot(F.col("embedding"), F.col("qv")) / (
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    )
+    scored = (
+        e.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.round(cos, 4).alias("cosine"),
+        )
+    )
+    w_sem = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "doc_id")
+    sem = (
+        scored.withColumn("r_sem", F.row_number().over(w_sem))
+        .filter(F.col("r_sem") <= 20)
+        .select("query_id", "doc_id", "r_sem")
+    )
+    fused = (
+        lex.join(sem, ["query_id", "doc_id"], "full_outer")
+        .withColumn(
+            "rrf_micro",
+            F.coalesce(F.expr(f"div(1000000, {_RRF_K} + r_lex)"), F.lit(0))
+            + F.coalesce(F.expr(f"div(1000000, {_RRF_K} + r_sem)"), F.lit(0)),
+        )
+    )
+    w_f = Window.partitionBy("query_id").orderBy(F.desc("rrf_micro"), "doc_id")
+    return (
+        fused.withColumn("rn", F.row_number().over(w_f))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "rn", "doc_id", "rrf_micro", "r_lex", "r_sem")
+        .orderBy("query_id", "rn")
+    )
+
+
+O179 = f"""
+WITH qt AS (
+  SELECT * FROM (VALUES (0, 'spark'), (0, 'window'), (1, 'hash'),
+                        (1, 'join'), (2, 'shuffle'), (2, 'row'))
+  AS v(query_id, term)
+), stats AS (
+  SELECT doc_id, CAST(len({{TOKS}}) AS BIGINT) AS dl, {{TOKS}} AS tk FROM documents
+), scal AS (
+  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM stats
+), tf AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tfreq
+  FROM (SELECT doc_id, dl,
+               unnest(list_filter(tk, x -> x IN ('spark', 'window', 'hash',
+                                                 'join', 'shuffle', 'row'))) AS term
+        FROM stats)
+  GROUP BY doc_id, dl, term
+), dft AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+), lex_scores AS (
+  SELECT qt.query_id, tf.doc_id, SUM(contrib) AS score_micro
+  FROM (
+    SELECT tf.doc_id, tf.term,
+           CAST(floor(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                * (tf.tfreq * 2.2)
+                / (tf.tfreq + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))
+                * 1e6) AS BIGINT) AS contrib
+    FROM tf JOIN dft d USING (term) CROSS JOIN scal s
+  ) tf JOIN qt USING (term)
+  GROUP BY 1, 2
+), lex AS (
+  SELECT query_id, doc_id, r_lex FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score_micro DESC, doc_id) AS r_lex
+    FROM lex_scores
+  ) WHERE r_lex <= 20
+), qv AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id IN (0, 1, 2)
+), sem_scored AS (
+  SELECT q.query_id, e.vec_id AS doc_id,
+         ROUND({{DDOT_EQ}} /
+               (sqrt({{DDOT_EE}}) * sqrt({{DDOT_QQ}})), 4) AS cosine
+  FROM embeddings e CROSS JOIN qv q WHERE e.vec_id <> q.query_id
+), sem AS (
+  SELECT query_id, doc_id, r_sem FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, doc_id) AS r_sem
+    FROM sem_scored
+  ) WHERE r_sem <= 20
+), fused AS (
+  SELECT COALESCE(lex.query_id, sem.query_id) AS query_id,
+         COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+         r_lex, r_sem,
+         COALESCE(1000000 // ({_RRF_K} + r_lex), 0)
+         + COALESCE(1000000 // ({_RRF_K} + r_sem), 0) AS rrf_micro
+  FROM lex FULL OUTER JOIN sem USING (query_id, doc_id)
+)
+SELECT query_id, rn, doc_id, rrf_micro, r_lex, r_sem FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY rrf_micro DESC, doc_id) AS rn
+  FROM fused
+) WHERE rn <= 10 ORDER BY query_id, rn
+"""
+
+O179 = O179.format(
+    TOKS=TOKS,
+    DDOT_EQ=_DDOT.format(a="e.embedding", b="q.qv"),
+    DDOT_EE=_DDOT.format(a="e.embedding", b="e.embedding"),
+    DDOT_QQ=_DDOT.format(a="q.qv", b="q.qv"),
+)
+
+
 def q177_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra-Gries sketch path of the token heavy-hitter census,
     SELF-VERIFYING against the exact census in-plan (rows-only
@@ -3092,4 +3272,7 @@ QUERIES = [
     Query("q177_heavy_hitters_sketch", q177_heavy_hitters_sketch, None,
           "MG-sketch heavy hitters, self-verifying vs the exact census "
           "(rows-only: MG estimates are partitioning-dependent by design)"),
+    Query("q179_hybrid_retrieval_rrf", q179_hybrid_retrieval_rrf, O179,
+          "hybrid BM25 + cosine retrieval fused by Reciprocal Rank Fusion "
+          "(integer floor-div contributions, full-outer truncated-list fuse)"),
 ]

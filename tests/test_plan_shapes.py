@@ -95,6 +95,23 @@ def test_q87_postings_filtered_before_explode_and_dims_broadcast(spark):
     assert "filter(_toks" in plan or "ArrayFilter" in plan or "array_filter" in plan.lower(), plan
 
 
+def test_q179_hybrid_rrf_arms_stay_bounded(spark):
+    # hybrid RRF: the lexical arm shuffles only query-term postings
+    # (isin filter inside the token array before the explode, q87's
+    # shape), the semantic arm broadcasts the 3-query side, and the
+    # fusion joins two <=20-rows-per-query tables — no all-pairs
+    # operator anywhere
+    from polla_spark.plans.llmdata import q179_hybrid_retrieval_rrf
+
+    plan = _plan(q179_hybrid_retrieval_rrf(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "filter(_toks" in plan or "array_filter" in plan.lower(), plan
+    assert "BroadcastHashJoin" in plan, plan  # qterms/df dims
+    # per-arm top-20: rank pushdown collapses map partitions first
+    assert "WindowGroupLimit" in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
 def test_q88_zero_shuffles_before_output_sort(spark):
     # repetition ratio is per-row array math: the ONLY exchange allowed
     # is the rangepartitioning for the final orderBy

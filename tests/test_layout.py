@@ -1,0 +1,67 @@
+"""Zone-map clustered layout (operators/layout.py): the same rows
+written clustered vs unsorted must differ in exactly the property
+that matters at 100 TB — row-group min/max disjointness — while the
+query-side contract (predicate pushdown into the scan) holds on both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from polla_spark.operators.layout import (
+    overlap_fraction,
+    rowgroup_ranges,
+    write_clustered,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_clustered_layout_prunes_unsorted_does_not(spark, tmp_path):
+    e = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    clustered = str(tmp_path / "clustered")
+    unsorted = str(tmp_path / "unsorted")
+    write_clustered(e, clustered, ["event_id"])
+    # same rows, same row-group size, no clustering
+    (
+        e.repartition(4)
+        .write.option("parquet.block.size", str(64 * 1024))
+        .mode("overwrite")
+        .parquet(unsorted)
+    )
+
+    r_sorted = rowgroup_ranges(clustered, "event_id")
+    r_unsorted = rowgroup_ranges(unsorted, "event_id")
+    # enough groups for skipping to matter, same data both layouts
+    assert len(r_sorted) >= 4 and len(r_unsorted) >= 4
+    lo, hi = 0, e.agg(F.max("event_id")).collect()[0][0] // 20  # ~5% slice
+    f_sorted = overlap_fraction(r_sorted, lo, hi)
+    f_unsorted = overlap_fraction(r_unsorted, lo, hi)
+    # clustered: a 5% slice touches a small fraction of the groups;
+    # unsorted: every group spans the whole range -> touches ~all
+    assert f_sorted <= 0.35, (f_sorted, r_sorted[:4])
+    assert f_unsorted >= 0.9, (f_unsorted, r_unsorted[:4])
+
+    # the query-side half of the contract: the range predicate reaches
+    # the scan as PushedFilters on BOTH layouts (the reader consults
+    # the stats above to skip groups), and results are identical
+    q = lambda p: spark.read.parquet(p).filter(  # noqa: E731
+        (F.col("event_id") >= lo) & (F.col("event_id") <= hi)
+    )
+    plan = q(clustered)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "GreaterThanOrEqual(event_id" in plan
+    a = sorted(r["event_id"] for r in q(clustered).collect())
+    b = sorted(r["event_id"] for r in q(unsorted).collect())
+    assert a == b and a
+
+
+def test_clustering_cost_is_one_exchange(spark, tmp_path):
+    # the layout's one-time cost: exactly one range exchange, then a
+    # per-partition sort — never a global single-partition sort
+    e = spark.read.parquet(f"{SF}/events.parquet").select("event_id", "value")
+    df = e.repartitionByRange(4, "event_id").sortWithinPartitions("event_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange rangepartitioning") == 1, plan
+    assert "Exchange SinglePartition" not in plan, plan

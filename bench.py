@@ -95,6 +95,10 @@ HEADLINE = [
     "q159_suppliers_kept_waiting",
     "q168_cheapest_supplier",
     "q165_large_orders",
+    # r5 additions: basket lift (persisted-collapse reuse) and hybrid
+    # RRF retrieval (postings shuffle + broadcast cosine arm + fusion)
+    "q176_affinity_lift",
+    "q179_hybrid_retrieval_rrf",
 ]
 
 

@@ -633,23 +633,11 @@ def q122_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the report, not the data. A months-sized single partition is
     the correct plan, not a smell.
     """
-    o = t(spark, sf_dir, "orders")
-    monthly = (
-        o.groupBy(
-            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
-        )
-        .agg(F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("revenue_cents"))
-    )
-    w = Window.orderBy("month")
-    prev = F.lag("revenue_cents").over(w)
-    growth = F.round(
-        (F.col("revenue_cents") - prev).cast("double") / prev.cast("double") * 100.0, 4
-    )
-    return (
-        monthly.withColumn("growth_pct", growth)
-        .select("month", "revenue_cents", "growth_pct")
-        .orderBy("month")
-    )
+    from ..functions.trends import growth_report, monthly_census
+
+    # census + report shared with the streaming twin
+    # (functions/trends.py) — one source of truth, two engines
+    return growth_report(monthly_census(t(spark, sf_dir, "orders")))
 
 
 O122 = """

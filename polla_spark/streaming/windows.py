@@ -250,6 +250,60 @@ def value_histogram(events: DataFrame) -> DataFrame:
     )
 
 
+def monthly_revenue_partials(orders: DataFrame) -> DataFrame:
+    """Streaming twin of q122's month-grain census (19th twin): the
+    same mergeable month/cent-sum partial agg as the batch plan
+    (imported from ``functions/trends.py`` — one source of truth).
+    State is bounded by the number of MONTHS, no watermark needed;
+    run in update mode — cent sums are non-negative, so the newest
+    update per month is simply the max."""
+    from ..functions.trends import monthly_census
+
+    return monthly_census(orders)
+
+
+def finish_monthly_growth(updates: DataFrame) -> DataFrame:
+    """Read-time finisher ≡ q122: collapse update-mode rows to the
+    latest census state (sums monotone — ``max``), then the shared
+    lag-based growth report over the months-sized table."""
+    from ..functions.trends import growth_report
+
+    monthly = updates.groupBy("month").agg(
+        F.max("revenue_cents").alias("revenue_cents")
+    )
+    return growth_report(monthly)
+
+
+def distinct_partials(events: DataFrame, key: str = "user_id",
+                      by: str = "event_type") -> DataFrame:
+    """Streaming twin of the q38 family (20th twin): per-group
+    DataSketches HLL sketches as a streaming aggregation. Unlike the
+    MG heavy-hitter sketch (bounded additive error on merge), HLL
+    union is LOSSLESS at the sketch level — merging takes the
+    register-wise max, so the streamed sketch is BIT-identical to one
+    batch pass over the union of the data and the estimates match
+    exactly (pinned in tests/test_streaming.py, plus a distributed
+    per-partition-sketches == direct-sketch mergeability pin). State
+    per group is one fixed-size sketch (lgK=12 -> 4 KB); no watermark.
+    """
+    return events.groupBy(by).agg(F.hll_sketch_agg(key).alias("sketch"))
+
+
+def finish_distinct(updates: DataFrame, by: str = "event_type") -> DataFrame:
+    """Read-time finisher: union all sketch versions per group
+    (register-wise max — re-merging already-merged sketches is a
+    no-op) and emit the estimate."""
+    return (
+        updates.groupBy(by)
+        .agg(F.hll_union_agg("sketch").alias("sketch"))
+        .select(
+            by,
+            F.hll_sketch_estimate("sketch").alias("approx_distinct"),
+        )
+        .orderBy(by)
+    )
+
+
 def histogram_median_partials(customers: DataFrame) -> DataFrame:
     """Streaming twin of q130's histogram-rank median (18th twin):
     the only data-sized stage is the same mergeable (segment, cents)

@@ -186,6 +186,103 @@ def test_histogram_median_stream_equals_q130(spark, tmp_path):
     assert _rows(got, keys) == _rows(q130_histogram_median(spark, SF_DIR), keys)
 
 
+def test_monthly_growth_stream_equals_q122(spark, tmp_path):
+    """Streaming month-grain census (19th twin) == batch q122 over a
+    multi-batch orders stream: cent sums merge across micro-batch
+    cuts (update mode; non-negative sums are monotone, so the
+    finisher's max-collapse recovers the latest state) and the lag
+    window runs at read time over the months-sized table. Census +
+    report shared via functions/trends.py."""
+    from polla_spark.plans.windows_q import q122_monthly_growth
+    from polla_spark.session import read_table
+
+    o = read_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    rows = o.collect()
+    d = tmp_path / "orders_stream"
+    # interleaved slices -> every month accumulates across batches
+    for i in range(3):
+        spark.createDataFrame(rows[i::3], o.schema).coalesce(1).write.parquet(
+            str(d / f"part{i}")
+        )
+    stream = (
+        spark.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*/")
+    )
+    q = (
+        SW.monthly_revenue_partials(stream)
+        .writeStream.format("memory")
+        .queryName("monthly_updates")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = SW.finish_monthly_growth(spark.table("monthly_updates"))
+    keys = ["month", "revenue_cents", "growth_pct"]
+    assert _rows(got, keys) == _rows(q122_monthly_growth(spark, SF_DIR), keys)
+
+
+def test_hll_distinct_stream_equals_batch_sketch(spark, tmp_path, batch_events):
+    """Streaming HLL distinct sketches (20th twin): HLL union is
+    LOSSLESS (register-wise max), so the streamed estimate over a
+    multi-batch stream equals one batch sketch pass over the same
+    rows EXACTLY — plus the distributed-merge pin: per-partition
+    sketches unioned == direct sketch."""
+    from pyspark.sql import functions as F
+
+    ev = batch_events.select("event_id", "user_id", "event_type")
+    rows = ev.collect()
+    d = tmp_path / "hll_stream"
+    for i in range(3):
+        spark.createDataFrame(rows[i::3], ev.schema).coalesce(1).write.parquet(
+            str(d / f"part{i}")
+        )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*/")
+    )
+    q = (
+        SW.distinct_partials(stream)
+        .writeStream.format("memory")
+        .queryName("hll_updates")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["event_type"]: r["approx_distinct"]
+        for r in SW.finish_distinct(spark.table("hll_updates")).collect()
+    }
+    want = {
+        r["event_type"]: r["approx_distinct"]
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_distinct"))
+        .collect()
+    }
+    assert got == want and got
+
+    # mergeability, distributed form: per-partition sketches unioned
+    # == one direct sketch (register-wise max is associative/lossless)
+    part = (
+        ev.repartition(8)
+        .withColumn("_pid", F.spark_partition_id())
+        .groupBy("event_type", "_pid")
+        .agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    )
+    merged = {
+        r["event_type"]: r["approx_distinct"]
+        for r in part.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_distinct"))
+        .collect()
+    }
+    assert merged == want
+
+
 def test_dedupe_stream(spark, stream_events, batch_events):
     stream_out = SW.run_to_memory(
         SW.dedupe_stream(stream_events, ["user_id", "event_type"]),

@@ -219,6 +219,25 @@ def probe_ivf_kmeans(
     )
 
 
+def append_ivf_kmeans(
+    new_batch: DataFrame, centroids, index_path: str, spark: SparkSession
+) -> None:
+    """Incremental index maintenance: assign a NEW embedding batch to
+    the EXISTING centroids and append it into the cell-partitioned
+    layout — the daily-ingest path. No re-clustering, no rewrite of
+    existing cells: dynamic partition append only touches the cell
+    directories the batch lands in, so the cost is one broadcast
+    assignment pass over the batch (the standard IVF recipe: the
+    coarse quantizer is refit rarely — e.g. when the recall monitor
+    degrades — while ingest appends continuously). Probing an
+    appended index is identical to probing a from-scratch rebuild
+    with the same centroids (pinned in tests/test_ivf_layout.py)."""
+    cdf = _centroid_frame(spark, centroids)
+    assign_cells(new_batch, cdf).write.mode("append").partitionBy(
+        "cell"
+    ).parquet(index_path)
+
+
 def probe_ivf_kmeans_rescored(
     spark: SparkSession,
     index_path: str,

@@ -229,6 +229,47 @@ def test_kmeans_ivf_probe_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters" in plan
 
 
+def test_incremental_append_equals_rebuild(spark, tmp_path):
+    """append_ivf_kmeans: probing an index built as base + appended
+    batch must return exactly what a from-scratch rebuild over the
+    full corpus returns (same centroids), and the append must only
+    touch the cells the batch lands in."""
+    from polla_spark.operators.ann import (
+        append_ivf_kmeans,
+        fit_centroids,
+        probe_ivf_kmeans,
+        write_ivf_kmeans,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = e.filter(F.col("vec_id") < 400)
+    batch = e.filter(F.col("vec_id") >= 400)
+    cents = fit_centroids(base, k=64)  # quantizer fit BEFORE the batch
+
+    inc = str(tmp_path / "ivf_inc")
+    write_ivf_kmeans(base, cents, inc, spark)
+    files_before = set(spark.read.parquet(inc).inputFiles())
+    append_ivf_kmeans(batch, cents, inc, spark)
+    files_after = set(spark.read.parquet(inc).inputFiles())
+    # append-only: every base file is untouched, new files only add
+    assert files_before <= files_after
+    assert len(files_after) > len(files_before)
+
+    full = str(tmp_path / "ivf_full")
+    write_ivf_kmeans(e, cents, full, spark)
+
+    queries = e.filter(F.col("vec_id").isin(0, 1, 2))
+    got = [
+        tuple(r)
+        for r in probe_ivf_kmeans(spark, inc, queries, cents, k=3, nprobe=8).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in probe_ivf_kmeans(spark, full, queries, cents, k=3, nprobe=8).collect()
+    ]
+    assert got == want and got
+
+
 def test_multiprobe_improves_recall_while_pruning(spark, tmp_path):
     """Hamming-1 multi-probe: recall@3 vs the exact baseline (q58)
     strictly improves over single-probe, while the scan still reads

@@ -2933,6 +2933,95 @@ ORDER BY n_occ DESC, term
 """
 
 
+#: term -> integer weight for the lexicon-scoring shape (q180). The
+#: weights are demonstration values over this corpus's vocabulary;
+#: the SHAPE — broadcast lexicon, postings-only explode, exact
+#: integer per-doc sum — is what a real AFINN/VADER-style lexicon
+#: classifier runs at scale (Spark sentiment pipelines, EDBT'16).
+_LEXICON = {"fast": 2, "merge": 1, "big": 1, "slow": -2, "small": -1, "dup": -2}
+
+
+def q180_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-scored document classification — the broadcast-lexicon
+    join shape of lexicon sentiment/quality classifiers (EDBT'16
+    Spark sentiment pipeline, AFINN-style): per-document score =
+    Σ weight(term) × tf(term), label by sign, report = per-label
+    census with exact integer score stats.
+
+    100 TB shape: the isin(lexicon) filter runs INSIDE the token
+    array before the explode (q87's postings discipline — the shuffle
+    carries lexicon hits, not the corpus), the lexicon itself is a
+    broadcast dim, docs with zero hits re-enter as score 0 via a
+    left join from the doc-id spine, and all arithmetic is integer
+    until the final report.
+    """
+    lex = spark.createDataFrame(
+        sorted(_LEXICON.items()), "term string, weight int"
+    )
+    d = t(spark, sf_dir, "documents").withColumn("_toks", _toks())
+    hits = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.filter("_toks", lambda x: x.isin(*_LEXICON))
+            ).alias("term"),
+        )
+        .join(F.broadcast(lex), "term")
+        .groupBy("doc_id")
+        .agg(F.sum("weight").alias("score"))
+    )
+    scored = (
+        d.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("score", F.lit(0)).cast("long").alias("score")
+        )
+        .withColumn(
+            "label",
+            F.when(F.col("score") > 0, "positive")
+            .when(F.col("score") < 0, "negative")
+            .otherwise("neutral"),
+        )
+    )
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("score").alias("sum_score"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+        .orderBy("label")
+    )
+
+
+O180 = f"""
+WITH lex AS (
+  SELECT * FROM (VALUES ('fast', 2), ('merge', 1), ('big', 1),
+                        ('slow', -2), ('small', -1), ('dup', -2))
+  AS v(term, weight)
+), hits AS (
+  SELECT doc_id, SUM(weight) AS score
+  FROM (SELECT doc_id,
+               unnest(list_filter({TOKS},
+                      x -> x IN ('fast', 'merge', 'big', 'slow', 'small', 'dup'))) AS term
+        FROM documents) tk
+  JOIN lex USING (term)
+  GROUP BY doc_id
+), scored AS (
+  SELECT d.doc_id, CAST(COALESCE(h.score, 0) AS BIGINT) AS score,
+         CASE WHEN COALESCE(h.score, 0) > 0 THEN 'positive'
+              WHEN COALESCE(h.score, 0) < 0 THEN 'negative'
+              ELSE 'neutral' END AS label
+  FROM documents d LEFT JOIN hits h USING (doc_id)
+)
+SELECT label, COUNT(*) AS n_docs, CAST(SUM(score) AS BIGINT) AS sum_score,
+       CAST(MIN(score) AS BIGINT) AS min_score,
+       CAST(MAX(score) AS BIGINT) AS max_score
+FROM scored GROUP BY label ORDER BY label
+"""
+
+
 #: (query_id, terms) for the lexical arm of hybrid retrieval —
 #: paired with embedding vec_id = query_id for the semantic arm.
 _RRF_QUERIES = {0: ("spark", "window"), 1: ("hash", "join"), 2: ("shuffle", "row")}
@@ -3272,6 +3361,9 @@ QUERIES = [
     Query("q177_heavy_hitters_sketch", q177_heavy_hitters_sketch, None,
           "MG-sketch heavy hitters, self-verifying vs the exact census "
           "(rows-only: MG estimates are partitioning-dependent by design)"),
+    Query("q180_sentiment_lexicon", q180_sentiment_lexicon, O180,
+          "lexicon-scored doc classification (broadcast lexicon, "
+          "postings-only explode, exact integer label census)"),
     Query("q179_hybrid_retrieval_rrf", q179_hybrid_retrieval_rrf, O179,
           "hybrid BM25 + cosine retrieval fused by Reciprocal Rank Fusion "
           "(integer floor-div contributions, full-outer truncated-list fuse)"),

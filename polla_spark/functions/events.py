@@ -96,13 +96,19 @@ BALANCE_DEFAULT = -50
 def balance_delta_col() -> Column:
     """The q150 per-event delta as a JVM column (batch path).
 
-    A purchase with a NULL value contributes 0 (defined explicitly so
-    batch and streaming agree — without the coalesce the batch window
-    would silently drop the row from the sum while the streaming
-    kernel's ``int(floor(NaN*100))`` would raise)."""
+    A purchase with a NULL or NaN value contributes 0 (defined
+    explicitly so batch and streaming agree — without the guards the
+    batch window would silently drop a NULL row from the sum, and
+    under Spark 4's default ANSI mode ``CAST(NaN AS LONG)`` would
+    abort the whole query while the streaming kernel returned 0)."""
     c = F.when(
         F.col("event_type") == "purchase",
-        F.coalesce(F.floor(F.col("value") * 100).cast("long"), F.lit(0)),
+        F.coalesce(
+            F.floor(
+                F.when(~F.isnan("value"), F.col("value")) * 100
+            ).cast("long"),
+            F.lit(0),
+        ),
     )
     for ty, d in BALANCE_DELTAS.items():
         c = c.when(F.col("event_type") == ty, F.lit(d))

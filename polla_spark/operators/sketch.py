@@ -91,7 +91,12 @@ def mg_merge(partials: DataFrame, k: int = 64) -> DataFrame:
     The candidate table is bounded by construction, so the finisher
     collects it ONCE and completes driver-side — no persisted relation
     to leak across repeated compaction cycles in a long-lived session
-    (the data-sized upstream pass still executes exactly once)."""
+    (the data-sized upstream pass still executes exactly once).
+
+    NOTE: this makes the function EAGER — calling it executes the
+    upstream pass immediately, and the input must be a BATCH frame
+    (a streaming frame cannot be collected; stream via
+    ``heavy_hitter_partials`` and merge at read time instead)."""
     spark = partials.sparkSession
     rows = partials.groupBy("key").agg(F.sum("est").alias("est")).collect()
     rows.sort(key=lambda r: (-r["est"], r["key"]))
@@ -106,53 +111,127 @@ def mg_merge(partials: DataFrame, k: int = 64) -> DataFrame:
     )
 
 
+_MANIFEST = "MANIFEST.json"
+
+
+def _read_manifest(sink_path: str) -> list[str]:
+    """Directory names (relative to the sink) currently LIVE — i.e.
+    visible to readers. Missing manifest == empty sink."""
+    import json
+    import os
+
+    try:
+        with open(os.path.join(sink_path, _MANIFEST)) as fh:
+            return list(json.load(fh))
+    except (OSError, ValueError):
+        return []
+
+
+def _write_manifest(sink_path: str, dirs: list[str]) -> None:
+    """Atomically replace the manifest (write-temp + ``os.replace`` —
+    a single-file rename, atomic on POSIX). Readers therefore see
+    either the old dir set or the new one, never a mix: this tiny
+    transaction log is the same visibility mechanism Delta/Iceberg
+    productize, and it is what makes compaction crash-safe on a
+    plain filesystem."""
+    import json
+    import os
+
+    os.makedirs(sink_path, exist_ok=True)
+    tmp = os.path.join(sink_path, _MANIFEST + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(sorted(dirs), fh)
+    os.replace(tmp, os.path.join(sink_path, _MANIFEST))
+
+
+def read_heavy_hitter_partials(spark, sink_path: str) -> DataFrame:
+    """All LIVE partials in the sink (manifest-visible dirs only —
+    a crashed half-written compaction or a not-yet-committed batch
+    directory is invisible). Empty sink -> empty frame."""
+    import os
+
+    dirs = [os.path.join(sink_path, d) for d in _read_manifest(sink_path)]
+    if not dirs:
+        return spark.createDataFrame([], MG_SCHEMA)
+    return spark.read.parquet(*dirs)
+
+
 def heavy_hitter_foreach_batch(sink_path: str, key_col: str, k: int = 64):
     """``foreachBatch`` writer for the streaming heavy-hitter sketch:
-    appends each micro-batch's MG partials (≤ partitions × k rows per
-    trigger) to a PLAIN parquet directory with an ordinary batch
-    commit. Deliberately not ``writeStream.format("parquet")`` — the
-    streaming parquet sink's ``_spark_metadata`` file log would treat
-    a later compaction rewrite as corruption, while a plain directory
-    lets :func:`compact_heavy_hitters` rewrite it freely."""
+    each micro-batch's MG partials (≤ partitions × k rows per trigger)
+    land in their OWN ``batch_<id>`` directory, written with
+    ``mode("overwrite")`` and then registered in the manifest.
+
+    Why this shape (r5 self-review findings):
+
+    - ``foreachBatch`` is at-least-once — on restart Spark re-runs the
+      last uncommitted ``batch_id``. Overwriting the deterministic
+      per-batch directory makes the replay IDEMPOTENT (the old
+      plain-append design double-counted replayed partials, silently
+      breaking the ``est <= true_count`` bound);
+    - the manifest gives compaction an atomic publish point (see
+      :func:`compact_heavy_hitters`).
+
+    Not ``writeStream.format("parquet")`` — the streaming sink's
+    ``_spark_metadata`` log would treat compaction rewrites as
+    corruption. Assumes the single-writer discipline of foreachBatch.
+    """
+    import os
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        mg_partials(batch_df, key_col, k).write.mode("append").parquet(
-            sink_path
+        name = f"batch_{batch_id}"
+        mg_partials(batch_df, key_col, k).write.mode("overwrite").parquet(
+            os.path.join(sink_path, name)
         )
+        live = _read_manifest(sink_path)
+        if name not in live:
+            _write_manifest(sink_path, [*live, name])
 
     return write
 
 
 def compact_heavy_hitters(spark, sink_path: str, k: int = 64) -> int:
-    """Maintenance job: replace an append-mode partials sink
-    (T triggers × partitions × k rows) with its own merged summary
-    (≤ k rows). Re-merging merged summaries is exactly what PODS'12
-    mergeability licenses: the compacted table is itself a valid MG
-    summary of everything merged so far, so the n/(k+1) guarantee is
-    preserved across ANY number of compaction cycles — this is the
-    fix for the documented unbounded-sink growth of
+    """Maintenance job: replace the live partials (T triggers ×
+    partitions × k rows) with their own merged summary (≤ k rows).
+    Re-merging merged summaries is exactly what PODS'12 mergeability
+    licenses, so the n/(k+1) guarantee survives ANY number of
+    compaction cycles — this bounds the documented sink growth of
     ``streaming/windows.heavy_hitter_partials``.
 
-    Run it between triggers (availableNow maintenance windows) or
-    every N batches from the foreachBatch hook; it must not race a
-    concurrent append. The swap is write-tmp-then-rename on the local
-    filesystem; a cluster deployment would target a transactional
-    table format (Delta/Iceberg ``overwrite``) instead. Returns the
-    compacted row count."""
+    Crash-safety (r5 self-review): the merged summary is written to a
+    NEW directory first, then the manifest is atomically replaced to
+    point at it, then the superseded directories are garbage-collected
+    best-effort. A crash at any step leaves a readable sink: before
+    the manifest swap readers still see the old dirs; after it they
+    see only the compacted dir (orphaned dirs are invisible and are
+    swept by the next compaction). Run between triggers or every N
+    batches from the foreachBatch hook — single maintenance writer,
+    same discipline as the stream itself. Returns the compacted row
+    count."""
     import os
     import shutil
 
-    merged = mg_merge(spark.read.parquet(sink_path), k)
-    # mg_merge already finished driver-side: its output is a local
-    # table (≤ k rows), independent of sink_path's files
-    rows = merged.collect()
-    tmp = sink_path.rstrip("/") + ".compact.tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
+    rows = mg_merge(read_heavy_hitter_partials(spark, sink_path), k).collect()
+    # generation scans the DISK, not the manifest, so an orphaned
+    # half-compaction can never collide with the next one's name
+    gen = 1 + max(
+        (
+            int(d.split("_")[1])
+            for d in os.listdir(sink_path)
+            if d.startswith("compact_") and d.split("_")[1].isdigit()
+        ),
+        default=0,
+    )
+    name = f"compact_{gen}"
     spark.createDataFrame(
         [(r["key"], r["est"]) for r in rows], MG_SCHEMA
-    ).coalesce(1).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(sink_path)
-    os.rename(tmp, sink_path)
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sink_path, name)
+    )
+    _write_manifest(sink_path, [name])  # atomic publish point
+    for d in os.listdir(sink_path):  # best-effort GC of orphans
+        if d not in (name, _MANIFEST) and not d.endswith(".tmp"):
+            shutil.rmtree(os.path.join(sink_path, d), ignore_errors=True)
     return len(rows)
 
 

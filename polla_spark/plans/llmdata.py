@@ -2347,8 +2347,12 @@ def q104_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     totals = d.groupBy("source").agg(F.count("*").alias("n_total"))
+    # null-SAFE join key: groupBy/window treat NULL source as a group,
+    # so a plain equi-join would silently drop it while the oracle's
+    # single GROUP BY keeps it (r5 self-review; latent on this corpus)
+    kept = kept.withColumnRenamed("source", "_ksource")
     return (
-        totals.join(kept, "source")
+        totals.join(kept, F.col("source").eqNullSafe(F.col("_ksource")))
         .select("source", "n_total", "n_kept", "kept_chars", "cutoff_chars")
         .orderBy("source")
     )
@@ -2995,16 +2999,20 @@ def q180_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# oracle fragments generated from _LEXICON so plan and oracle cannot
+# drift apart on an edit (r5 self-review)
+_LEX_VALUES = ", ".join(f"('{t_}', {w})" for t_, w in sorted(_LEXICON.items()))
+_LEX_IN = ", ".join(f"'{t_}'" for t_ in sorted(_LEXICON))
+
 O180 = f"""
 WITH lex AS (
-  SELECT * FROM (VALUES ('fast', 2), ('merge', 1), ('big', 1),
-                        ('slow', -2), ('small', -1), ('dup', -2))
+  SELECT * FROM (VALUES {_LEX_VALUES})
   AS v(term, weight)
 ), hits AS (
   SELECT doc_id, SUM(weight) AS score
   FROM (SELECT doc_id,
                unnest(list_filter({TOKS},
-                      x -> x IN ('fast', 'merge', 'big', 'slow', 'small', 'dup'))) AS term
+                      x -> x IN ({_LEX_IN}))) AS term
         FROM documents) tk
   JOIN lex USING (term)
   GROUP BY doc_id
@@ -3130,10 +3138,18 @@ def q179_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# oracle fragments generated from _RRF_QUERIES — one source for the
+# Spark query-term table and the SQL VALUES/IN lists
+_RRF_QT_VALUES = ", ".join(
+    f"({q}, '{t_}')" for q, ts in sorted(_RRF_QUERIES.items()) for t_ in ts
+)
+_RRF_TERMS_IN = ", ".join(
+    f"'{t_}'" for t_ in sorted({t_ for ts in _RRF_QUERIES.values() for t_ in ts})
+)
+
 O179 = f"""
 WITH qt AS (
-  SELECT * FROM (VALUES (0, 'spark'), (0, 'window'), (1, 'hash'),
-                        (1, 'join'), (2, 'shuffle'), (2, 'row'))
+  SELECT * FROM (VALUES {_RRF_QT_VALUES})
   AS v(query_id, term)
 ), stats AS (
   SELECT doc_id, CAST(len({{TOKS}}) AS BIGINT) AS dl, {{TOKS}} AS tk FROM documents
@@ -3142,8 +3158,7 @@ WITH qt AS (
 ), tf AS (
   SELECT doc_id, dl, term, COUNT(*) AS tfreq
   FROM (SELECT doc_id, dl,
-               unnest(list_filter(tk, x -> x IN ('spark', 'window', 'hash',
-                                                 'join', 'shuffle', 'row'))) AS term
+               unnest(list_filter(tk, x -> x IN ({_RRF_TERMS_IN}))) AS term
         FROM stats)
   GROUP BY doc_id, dl, term
 ), dft AS (
@@ -3257,9 +3272,13 @@ def q177_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # bound violations OUTSIDE the guaranteed set (overcounts or
-    # under-counts past n/(k+1)) — empty when the sketch is correct
+    # under-counts past n/(k+1)) — empty when the sketch is correct.
+    # The anti-join excludes guaranteed terms so a violating heavy
+    # hitter surfaces exactly ONCE (as verified=false in the
+    # guaranteed arm), never as a duplicate row here
     violations = (
         sketch.withColumnRenamed("key", "term")
+        .join(heavy.select("term"), "term", "left_anti")
         .join(exact, "term", "left")
         .crossJoin(F.broadcast(thresh))
         .filter(

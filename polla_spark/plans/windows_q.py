@@ -1183,7 +1183,8 @@ WITH d AS (
   SELECT user_id, ts, event_id,
          CASE event_type
            WHEN 'signup' THEN 1000
-           WHEN 'purchase' THEN COALESCE(CAST(floor(value * 100) AS BIGINT), 0)
+           WHEN 'purchase' THEN CASE WHEN isnan(value) THEN 0
+                ELSE COALESCE(CAST(floor(value * 100) AS BIGINT), 0) END
            WHEN 'error' THEN -800
            WHEN 'click' THEN -100
            ELSE CAST(-50 AS BIGINT) END AS d

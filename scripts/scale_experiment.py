@@ -64,7 +64,13 @@ def build_dir(spark, out: Path, factor: int, *, skew: bool = False) -> None:
     for name in TABLES:
         dst = out / f"{name}.parquet"
         if dst.exists() or dst.is_symlink():
-            continue
+            # a symlink for a now-SCALED table is a stale layout from
+            # an older script version (r4 symlinked part) — rebuild it
+            # instead of silently reusing base keys
+            if name in SCALED_TABLES and dst.is_symlink():
+                dst.unlink()
+            else:
+                continue
         if name not in SCALED_TABLES:
             dst.symlink_to(f"{BASE}/{name}.parquet")
             continue

@@ -210,6 +210,7 @@ def test_streaming_sketch_compaction_bounds_sink(spark, tmp_path):
     from polla_spark.operators.sketch import (
         compact_heavy_hitters,
         heavy_hitter_foreach_batch,
+        read_heavy_hitter_partials,
     )
     from polla_spark.streaming.windows import finish_heavy_hitters
 
@@ -244,17 +245,19 @@ def test_streaming_sketch_compaction_bounds_sink(spark, tmp_path):
             .start()
         )
         q.awaitTermination(300)
-        pre = spark.read.parquet(sink).count()
+        pre = read_heavy_hitter_partials(spark, sink).count()
         compacted = compact_heavy_hitters(spark, sink, k)
         assert compacted <= k
-        assert spark.read.parquet(sink).count() == compacted
+        assert read_heavy_hitter_partials(spark, sink).count() == compacted
         # the first cycle's two batches already exceed one summary's
         # worth of candidates — compaction genuinely shrinks the sink
         if cycle == 0:
             assert pre > compacted
     got = {
         r["key"]: r["est"]
-        for r in finish_heavy_hitters(spark.read.parquet(sink), k).collect()
+        for r in finish_heavy_hitters(
+            read_heavy_hitter_partials(spark, sink), k
+        ).collect()
     }
     truth = Counter(key for (key,) in rows)
     n = len(rows)
@@ -266,3 +269,80 @@ def test_streaming_sketch_compaction_bounds_sink(spark, tmp_path):
     for key, est in got.items():
         assert est <= truth[key]
         assert est >= truth[key] - bound
+
+
+def test_foreach_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash between the sink write
+    and the checkpoint commit re-runs the same batch_id. The writer
+    must absorb the replay (deterministic per-batch dir, overwrite,
+    manifest-add-if-absent) — the r5 self-review found the previous
+    plain-append design double-counted replayed partials, silently
+    violating est <= true_count."""
+    from polla_spark.operators.sketch import (
+        heavy_hitter_foreach_batch,
+        mg_merge,
+        read_heavy_hitter_partials,
+    )
+
+    sink = str(tmp_path / "hh_replay_sink")
+    k = 8
+    writer = heavy_hitter_foreach_batch(sink, "key", k)
+    batch = spark.createDataFrame([("a",)] * 30 + [("b",)] * 10, "key string")
+    writer(batch, 0)
+    once = {
+        r["key"]: r["est"]
+        for r in mg_merge(read_heavy_hitter_partials(spark, sink), k).collect()
+    }
+    writer(batch, 0)  # replay of the SAME batch_id
+    twice = {
+        r["key"]: r["est"]
+        for r in mg_merge(read_heavy_hitter_partials(spark, sink), k).collect()
+    }
+    assert once == twice == {"a": 30, "b": 10}
+    # a genuinely new batch still accumulates
+    writer(batch, 1)
+    again = {
+        r["key"]: r["est"]
+        for r in mg_merge(read_heavy_hitter_partials(spark, sink), k).collect()
+    }
+    assert again == {"a": 60, "b": 20}
+
+
+def test_compaction_publish_is_atomic_via_manifest(spark, tmp_path):
+    """Crash-safety of the compaction swap: a half-written compaction
+    directory that never reached the manifest is INVISIBLE to readers
+    (the old state stays live), and after the manifest swap only the
+    compacted dir is read even if orphan GC never ran — the
+    delete-then-rename window of the previous design cannot lose the
+    sketch."""
+    import json
+    import os
+
+    from polla_spark.operators.sketch import (
+        _MANIFEST,
+        compact_heavy_hitters,
+        heavy_hitter_foreach_batch,
+        read_heavy_hitter_partials,
+    )
+
+    sink = str(tmp_path / "hh_atomic_sink")
+    writer = heavy_hitter_foreach_batch(sink, "key", 8)
+    writer(spark.createDataFrame([("a",)] * 5, "key string"), 0)
+
+    # simulate a compaction that crashed AFTER writing its output dir
+    # but BEFORE the manifest swap: readers must not see it
+    spark.createDataFrame([("ghost", 999)], "key string, est long").write.parquet(
+        os.path.join(sink, "compact_99")
+    )
+    live = {r["key"] for r in read_heavy_hitter_partials(spark, sink).collect()}
+    assert live == {"a"}
+
+    # a real compaction then publishes atomically and sweeps orphans
+    n = compact_heavy_hitters(spark, sink, 8)
+    assert n == 1
+    manifest = json.load(open(os.path.join(sink, _MANIFEST)))
+    assert manifest == ["compact_100"]  # generation beyond the orphan
+    assert not os.path.exists(os.path.join(sink, "batch_0"))
+    assert not os.path.exists(os.path.join(sink, "compact_99"))
+    got = {r["key"]: r["est"] for r in read_heavy_hitter_partials(spark, sink).collect()}
+    assert got == {"a": 5}

@@ -542,6 +542,18 @@ def test_clamped_balance_null_purchase_value_matches_batch(spark, tmp_path):
     total = batch.select(balance_delta_col().alias("d")).groupBy().sum("d")
     assert total.collect()[0][0] == 1250
 
+    # NaN purchase: under Spark 4's default ANSI mode CAST(NaN AS
+    # LONG) would abort the query — the column must map it to 0, like
+    # the streaming kernel (r5 self-review finding)
+    nan_rows = [(t0, 9, 8, "purchase", math.nan)]
+    nan_total = (
+        spark.createDataFrame(nan_rows, schema)
+        .select(balance_delta_col().alias("d"))
+        .groupBy()
+        .sum("d")
+    )
+    assert nan_total.collect()[0][0] == 0
+
     stream = spark.readStream.schema(schema).parquet(f"{d}/*/")
     q = (
         clamped_balance_partials(stream)

@@ -4385,6 +4385,111 @@ ORDER BY lift DESC, part_a, part_b LIMIT 20
 """
 
 
+def q181_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle census of the part co-purchase graph — the
+    clustering-coefficient / community-structure primitive of graph
+    analytics, computed with the DEGREE-ORIENTATION algorithm
+    ("compact-forward", Latapy 2008; Suri & Vassilvitskii WWW'11 for
+    the MapReduce form).
+
+    Why orientation matters at 100 TB: the naive triple self-join
+    enumerates every WEDGE — for a hot node of degree d that is d²
+    candidates, and real co-purchase graphs have power-law hubs. Each
+    undirected edge is instead directed from its LOWER (degree, id)
+    endpoint to the higher; every out-neighborhood then has size
+    O(√m) regardless of hubs, so the wedge join is bounded by
+    Σ outdeg² = O(m^1.5) with NO skew blowup, and each triangle is
+    counted exactly once (its two lowest-ranked endpoints form the
+    wedge). The oracle runs the naive a<b<c triple join — the hash
+    match proves the orientation rewrite is count-preserving.
+
+    Edges come from q133/q146's within-row basket pair expansion (the
+    fact never self-joins); the edge table persists once and feeds
+    the degree census, both wedge sides, and the closure probe.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+    )
+    edges = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) -> "
+                    "transform(slice(parts, i + 2, size(parts)), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.a", "pr.b")
+        .distinct()
+        .persist()
+    )
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .union(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    ranked = (
+        edges.join(deg.withColumnRenamed("node", "a"), "a")
+        .withColumnRenamed("deg", "deg_a")
+        .join(
+            deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b")),
+            "b",
+        )
+    )
+    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lower_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_v"),
+    ).persist()
+    x, y = oriented.alias("x"), oriented.alias("y")
+    wedge_order = (F.col("x.deg_v") < F.col("y.deg_v")) | (
+        (F.col("x.deg_v") == F.col("y.deg_v")) & (F.col("x.v") < F.col("y.v"))
+    )
+    wedges = (
+        x.join(y, F.col("x.u") == F.col("y.u"))
+        .filter(wedge_order)
+        .select(F.col("x.v").alias("v"), F.col("y.v").alias("w"))
+    )
+    closed = wedges.join(
+        oriented.select(F.col("u").alias("v"), F.col("v").alias("w")),
+        ["v", "w"],
+    )
+    tri = closed.agg(F.count("*").alias("n_triangles"))
+    stats = edges.agg(
+        F.count("*").alias("n_edges"),
+    ).crossJoin(
+        F.broadcast(deg.agg(F.count("*").alias("n_nodes")))
+    )
+    return stats.crossJoin(F.broadcast(tri)).select(
+        "n_nodes", "n_edges", "n_triangles"
+    )
+
+
+O181 = """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT b1.l_partkey AS a, b2.l_partkey AS bb
+  FROM b b1 JOIN b b2 USING (l_orderkey)
+  WHERE b1.l_partkey < b2.l_partkey
+)
+SELECT
+  (SELECT COUNT(*) FROM (SELECT a FROM e UNION SELECT bb FROM e)) AS n_nodes,
+  (SELECT COUNT(*) FROM e) AS n_edges,
+  (SELECT COUNT(*) FROM e e1
+     JOIN e e2 ON e1.bb = e2.a
+     JOIN e e3 ON e3.a = e1.a AND e3.bb = e2.bb) AS n_triangles
+"""
+
+
 def q178_approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``approx_percentile`` — the mergeable fixed-memory quantile
     sketch q47's docstring names as THE 100 TB percentile form —
@@ -4608,6 +4713,9 @@ QUERIES = [
           "TPC-H Q12 dual conditional count on one join"),
     Query("q176_affinity_lift", q176_affinity_lift, O176,
           "market-basket lift off one persisted basket collapse"),
+    Query("q181_triangle_count", q181_triangle_count, O181,
+          "exact triangle census via degree orientation (compact-forward; "
+          "oracle is the naive a<b<c triple join)"),
     Query("q178_approx_percentile_check", q178_approx_percentile_check, None,
           "approx_percentile sketch, self-verifying its rank guarantee "
           "in-plan (rows-only: sketch values are implementation-defined)"),

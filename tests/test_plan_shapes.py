@@ -95,6 +95,21 @@ def test_q87_postings_filtered_before_explode_and_dims_broadcast(spark):
     assert "filter(_toks" in plan or "ArrayFilter" in plan or "array_filter" in plan.lower(), plan
 
 
+def test_q181_triangles_reuse_persisted_graph_once(spark):
+    # degree-orientation triangle count: the fact scans ONCE into the
+    # persisted edge table; edges feed the degree census + orientation,
+    # and the persisted oriented table feeds both wedge sides and the
+    # closure probe (>= 4 cache reads; FileScans re-printed INSIDE
+    # InMemoryRelation blocks don't re-execute); no all-pairs operator
+    from polla_spark.plans.relational import q181_triangle_count
+
+    plan = _plan(q181_triangle_count(spark, SF))
+    assert plan.count("InMemoryTableScan") >= 4, plan
+    assert "CartesianProduct" not in plan, plan
+    # the only BroadcastNestedLoop joins are the 1-row stat gluing
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+
+
 def test_q179_hybrid_rrf_arms_stay_bounded(spark):
     # hybrid RRF: the lexical arm shuffles only query-term postings
     # (isin filter inside the token array before the explode, q87's

@@ -4404,9 +4404,14 @@ def q181_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     match proves the orientation rewrite is count-preserving.
 
     Edges come from q133/q146's within-row basket pair expansion (the
-    fact never self-joins); the edge table persists once and feeds
-    the degree census, both wedge sides, and the closure probe.
+    fact never self-joins); the kernel lives in
+    ``operators/graph.triangle_count`` (persisted edge/oriented
+    tables feed the degree census, both wedge sides and the closure
+    probe), re-proved on seeded random graphs in
+    tests/test_graph_props.py.
     """
+    from ..operators.graph import triangle_count
+
     li = t(spark, sf_dir, "lineitem")
     baskets = (
         li.select("l_orderkey", "l_partkey")
@@ -4426,52 +4431,8 @@ def q181_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("pr.a", "pr.b")
         .distinct()
-        .persist()
     )
-    deg = (
-        edges.select(F.col("a").alias("node"))
-        .union(edges.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("deg"))
-    )
-    ranked = (
-        edges.join(deg.withColumnRenamed("node", "a"), "a")
-        .withColumnRenamed("deg", "deg_a")
-        .join(
-            deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b")),
-            "b",
-        )
-    )
-    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
-        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
-    )
-    oriented = ranked.select(
-        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
-        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-        F.when(lower_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_v"),
-    ).persist()
-    x, y = oriented.alias("x"), oriented.alias("y")
-    wedge_order = (F.col("x.deg_v") < F.col("y.deg_v")) | (
-        (F.col("x.deg_v") == F.col("y.deg_v")) & (F.col("x.v") < F.col("y.v"))
-    )
-    wedges = (
-        x.join(y, F.col("x.u") == F.col("y.u"))
-        .filter(wedge_order)
-        .select(F.col("x.v").alias("v"), F.col("y.v").alias("w"))
-    )
-    closed = wedges.join(
-        oriented.select(F.col("u").alias("v"), F.col("v").alias("w")),
-        ["v", "w"],
-    )
-    tri = closed.agg(F.count("*").alias("n_triangles"))
-    stats = edges.agg(
-        F.count("*").alias("n_edges"),
-    ).crossJoin(
-        F.broadcast(deg.agg(F.count("*").alias("n_nodes")))
-    )
-    return stats.crossJoin(F.broadcast(tri)).select(
-        "n_nodes", "n_edges", "n_triangles"
-    )
+    return triangle_count(edges)
 
 
 O181 = """

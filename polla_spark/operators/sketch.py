@@ -114,22 +114,40 @@ def mg_merge(partials: DataFrame, k: int = 64) -> DataFrame:
 _MANIFEST = "MANIFEST.json"
 
 
-def _read_manifest(sink_path: str) -> list[str]:
-    """Directory names (relative to the sink) currently LIVE — i.e.
-    visible to readers. Missing manifest == empty sink."""
+def _read_manifest(sink_path: str) -> dict:
+    """Manifest state: ``live`` = directory names (relative to the
+    sink) currently visible to readers; ``applied`` = every batch id
+    whose counts are ALREADY represented in the live set (either as
+    its own ``batch_<id>`` dir or folded into a ``compact_<g>`` dir).
+    ``applied`` is the durable idempotency marker — membership in
+    ``live`` alone is NOT one, because compaction drops batch dirs
+    from ``live`` while their counts live on inside the compacted
+    summary (r5 second-pass review). Missing manifest == empty sink."""
     import json
     import os
 
     try:
         with open(os.path.join(sink_path, _MANIFEST)) as fh:
-            return list(json.load(fh))
+            raw = json.load(fh)
     except (OSError, ValueError):
-        return []
+        return {"live": [], "applied": []}
+    if isinstance(raw, list):  # pre-applied-tracking format
+        return {
+            "live": list(raw),
+            "applied": [
+                int(d.split("_")[1])
+                for d in raw
+                if d.startswith("batch_") and d.split("_")[1].isdigit()
+            ],
+        }
+    return {"live": list(raw.get("live", [])),
+            "applied": list(raw.get("applied", []))}
 
 
-def _write_manifest(sink_path: str, dirs: list[str]) -> None:
+def _write_manifest(sink_path: str, live: list[str],
+                    applied: list[int]) -> None:
     """Atomically replace the manifest (write-temp + ``os.replace`` —
-    a single-file rename, atomic on POSIX). Readers therefore see
+    a single-file rename, atomic on POSIX). Readers therefore resolve
     either the old dir set or the new one, never a mix: this tiny
     transaction log is the same visibility mechanism Delta/Iceberg
     productize, and it is what makes compaction crash-safe on a
@@ -140,7 +158,7 @@ def _write_manifest(sink_path: str, dirs: list[str]) -> None:
     os.makedirs(sink_path, exist_ok=True)
     tmp = os.path.join(sink_path, _MANIFEST + ".tmp")
     with open(tmp, "w") as fh:
-        json.dump(sorted(dirs), fh)
+        json.dump({"live": sorted(live), "applied": sorted(applied)}, fh)
     os.replace(tmp, os.path.join(sink_path, _MANIFEST))
 
 
@@ -150,7 +168,9 @@ def read_heavy_hitter_partials(spark, sink_path: str) -> DataFrame:
     directory is invisible). Empty sink -> empty frame."""
     import os
 
-    dirs = [os.path.join(sink_path, d) for d in _read_manifest(sink_path)]
+    dirs = [
+        os.path.join(sink_path, d) for d in _read_manifest(sink_path)["live"]
+    ]
     if not dirs:
         return spark.createDataFrame([], MG_SCHEMA)
     return spark.read.parquet(*dirs)
@@ -162,13 +182,14 @@ def heavy_hitter_foreach_batch(sink_path: str, key_col: str, k: int = 64):
     land in their OWN ``batch_<id>`` directory, written with
     ``mode("overwrite")`` and then registered in the manifest.
 
-    Why this shape (r5 self-review findings):
+    Why this shape (r5 self-review findings, both passes):
 
     - ``foreachBatch`` is at-least-once — on restart Spark re-runs the
-      last uncommitted ``batch_id``. Overwriting the deterministic
-      per-batch directory makes the replay IDEMPOTENT (the old
-      plain-append design double-counted replayed partials, silently
-      breaking the ``est <= true_count`` bound);
+      last uncommitted ``batch_id``. The manifest's ``applied`` batch
+      set is the durable idempotency marker: a replayed id is skipped
+      OUTRIGHT, even when a compaction has already folded its batch
+      dir into a ``compact_<g>`` summary (membership in ``live`` alone
+      would wrongly re-admit it and double-count);
     - the manifest gives compaction an atomic publish point (see
       :func:`compact_heavy_hitters`).
 
@@ -179,13 +200,20 @@ def heavy_hitter_foreach_batch(sink_path: str, key_col: str, k: int = 64):
     import os
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
+        m = _read_manifest(sink_path)
+        if int(batch_id) in set(m["applied"]):
+            return  # replay of an already-applied batch: no-op
         name = f"batch_{batch_id}"
         mg_partials(batch_df, key_col, k).write.mode("overwrite").parquet(
             os.path.join(sink_path, name)
         )
-        live = _read_manifest(sink_path)
-        if name not in live:
-            _write_manifest(sink_path, [*live, name])
+        m = _read_manifest(sink_path)  # re-read: cheap, single writer
+        if int(batch_id) not in set(m["applied"]):
+            _write_manifest(
+                sink_path,
+                [*m["live"], name],
+                [*m["applied"], int(batch_id)],
+            )
 
     return write
 
@@ -198,19 +226,26 @@ def compact_heavy_hitters(spark, sink_path: str, k: int = 64) -> int:
     compaction cycles — this bounds the documented sink growth of
     ``streaming/windows.heavy_hitter_partials``.
 
-    Crash-safety (r5 self-review): the merged summary is written to a
-    NEW directory first, then the manifest is atomically replaced to
-    point at it, then the superseded directories are garbage-collected
-    best-effort. A crash at any step leaves a readable sink: before
-    the manifest swap readers still see the old dirs; after it they
-    see only the compacted dir (orphaned dirs are invisible and are
-    swept by the next compaction). Run between triggers or every N
-    batches from the foreachBatch hook — single maintenance writer,
-    same discipline as the stream itself. Returns the compacted row
-    count."""
+    Crash-safety (r5 self-review, both passes): the merged summary is
+    written to a NEW directory first, then the manifest is atomically
+    replaced to point at it. A crash at any step leaves a readable
+    sink: before the swap readers still resolve the old dirs; after
+    it, only the compacted dir. GC is DEFERRED one compaction: this
+    call deletes only directories that were ALREADY orphaned before it
+    began — the dirs it supersedes stay on disk as a grace window, so
+    a reader that resolved the pre-swap manifest (or holds a lazy
+    frame over the old dirs) can still finish its scan; the NEXT
+    compaction sweeps them. (Delta/Iceberg retain tombstoned files for
+    exactly this reason.) Run between triggers or every N batches from
+    the foreachBatch hook — single maintenance writer, same discipline
+    as the stream itself; a not-yet-created sink is an empty no-op.
+    Returns the compacted row count."""
     import os
     import shutil
 
+    if not os.path.isdir(sink_path):
+        return 0  # stream has not produced a batch yet
+    m = _read_manifest(sink_path)
     rows = mg_merge(read_heavy_hitter_partials(spark, sink_path), k).collect()
     # generation scans the DISK, not the manifest, so an orphaned
     # half-compaction can never collide with the next one's name
@@ -228,9 +263,15 @@ def compact_heavy_hitters(spark, sink_path: str, k: int = 64) -> int:
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(sink_path, name)
     )
-    _write_manifest(sink_path, [name])  # atomic publish point
-    for d in os.listdir(sink_path):  # best-effort GC of orphans
-        if d not in (name, _MANIFEST) and not d.endswith(".tmp"):
+    # atomic publish point; applied batch ids carry forward — their
+    # counts now live inside the compacted summary
+    _write_manifest(sink_path, [name], m["applied"])
+    # deferred GC: sweep only dirs orphaned BEFORE this compaction
+    # (not in the pre-swap live set) — the just-superseded dirs stay
+    # one grace window for in-flight readers
+    grace = set(m["live"]) | {name, _MANIFEST}
+    for d in os.listdir(sink_path):
+        if d not in grace and not d.endswith(".tmp"):
             shutil.rmtree(os.path.join(sink_path, d), ignore_errors=True)
     return len(rows)
 

@@ -3288,8 +3288,29 @@ def q177_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("term", "exact_n", "est", F.lit(False).alias("verified"))
     )
-    return guaranteed.unionByName(violations).orderBy(
-        F.desc("exact_n"), "term"
+    out = guaranteed.unionByName(violations)
+    # a violation must fail LOUDLY: the rows-only driver gate records
+    # only the row count, and a flipped `verified` flag leaves the
+    # count unchanged (r5 second-pass review) — so the plan asserts
+    # zero violations in-flight. assert_true returns NULL on success;
+    # the coalesce keeps it alive through the filter so the optimizer
+    # cannot prune the unreferenced check away.
+    n_bad = out.filter(~F.col("verified")).agg(
+        F.count("*").alias("_nbad")
+    )
+    return (
+        out.crossJoin(F.broadcast(n_bad))
+        .filter(
+            F.coalesce(
+                F.assert_true(
+                    F.col("_nbad") == 0,
+                    F.lit("q177: MG sketch guarantee violated"),
+                ),
+                F.lit(True),
+            )
+        )
+        .drop("_nbad")
+        .orderBy(F.desc("exact_n"), "term")
     )
 
 

@@ -28,6 +28,36 @@ def dec(c, scale: int = 4):
     return F.col(c).cast(f"decimal(18,{scale})") if isinstance(c, str) else c.cast(f"decimal(18,{scale})")
 
 
+def part_baskets(li: DataFrame) -> DataFrame:
+    """Order -> sorted distinct part basket: ONE orderkey exchange
+    collapses the fact; shared by every market-basket/graph query
+    (q133/q146/q176/q181)."""
+    return (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+    )
+
+
+def basket_pairs(baskets: DataFrame, a: str = "part_a",
+                 b: str = "part_b") -> DataFrame:
+    """WITHIN-ROW unordered pair expansion of each sorted basket —
+    k(k-1)/2 struct pairs per basket, never a fact self-join. The
+    1-based ``slice(parts, i + 2, ...)`` index is the easy-to-get-
+    wrong bit, so this is the ONE copy all four consumers share
+    (r5 self-review: the expr had been pasted verbatim four times)."""
+    return baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) -> "
+                "transform(slice(parts, i + 2, size(parts)), "
+                f"y -> struct(x AS {a}, y AS {b}))))"
+            )
+        ).alias("pr")
+    ).select(f"pr.{a}", f"pr.{b}")
+
+
 def as_money(c):
     """Exact decimal -> rounded double: identical across engines."""
     return F.round(c, 2).cast("double")
@@ -2726,23 +2756,8 @@ def q146_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-row pair expansion — the fact never self-joins.
     """
     li = t(spark, sf_dir, "lineitem")
-    baskets = (
-        li.select("l_orderkey", "l_partkey")
-        .distinct()
-        .groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
-    )
     pairs = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(parts, (x, i) -> "
-                    "transform(slice(parts, i + 2, size(parts)), "
-                    "y -> struct(x AS a, y AS b))))"
-                )
-            ).alias("pr")
-        )
-        .select("pr.a", "pr.b")
+        basket_pairs(part_baskets(li), "a", "b")
         .groupBy("a", "b")
         .agg(F.count("*").alias("w"))
     )
@@ -3121,21 +3136,7 @@ def q133_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_plan_shapes pins the no-join property.
     """
     li = t(spark, sf_dir, "lineitem")
-    baskets = (
-        li.select("l_orderkey", "l_partkey")
-        .distinct()
-        .groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
-    )
-    pairs = baskets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(parts, (x, i) -> "
-                "transform(slice(parts, i + 2, size(parts)), "
-                "y -> struct(x AS part_a, y AS part_b))))"
-            )
-        ).alias("pr")
-    ).select("pr.part_a", "pr.part_b")
+    pairs = basket_pairs(part_baskets(li))
     return (
         pairs.groupBy("part_a", "part_b")
         .agg(F.count("*").alias("n_orders"))
@@ -4316,26 +4317,12 @@ def q176_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     until one final double division.
     """
     li = t(spark, sf_dir, "lineitem")
-    baskets = (
-        li.select("l_orderkey", "l_partkey")
-        .distinct()
-        .groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
-        .persist()
-    )
+    baskets = part_baskets(li).persist()
     n_baskets = baskets.agg(F.count("*").alias("n_baskets"))
     item = baskets.select(F.explode("parts").alias("l_partkey")).groupBy(
         "l_partkey"
     ).agg(F.count("*").alias("n_item"))
-    pairs = baskets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(parts, (x, i) -> "
-                "transform(slice(parts, i + 2, size(parts)), "
-                "y -> struct(x AS part_a, y AS part_b))))"
-            )
-        ).alias("pr")
-    ).select("pr.part_a", "pr.part_b")
+    pairs = basket_pairs(baskets)
     pair_census = (
         pairs.groupBy("part_a", "part_b")
         .agg(F.count("*").alias("n_pair"))
@@ -4413,25 +4400,7 @@ def q181_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import triangle_count
 
     li = t(spark, sf_dir, "lineitem")
-    baskets = (
-        li.select("l_orderkey", "l_partkey")
-        .distinct()
-        .groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
-    )
-    edges = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(parts, (x, i) -> "
-                    "transform(slice(parts, i + 2, size(parts)), "
-                    "y -> struct(x AS a, y AS b))))"
-                )
-            ).alias("pr")
-        )
-        .select("pr.a", "pr.b")
-        .distinct()
-    )
+    edges = basket_pairs(part_baskets(li), "a", "b").distinct()
     return triangle_count(edges)
 
 
@@ -4508,7 +4477,7 @@ def q178_approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     err = F.col("n") / F.lit(acc) + F.lit(1)
     target = F.col("pct") * F.col("n")
-    return ranks.select(
+    out = ranks.select(
         "o_orderstatus",
         "pct",
         F.round("v", 2).alias("approx_value"),
@@ -4519,7 +4488,25 @@ def q178_approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             (target >= F.col("rank_lt") - err)
             & (target <= F.col("rank_le") + err)
         ).alias("verified"),
-    ).orderBy("o_orderstatus", "pct")
+    )
+    # loud failure on violation (q177's pattern): the rows-only gate
+    # sees only the count, so a flipped flag must abort the query —
+    # the coalesce keeps the otherwise-unreferenced assert alive
+    n_bad = out.filter(~F.col("verified")).agg(F.count("*").alias("_nbad"))
+    return (
+        out.crossJoin(F.broadcast(n_bad))
+        .filter(
+            F.coalesce(
+                F.assert_true(
+                    F.col("_nbad") == 0,
+                    F.lit("q178: approx_percentile rank guarantee violated"),
+                ),
+                F.lit(True),
+            )
+        )
+        .drop("_nbad")
+        .orderBy("o_orderstatus", "pct")
+    )
 
 
 QUERIES = [

@@ -24,6 +24,18 @@ DEFAULT_WATERMARK = "30 minutes"
 
 
 def vq() -> F.Column:
+    """Exact integer-cent quantization of ``events.value``.
+
+    NaN policy (r5 self-review): events.value is contractually
+    non-null/non-NaN typed data, and a NaN here FAILS FAST — loudly
+    and identically in batch and streaming (ANSI ``CAST(NaN AS
+    LONG)`` aborts the query; the Python kernels' ``int(floor(nan))``
+    raises) — because silent corruption of a metric column should
+    stop a pipeline, unlike scraped-text parse errors, which this
+    engine turns into data columns. The ONE deliberate exception is
+    the q150 balance family (``functions/events.balance_delta_*``),
+    whose reference semantics define null/NaN purchases as 0 in both
+    engines."""
     return F.floor(F.col("value") * 100).cast("long")
 
 

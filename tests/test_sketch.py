@@ -271,6 +271,35 @@ def test_streaming_sketch_compaction_bounds_sink(spark, tmp_path):
         assert est >= truth[key] - bound
 
 
+def test_q177_aborts_on_corrupted_sketch(spark, monkeypatch):
+    """The rows-only driver gate records only the row count, so q177
+    must ABORT (in-plan assert_true) rather than merely flip a
+    `verified` flag when the sketch breaks its bounds. Corrupt the
+    sketch via monkeypatch (every estimate inflated past the true
+    count) and require the collect to raise; the healthy path still
+    returns all-verified rows."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from polla_spark.operators import sketch as sk
+    from polla_spark.plans.llmdata import q177_heavy_hitters_sketch
+
+    sf = "/root/testdata/sf0.001"
+    healthy = q177_heavy_hitters_sketch(spark, sf).collect()
+    assert healthy and all(r["verified"] for r in healthy)
+
+    real = sk.heavy_hitters_sketch
+
+    def corrupt(df, key_col, k=64):
+        return real(df, key_col, k).withColumn(
+            "est", F.col("est") + F.lit(10_000_000)
+        )
+
+    monkeypatch.setattr(sk, "heavy_hitters_sketch", corrupt)
+    with pytest.raises(Exception, match="guarantee violated|ASSERT"):
+        q177_heavy_hitters_sketch(spark, sf).collect()
+
+
 def test_foreach_batch_replay_is_idempotent(spark, tmp_path):
     """foreachBatch is at-least-once: a crash between the sink write
     and the checkpoint commit re-runs the same batch_id. The writer
@@ -307,6 +336,21 @@ def test_foreach_batch_replay_is_idempotent(spark, tmp_path):
     }
     assert again == {"a": 60, "b": 20}
 
+    # the r5 second-pass hole: a replay arriving AFTER a compaction
+    # folded its batch dir away must STILL be a no-op — the durable
+    # `applied` set, not live-dir membership, is the idempotency
+    # marker (the docstring sanctions running compaction from the
+    # foreachBatch hook, so this interleaving is ordinary)
+    from polla_spark.operators.sketch import compact_heavy_hitters
+
+    compact_heavy_hitters(spark, sink, k)
+    writer(batch, 1)  # replay of an already-compacted batch
+    after = {
+        r["key"]: r["est"]
+        for r in mg_merge(read_heavy_hitter_partials(spark, sink), k).collect()
+    }
+    assert after == {"a": 60, "b": 20}
+
 
 def test_compaction_publish_is_atomic_via_manifest(spark, tmp_path):
     """Crash-safety of the compaction swap: a half-written compaction
@@ -337,12 +381,22 @@ def test_compaction_publish_is_atomic_via_manifest(spark, tmp_path):
     live = {r["key"] for r in read_heavy_hitter_partials(spark, sink).collect()}
     assert live == {"a"}
 
-    # a real compaction then publishes atomically and sweeps orphans
+    # a real compaction then publishes atomically; GC is DEFERRED one
+    # window — the pre-existing orphan (crashed before its swap) is
+    # swept now, but the just-superseded batch_0 stays on disk so an
+    # in-flight reader of the old manifest can finish, and the NEXT
+    # compaction sweeps it
     n = compact_heavy_hitters(spark, sink, 8)
     assert n == 1
     manifest = json.load(open(os.path.join(sink, _MANIFEST)))
-    assert manifest == ["compact_100"]  # generation beyond the orphan
-    assert not os.path.exists(os.path.join(sink, "batch_0"))
+    assert manifest["live"] == ["compact_100"]  # generation beyond the orphan
+    assert manifest["applied"] == [0]
     assert not os.path.exists(os.path.join(sink, "compact_99"))
+    assert os.path.exists(os.path.join(sink, "batch_0"))  # grace window
     got = {r["key"]: r["est"] for r in read_heavy_hitter_partials(spark, sink).collect()}
     assert got == {"a": 5}
+    compact_heavy_hitters(spark, sink, 8)
+    assert not os.path.exists(os.path.join(sink, "batch_0"))  # swept now
+
+    # compaction on a sink that does not exist yet is an empty no-op
+    assert compact_heavy_hitters(spark, str(tmp_path / "nope"), 8) == 0

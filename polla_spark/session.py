@@ -59,6 +59,16 @@ def get_spark(
                                "/tmp/polla_spark_warehouse"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # scan-split sizing, made EXPLICIT: 128 MB splits keep one
+        # input partition comfortably inside an executor core's
+        # working memory even for the widest text rows here (~2 KB/row
+        # -> ~64k rows/split), and at 100 TB yield ~800k splits — fine
+        # for a 1000-executor scheduler. Post-shuffle sizing is AQE's
+        # job (64 MB advisory target), so these two lines are the
+        # whole partition-size policy, input side and shuffle side.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                str(64 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

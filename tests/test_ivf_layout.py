@@ -270,6 +270,58 @@ def test_incremental_append_equals_rebuild(spark, tmp_path):
     assert got == want and got
 
 
+def test_streaming_embedding_ingest_builds_probeable_index(spark, tmp_path):
+    """The daily-ingest loop end-to-end as a STREAM: micro-batches of
+    new embeddings append into the IVF layout via foreachBatch +
+    append_ivf_kmeans (quantizer fixed up front), and probing the
+    streamed index returns exactly what a from-scratch rebuild over
+    all arrived vectors returns."""
+    from polla_spark.operators.ann import (
+        append_ivf_kmeans,
+        fit_centroids,
+        probe_ivf_kmeans,
+        write_ivf_kmeans,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = fit_centroids(e.filter(F.col("vec_id") < 300), k=32)
+    rows = e.collect()
+    src = tmp_path / "emb_stream"
+    for i in range(3):
+        spark.createDataFrame(rows[i::3], e.schema).coalesce(1).write.parquet(
+            str(src / f"part{i}")
+        )
+    idx = str(tmp_path / "ivf_streamed")
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, bid: append_ivf_kmeans(batch, cents, idx, spark)
+        )
+        .option("checkpointLocation", str(tmp_path / "emb_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert spark.read.parquet(idx).count() == e.count()
+
+    full = str(tmp_path / "ivf_rebuilt")
+    write_ivf_kmeans(e, cents, full, spark)
+    queries = e.filter(F.col("vec_id").isin(0, 1, 2))
+    got = [
+        tuple(r)
+        for r in probe_ivf_kmeans(spark, idx, queries, cents, k=3, nprobe=6).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in probe_ivf_kmeans(spark, full, queries, cents, k=3, nprobe=6).collect()
+    ]
+    assert got == want and got
+
+
 def test_multiprobe_improves_recall_while_pruning(spark, tmp_path):
     """Hamming-1 multi-probe: recall@3 vs the exact baseline (q58)
     strictly improves over single-probe, while the scan still reads

@@ -76,9 +76,18 @@ def _certified_rounds() -> dict[str, int]:
         except (OSError, ValueError):
             continue
         for name, row in data.items():
-            if isinstance(row, dict) and (
-                row.get("hash_match") or row.get("rows_match")
-            ):
+            if not isinstance(row, dict):
+                continue
+            # Green = oracle hash/row match, OR a rows-only query
+            # (err == "no_oracle") that produced rows — the driver
+            # records rows-only entries with rows_match null, so
+            # without this clause q38/q177/q178 sort as round-0 and
+            # permanently pre-empt 3 rotation slots every round
+            # (round-5 verdict "what's wrong" #1).
+            green = bool(row.get("hash_match") or row.get("rows_match")) or (
+                row.get("err") == "no_oracle" and (row.get("spark_rows") or 0) > 0
+            )
+            if green:
                 rounds[name] = max(rounds.get(name, 0), rnd)
     return rounds
 

@@ -2505,6 +2505,25 @@ def q127_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     PREFIX (≈ |S|/5 of the elements, and by construction the rarest —
     candidate count stays near-linear), then the exact q54 kernel on
     candidates only. Never all-pairs, never a cartesian.
+
+    The candidate join applies ALL THREE of PPJoin's filters (prefix +
+    length + positional), each exact for τ = 4/5 in pure integer
+    arithmetic:
+
+    - length: Jaccard ≥ τ forces τ·max(|A|,|B|) ≤ min(|A|,|B|), i.e.
+      ``5·nb ≥ 4·na AND 5·na ≥ 4·nb``;
+    - positional: Jaccard ≥ τ ⟺ overlap ≥ α = ⌈τ/(1+τ)·(na+nb)⌉ =
+      ``(4·(na+nb)+8) div 9``. Both docs rank shingles in the SAME
+      global (df, shingle) order, so every common element beyond a
+      collision at prefix positions (rn_a, rn_b) sits strictly after
+      both — overlap ≤ 1 + min(na−rn_a, nb−rn_b). A qualifying pair's
+      FIRST common prefix element therefore passes the bound, so
+      keeping pairs where ANY collision row passes loses nothing.
+
+    The oracle is deliberately left as prefix-only: it reaches the
+    same final answer through strictly more candidates, so a filter
+    that wrongly dropped a qualifying pair would surface as a driver
+    hash mismatch rather than hide behind a mirrored bug.
     """
     # Persisted: the shingle table feeds the df census AND both sides
     # of the candidate rescore — without the persist the tokenizer +
@@ -2523,11 +2542,27 @@ def q127_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = toks.join(df, "shingle").withColumn("rn", F.row_number().over(wdoc))
     pref = ranked.filter(
         F.col("rn") <= F.col("ntok") - F.expr("(4 * ntok + 4) div 5") + 1
-    ).select("doc_id", "shingle")
+    ).select("doc_id", "shingle", "rn", "ntok")
+    ca = pref.select(
+        F.col("doc_id").alias("doc_a"), "shingle",
+        F.col("rn").alias("rn_a"), F.col("ntok").alias("na"),
+    )
+    cb = pref.select(
+        F.col("doc_id").alias("doc_b"), "shingle",
+        F.col("rn").alias("rn_b"), F.col("ntok").alias("nb"),
+    )
     cand = (
-        pref.withColumnRenamed("doc_id", "doc_a")
-        .join(pref.withColumnRenamed("doc_id", "doc_b"), "shingle")
+        ca.join(cb, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        # length filter: τ·max ≤ min, exact for τ = 4/5
+        .filter((5 * F.col("nb") >= 4 * F.col("na"))
+                & (5 * F.col("na") >= 4 * F.col("nb")))
+        # positional filter: overlap attainable from this collision
+        # (1 + suffix mins) must reach α = ⌈4(na+nb)/9⌉
+        .filter(
+            1 + F.least(F.col("na") - F.col("rn_a"), F.col("nb") - F.col("rn_b"))
+            >= F.expr("(4 * (na + nb) + 8) div 9")
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )

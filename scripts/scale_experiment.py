@@ -301,6 +301,12 @@ def main() -> None:
     ap.add_argument("--factor", type=int, default=20)
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    ap.add_argument("--all", action="store_true",
+                    help="run the ENTIRE registry (reps default 1): the "
+                    "full-inventory scale regression sweep — every query "
+                    "measured at 1x and factor-x, ratios to stdout")
+    ap.add_argument("--out", default=None,
+                    help="also write the result JSON to this path")
     ap.add_argument("--skew", action="store_true",
                     help="Zipf-head mode: 30%% of rows on one hot key; "
                     "measures each skew operator against its naive "
@@ -312,7 +318,12 @@ def main() -> None:
 
     spark = get_spark("scale_experiment")
     reg = registry()
-    names = [q for q in args.queries.split(",") if q]
+    if args.all:
+        names = sorted(reg)  # q01..q181 numeric-lexicographic
+        if args.reps == ap.get_default("reps"):
+            args.reps = 1
+    else:
+        names = [q for q in args.queries.split(",") if q]
 
     tag = "scale_skew" if args.skew else "scale"
     one = Path(f"/tmp/{tag}_1x")
@@ -328,13 +339,13 @@ def main() -> None:
             for name in names
         ]
 
-    result: dict[str, dict[str, float]] = {}
+    result: dict[str, dict] = {}
     for name, fn, conf in plans:
         saved = {k: spark.conf.get(k, None) for k in conf}
         for k, v in conf.items():
             spark.conf.set(k, v)
         try:
-            row: dict[str, float] = {}
+            row: dict = {}
             for label, d in (("t1", one), (f"t{args.factor}", big)):
                 reps = []
                 for _ in range(args.reps):
@@ -347,17 +358,24 @@ def main() -> None:
                       f"{[round(r, 2) for r in reps]}", file=sys.stderr)
             row["ratio"] = round(row[f"t{args.factor}"] / row["t1"], 1)
             result[name] = row
+        except Exception as exc:  # full-sweep mode: record, keep going
+            result[name] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
+            print(f"# {name} ERROR {result[name]['err']}", file=sys.stderr)
         finally:
             for k, v in saved.items():
                 if v is None:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
-    out: dict = {"factor": args.factor, "base": BASE, "queries": result}
+    out: dict = {"factor": args.factor, "base": BASE, "reps": args.reps,
+                 "queries": result}
     if args.skew:
         out["mode"] = "skew"
         out["hot_fraction"] = HOT_FRACTION
-    print(json.dumps(out))
+    line = json.dumps(out)
+    if args.out:
+        Path(args.out).write_text(line)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -1774,27 +1774,19 @@ def q112_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     natural key; referential integrity is a left-anti join that AQE
     plans as broadcast when the dimension's key projection fits.
     The report itself is metric-count-sized.
+
+    Metric expressions and the tall reshape are imported from
+    ``functions/quality.py`` — shared with the streaming twin
+    (``streaming/windows.quality_scan_partials``), one source of
+    truth for the audit semantics.
     """
+    from ..functions.quality import melt_metrics, scan_metric_aggs, scan_metric_names
+
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
 
-    def m(name: str, col) -> F.Column:  # type: ignore[name-defined]
-        return F.struct(F.lit(name).alias("metric"), col.cast("long").alias("value"))
-
-    scan = li.agg(
-        F.array(
-            m("row_count", F.count("*")),
-            m("null_quantity", F.count_if(F.col("l_quantity").isNull())),
-            m("null_shipdate", F.count_if(F.col("l_shipdate").isNull())),
-            m("bad_quantity_range",
-              F.count_if(~F.col("l_quantity").between(1.0, 50.0))),
-            m("bad_discount_range",
-              F.count_if(~F.col("l_discount").between(0.0, 1.0))),
-            m("bad_returnflag",
-              F.count_if(~F.col("l_returnflag").isin("A", "N", "R"))),
-            m("nonpositive_price", F.count_if(F.col("l_extendedprice") <= 0)),
-        ).alias("ms")
-    ).select(F.explode("ms").alias("s")).select("s.metric", "s.value")
+    wide = li.agg(*[c.cast("long").alias(n) for n, c in scan_metric_aggs()])
+    scan = melt_metrics(wide, scan_metric_names())
     dup_keys = (
         li.groupBy("l_orderkey", "l_linenumber")
         .agg(F.count("*").alias("c"))

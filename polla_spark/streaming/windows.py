@@ -316,6 +316,65 @@ def finish_distinct(updates: DataFrame, by: str = "event_type") -> DataFrame:
     )
 
 
+def quality_scan_partials(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Streaming twin of q112's scan + referential-integrity metrics
+    (21st twin, part 1 of 2): all 8 stream-affected metrics in ONE
+    streaming GLOBAL aggregation — the 7 conditional sums/counts come
+    from ``functions/quality.scan_metric_aggs`` (shared with batch
+    q112, one source of truth) and the orphan count rides the same
+    pass via a stream-static LEFT join against the orders key
+    projection. ``o_orderkey`` is orders' primary key, so the join
+    never duplicates a fact row and ``count_if(no match)`` is exactly
+    the batch anti-join's count.
+
+    State is ONE row of 8 longs (no watermark, no key). Counts are
+    monotone, so update mode + a max-collapse finisher recovers the
+    latest totals across micro-batch cuts."""
+    from ..functions.quality import scan_metric_aggs
+
+    ok = orders.select(F.col("o_orderkey").alias("_ok"))
+    j = lineitem.join(ok, lineitem["l_orderkey"] == ok["_ok"], "left")
+    aggs = [c.cast("long").alias(n) for n, c in scan_metric_aggs()]
+    aggs.append(
+        F.count_if(F.col("_ok").isNull()).cast("long").alias("orphan_orderkeys")
+    )
+    return j.agg(*aggs)
+
+
+def dup_key_partials(lineitem: DataFrame) -> DataFrame:
+    """Streaming twin of q112's uniqueness metric (21st twin, part 2):
+    duplicate natural keys need per-key counts — q132's distinct-key-
+    grain pattern — because "how many keys appear more than once" is
+    not merge-closed at the metric grain, only at the KEY grain. State
+    is one long per (l_orderkey, l_linenumber); the finisher counts
+    keys whose latest count exceeds 1."""
+    return lineitem.groupBy("l_orderkey", "l_linenumber").agg(
+        F.count("*").alias("c")
+    )
+
+
+def finish_quality_audit(
+    scan_updates: DataFrame, dup_updates: DataFrame
+) -> DataFrame:
+    """Read-time finisher ≡ q112: collapse update-mode rows to the
+    newest state (max — every metric and per-key count is monotone),
+    melt the wide scan row via the shared reshape, and append the
+    uniqueness metric. Emits exactly q112's (metric, value) report."""
+    from ..functions.quality import melt_metrics, scan_metric_names
+
+    names = scan_metric_names() + ["orphan_orderkeys"]
+    latest = scan_updates.agg(*[F.max(n).alias(n) for n in names])
+    scan = melt_metrics(latest, names)
+    dups = (
+        dup_updates.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.max("c").alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count("*").cast("long").alias("value"))
+        .select(F.lit("duplicate_line_keys").alias("metric"), "value")
+    )
+    return scan.unionByName(dups).orderBy("metric")
+
+
 def histogram_median_partials(customers: DataFrame) -> DataFrame:
     """Streaming twin of q130's histogram-rank median (18th twin):
     the only data-sized stage is the same mergeable (segment, cents)

@@ -225,6 +225,54 @@ def test_monthly_growth_stream_equals_q122(spark, tmp_path):
     assert _rows(got, keys) == _rows(q122_monthly_growth(spark, SF_DIR), keys)
 
 
+def test_quality_audit_stream_equals_q112(spark, tmp_path):
+    """Streaming quality audit (21st twin) == batch q112 over a
+    MULTI-batch lineitem stream: the 7 scan metrics + the orphan count
+    accumulate in one global streaming agg (update mode; counts are
+    monotone, finisher max-collapses), duplicate-key detection streams
+    at the natural-key grain (q132's pattern — uniqueness is only
+    merge-closed per key), and the stream-static left join supplies
+    referential integrity without duplicating fact rows (o_orderkey is
+    the orders PK). Metric expressions + the tall reshape come from
+    functions/quality.py, shared with batch q112."""
+    from polla_spark.plans.relational import q112_quality_audit
+    from polla_spark.session import read_table
+
+    li = read_table(spark, SF_DIR, "lineitem")
+    rows = li.collect()
+    d = tmp_path / "li_stream"
+    # interleaved slices -> metrics and per-key counts accumulate
+    # across all three micro-batches (duplicate keys, if any, can
+    # straddle a batch cut)
+    for i in range(3):
+        spark.createDataFrame(rows[i::3], li.schema).coalesce(1).write.parquet(
+            str(d / f"part{i}")
+        )
+    stream = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*/")
+    )
+    orders = read_table(spark, SF_DIR, "orders")
+    for partials, name in (
+        (SW.quality_scan_partials(stream, orders), "qa_scan_updates"),
+        (SW.dup_key_partials(stream), "qa_dup_updates"),
+    ):
+        q = (
+            partials.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    got = SW.finish_quality_audit(
+        spark.table("qa_scan_updates"), spark.table("qa_dup_updates")
+    )
+    keys = ["metric", "value"]
+    assert _rows(got, keys) == _rows(q112_quality_audit(spark, SF_DIR), keys)
+
+
 def test_hll_distinct_stream_equals_batch_sketch(spark, tmp_path, batch_events):
     """Streaming HLL distinct sketches (20th twin): HLL union is
     LOSSLESS (register-wise max), so the streamed estimate over a

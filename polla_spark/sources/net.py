@@ -135,12 +135,25 @@ def fetch_html(url: str, user_agent: str | None = None,
 
 
 def fetch_udf_frame(urls_df, user_agent: str | None = None,
-                    timeout: int = DEFAULT_TIMEOUT):
+                    timeout: int = DEFAULT_TIMEOUT,
+                    max_concurrency: int | None = None):
     """Scale path: fetch a DataFrame of URLs on executors.
 
     Partitions by host so each host's rate limit is enforced by
     exactly one task; inside the task a single session is reused and
     failures become rows (``error`` column), never task failures.
+
+    ``max_concurrency`` caps the number of SIMULTANEOUS fetch tasks
+    (a ``coalesce`` after the host partitioning, which preserves the
+    one-task-per-host invariant — coalesce only unions whole
+    partitions, it never splits one). Per-host politeness alone does
+    not bound the job's AGGREGATE request rate: 1,000 distinct hosts
+    across 1,000 executors is 1,000 × (1/RATE_LIMIT_SECONDS) RPS from
+    one job — enough to trip shared egress/NAT limits or look like a
+    coordinated crawl. The global budget is therefore
+    ``max_concurrency / RATE_LIMIT_SECONDS`` requests per second,
+    whatever the cluster size; leave ``None`` only when the URL list
+    is known host-light (the default keeps the old behavior).
     """
     from pyspark.sql import functions as F
 
@@ -164,7 +177,9 @@ def fetch_udf_frame(urls_df, user_agent: str | None = None,
             )
 
     host = F.parse_url(F.col("url"), F.lit("HOST"))
-    return (
-        urls_df.repartition(host)
-        .mapInPandas(fetch_partition, schema=schema)
-    )
+    parted = urls_df.repartition(host)
+    if max_concurrency is not None:
+        if max_concurrency < 1:
+            raise ValueError(f"max_concurrency must be >= 1: {max_concurrency}")
+        parted = parted.coalesce(max_concurrency)
+    return parted.mapInPandas(fetch_partition, schema=schema)

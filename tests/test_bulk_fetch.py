@@ -58,3 +58,25 @@ def test_bulk_fetch_partitions_by_host(spark, http_root):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # per-host repartition is in the plan (rate limits hold cluster-wide)
     assert "hashpartitioning" in plan and "ParseUrl" in plan
+
+
+def test_bulk_fetch_max_concurrency_caps_tasks(spark, http_root):
+    """The aggregate-RPS budget: max_concurrency coalesces the
+    host-partitioned frame so at most that many fetch tasks run at
+    once — and because coalesce unions WHOLE partitions, a host's
+    URLs still live in exactly one task (the per-host rate limit is
+    still enforced by a single worker loop)."""
+    urls = spark.createDataFrame(
+        [(f"{http_root}/a.html",), (f"{http_root}/b.html",)], "url string"
+    )
+    # the cap is an UPPER bound: AQE may already have coalesced the
+    # tiny host shuffle below it (coalesce never splits partitions)
+    df = fetch_udf_frame(urls, timeout=5, max_concurrency=2)
+    assert 1 <= df.rdd.getNumPartitions() <= 2
+    # results unaffected by the cap
+    out = fetch_udf_frame(urls, timeout=5, max_concurrency=1)
+    assert out.rdd.getNumPartitions() == 1
+    rows = {r["url"].rsplit("/", 1)[-1]: r for r in out.collect()}
+    assert rows["a.html"]["error"] is None and rows["b.html"]["error"] is None
+    with pytest.raises(ValueError):
+        fetch_udf_frame(urls, max_concurrency=0)

@@ -115,6 +115,65 @@ def test_resize_real_pil_roundtrip(spark):
     assert out["meta"]["codec"] == "image/png"
 
 
+def test_real_codec_matches_fake_kernel_contract(spark):
+    """Real-codec parity with the fake-kernel contract (the oracle
+    surface): swap PIL in for both the resize= and decode= hooks on a
+    REAL in-test PNG and pin that output schema, row counts, and
+    per-row shapes/types are identical to the fake path — the plumbing
+    (Arrow batch shape, struct metadata, feature arity) must not
+    depend on which codec runs. Skips cleanly where Pillow is absent
+    (this image); runs in a production container."""
+    import io
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+
+    from polla_spark.operators.multimodal import (
+        extract_features,
+        fake_decode,
+        fake_resize,
+        pil_resize,
+    )
+
+    def pil_decode(content: bytes, modality: str) -> list[int]:
+        # a real decoder with fake_decode's signature/arity contract:
+        # 4 ints derived from decoded PIXELS (not the container bytes)
+        img = PIL_Image.open(io.BytesIO(content)).convert("RGB")
+        px = list(img.getdata())
+        n = len(px)
+        return [
+            n,
+            sum(p[0] for p in px) // n,
+            sum(p[1] for p in px) // n,
+            sum(p[2] for p in px) // n,
+        ]
+
+    buf = io.BytesIO()
+    PIL_Image.new("RGB", (16, 16), color=(10, 200, 30)).save(buf, format="PNG")
+    png = buf.getvalue()
+    a = spark.createDataFrame(
+        [(7, "image", png, {"width": 16, "height": 16, "duration_ms": None, "codec": "image/png"})],
+        ASSET_SCHEMA,
+    )
+    for rz in (fake_resize, pil_resize):
+        out = resize_images(a, 8, 8, resize=rz)
+        assert out.schema == ASSET_SCHEMA
+        rows = out.collect()
+        assert len(rows) == 1 and rows[0]["meta"]["width"] == 8
+        assert isinstance(bytes(rows[0]["content"]), bytes)
+    feats = {}
+    for name, dec in (("fake", fake_decode), ("real", pil_decode)):
+        out = extract_features(a, decode=dec)
+        assert [f.name for f in out.schema.fields] == [
+            "asset_id", "modality", "n_bytes", "features",
+        ]
+        row = out.first()
+        assert row["n_bytes"] == len(png)
+        assert len(row["features"]) == 4  # same feature arity either codec
+        feats[name] = list(row["features"])
+    # the real decoder read actual pixels: 16x16 of (10,200,30)
+    assert feats["real"] == [256, 10, 200, 30]
+
+
 def test_sample_frames_expands_rows(spark):
     a = _assets(spark)
     frames = sample_frames(a, every_bytes=100)

@@ -4,6 +4,7 @@ shapes)."""
 
 from __future__ import annotations
 
+import hashlib
 import json
 from pathlib import Path
 
@@ -117,6 +118,99 @@ def test_source_skip_override(spark, tmp_path):
     )
     # single source responding out of 2 requested -> degraded
     assert summary["decision"]["confidence"] == "degraded"
+
+
+def test_soak_chaos_alternating_source_failure(spark, tmp_path):
+    """Soak + chaos per the reference's SLO doc
+    (/root/reference/docs/SLOs.md:44-48 — "run pipeline in a loop with
+    stable inputs; ensure idempotent outcomes", "simulate one source
+    failing"): 6 iterations against byte-stable fixture content with
+    openloto failing on every EVEN run. Pins, across the whole loop:
+
+    - idempotency: run 1 publishes, every later run (content
+      unchanged) decides ``skip`` and never re-publishes;
+    - confidence degrades on failure runs and RECOVERS on the next
+      healthy run (no sticky degradation);
+    - artifacts stay byte-stable modulo run metadata (the normalized
+      record differs only in ``run_id`` and provenance ``fetched_at``
+      — both stamped per run by design; content hashes identical);
+    - the state file stays a single well-formed JSONL line — never
+      corrupted, never duplicated. It is REWRITTEN every run by design
+      (reference pipeline.py:437 does the same), so a degraded run's
+      state carries single-source provenance; what must never drift is
+      the VALUE level (sorteo, pozos map), and healthy-run state must
+      be byte-identical to the healthy baseline modulo run metadata.
+    """
+    op_html = (FIXTURES / "openloto" / "page.html").read_text(encoding="utf-8")
+    kw = paths(tmp_path)
+
+    def loaders(fail_openloto: bool):
+        def op(**k):
+            if fail_openloto:
+                raise ParseError("chaos: injected openloto outage")
+            return parse_openloto_html(op_html)
+
+        return {
+            "openloto": op,
+            "polla": lambda **k: parse_openloto_html(op_html, fuente="https://mirror"),
+        }
+
+    def stable_view(record: dict) -> dict:
+        rec = json.loads(json.dumps(record))  # deep copy
+        rec.pop("run_id", None)
+        for fam in rec.get("provenance", {}).values():
+            fam.get("primary", {}).pop("fetched_at", None)
+            for alt in fam.get("alternatives", []):
+                alt.pop("fetched_at", None)
+        return rec
+
+    baseline = None
+    state_sha = None
+    for i in range(1, 7):
+        fail = i % 2 == 0
+        summary = run_pipeline(
+            spark, sources=["all"], loaders=loaders(fail), **kw
+        )
+        # decisions: publish once, then idempotent skips
+        if i == 1:
+            assert summary["decision"]["status"] == "publish"
+            assert summary["publish"] is True
+        else:
+            assert summary["decision"]["status"] == "skip", f"run {i}"
+            assert summary["publish"] is False
+        # confidence tracks THIS run's source health (degrade+recover)
+        expected_conf = "degraded" if fail else "full"
+        assert summary["decision"]["confidence"] == expected_conf, f"run {i}"
+        if fail:
+            assert summary["source_failures"][0]["source_name"] == "openloto"
+        else:
+            assert not summary["source_failures"]
+        # artifacts byte-stable modulo run metadata
+        record = json.loads(kw["normalized_path"].read_text().splitlines()[0])
+        view = stable_view(record)
+        if fail:
+            # one source down: provenance legitimately loses the
+            # failed source; everything VALUE-level must still match
+            assert view["pozos_proximo"] == baseline["pozos_proximo"], f"run {i}"
+            assert view["sorteo"] == baseline["sorteo"]
+        elif baseline is None:
+            baseline = view
+        else:
+            assert view == baseline, f"run {i}: healthy-run artifact drifted"
+        # state file: exactly one well-formed line, values never drift
+        lines = kw["state_path"].read_text().splitlines()
+        assert len(lines) == 1, f"run {i}: state grew/duplicated"
+        state_record = json.loads(lines[0])  # raises if corrupt
+        assert state_record["pozos_proximo"] == baseline["pozos_proximo"]
+        assert state_record["sorteo"] == baseline["sorteo"]
+        if not fail:
+            sha = hashlib.sha256(
+                json.dumps(stable_view(state_record), sort_keys=True).encode()
+            ).hexdigest()
+            if state_sha is None:
+                state_sha = sha
+            else:
+                assert sha == state_sha, f"run {i}: healthy state drifted"
 
 
 def test_force_publish_on_unchanged(spark, tmp_path):

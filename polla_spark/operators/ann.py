@@ -324,6 +324,248 @@ def probe_ivf_kmeans_rescored(
     )
 
 
+def fit_pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 4,
+    ksub: int = 256,
+    *,
+    iters: int = 20,
+    sample_limit: int = 65536,
+) -> list[list[list[float]]]:
+    """Fit product-quantization codebooks: split each d-dim vector
+    into ``m`` subvectors of d/m dims and run an independent L2
+    k-means (``ksub`` centroids) per subspace — the classic PQ recipe
+    (Jégou et al., TPAMI 2011). Training is DRIVER-side on a bounded
+    deterministic sample, exactly like :func:`fit_centroids`; every
+    corpus-scale pass (encode, probe) stays distributed.
+
+    Returns ``m`` codebooks, each ``ksub x (d/m)``. A stored vector
+    becomes ``m`` one-byte codes (ksub <= 256) + one reconstructed
+    norm — for d=64 float32 that is 256 bytes -> ~12, a ~21x scan
+    shrink (4x vs the int8 codes the two-stage probe scans).
+    """
+    import numpy as np
+
+    sample = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(sample_limit)
+        .collect()
+    )
+    E = np.array([list(r["embedding"]) for r in sample], dtype=np.float64)
+    d = E.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books: list[list[list[float]]] = []
+    for si in range(m):
+        S = E[:, si * dsub : (si + 1) * dsub]
+        kk = min(ksub, len(S))
+        C = S[:kk].copy()  # deterministic init: first kk by vec_id
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for j in range(kk):
+                members = S[assign == j]
+                if len(members):
+                    C[j] = members.mean(axis=0)
+        books.append([[float(x) for x in row] for row in C])
+    return books
+
+
+def _pq_cb_frame(spark: SparkSession, codebooks) -> DataFrame:
+    """The whole codebook as ONE broadcastable row (m x ksub x dsub
+    nested array) so encode/probe arithmetic stays within-row."""
+    return spark.createDataFrame(
+        [(codebooks,)], "pq_cb array<array<array<double>>>"
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame, codebooks, spark: SparkSession
+) -> DataFrame:
+    """Attach ``pq_codes`` (m nearest-sub-centroid ids) and
+    ``pq_norm2`` (squared norm of the reconstruction — exact, because
+    subspaces are disjoint coordinate blocks) to an embeddings frame.
+
+    Entirely WITHIN-ROW: the codebook rides in on a broadcast
+    single-row cross join and the argmin per subspace runs in
+    higher-order functions — zero shuffle, no Python boundary.
+    Ties break to the lowest centroid id (``array_position`` finds
+    the first minimum), deterministic across engines and runs.
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    dist = (
+        "aggregate(zip_with(c, slice(cast(embedding as array<double>), "
+        f"si * {dsub} + 1, {dsub}), (a, b) -> (a - b) * (a - b)), "
+        "0D, (acc, x) -> acc + x)"
+    )
+    codes = (
+        f"transform(sequence(0, {m - 1}), si -> "
+        f" transform(array(transform(element_at(pq_cb, si + 1), c -> {dist})), "
+        "  ds -> int(array_position(ds, array_min(ds)) - 1))[0])"
+    )
+    norm2 = (
+        f"aggregate(sequence(0, {m - 1}), 0D, (acc, si) -> acc + "
+        " aggregate(transform(element_at(element_at(pq_cb, si + 1), "
+        "  element_at(pq_codes, si + 1) + 1), v -> v * v), "
+        "  0D, (a2, x) -> a2 + x))"
+    )
+    return (
+        embeddings.crossJoin(F.broadcast(_pq_cb_frame(spark, codebooks)))
+        .withColumn("pq_codes", F.expr(codes))
+        .withColumn("pq_norm2", F.expr(norm2))
+        .drop("pq_cb")
+    )
+
+
+def write_ivf_pq(
+    embeddings: DataFrame, centroids, codebooks, path: str, spark: SparkSession
+) -> None:
+    """Materialize the IVF-PQ index: cell-partitioned like
+    :func:`write_ivf_kmeans`, with ``pq_codes``/``pq_norm2`` stored
+    alongside the float vectors. Column pruning makes the layout
+    memory-bounded at probe time: the ADC pass projects ONLY the
+    m-byte codes + norm, and the float column is touched only for the
+    shortlist fetch."""
+    cdf = _centroid_frame(spark, centroids)
+    enc = pq_encode(assign_cells(embeddings, cdf), codebooks, spark)
+    write_parquet(enc, path, partition_by=["cell"])
+
+
+def probe_ivf_pq(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    centroids,
+    codebooks,
+    k: int = 3,
+    *,
+    nprobe: int = 12,
+    shortlist_pq: int = 32,
+    shortlist: int = 8,
+) -> DataFrame:
+    """Three-stage memory-bounded probe — the 100 TB ANN shape:
+
+    1. **ADC over codes only**: scan the probed cells projecting just
+       (vec_id, pq_codes, pq_norm2); each query precomputes its
+       asymmetric distance table (m x ksub sub-dot-products, within-
+       row on the broadcast query arm) and scores every candidate as
+       ``sum(table[si][code])`` — table LOOKUPS, no vector math, over
+       a scan ~21x smaller than float32 (4x smaller than int8). Keep
+       the top ``shortlist_pq`` per query.
+    2. **int8 rescore** (the existing q77 stage): fetch only the
+       shortlist rows' vectors from the pruned cells and re-rank with
+       integer dot products; keep the top ``shortlist``.
+    3. **exact float cosine** on the survivors for final top-k values
+       — identical output contract to :func:`probe_ivf_kmeans`.
+
+    Recall is bounded by the cell probe (same as every IVF probe
+    here); the ADC stage only perturbs WHICH candidates reach the
+    rescore, and tests/test_ivf_layout.py pins the measured
+    recall/bytes frontier against the int8 two-stage probe.
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    cdf = _centroid_frame(spark, centroids)
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    dot = _dot(F.col("qv").cast("array<double>"), F.col("cv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_ivf_dot"), F.asc("centroid_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cdf))
+        .withColumn("_ivf_dot", dot)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= nprobe)
+        .withColumn("cell", F.concat(F.lit("k"), F.col("centroid_id")))
+        .select("query_id", "qv", "cell")
+    )
+    # per-query ADC table: m x ksub sub-dot-products, within-row
+    qtab = (
+        f"transform(sequence(0, {m - 1}), si -> "
+        " transform(element_at(pq_cb, si + 1), c -> "
+        "  aggregate(zip_with(c, slice(cast(qv as array<double>), "
+        f"   si * {dsub} + 1, {dsub}), (a, b) -> a * b), "
+        "   0D, (acc, x) -> acc + x)))"
+    )
+    probes_tab = (
+        probes.crossJoin(F.broadcast(_pq_cb_frame(spark, codebooks)))
+        .withColumn("qtab", F.expr(qtab))
+        .withColumn(
+            "qnorm",
+            F.sqrt(_dot(F.col("qv").cast("array<double>"),
+                        F.col("qv").cast("array<double>"))),
+        )
+        .drop("pq_cb")
+    )
+    cells_wanted = sorted(
+        {r["cell"] for r in probes.select("cell").distinct().collect()}
+    )
+    # stage 1: codes-only scan (column pruning keeps floats unread)
+    codes_scan = (
+        spark.read.parquet(index_path)
+        .filter(F.col("cell").isin(cells_wanted))
+        .select("cell", "vec_id", "pq_codes", "pq_norm2")
+    )
+    adc = (
+        f"aggregate(sequence(0, {m - 1}), 0D, (acc, si) -> acc + "
+        " element_at(element_at(qtab, si + 1), "
+        "  element_at(pq_codes, si + 1) + 1))"
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("_acos"), F.asc("vec_id")
+    )
+    short1 = (
+        codes_scan.join(F.broadcast(probes_tab), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "_acos",
+            F.round(
+                F.expr(adc) / (F.sqrt(F.col("pq_norm2")) * F.col("qnorm")), 6
+            ),
+        )
+        .withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= shortlist_pq)
+        .select("query_id", "vec_id", "qv")
+    )
+    # stage 2: fetch shortlist vectors from the SAME pruned cells and
+    # int8-rescore (integer MACs); stage 3: exact float on survivors
+    fetch = (
+        spark.read.parquet(index_path)
+        .filter(F.col("cell").isin(cells_wanted))
+        .select("vec_id", "embedding")
+    )
+    cand = fetch.join(F.broadcast(short1), "vec_id").withColumn(
+        "qe", _quant8(F.col("embedding"))
+    ).withColumn("qqv", _quant8(F.col("qv")))
+    qcos = _qdot8(F.col("qe"), F.col("qqv")).cast("double") / (
+        F.sqrt(_qdot8(F.col("qe"), F.col("qe")).cast("double"))
+        * F.sqrt(_qdot8(F.col("qqv"), F.col("qqv")).cast("double"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("_qcos"), F.asc("vec_id"))
+    short2 = (
+        cand.withColumn("_qcos", F.round(qcos, 6))
+        .withColumn("_rn2", F.row_number().over(w2))
+        .filter(F.col("_rn2") <= shortlist)
+    )
+    cos = _dot(F.col("embedding"), F.col("qv")) / (
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    )
+    scored = short2.select("query_id", "vec_id", F.round(cos, 4).alias("cosine"))
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "rn", "vec_id", "cosine")
+        .orderBy("query_id", "rn")
+    )
+
+
 def probe_ivf(
     spark: SparkSession,
     index_path: str,

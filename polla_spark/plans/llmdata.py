@@ -3350,6 +3350,241 @@ def q177_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q182_lm_likelihood_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM-likelihood quality filter (Wenzek et al.,
+    LREC 2020 recipe): fit a trigram LM on a REFERENCE slice of the
+    corpus (here docs with ``doc_id % 10 == 0`` — the held-out
+    "wikipedia" role), score every other document by its average
+    conditional trigram likelihood, and surface the 20 LEAST-likely
+    documents — the filter-out candidates a curation pipeline drops
+    or down-samples.
+
+    All arithmetic is integer until the report: conditionals are
+    floor-quantized to parts-per-million (``(1e6 * c3) div c2`` —
+    ``div`` for DuckDB ``//`` parity), per-doc scores are integer
+    sums and floor averages, unseen trigrams contribute 0 (the
+    hit-rate column keeps smoothing visible instead of hiding it in
+    a fudge constant). Ties break on doc_id.
+
+    Plan shape at 100 TB: trigram extraction is within-row (q136's
+    kernel); the LM census is one partial-agged shuffle bounded by
+    vocab³; scoring joins the corpus trigram stream to the census on
+    the trigram key (both sides explode once); the report is one
+    doc-grain agg + TakeOrdered(20). Nothing quadratic, no Python.
+    """
+    d = (
+        t(spark, sf_dir, "documents")
+        .withColumn("_toks", _toks())
+        .filter(F.size("_toks") >= 3)
+    )
+
+    def tri(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(_toks) - 3), i -> "
+                    "struct(_toks[i] AS w1, _toks[i+1] AS w2, _toks[i+2] AS w3))"
+                )
+            ).alias("g"),
+        ).select("doc_id", "g.*")
+
+    lm = (
+        tri(d.filter(F.col("doc_id") % 10 == 0))
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").alias("c3"))
+        .withColumn("c2", F.sum("c3").over(Window.partitionBy("w1", "w2")))
+        .select("w1", "w2", "w3", F.expr("(1000000 * c3) div c2").alias("q"))
+    )
+    scored = tri(d.filter(F.col("doc_id") % 10 != 0)).join(
+        lm, ["w1", "w2", "w3"], "left"
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tri"),
+            F.count("q").alias("n_hits"),
+            F.sum(F.coalesce("q", F.lit(0))).cast("long").alias("sum_q"),
+        )
+        .withColumn("avg_q", F.expr("sum_q div n_tri"))
+        .orderBy("avg_q", "doc_id")
+        .limit(20)
+    )
+
+
+O182 = f"""
+WITH toks AS (
+  SELECT doc_id, {TOKS} AS tk FROM documents WHERE len({TOKS}) >= 3
+), tri AS (
+  SELECT doc_id, tk[g.i] AS w1, tk[g.i + 1] AS w2, tk[g.i + 2] AS w3
+  FROM toks, LATERAL unnest(generate_series(1, len(tk) - 2)) AS g(i)
+), lm0 AS (
+  SELECT w1, w2, w3, COUNT(*) AS c3 FROM tri WHERE doc_id % 10 = 0
+  GROUP BY 1, 2, 3
+), lm AS (
+  SELECT w1, w2, w3,
+         (1000000 * c3) // SUM(c3) OVER (PARTITION BY w1, w2) AS q
+  FROM lm0
+), sc AS (
+  SELECT t.doc_id, lm.q
+  FROM tri t LEFT JOIN lm USING (w1, w2, w3)
+  WHERE t.doc_id % 10 <> 0
+)
+SELECT doc_id, COUNT(*) AS n_tri, COUNT(q) AS n_hits,
+       CAST(SUM(COALESCE(q, 0)) AS BIGINT) AS sum_q,
+       CAST(SUM(COALESCE(q, 0)) // COUNT(*) AS BIGINT) AS avg_q
+FROM sc GROUP BY doc_id ORDER BY avg_q, doc_id LIMIT 20
+"""
+
+
+_BLOOM_BITS = 65536  # 2 KB filter; production sizes ~10 bits/key
+_BLOOM_K = 3
+
+
+def q183_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter incremental crawl dedup — the memory-bounded twin
+    of q97's key-index semi-join, for when even the hash-only history
+    index is too large to shuffle against every ingest batch. History
+    = docs with ``doc_id % 5 != 0``; the new batch is the rest.
+
+    The filter is built in PURE relational algebra so it is
+    bit-identical across engines (Catalyst's ``bloom_filter_agg`` is
+    optimizer-internal, not SQL-callable, and its hash geometry is
+    impl-defined — this portable form keeps the query oracle-
+    checkable): each history content-hash sets ``k = 3`` positions
+    derived from seeded md5 (``conv(substr(md5(hh:bi), 1, 8), 16,
+    10) % 65536`` — the q120 portable-hash idiom), positions fold
+    into 32-bit-per-word masks, and ONE ``bit_or`` aggregation yields
+    the ≤2048-row word table. Membership for the new batch is a
+    broadcast join of that tiny table + ``bool_and`` over the k
+    probes — the history is never shuffled against the batch, and at
+    100 TB the word table stays a few KB per billion keys sized up.
+
+    One-sided error is structural: ``maybe_dup = false`` PROVES the
+    doc is new (every set bit survives ``bit_or``), while ``true``
+    may be a false positive — the plan verifies the guarantee against
+    the exact census in the same job (``assert_true`` aborts on a
+    false negative, which only an implementation regression could
+    produce) and reports the measured FP rate in ppm. The maybe-dup
+    remainder is what q97's exact path re-checks downstream — the
+    classic two-tier design.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("hh")
+    )
+    hist = d.filter(F.col("doc_id") % 5 != 0)
+    new = d.filter(F.col("doc_id") % 5 == 0)
+
+    def positions(df: DataFrame) -> DataFrame:
+        seeded = F.md5(
+            F.concat(F.col("hh"), F.lit(":b"), F.col("i").cast("string"))
+        )
+        return (
+            df.select(
+                "doc_id",
+                "hh",
+                F.explode(
+                    F.array(*[F.lit(i) for i in range(1, _BLOOM_K + 1)])
+                ).alias("i"),
+            )
+            .withColumn(
+                "p",
+                F.conv(F.substring(seeded, 1, 8), 16, 10).cast("long")
+                % _BLOOM_BITS,
+            )
+            .withColumn("w", F.expr("p div 32"))
+            .withColumn("mask", F.expr("shiftleft(1L, int(p % 32))"))
+        )
+
+    words = positions(hist).groupBy("w").agg(F.bit_or("mask").alias("word"))
+    probe = (
+        positions(new)
+        .join(F.broadcast(words), "w", "left")
+        .withColumn(
+            "hit",
+            F.coalesce(
+                F.col("word").bitwiseAND(F.col("mask")) != 0, F.lit(False)
+            ),
+        )
+    )
+    flags = probe.groupBy("doc_id", "hh").agg(
+        F.bool_and("hit").alias("maybe_dup")
+    )
+    truth = (
+        flags.join(
+            hist.select(F.col("hh").alias("h2")).distinct(),
+            flags["hh"] == F.col("h2"),
+            "left",
+        )
+        .withColumn("is_dup", F.col("h2").isNotNull())
+        .drop("h2")
+    )
+    rep = truth.agg(
+        F.count("*").alias("n_new_batch"),
+        F.count_if(F.col("is_dup")).alias("n_true_dup"),
+        F.count_if(~F.col("maybe_dup")).alias("n_claimed_new"),
+        F.count_if(F.col("maybe_dup") & ~F.col("is_dup")).alias("n_false_pos"),
+        F.count_if(~F.col("maybe_dup") & F.col("is_dup")).alias("n_false_neg"),
+    )
+    return (
+        rep.filter(
+            F.coalesce(
+                F.assert_true(
+                    F.col("n_false_neg") == 0,
+                    F.lit("q183: bloom filter produced a FALSE NEGATIVE"),
+                ),
+                F.lit(True),
+            )
+        )
+        .withColumn(
+            "fp_rate_ppm",
+            F.expr(
+                "(1000000 * n_false_pos) div greatest(n_new_batch - n_true_dup, 1)"
+            ),
+        )
+    )
+
+
+O183 = f"""
+WITH d AS (
+  SELECT doc_id, md5(text) AS hh FROM documents
+), hist AS (
+  SELECT * FROM d WHERE doc_id % 5 <> 0
+), newb AS (
+  SELECT * FROM d WHERE doc_id % 5 = 0
+), hp AS (
+  SELECT CAST(from_hex(substr(md5(hh || ':b' || CAST(t.i AS VARCHAR)), 1, 8)) AS BIT)::BIGINT
+         % {_BLOOM_BITS} AS p
+  FROM hist, unnest([1, 2, 3]) AS t(i)
+), words AS (
+  SELECT p // 32 AS w, bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS word
+  FROM hp GROUP BY 1
+), np AS (
+  SELECT n.doc_id, n.hh,
+         CAST(from_hex(substr(md5(n.hh || ':b' || CAST(t.i AS VARCHAR)), 1, 8)) AS BIT)::BIGINT
+         % {_BLOOM_BITS} AS p
+  FROM newb n, unnest([1, 2, 3]) AS t(i)
+), probe AS (
+  SELECT np.doc_id, np.hh,
+         COALESCE((words.word & (1::BIGINT << CAST(np.p % 32 AS INT))) <> 0, FALSE) AS hit
+  FROM np LEFT JOIN words ON words.w = np.p // 32
+), flags AS (
+  SELECT doc_id, hh, bool_and(hit) AS maybe_dup FROM probe GROUP BY 1, 2
+), truth AS (
+  SELECT f.doc_id, f.maybe_dup, (h.hh IS NOT NULL) AS is_dup
+  FROM flags f LEFT JOIN (SELECT DISTINCT hh FROM hist) h ON f.hh = h.hh
+)
+SELECT COUNT(*) AS n_new_batch,
+       COUNT(CASE WHEN is_dup THEN 1 END) AS n_true_dup,
+       COUNT(CASE WHEN NOT maybe_dup THEN 1 END) AS n_claimed_new,
+       COUNT(CASE WHEN maybe_dup AND NOT is_dup THEN 1 END) AS n_false_pos,
+       COUNT(CASE WHEN NOT maybe_dup AND is_dup THEN 1 END) AS n_false_neg,
+       (1000000 * COUNT(CASE WHEN maybe_dup AND NOT is_dup THEN 1 END))
+         // GREATEST(COUNT(*) - COUNT(CASE WHEN is_dup THEN 1 END), 1) AS fp_rate_ppm
+FROM truth
+"""
+
+
 QUERIES = [
     Query("q50_exact_dedup", q50_exact_dedup, O50, "sha256 exact dedup"),
     Query("q51_fingerprint_dedup", q51_fingerprint_dedup, O51, "normalized fingerprint dedup"),
@@ -3442,4 +3677,11 @@ QUERIES = [
     Query("q179_hybrid_retrieval_rrf", q179_hybrid_retrieval_rrf, O179,
           "hybrid BM25 + cosine retrieval fused by Reciprocal Rank Fusion "
           "(integer floor-div contributions, full-outer truncated-list fuse)"),
+    Query("q182_lm_likelihood_filter", q182_lm_likelihood_filter, O182,
+          "CCNet-style trigram-LM likelihood filter (ppm-quantized "
+          "conditionals, integer scores, 20 least-likely docs)"),
+    Query("q183_bloom_incremental_dedup", q183_bloom_incremental_dedup, O183,
+          "relational bloom-filter incremental crawl dedup (portable "
+          "md5 bit positions, bit_or word table, broadcast probe; "
+          "asserts no-false-negative in-plan, reports FP ppm)"),
 ]

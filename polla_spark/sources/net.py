@@ -95,10 +95,15 @@ def _rate_limit(host: str) -> None:
 
 def fetch_html(url: str, user_agent: str | None = None,
                timeout: int = DEFAULT_TIMEOUT, *,
-               retries: int | None = None) -> FetchMetadata:
+               retries: int | None = None,
+               session=None) -> FetchMetadata:
     """GET with robots gate + rate limit + 429/5xx retry (net.py:86-177).
 
-    ``user_agent=None`` resolves POLLA_USER_AGENT then the default."""
+    ``user_agent=None`` resolves POLLA_USER_AGENT then the default.
+    ``session`` lets a caller supply a long-lived ``requests.Session``
+    (connection pooling across MANY urls — the bulk-fetch kernel does
+    this per partition); default is one fresh session per call, still
+    reused across that call's retries."""
     import requests
 
     user_agent = effective_user_agent(user_agent)
@@ -107,7 +112,8 @@ def fetch_html(url: str, user_agent: str | None = None,
     attempts = retries if retries is not None else DEFAULT_RETRIES
     host = urlparse(url).netloc
     last: Exception | None = None
-    session = requests.Session()  # one session across retries
+    if session is None:
+        session = requests.Session()  # one session across retries
     for attempt in range(1, attempts + 1):
         _rate_limit(host)
         try:
@@ -140,20 +146,25 @@ def fetch_udf_frame(urls_df, user_agent: str | None = None,
     """Scale path: fetch a DataFrame of URLs on executors.
 
     Partitions by host so each host's rate limit is enforced by
-    exactly one task; inside the task a single session is reused and
-    failures become rows (``error`` column), never task failures.
+    exactly one task; inside the task ONE ``requests.Session`` is
+    shared across every URL (connection pooling / keep-alive — not
+    just across one URL's retries) and failures become rows
+    (``error`` column), never task failures.
 
     ``max_concurrency`` caps the number of SIMULTANEOUS fetch tasks
     (a ``coalesce`` after the host partitioning, which preserves the
     one-task-per-host invariant — coalesce only unions whole
     partitions, it never splits one). Per-host politeness alone does
     not bound the job's AGGREGATE request rate: 1,000 distinct hosts
-    across 1,000 executors is 1,000 × (1/RATE_LIMIT_SECONDS) RPS from
-    one job — enough to trip shared egress/NAT limits or look like a
-    coordinated crawl. The global budget is therefore
-    ``max_concurrency / RATE_LIMIT_SECONDS`` requests per second,
-    whatever the cluster size; leave ``None`` only when the URL list
-    is known host-light (the default keeps the old behavior).
+    across 1,000 executors all crawl at their own POLLA_RATE_LIMIT_RPS
+    simultaneously. The cap bounds the aggregate at
+    ``max_concurrency`` hosts in flight at once; note a capped task
+    cycling MANY hosts is paced by response latency, not by the
+    PER-HOST limiter (different hosts never wait on each other), so
+    the worst-case aggregate is ``max_concurrency / latency`` RPS —
+    a concurrency budget, not a strict RPS budget. Leave ``None``
+    only when the URL list is known host-light (the default keeps
+    the old behavior).
     """
     from pyspark.sql import functions as F
 
@@ -163,12 +174,14 @@ def fetch_udf_frame(urls_df, user_agent: str | None = None,
 
     def fetch_partition(batches):
         import pandas as pd
+        import requests
 
+        session = requests.Session()  # pooled across the whole task
         for pdf in batches:
             out = []
             for url in pdf["url"]:
                 try:
-                    meta = fetch_html(url, user_agent, timeout)
+                    meta = fetch_html(url, user_agent, timeout, session=session)
                     out.append((url, meta.fetched_at, meta.sha256, meta.html, None))
                 except Exception as exc:  # noqa: BLE001
                     out.append((url, None, None, None, str(exc)[:500]))

@@ -385,12 +385,9 @@ def bloom_word_partials(docs: DataFrame) -> DataFrame:
     strongest streaming≡batch form in the inventory, alongside the
     HLL register-max twin). State = one long per occupied word; no
     watermark — a bloom filter only ever accumulates bits."""
-    from ..functions.bloom import bloom_positions
+    from ..functions.bloom import bloom_word_table
 
-    keyed = docs.select(F.md5("text").alias("hh"))
-    return bloom_positions(keyed).groupBy("w").agg(
-        F.bit_or("mask").alias("word")
-    )
+    return bloom_word_table(docs.select(F.md5("text").alias("hh")))
 
 
 def finish_bloom_probe(word_updates: DataFrame, new_docs: DataFrame) -> DataFrame:

@@ -299,7 +299,8 @@ def _skew_variants(spark):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=20)
-    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--reps", type=int, default=None,
+                    help="timing reps per scale (default 2; 1 with --all)")
     ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
     ap.add_argument("--all", action="store_true",
                     help="run the ENTIRE registry (reps default 1): the "
@@ -319,11 +320,13 @@ def main() -> None:
     spark = get_spark("scale_experiment")
     reg = registry()
     if args.all:
-        names = sorted(reg)  # q01..q181 numeric-lexicographic
-        if args.reps == ap.get_default("reps"):
-            args.reps = 1
+        # plain string sort — stable and complete is all that matters
+        # (q134 sorts before q50; ids currently span q01..q183)
+        names = sorted(reg)
     else:
         names = [q for q in args.queries.split(",") if q]
+    if args.reps is None:
+        args.reps = 1 if args.all else 2
 
     tag = "scale_skew" if args.skew else "scale"
     one = Path(f"/tmp/{tag}_1x")

@@ -103,14 +103,21 @@ def test_rows_only_queries_certify_from_no_oracle_rows():
     query's green: it must enter the certified map like any other."""
     import glob
     import json
+    import os
     import re
 
+    import polla_spark.plans as plans
     from polla_spark.plans import _certified_rounds
 
     rounds = _certified_rounds()
-    # find, straight from the artifacts, every rows-only green row
+    # find, straight from the artifacts, every rows-only green row —
+    # derive the artifact root exactly like the implementation does so
+    # the test holds in any checkout location, not just /root/repo
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(plans.__file__)))
+    )
     expected: dict[str, int] = {}
-    for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         rnd = int(re.search(r"r(\d+)\.json$", path).group(1))
         with open(path) as fh:
             data = json.load(fh)

@@ -3560,6 +3560,107 @@ FROM truth
 """
 
 
+def q184_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE recursive CTE (Spark 4's ``WITH RECURSIVE``,
+    SPARK-24497): walk the synthetic part hierarchy (parent =
+    ``p_partkey div 10``, roots are keys < 10 — every key reaches a
+    root via repeated integer division, so coverage is total and
+    acyclic by construction) and report the per-depth census with
+    exact integer cents and the distinct-root count.
+
+    q143 expresses recursive-CTE SEMANTICS through within-row
+    ancestor enumeration (valid only for path-enumerable parents);
+    this query exercises the engine's genuine fixpoint iteration —
+    the oracle is DuckDB's own ``WITH RECURSIVE``, so both engines
+    run real recursion. Depth here is ≤ 3 (keys < 10,000), far under
+    Spark's 100-step recursion guard.
+
+    Plan shape at 100 TB: each recursion step is one keyed
+    child-to-frontier join (the frontier is the previous step's
+    output, never the whole accumulated result) — Σ work is one pass
+    over the edge set per LEVEL, with level count = hierarchy depth,
+    exactly the bound a BOM/org walk needs.
+    """
+    t(spark, sf_dir, "part").createOrReplaceTempView("part_q184")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(pk, root, depth) AS (
+          SELECT p_partkey, p_partkey, 0 FROM part_q184 WHERE p_partkey < 10
+          UNION ALL
+          SELECT c.p_partkey, w.root, w.depth + 1
+          FROM part_q184 c JOIN walk w ON c.p_partkey div 10 = w.pk
+          WHERE c.p_partkey >= 10
+        )
+        SELECT w.depth,
+               COUNT(*) AS n_parts,
+               CAST(SUM(CAST(floor(p.p_retailprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents,
+               COUNT(DISTINCT w.root) AS n_roots
+        FROM walk w JOIN part_q184 p ON p.p_partkey = w.pk
+        GROUP BY w.depth ORDER BY w.depth
+        """
+    )
+
+
+O184 = """
+WITH RECURSIVE walk(pk, root, depth) AS (
+  SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey < 10
+  UNION ALL
+  SELECT c.p_partkey, w.root, w.depth + 1
+  FROM part c JOIN walk w ON c.p_partkey // 10 = w.pk
+  WHERE c.p_partkey >= 10
+)
+SELECT w.depth,
+       COUNT(*) AS n_parts,
+       CAST(SUM(CAST(floor(p.p_retailprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+       COUNT(DISTINCT w.root) AS n_roots
+FROM walk w JOIN part p ON p.p_partkey = w.pk
+GROUP BY w.depth ORDER BY w.depth
+"""
+
+
+def q185_variant_shredding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured JSON (the successor
+    to string-churning ``get_json_object``): ``try_parse_json`` turns
+    ``events.props`` into a binary variant ONCE, then typed
+    ``try_variant_get`` extractions read it without re-parsing — at
+    100 TB the parse happens once per row regardless of how many
+    fields downstream expressions pull, and malformed rows become
+    NULLs (errors-as-data), never task failures. q30 is the legacy
+    string-function twin.
+
+    The report buckets the extracted integer and aggregates per
+    (event_type, bucket) with exact integer sums — deterministic and
+    oracle-checkable against DuckDB's JSON extraction.
+    """
+    e = t(spark, sf_dir, "events").select(
+        "event_type", F.expr("try_parse_json(props)").alias("v")
+    )
+    k = F.expr("try_variant_get(v, '$.k', 'int')")
+    return (
+        e.withColumn("k", k)
+        .withColumn("k_bucket", F.col("k") % 10)
+        .groupBy("event_type", "k_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type", "k_bucket")
+    )
+
+
+O185 = """
+WITH x AS (
+  SELECT event_type, CAST(props->>'k' AS INT) AS k FROM events
+)
+SELECT event_type, k % 10 AS k_bucket, COUNT(*) AS n,
+       CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+FROM x GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = [
     Query("q50_exact_dedup", q50_exact_dedup, O50, "sha256 exact dedup"),
     Query("q51_fingerprint_dedup", q51_fingerprint_dedup, O51, "normalized fingerprint dedup"),
@@ -3659,4 +3760,10 @@ QUERIES = [
           "relational bloom-filter incremental crawl dedup (portable "
           "md5 bit positions, bit_or word table, broadcast probe; "
           "asserts no-false-negative in-plan, reports FP ppm)"),
+    Query("q184_recursive_hierarchy", q184_recursive_hierarchy, O184,
+          "native WITH RECURSIVE hierarchy walk (Spark 4 fixpoint vs "
+          "DuckDB recursion; per-depth census, exact cents)"),
+    Query("q185_variant_shredding", q185_variant_shredding, O185,
+          "Spark 4 VARIANT semi-structured path (try_parse_json once, "
+          "typed try_variant_get; errors-as-data)"),
 ]

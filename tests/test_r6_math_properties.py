@@ -1,0 +1,132 @@
+"""Property-based armor for round-6 algorithmic rewrites.
+
+Both tests mirror the exact integer arithmetic the Spark plans use
+(q127's PPJoin filters, q134's endpoint sweep) in pure Python and
+fuzz them with hypothesis against brute force — the oracle parity
+checks catch corpus-level regressions, these catch the adversarial
+edge cases a fixed corpus never hits (tie-heavy starts, boundary
+Jaccard values, prefix collisions at the last slot).
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# ---------------------------------------------------------------------------
+# q127: PPJoin prefix + length + positional filters are exact for τ = 4/5
+# ---------------------------------------------------------------------------
+
+
+def _prefix_len(n: int) -> int:
+    # n - ⌈4n/5⌉ + 1, in the plan's integer form
+    return n - (4 * n + 4) // 5 + 1
+
+
+def _ppjoin_keeps(A: list[int], B: list[int]) -> bool:
+    """Mirror of the q127 candidate join: elements are ints whose
+    value IS their global (df, shingle) rank; returns True iff at
+    least one prefix-collision row survives all three filters."""
+    na, nb = len(A), len(B)
+    if not (5 * nb >= 4 * na and 5 * na >= 4 * nb):  # length filter
+        return False
+    pa = {e: i + 1 for i, e in enumerate(sorted(A))}  # rn, 1-based
+    pb = {e: i + 1 for i, e in enumerate(sorted(B))}
+    pref_a = {e for e, r in pa.items() if r <= _prefix_len(na)}
+    pref_b = {e for e, r in pb.items() if r <= _prefix_len(nb)}
+    alpha = (4 * (na + nb) + 8) // 9  # ⌈4(na+nb)/9⌉
+    return any(
+        1 + min(na - pa[e], nb - pb[e]) >= alpha
+        for e in pref_a & pref_b  # prefix filter: collision rows only
+    )
+
+
+@st.composite
+def _similar_pair(draw):
+    """Set pairs biased toward the τ = 4/5 decision boundary: a base
+    set plus a few element swaps/drops/adds, over a small universe so
+    overlaps are common."""
+    universe = st.integers(0, 60)
+    base = draw(st.sets(universe, min_size=5, max_size=40))
+    a = set(base)
+    b = set(base)
+    for target in (a, b):
+        for _ in range(draw(st.integers(0, 3))):
+            op = draw(st.integers(0, 2))
+            if op == 0 and len(target) > 1:
+                target.remove(draw(st.sampled_from(sorted(target))))
+            elif op == 1:
+                target.add(draw(universe))
+    return sorted(a), sorted(b)
+
+
+@settings(max_examples=500, deadline=None)
+@given(_similar_pair())
+def test_ppjoin_filters_never_drop_a_qualifying_pair(pair):
+    A, B = pair
+    inter = len(set(A) & set(B))
+    union = len(set(A) | set(B))
+    qualifying = 5 * inter >= 4 * union  # Jaccard ≥ 4/5, exact
+    if qualifying:
+        assert _ppjoin_keeps(A, B), (
+            f"false negative: J={inter}/{union} but filters dropped "
+            f"A={A} B={B}"
+        )
+
+
+@settings(max_examples=200, deadline=None)
+@given(_similar_pair())
+def test_ppjoin_filters_only_prune_below_threshold(pair):
+    """Filters may keep non-qualifying pairs (the exact rescore culls
+    them), but anything they KEEP must at least pass the arithmetic
+    bounds they encode — i.e. a kept pair's sizes satisfy the length
+    inequality. (Soundness of the mirror itself.)"""
+    A, B = pair
+    if _ppjoin_keeps(A, B):
+        na, nb = len(A), len(B)
+        assert 5 * min(na, nb) >= 4 * max(na, nb)
+
+
+# ---------------------------------------------------------------------------
+# q134: endpoint-union sweep counts overlap pairs exactly
+# ---------------------------------------------------------------------------
+
+
+def _sweep_count(intervals: list[tuple[int, int]]) -> int:
+    """Mirror of the q134 plan: one pass over the sorted endpoint
+    union; a start at time x sees ends-at-x AFTER it (kind 0 < 1), so
+    ends_before counts only t_j < x — t_j == s_i counts as overlap."""
+    pts = []
+    for uid, (s, t) in enumerate(intervals):
+        pts.append((s, 0, uid))
+        pts.append((t, 1, uid))
+    starts_upto = ends_before = 0
+    total = 0
+    for _, kind, _ in sorted(pts):
+        if kind == 0:
+            starts_upto += 1
+            total += starts_upto - 1 - ends_before
+        else:
+            ends_before += 1
+    return total
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 50)).map(
+            lambda p: (min(p), max(p))
+        ),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_sweep_pair_count_matches_brute_force(intervals):
+    brute = sum(
+        1
+        for i in range(len(intervals))
+        for j in range(i + 1, len(intervals))
+        if intervals[i][0] <= intervals[j][1]
+        and intervals[j][0] <= intervals[i][1]
+    )
+    assert _sweep_count(intervals) == brute, intervals

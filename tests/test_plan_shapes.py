@@ -958,3 +958,34 @@ def test_q176_lift_never_self_joins_fact_and_reuses_baskets(spark):
     plan = _plan(q176_affinity_lift(spark, SF))
     assert plan.count("InMemoryTableScan") >= 3, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q183_bloom_word_table_broadcasts_never_sort_merges(spark):
+    # the ≤2048-row word table must reach the probe as a broadcast —
+    # a sort-merge there would shuffle the new batch on w for a table
+    # that fits in a closure; and nothing may cartesian
+    from polla_spark.plans.llmdata import q183_bloom_incremental_dedup
+
+    plan = _plan(q183_bloom_incremental_dedup(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q184_recursion_plans_as_union_loop(spark):
+    # the native recursive CTE must plan as the engine's fixpoint
+    # operator (UnionLoop), not an unrolled/cartesian imitation
+    from polla_spark.plans.llmdata import q184_recursive_hierarchy
+
+    plan = _plan(q184_recursive_hierarchy(spark, SF))
+    assert "UnionLoop" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q185_variant_single_agg_no_join_no_python(spark):
+    # parse-once variant shredding: one aggregation, no join, no
+    # Python boundary — the whole query is scan → project → agg
+    from polla_spark.plans.llmdata import q185_variant_shredding
+
+    plan = _plan(q185_variant_shredding(spark, SF))
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "MapInPandas" not in plan, plan

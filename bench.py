@@ -99,10 +99,13 @@ HEADLINE = [
     # RRF retrieval (postings shuffle + broadcast cosine arm + fusion)
     "q176_affinity_lift",
     "q179_hybrid_retrieval_rrf",
-    # r6 additions: trigram-LM likelihood filter (census join + doc agg)
-    # and the relational bloom incremental dedup (bit_or word table)
+    # r6 additions: trigram-LM likelihood filter (census join + doc agg),
+    # relational bloom incremental dedup (bit_or word table), native
+    # recursive CTE fixpoint, and variant shredding
     "q182_lm_likelihood_filter",
     "q183_bloom_incremental_dedup",
+    "q184_recursive_hierarchy",
+    "q185_variant_shredding",
 ]
 
 

@@ -3661,6 +3661,117 @@ FROM x GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q186_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution repetitiveness gate via the Simpson
+    index — the distributional complement to q88's duplicate-shingle
+    rule: a doc whose characters concentrate on few symbols (keyboard
+    mash, padding, ASCII art) scores high on Σp², low on diversity
+    1 − Σp². Shannon entropy is the textbook form but needs ``log``,
+    whose last-ulp behavior is not guaranteed identical across
+    engines; Simpson is a RATIONAL statistic — Σc²/n² in exact
+    integers until one final division — so both engines agree
+    bit-for-bit (the same reasoning that picked histogram-rank over
+    percentile elsewhere).
+
+    Plan shape at 100 TB: the per-char census is within-row
+    (split + explode is avoided — ``aggregate`` over the char array
+    would need a map; instead explode chars then ONE groupBy
+    (doc_id, ch) + doc-grain sum — two partial-agged shuffles whose
+    keys are uniform). Report = 15 least-diverse docs + the corpus
+    mean, deterministically tie-broken.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    census = d.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    per_doc = census.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_chars"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_c2"),
+    )
+    # diversity in ppm: 1e6 - (1e6 * Σc²) div n²  (floor, exact ints)
+    div_ppm = F.expr("1000000 - (1000000 * sum_c2) div (n_chars * n_chars)")
+    return (
+        per_doc.withColumn("diversity_ppm", div_ppm)
+        .orderBy("diversity_ppm", "doc_id")
+        .limit(15)
+        .select("doc_id", "n_chars", "sum_c2", "diversity_ppm")
+    )
+
+
+O186 = """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split_regex(text, '')) AS ch FROM documents
+), census AS (
+  SELECT doc_id, ch, COUNT(*) AS c FROM chars WHERE ch <> '' GROUP BY 1, 2
+), per_doc AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars,
+         CAST(SUM(c * c) AS BIGINT) AS sum_c2
+  FROM census GROUP BY 1
+)
+SELECT doc_id, n_chars, sum_c2,
+       1000000 - (1000000 * sum_c2) // (n_chars * n_chars) AS diversity_ppm
+FROM per_doc ORDER BY diversity_ppm, doc_id LIMIT 15
+"""
+
+
+def q187_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-proportion train/val/test assignment, stratified by
+    language: rank docs within each stratum by seeded md5 (the q120
+    portable-hash idiom — reproducible, content-addressed, no
+    ``rand()``), then cut at ⌊0.8n⌋ / ⌊0.9n⌋ so every stratum's split
+    sizes are exactly the floor proportions — q86's hash-GATED
+    sampling gets proportions only in expectation; evaluation splits
+    need them exact. Report: per (lang, split) counts + char mass.
+
+    Plan shape at 100 TB: one exchange on the stratum key for the
+    rank window, then the report agg rides the same partitioning.
+    The md5 rank makes assignment stable under reruns AND under
+    appends-at-the-tail (a new doc shifts only ranks above its hash).
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars",
+        F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))).alias("rk"),
+    )
+    w = Window.partitionBy("lang").orderBy("rk", "doc_id")
+    ranked = (
+        d.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("lang")))
+    )
+    split = (
+        F.when(F.col("rn") <= F.expr("(8 * n) div 10"), F.lit("train"))
+        .when(F.col("rn") <= F.expr("(9 * n) div 10"), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        ranked.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+O187 = """
+WITH ranked AS (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5('split:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN rn <= (8 * n) // 10 THEN 'train'
+            WHEN rn <= (9 * n) // 10 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM ranked GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = [
     Query("q50_exact_dedup", q50_exact_dedup, O50, "sha256 exact dedup"),
     Query("q51_fingerprint_dedup", q51_fingerprint_dedup, O51, "normalized fingerprint dedup"),
@@ -3766,4 +3877,10 @@ QUERIES = [
     Query("q185_variant_shredding", q185_variant_shredding, O185,
           "Spark 4 VARIANT semi-structured path (try_parse_json once, "
           "typed try_variant_get; errors-as-data)"),
+    Query("q186_simpson_diversity", q186_simpson_diversity, O186,
+          "char-distribution repetitiveness gate via the Simpson index "
+          "(rational arithmetic — no log, engine-exact)"),
+    Query("q187_stratified_split", q187_stratified_split, O187,
+          "exact-proportion stratified train/val/test assignment via "
+          "seeded-md5 ranking (floor cuts per stratum)"),
 ]

@@ -3673,28 +3673,17 @@ def q186_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit (the same reasoning that picked histogram-rank over
     percentile elsewhere).
 
-    Plan shape at 100 TB: the per-char census is within-row
-    (split + explode is avoided — ``aggregate`` over the char array
-    would need a map; instead explode chars then ONE groupBy
-    (doc_id, ch) + doc-grain sum — two partial-agged shuffles whose
-    keys are uniform). Report = 15 least-diverse docs + the corpus
-    mean, deterministically tie-broken.
+    Plan shape at 100 TB: explode chars within-row, then ONE groupBy
+    (doc_id, ch) census + a doc-grain sum — two partial-agged
+    shuffles whose keys are uniform. Report = 15 least-diverse docs,
+    deterministically tie-broken. Census + report live in
+    ``functions/diversity.py`` — shared with the streaming twin
+    (counts are merge-closed, so the streamed census is exact).
     """
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
-    ).filter(F.col("ch") != "")
-    census = d.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
-    per_doc = census.groupBy("doc_id").agg(
-        F.sum("c").cast("long").alias("n_chars"),
-        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_c2"),
-    )
-    # diversity in ppm: 1e6 - (1e6 * Σc²) div n²  (floor, exact ints)
-    div_ppm = F.expr("1000000 - (1000000 * sum_c2) div (n_chars * n_chars)")
-    return (
-        per_doc.withColumn("diversity_ppm", div_ppm)
-        .orderBy("diversity_ppm", "doc_id")
-        .limit(15)
-        .select("doc_id", "n_chars", "sum_c2", "diversity_ppm")
+    from ..functions.diversity import char_census, simpson_report
+
+    return simpson_report(
+        char_census(t(spark, sf_dir, "documents").select("doc_id", "text"))
     )
 
 

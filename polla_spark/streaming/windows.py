@@ -408,6 +408,29 @@ def finish_bloom_probe(word_updates: DataFrame, new_docs: DataFrame) -> DataFram
     )
 
 
+def char_census_partials(docs: DataFrame) -> DataFrame:
+    """Streaming twin of q186's Simpson-diversity gate (23rd twin):
+    the (doc_id, ch) character census is a plain merge-closed count —
+    it accumulates correctly even if one document's TEXT is split
+    across micro-batches (each fragment's chars just add). Census
+    comes from ``functions/diversity.py`` (shared with batch q186);
+    update mode, counts monotone, finisher max-collapses."""
+    from ..functions.diversity import char_census
+
+    return char_census(docs)
+
+
+def finish_simpson_diversity(updates: DataFrame) -> DataFrame:
+    """Read-time finisher ≡ q186: collapse update-mode census rows to
+    the newest count (max — monotone) and run the shared exact-integer
+    Simpson report over the census, which is (docs × alphabet)-sized,
+    never stream-sized per key."""
+    from ..functions.diversity import simpson_report
+
+    census = updates.groupBy("doc_id", "ch").agg(F.max("c").alias("c"))
+    return simpson_report(census)
+
+
 def histogram_median_partials(customers: DataFrame) -> DataFrame:
     """Streaming twin of q130's histogram-rank median (18th twin):
     the only data-sized stage is the same mergeable (segment, cents)

@@ -273,6 +273,40 @@ def test_quality_audit_stream_equals_q112(spark, tmp_path):
     assert _rows(got, keys) == _rows(q112_quality_audit(spark, SF_DIR), keys)
 
 
+def test_simpson_diversity_stream_equals_q186(spark, tmp_path):
+    """Streaming Simpson diversity (23rd twin) == batch q186 over a
+    multi-batch documents stream — including a doc whose TEXT is
+    fragmented across batches (the census is count-merge-closed at
+    the (doc_id, ch) grain, so fragments just add)."""
+    from polla_spark.plans.llmdata import q186_simpson_diversity
+    from polla_spark.session import read_table
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    rows = docs.collect()
+    d = tmp_path / "docs_stream"
+    for i in range(3):
+        spark.createDataFrame(rows[i::3], docs.schema).coalesce(1).write.parquet(
+            str(d / f"part{i}")
+        )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*/")
+    )
+    q = (
+        SW.char_census_partials(stream)
+        .writeStream.format("memory")
+        .queryName("char_census_updates")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = SW.finish_simpson_diversity(spark.table("char_census_updates"))
+    keys = ["doc_id", "n_chars", "sum_c2", "diversity_ppm"]
+    assert _rows(got, keys) == _rows(q186_simpson_diversity(spark, SF_DIR), keys)
+
+
 def test_bloom_build_stream_equals_q183(spark, tmp_path):
     """Streaming bloom build (22nd twin) == batch q183 over a
     multi-batch history stream: bit_or is associative, commutative

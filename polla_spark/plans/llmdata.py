@@ -3631,7 +3631,11 @@ def q185_variant_shredding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The report buckets the extracted integer and aggregates per
     (event_type, bucket) with exact integer sums — deterministic and
-    oracle-checkable against DuckDB's JSON extraction.
+    oracle-checkable against DuckDB's JSON extraction (the oracle
+    uses ``json_valid`` + ``TRY_CAST`` so BOTH engines NULL malformed
+    rows rather than the oracle hard-erroring where Spark nulls; the
+    corpus itself is clean JSON, so the malformed path is pinned by
+    tests/test_kernel_units.py over an in-memory frame instead).
     """
     e = t(spark, sf_dir, "events").select(
         "event_type", F.expr("try_parse_json(props)").alias("v")
@@ -3653,7 +3657,11 @@ def q185_variant_shredding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O185 = """
 WITH x AS (
-  SELECT event_type, CAST(props->>'k' AS INT) AS k FROM events
+  SELECT event_type,
+         CASE WHEN json_valid(props)
+                   AND json_type(props, '$.k') IN ('UBIGINT', 'BIGINT')
+              THEN TRY_CAST(props->>'k' AS INT) END AS k
+  FROM events
 )
 SELECT event_type, k % 10 AS k_bucket, COUNT(*) AS n,
        CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
@@ -3689,16 +3697,17 @@ def q186_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O186 = """
 WITH chars AS (
-  SELECT doc_id, unnest(string_split_regex(text, '')) AS ch FROM documents
+  SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS ch FROM documents
 ), census AS (
-  SELECT doc_id, ch, COUNT(*) AS c FROM chars WHERE ch <> '' GROUP BY 1, 2
+  SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2
 ), per_doc AS (
   SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars,
          CAST(SUM(c * c) AS BIGINT) AS sum_c2
   FROM census GROUP BY 1
 )
 SELECT doc_id, n_chars, sum_c2,
-       1000000 - (1000000 * sum_c2) // (n_chars * n_chars) AS diversity_ppm
+       CAST(1000000 - (1000000 * CAST(sum_c2 AS HUGEINT))
+            // (CAST(n_chars AS HUGEINT) * n_chars) AS BIGINT) AS diversity_ppm
 FROM per_doc ORDER BY diversity_ppm, doc_id LIMIT 15
 """
 
@@ -3714,8 +3723,12 @@ def q187_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape at 100 TB: one exchange on the stratum key for the
     rank window, then the report agg rides the same partitioning.
-    The md5 rank makes assignment stable under reruns AND under
-    appends-at-the-tail (a new doc shifts only ranks above its hash).
+    The md5 rank makes assignment stable under RERUNS over the same
+    corpus; under APPENDS only the rank ORDER is stable — the floor
+    cuts move with n, so docs at a cut boundary can migrate between
+    splits (an inherent property of exact-proportion cuts, not of
+    this plan). Freezing an eval split across ingests therefore
+    still requires snapshotting the assignment, as is standard.
     """
     d = t(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars",

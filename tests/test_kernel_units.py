@@ -170,3 +170,52 @@ def test_multimodal_resize_kernels():
     # without PIL in the image, the default resolves to the fake
     kernel = default_resize()
     assert kernel(blob, 2, 2)[0]
+
+
+def test_variant_try_semantics_null_malformed_rows(spark):
+    """q185's errors-as-data contract on inputs the clean corpus never
+    provides: malformed JSON, a fractional k, and a missing key must
+    all become NULL k (grouped under a NULL bucket), never a task
+    failure — and the oracle's json_valid + json_type + TRY_CAST
+    mirror must agree, checked here against DuckDB directly. The
+    json_type guard matters: writing the oracle as a bare TRY_CAST
+    of the ->> text made DuckDB ROUND a quoted "3.7" to 4 where
+    Spark's try_variant_get nulls it — this test caught that."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("view", '{"k": 7}'),
+        ("view", "{not json"),
+        ("view", '{"k": "3.7"}'),
+        ("view", '{"other": 1}'),
+        ("view", None),
+    ]
+    e = spark.createDataFrame(rows, "event_type string, props string")
+    got = (
+        e.select(
+            "event_type",
+            F.expr(
+                "try_variant_get(try_parse_json(props), '$.k', 'int')"
+            ).alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("k").alias("n_valid"),
+            F.sum("k").alias("sum_k"),
+        )
+        .collect()[0]
+    )
+    assert (got["n"], got["n_valid"], got["sum_k"]) == (5, 1, 7)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (event_type VARCHAR, props VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = con.execute(
+        "SELECT COUNT(*), COUNT(k), SUM(k) FROM ("
+        "  SELECT CASE WHEN json_valid(props)"
+        "              AND json_type(props, '$.k') IN ('UBIGINT', 'BIGINT')"
+        "         THEN TRY_CAST(props->>'k' AS INT) END AS k"
+        "  FROM t)"
+    ).fetchone()
+    assert (got["n"], got["n_valid"], got["sum_k"]) == want

@@ -284,8 +284,17 @@ def test_simpson_diversity_stream_equals_q186(spark, tmp_path):
     docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
     rows = docs.collect()
     d = tmp_path / "docs_stream"
+    # batch i carries the i-th THIRD of every doc's text (character
+    # ranges, same doc_id in all three batches) — the genuinely
+    # fragmented case the merge-closure claim is about, not a
+    # whole-row round-robin where each doc arrives intact
     for i in range(3):
-        spark.createDataFrame(rows[i::3], docs.schema).coalesce(1).write.parquet(
+        frags = []
+        for r in rows:
+            n = len(r["text"])
+            lo, hi = (i * n) // 3, ((i + 1) * n) // 3
+            frags.append((r["doc_id"], r["text"][lo:hi]))
+        spark.createDataFrame(frags, docs.schema).coalesce(1).write.parquet(
             str(d / f"part{i}")
         )
     stream = (

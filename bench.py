@@ -106,6 +106,8 @@ HEADLINE = [
     "q183_bloom_incremental_dedup",
     "q184_recursive_hierarchy",
     "q185_variant_shredding",
+    "q186_simpson_diversity",
+    "q187_stratified_split",
 ]
 
 

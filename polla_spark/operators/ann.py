@@ -439,6 +439,23 @@ def write_ivf_pq(
     write_parquet(enc, path, partition_by=["cell"])
 
 
+def append_ivf_pq(
+    new_batch: DataFrame, centroids, codebooks, path: str, spark: SparkSession
+) -> None:
+    """Incremental IVF-PQ maintenance: assign + PQ-encode a NEW batch
+    against the EXISTING centroids/codebooks and append into the
+    cell-partitioned layout — the daily-ingest path, mirroring
+    :func:`append_ivf_kmeans`. Assignment and encoding are both
+    deterministic per-row functions of the frozen quantizers, so an
+    appended index is IDENTICAL (rows and codes) to a from-scratch
+    rebuild over the union — pinned in tests/test_ivf_layout.py.
+    Quantizers are refit rarely (recall-monitor driven); ingest never
+    re-touches existing cells beyond the dynamic-partition append."""
+    cdf = _centroid_frame(spark, centroids)
+    enc = pq_encode(assign_cells(new_batch, cdf), codebooks, spark)
+    enc.write.mode("append").partitionBy("cell").parquet(path)
+
+
 def probe_ivf_pq(
     spark: SparkSession,
     index_path: str,

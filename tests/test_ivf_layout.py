@@ -462,3 +462,61 @@ def test_multiprobe_improves_recall_while_pruning(spark, tmp_path):
         F.col("code").isin(list(probe_codes))
     ).select(F.input_file_name().alias("f")).distinct().count()
     assert files < len(spark.read.parquet(out).inputFiles())
+
+
+def test_pq_append_equals_rebuild(spark, tmp_path):
+    """append_ivf_pq: assignment AND PQ codes are deterministic
+    per-row functions of the frozen quantizers, so an appended index
+    must probe identically to a from-scratch rebuild — and the stored
+    codes themselves must match row-for-row (a stronger pin than the
+    probe: a code drift the shortlist happens to absorb still fails
+    here). The append may only add files, never rewrite base cells."""
+    from polla_spark.operators.ann import (
+        append_ivf_pq,
+        fit_centroids,
+        fit_pq_codebooks,
+        probe_ivf_pq,
+        write_ivf_pq,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = e.filter(F.col("vec_id") < 400)
+    batch = e.filter(F.col("vec_id") >= 400)
+    cents = fit_centroids(base, k=64)  # quantizers fit BEFORE the batch
+    books = fit_pq_codebooks(base, m=4, ksub=128)
+
+    inc = str(tmp_path / "pq_inc")
+    write_ivf_pq(base, cents, books, inc, spark)
+    files_before = set(spark.read.parquet(inc).inputFiles())
+    append_ivf_pq(batch, cents, books, inc, spark)
+    files_after = set(spark.read.parquet(inc).inputFiles())
+    assert files_before <= files_after
+    assert len(files_after) > len(files_before)
+
+    full = str(tmp_path / "pq_full")
+    write_ivf_pq(e, cents, books, full, spark)
+
+    def codes(path):
+        return {
+            r["vec_id"]: (r["cell"], tuple(r["pq_codes"]), r["pq_norm2"])
+            for r in spark.read.parquet(path)
+            .select("vec_id", "cell", "pq_codes", "pq_norm2")
+            .collect()
+        }
+
+    assert codes(inc) == codes(full)
+
+    queries = e.filter(F.col("vec_id").isin(0, 1, 2))
+    got = [
+        tuple(r)
+        for r in probe_ivf_pq(
+            spark, inc, queries, cents, books, k=3, nprobe=8
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in probe_ivf_pq(
+            spark, full, queries, cents, books, k=3, nprobe=8
+        ).collect()
+    ]
+    assert got == want and got

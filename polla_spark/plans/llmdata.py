@@ -3774,6 +3774,92 @@ FROM ranked GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q188_countmin_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch token-frequency estimation, verified against
+    the exact census — the fixed-memory twin of q175's exact heavy
+    hitters, the same relationship q177's MG sketch has to it but
+    with a crucial difference: CM counters are SUMS of seeded-md5
+    coordinate hits, so the sketch is deterministic under ANY input
+    order or partitioning and therefore oracle-EXACT (MG/KLL
+    estimates are partitioning-dependent → rows-only; CM is not).
+
+    Build: each token occurrence fans into ``CM_D = 4`` (row, pos)
+    cells (seeded md5 % ``CM_W = 2048`` — the q120/q183 portable-hash
+    idiom) and ONE fixed-keyspace count aggregation yields the ≤8192-
+    row sketch. Map-side combine collapses every input partition to
+    ≤8192 rows before the exchange, so the shuffle is O(partitions ×
+    cells) at ANY corpus size and token cardinality — the 100 TB
+    estimation shape where q175's census shuffle grows with distinct-
+    token count (URLs, UUIDs, raw n-grams). Probe: broadcast the tiny
+    sketch, min over the 4 rows.
+
+    The report point-queries the 20 most frequent tokens: true count,
+    estimate, and the collision overcount. ``est ≥ true`` is
+    STRUCTURAL (a counter only ever gains collision mass) and the
+    plan asserts it per probe via ``F.assert_true`` — an estimate
+    below truth is an implementation regression, never sketch noise.
+    The exact census here exists only to verify/report; production
+    builds the sketch alone. Kernels in ``functions/cmsketch.py`` —
+    shared with the streaming twin (counters are merge-closed sums,
+    so the streamed sketch equals this batch one EXACTLY).
+    """
+    from ..functions.cmsketch import cm_estimate, cm_sketch
+
+    tok = t(spark, sf_dir, "documents").select(
+        F.explode(_toks()).alias("term")
+    )
+    census = tok.groupBy("term").agg(F.count("*").alias("n_true"))
+    probes = census.orderBy(F.desc("n_true"), "term").limit(20)
+    est = cm_estimate(probes.select("term"), cm_sketch(tok))
+    return (
+        probes.join(est, "term")
+        .filter(
+            F.coalesce(
+                F.assert_true(
+                    F.col("est") >= F.col("n_true"),
+                    F.lit("q188: CM estimate BELOW true count"),
+                ),
+                F.lit(True),
+            )
+        )
+        .withColumn("overcount", F.col("est") - F.col("n_true"))
+        .select("term", "n_true", "est", "overcount")
+        .orderBy(F.desc("n_true"), "term")
+    )
+
+
+from ..functions.cmsketch import CM_D as _CM_D, CM_W as _CM_W  # noqa: E402
+
+O188 = f"""
+WITH tok AS (
+  SELECT unnest({TOKS}) AS term FROM documents
+), census AS (
+  SELECT term, COUNT(*) AS n_true FROM tok GROUP BY 1
+), probes AS (
+  SELECT term, n_true FROM census ORDER BY n_true DESC, term LIMIT 20
+), pos AS (
+  SELECT term, t.i AS r,
+         CAST(from_hex(substr(md5(term || ':cm' || CAST(t.i AS VARCHAR)), 1, 8)) AS BIT)::BIGINT
+         % {_CM_W} AS pos
+  FROM tok, unnest([{", ".join(str(i) for i in range(1, _CM_D + 1))}]) AS t(i)
+), sketch AS (
+  SELECT r, pos, COUNT(*) AS counter FROM pos GROUP BY 1, 2
+), ppos AS (
+  SELECT p.term, t.i AS r,
+         CAST(from_hex(substr(md5(p.term || ':cm' || CAST(t.i AS VARCHAR)), 1, 8)) AS BIT)::BIGINT
+         % {_CM_W} AS pos
+  FROM probes p, unnest([{", ".join(str(i) for i in range(1, _CM_D + 1))}]) AS t(i)
+), est AS (
+  SELECT ppos.term, MIN(COALESCE(s.counter, 0)) AS est
+  FROM ppos LEFT JOIN sketch s ON s.r = ppos.r AND s.pos = ppos.pos
+  GROUP BY 1
+)
+SELECT p.term, p.n_true, e.est, e.est - p.n_true AS overcount
+FROM probes p JOIN est e ON e.term = p.term
+ORDER BY p.n_true DESC, p.term
+"""
+
+
 QUERIES = [
     Query("q50_exact_dedup", q50_exact_dedup, O50, "sha256 exact dedup"),
     Query("q51_fingerprint_dedup", q51_fingerprint_dedup, O51, "normalized fingerprint dedup"),
@@ -3885,4 +3971,8 @@ QUERIES = [
     Query("q187_stratified_split", q187_stratified_split, O187,
           "exact-proportion stratified train/val/test assignment via "
           "seeded-md5 ranking (floor cuts per stratum)"),
+    Query("q188_countmin_frequency", q188_countmin_frequency, O188,
+          "count-min-sketch token frequencies vs the exact census "
+          "(deterministic seeded-md5 cells -> oracle-exact; asserts "
+          "est >= true in-plan, reports collision overcount)"),
 ]

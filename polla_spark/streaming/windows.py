@@ -431,6 +431,39 @@ def finish_simpson_diversity(updates: DataFrame) -> DataFrame:
     return simpson_report(census)
 
 
+def cm_sketch_partials(docs: DataFrame) -> DataFrame:
+    """Streaming twin of q188's count-min build (24th twin): token
+    occurrences from the document stream fold into the same fixed
+    ≤``CM_D × CM_W``-row counter table via a streaming count
+    aggregation — ``functions/cmsketch.py`` is the one source of
+    truth for geometry and coordinates. Counters are SUMS
+    (associative + commutative), so the streamed sketch over any
+    micro-batch cut of the corpus is IDENTICAL to a one-shot batch
+    build — and state is capped at 8192 longs at ANY corpus size or
+    token cardinality, the property that makes CM the streaming
+    frequency sketch. Update mode; counters monotone; no watermark."""
+    from ..functions.cmsketch import cm_sketch
+
+    return cm_sketch(
+        docs.select(F.explode(F.split(F.col("text"), "\\s+")).alias("term"))
+    )
+
+
+def finish_cm_estimate(updates: DataFrame, probes: DataFrame) -> DataFrame:
+    """Read-time finisher ≡ q188's probe: collapse update-mode
+    counter versions to the newest value (max — counters are
+    monotone) and point-query the probe terms through the shared
+    broadcast-min estimator. ``est ≥ true`` holds mid-stream for the
+    PREFIX the sketch has absorbed (counters only grow), and the
+    collapsed final table gives exactly the batch estimates."""
+    from ..functions.cmsketch import cm_estimate
+
+    sketch = updates.groupBy("r", "pos").agg(
+        F.max("counter").alias("counter")
+    )
+    return cm_estimate(probes, sketch)
+
+
 def histogram_median_partials(customers: DataFrame) -> DataFrame:
     """Streaming twin of q130's histogram-rank median (18th twin):
     the only data-sized stage is the same mergeable (segment, cents)

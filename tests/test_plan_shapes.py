@@ -971,6 +971,19 @@ def test_q183_bloom_word_table_broadcasts_never_sort_merges(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_q188_cm_sketch_partial_aggs_and_broadcasts(spark):
+    # the fixed-keyspace sketch agg must partial-aggregate (map-side
+    # combine collapses each partition to <=8192 cells BEFORE the
+    # exchange — the whole 100 TB story), the <=8192-row sketch must
+    # reach the probe as a broadcast, and nothing may cartesian
+    from polla_spark.plans.llmdata import q188_countmin_frequency
+
+    plan = _plan(q188_countmin_frequency(spark, SF))
+    assert "partial_count" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_q184_recursion_plans_as_union_loop(spark):
     # the native recursive CTE must plan as the engine's fixpoint
     # operator (UnionLoop), not an unrolled/cartesian imitation

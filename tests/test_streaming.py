@@ -370,6 +370,62 @@ def test_bloom_build_stream_equals_q183(spark, tmp_path):
     assert _rows(got_flags, keys) == _rows(want_flags, keys)
 
 
+def test_cm_sketch_stream_equals_q188(spark, tmp_path):
+    """Streaming count-min build (24th twin): counters are sums, so
+    the streamed sketch over a 3-batch document stream must be
+    IDENTICAL to the one-shot batch sketch (cell for cell), and the
+    finisher's probe estimates must equal the batch estimator's.
+    Geometry + kernels shared via functions/cmsketch.py."""
+    from polla_spark.functions.cmsketch import cm_estimate, cm_sketch
+    from polla_spark.session import read_table
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    rows = docs.collect()
+    d = tmp_path / "cm_stream"
+    for i in range(3):
+        spark.createDataFrame(rows[i::3], docs.schema).coalesce(1).write.parquet(
+            str(d / f"part{i}")
+        )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*/")
+    )
+    q = (
+        SW.cm_sketch_partials(stream)
+        .writeStream.format("memory")
+        .queryName("cm_updates")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    tok = docs.select(F.explode(F.split(F.col("text"), "\\s+")).alias("term"))
+    batch_sketch = cm_sketch(tok)
+    streamed_sketch = (
+        spark.table("cm_updates")
+        .groupBy("r", "pos")
+        .agg(F.max("counter").alias("counter"))
+    )
+    keys = ["r", "pos", "counter"]
+    assert _rows(streamed_sketch, keys) == _rows(batch_sketch, keys)
+    probes = (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("n_true"))
+        .orderBy(F.desc("n_true"), "term")
+        .limit(20)
+    )
+    got_est = SW.finish_cm_estimate(spark.table("cm_updates"), probes.select("term"))
+    want_est = cm_estimate(probes.select("term"), batch_sketch)
+    keys = ["term", "est"]
+    assert _rows(got_est, keys) == _rows(want_est, keys)
+    # est >= true: the structural one-sided guarantee, checked on the
+    # streamed estimates against the exact census
+    merged = {r["term"]: r["est"] for r in got_est.collect()}
+    for r in probes.collect():
+        assert merged[r["term"]] >= r["n_true"]
+
+
 def test_hll_distinct_stream_equals_batch_sketch(spark, tmp_path, batch_events):
     """Streaming HLL distinct sketches (20th twin): HLL union is
     LOSSLESS (register-wise max), so the streamed estimate over a

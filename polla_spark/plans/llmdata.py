@@ -3860,6 +3860,101 @@ ORDER BY p.n_true DESC, p.term
 """
 
 
+def q189_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-SPAN detection — the substring-granular dedup
+    of Lee et al.'s "Deduplicating Training Data Makes Language
+    Models Better" (ExactSubstr), re-expressed for a cluster: their
+    single-node suffix array becomes a corpus-wide k-token-gram
+    census. A span is duplicated if its gram occurs ≥2 times ANYWHERE
+    in the corpus (cross-doc boilerplate or within-doc repetition);
+    per doc, the covered token mass is the UNION of the [pos, pos+k)
+    intervals of its duplicated gram starts — q153's sweep idiom
+    specialised to equal-length intervals (sorted starts: each start
+    contributes min(k, next_start − start), the last contributes k).
+
+    This catches what doc-level MinHash (q52/q53) structurally cannot:
+    two long documents sharing one boilerplate paragraph have low
+    doc-level Jaccard but a high duplicated-span fraction — the
+    statistic used to CUT spans, not drop docs.
+
+    Plan shape at 100 TB: grams build WITHIN-ROW (transform over
+    sequence + slice — no join, no shuffle); the gram census is one
+    partial-agged shuffle on the uniform md5 key; duplicated-gram
+    occurrences come back via one semi-shaped join on the same key;
+    the coverage sweep is one doc-keyed window. Every exchange key is
+    uniform; nothing is pairwise. Report: the 20 most-duplicated docs
+    by ppm coverage (exact integer floor-div — engine-identical).
+    """
+    K = 8
+    d = t(spark, sf_dir, "documents").withColumn("_toks", _toks())
+    docs = d.select("doc_id", F.size("_toks").cast("long").alias("n_toks"))
+    g_arr = F.expr(
+        f"transform(sequence(1, size(_toks) - {K - 1}), "
+        f"i -> md5(concat_ws(' ', slice(_toks, i, {K}))))"
+    )
+    grams = (
+        d.filter(F.size("_toks") >= K)
+        .select("doc_id", F.posexplode(g_arr).alias("p0", "g"))
+        .select("doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "g")
+    )
+    dup = grams.groupBy("g").agg(F.count("*").alias("n_occ")).filter(
+        F.col("n_occ") >= 2
+    )
+    occ = grams.join(dup.select("g"), "g").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    contrib = F.least(
+        F.lit(K).cast("long"),
+        F.coalesce(F.lead("pos").over(w) - F.col("pos"), F.lit(K).cast("long")),
+    )
+    cov = (
+        occ.withColumn("c", contrib)
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("dup_tokens"))
+    )
+    return (
+        docs.join(cov, "doc_id", "left")
+        .withColumn("dup_tokens", F.coalesce("dup_tokens", F.lit(0)).cast("long"))
+        .withColumn(
+            "dup_ppm",
+            F.expr("(1000000 * dup_tokens) div greatest(n_toks, 1)"),
+        )
+        .orderBy(F.desc("dup_ppm"), "doc_id")
+        .limit(20)
+        .select("doc_id", "n_toks", "dup_tokens", "dup_ppm")
+    )
+
+
+O189 = f"""
+WITH d AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+), docs AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks FROM d
+), grams AS (
+  SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+         md5(array_to_string(toks[t.i : t.i + 7], ' ')) AS g
+  FROM d, unnest(range(1, len(toks) - 6)) AS t(i)
+  WHERE len(toks) >= 8
+), dup AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2
+), occ AS (
+  SELECT doc_id, pos FROM grams JOIN dup USING (g)
+), swept AS (
+  SELECT doc_id, pos,
+         LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM occ
+), cov AS (
+  SELECT doc_id, SUM(LEAST(8, COALESCE(nxt - pos, 8))) AS dup_tokens
+  FROM swept GROUP BY doc_id
+)
+SELECT d.doc_id, d.n_toks,
+       CAST(COALESCE(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       (1000000 * CAST(COALESCE(c.dup_tokens, 0) AS BIGINT))
+         // GREATEST(d.n_toks, 1) AS dup_ppm
+FROM docs d LEFT JOIN cov c USING (doc_id)
+ORDER BY dup_ppm DESC, doc_id LIMIT 20
+"""
+
+
 QUERIES = [
     Query("q50_exact_dedup", q50_exact_dedup, O50, "sha256 exact dedup"),
     Query("q51_fingerprint_dedup", q51_fingerprint_dedup, O51, "normalized fingerprint dedup"),
@@ -3975,4 +4070,8 @@ QUERIES = [
           "count-min-sketch token frequencies vs the exact census "
           "(deterministic seeded-md5 cells -> oracle-exact; asserts "
           "est >= true in-plan, reports collision overcount)"),
+    Query("q189_duplicate_spans", q189_duplicate_spans, O189,
+          "exact duplicate-span detection (ExactSubstr semantics: "
+          "k-gram census + semi-join + interval-union coverage sweep; "
+          "catches shared boilerplate doc-level MinHash cannot)"),
 ]

@@ -984,6 +984,19 @@ def test_q188_cm_sketch_partial_aggs_and_broadcasts(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_q189_duplicate_spans_no_cartesian_one_window(spark):
+    # the gram stream must meet the duplicated-gram keys via a keyed
+    # join (never cartesian/nested-loop), the census must partial-
+    # aggregate, and coverage is exactly one window sweep
+    from polla_spark.plans.llmdata import q189_duplicate_spans
+
+    plan = _plan(q189_duplicate_spans(spark, SF))
+    assert "partial_count" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert plan.count("Window") >= 1, plan
+
+
 def test_q184_recursion_plans_as_union_loop(spark):
     # the native recursive CTE must plan as the engine's fixpoint
     # operator (UnionLoop), not an unrolled/cartesian imitation

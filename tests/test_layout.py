@@ -65,3 +65,62 @@ def test_clustering_cost_is_one_exchange(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange rangepartitioning") == 1, plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_zorder_prunes_both_dimensions_linear_only_one(spark, tmp_path):
+    """Z-order layout (write_zorder): a 5% slice on EITHER clustered
+    column must overlap well under half the row groups, where the
+    linear sort prunes its one leading column near-perfectly and the
+    other not at all — the measured statement of why multi-dimension
+    filter tables Z-ORDER instead of sorting. Same rows, same
+    row-group size, footers measured directly (pyarrow)."""
+    from polla_spark.operators.layout import write_zorder
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    zp, lp = str(tmp_path / "z"), str(tmp_path / "lin")
+    write_zorder(li, zp, ["l_orderkey", "l_partkey"], block_bytes=32 * 1024)
+    write_clustered(li, lp, ["l_orderkey"], block_bytes=32 * 1024)
+
+    hi_ok = li.agg(F.max("l_orderkey")).collect()[0][0] // 20  # ~5% slices
+    hi_pk = li.agg(F.max("l_partkey")).collect()[0][0] // 20
+    frac = lambda p, c, hi: overlap_fraction(  # noqa: E731
+        rowgroup_ranges(p, c), 0, hi
+    )
+    z_ok, z_pk = frac(zp, "l_orderkey", hi_ok), frac(zp, "l_partkey", hi_pk)
+    l_ok, l_pk = frac(lp, "l_orderkey", hi_ok), frac(lp, "l_partkey", hi_pk)
+    assert len(rowgroup_ranges(zp, "l_orderkey")) >= 16
+    # z-curve: BOTH dimensions prune (measured 0.24 / 0.15)
+    assert z_ok <= 0.45 and z_pk <= 0.45, (z_ok, z_pk)
+    # linear: leading column near-perfect, the other untouched
+    assert l_ok <= 0.2, l_ok
+    assert l_pk >= 0.9, l_pk
+    # same rows either way
+    a = sorted(tuple(r) for r in spark.read.parquet(zp).collect())
+    b = sorted(tuple(r) for r in li.collect())
+    assert a == b
+
+
+def test_zorder_cost_is_one_exchange_no_python(spark):
+    # the Morton key is pure JVM integer/bit expressions inside one
+    # range exchange — no Python boundary, no extra shuffle
+    from pyspark.sql import functions as F2
+
+    from polla_spark.operators.layout import zorder_key
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    df = (
+        li.withColumn(
+            "_z",
+            zorder_key(F2.col("l_orderkey"), F2.col("l_partkey"), 0, 1499, 0, 199),
+        )
+        .repartitionByRange(4, "_z")
+        .sortWithinPartitions("_z")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange rangepartitioning") == 1, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan

@@ -3955,6 +3955,135 @@ ORDER BY dup_ppm DESC, doc_id LIMIT 20
 """
 
 
+def q190_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-CONTAINMENT join: ordered pairs (A, B) where
+    C(A,B) = |A∩B| / |A| ≥ 4/5 over distinct 3-token shingles —
+    Broder's asymmetric near-dup relation. This catches SUBSUMPTION
+    that symmetric Jaccard (q127) structurally cannot: an article
+    republished inside a longer page has C(article, page) ≈ 1 but
+    Jaccard ≈ |A|/|B|, far below any sane τ — exactly the
+    quote/aggregator/boilerplate-wrapper case an LLM dedup pass must
+    catch without dropping genuinely new long docs.
+
+    Candidates by the asymmetric prefix principle: overlap ≥ t =
+    ⌈τ·|A|⌉ forces A's (|A| − t + 1) globally-rarest shingles to hit
+    B's FULL set (pigeonhole on A's rarity order alone — B's side
+    cannot be prefix-truncated because t depends on |A|, the honest
+    asymmetry of containment joins). Two exact filters prune the
+    collision stream in pure integer arithmetic: |B| ≥ t (overlap
+    can't exceed |B|), and the q127 positional bound — both sides
+    rank in the SAME global (df, shingle) order, so a collision at
+    (rn_a, rn_b) caps overlap at 1 + min(na − rn_a, nb − rn_b), and a
+    qualifying pair's first common prefix element always passes.
+    Rescore = exact intersection, integer filter 5·|A∩B| ≥ 4·|A|.
+
+    Plan shape at 100 TB: df census shuffle + rank window + prefix-
+    probe-to-full-index keyed join + exact rescore on candidates only
+    — never all-pairs. The oracle is deliberately prefix-only (no
+    length/positional filters): same answer through strictly more
+    candidates, so a filter bug surfaces as a driver hash mismatch
+    (q127's discipline).
+    """
+    d = (
+        t(spark, sf_dir, "documents")
+        .withColumn("_toks", _toks())
+        .withColumn("sh", F.array_distinct(F.expr(_shingles_expr())))
+        .select("doc_id", "sh")
+    ).persist()
+    toks = d.select(
+        "doc_id", F.size("sh").alias("ntok"), F.explode("sh").alias("shingle")
+    )
+    dfreq = toks.groupBy("shingle").agg(F.count("*").alias("df"))
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    # Persisted: ranked feeds BOTH the probe prefix and the full
+    # index side; without it the census join + rank window run twice.
+    # Ranks are assigned over ALL shingles, but the JOIN inputs then
+    # drop df = 1 shingles — a shingle in exactly one doc cannot
+    # produce a cross-doc collision, and at avg df ≈ 1.6 the
+    # majority of the full-index stream is df = 1.
+    ranked = (
+        toks.join(dfreq, "shingle")
+        .withColumn("rn", F.row_number().over(wdoc))
+        .persist()
+    )
+    # A-side probe prefix: rn ≤ na − t + 1, t = ⌈4·na/5⌉
+    pref_a = ranked.filter(
+        (F.col("df") >= 2)
+        & (F.col("rn") <= F.col("ntok") - F.expr("(4 * ntok + 4) div 5") + 1)
+    )
+    ca = pref_a.select(
+        F.col("doc_id").alias("doc_a"), "shingle",
+        F.col("rn").alias("rn_a"), F.col("ntok").alias("na"),
+    )
+    cb = ranked.filter(F.col("df") >= 2).select(
+        F.col("doc_id").alias("doc_b"), "shingle",
+        F.col("rn").alias("rn_b"), F.col("ntok").alias("nb"),
+    )
+    cand = (
+        ca.join(cb, "shingle")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        # container size filter: overlap ≤ nb, so nb ≥ t
+        .filter(F.col("nb") >= F.expr("(4 * na + 4) div 5"))
+        # positional filter: attainable overlap from this collision
+        .filter(
+            1 + F.least(F.col("na") - F.col("rn_a"), F.col("nb") - F.col("rn_b"))
+            >= F.expr("(4 * na + 4) div 5")
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    da = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    db = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .filter(5 * inter >= 4 * F.size("sha"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size("sha").cast("long").alias("na"),
+            F.size("shb").cast("long").alias("nb"),
+            inter.cast("long").alias("inter"),
+            F.expr("(1000000 * cast(size(array_intersect(sha, shb)) as bigint))"
+                   " div size(sha)").alias("cont_ppm"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+O190 = f"""
+WITH docs AS (
+  SELECT doc_id, list_distinct({_DUCK_SHINGLES}) AS sh FROM documents
+), toks AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM docs
+), dfq AS (
+  SELECT shingle, COUNT(*) AS df FROM toks GROUP BY 1
+), ranked AS (
+  SELECT t.doc_id, t.shingle,
+         ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY dfq.df, t.shingle) AS rn,
+         COUNT(*) OVER (PARTITION BY t.doc_id) AS ntok
+  FROM toks t JOIN dfq USING (shingle)
+), pref AS (
+  SELECT doc_id, shingle FROM ranked WHERE rn <= ntok - (4 * ntok + 4) // 5 + 1
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM pref a JOIN ranked r ON a.shingle = r.shingle AND a.doc_id <> r.doc_id
+), scored AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(len(da.sh) AS BIGINT) AS na,
+         CAST(len(db.sh) AS BIGINT) AS nb,
+         CAST(len(list_intersect(da.sh, db.sh)) AS BIGINT) AS inter
+  FROM cand c
+  JOIN docs da ON da.doc_id = c.doc_a
+  JOIN docs db ON db.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, na, nb, inter, (1000000 * inter) // na AS cont_ppm
+FROM scored WHERE 5 * inter >= 4 * na
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = [
     Query("q50_exact_dedup", q50_exact_dedup, O50, "sha256 exact dedup"),
     Query("q51_fingerprint_dedup", q51_fingerprint_dedup, O51, "normalized fingerprint dedup"),
@@ -4070,6 +4199,10 @@ QUERIES = [
           "count-min-sketch token frequencies vs the exact census "
           "(deterministic seeded-md5 cells -> oracle-exact; asserts "
           "est >= true in-plan, reports collision overcount)"),
+    Query("q190_containment_join", q190_containment_join, O190,
+          "exact set-containment join (asymmetric near-dup: A-prefix "
+          "probes B's full index; catches subsumption symmetric "
+          "Jaccard cannot; integer filters, prefix-only oracle)"),
     Query("q189_duplicate_spans", q189_duplicate_spans, O189,
           "exact duplicate-span detection (ExactSubstr semantics: "
           "k-gram census + semi-join + interval-union coverage sweep; "

@@ -997,6 +997,18 @@ def test_q189_duplicate_spans_no_cartesian_one_window(spark):
     assert plan.count("Window") >= 1, plan
 
 
+def test_q190_containment_join_never_cartesian_reuses_ranked(spark):
+    # the probe-prefix and full-index sides must meet in a keyed join
+    # (never cartesian/nested-loop) and the persisted ranked table
+    # must feed both sides from cache
+    from polla_spark.plans.llmdata import q190_containment_join
+
+    plan = _plan(q190_containment_join(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert plan.count("InMemoryTableScan") >= 2, plan
+
+
 def test_q184_recursion_plans_as_union_loop(spark):
     # the native recursive CTE must plan as the engine's fixpoint
     # operator (UnionLoop), not an unrolled/cartesian imitation

@@ -3884,44 +3884,16 @@ def q189_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the coverage sweep is one doc-keyed window. Every exchange key is
     uniform; nothing is pairwise. Report: the 20 most-duplicated docs
     by ppm coverage (exact integer floor-div — engine-identical).
+
+    Kernels live in ``functions/spans.py`` — shared with the
+    streaming twin (the census is a merge-closed count, so a streamed
+    census over whole-doc micro-batches equals this batch one
+    EXACTLY).
     """
-    K = 8
-    d = t(spark, sf_dir, "documents").withColumn("_toks", _toks())
-    docs = d.select("doc_id", F.size("_toks").cast("long").alias("n_toks"))
-    g_arr = F.expr(
-        f"transform(sequence(1, size(_toks) - {K - 1}), "
-        f"i -> md5(concat_ws(' ', slice(_toks, i, {K}))))"
-    )
-    grams = (
-        d.filter(F.size("_toks") >= K)
-        .select("doc_id", F.posexplode(g_arr).alias("p0", "g"))
-        .select("doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "g")
-    )
-    dup = grams.groupBy("g").agg(F.count("*").alias("n_occ")).filter(
-        F.col("n_occ") >= 2
-    )
-    occ = grams.join(dup.select("g"), "g").select("doc_id", "pos")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    contrib = F.least(
-        F.lit(K).cast("long"),
-        F.coalesce(F.lead("pos").over(w) - F.col("pos"), F.lit(K).cast("long")),
-    )
-    cov = (
-        occ.withColumn("c", contrib)
-        .groupBy("doc_id")
-        .agg(F.sum("c").alias("dup_tokens"))
-    )
-    return (
-        docs.join(cov, "doc_id", "left")
-        .withColumn("dup_tokens", F.coalesce("dup_tokens", F.lit(0)).cast("long"))
-        .withColumn(
-            "dup_ppm",
-            F.expr("(1000000 * dup_tokens) div greatest(n_toks, 1)"),
-        )
-        .orderBy(F.desc("dup_ppm"), "doc_id")
-        .limit(20)
-        .select("doc_id", "n_toks", "dup_tokens", "dup_ppm")
-    )
+    from ..functions.spans import gram_census, gram_stream, span_report, token_spine
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return span_report(gram_census(d), gram_stream(d), token_spine(d))
 
 
 O189 = f"""

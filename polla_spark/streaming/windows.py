@@ -464,6 +464,36 @@ def finish_cm_estimate(updates: DataFrame, probes: DataFrame) -> DataFrame:
     return cm_estimate(probes, sketch)
 
 
+def gram_census_partials(docs: DataFrame) -> DataFrame:
+    """Streaming twin of q189's duplicate-span census (25th twin):
+    the k-token-gram census is a plain count on the md5 gram key —
+    merge-closed, so the streamed census equals a one-shot batch
+    census EXACTLY **provided each document arrives whole** (grams
+    span k-token windows; splitting one doc's text across batches
+    would change its grams — the atomicity unit is the DOCUMENT,
+    unlike q186's fragment-safe char census). State is the gram
+    census itself: corpus-sized, the same tier as q97's incremental
+    hash index — the honest cost of any incremental substring-dedup
+    index, not a fixed-size sketch. functions/spans.py is the one
+    source of truth for gram geometry."""
+    from ..functions.spans import gram_census
+
+    return gram_census(docs)
+
+
+def finish_duplicate_spans(updates: DataFrame, docs: DataFrame) -> DataFrame:
+    """Read-time finisher ≡ q189: collapse update-mode census rows to
+    the newest count (max — counts are monotone) and run the shared
+    coverage sweep over the corpus gram stream. New batches can only
+    ADD duplication, so a mid-stream report is a lower bound on each
+    doc's final coverage; the collapsed final census gives exactly
+    the batch report."""
+    from ..functions.spans import gram_stream, span_report, token_spine
+
+    census = updates.groupBy("g").agg(F.max("n_occ").alias("n_occ"))
+    return span_report(census, gram_stream(docs), token_spine(docs))
+
+
 def histogram_median_partials(customers: DataFrame) -> DataFrame:
     """Streaming twin of q130's histogram-rank median (18th twin):
     the only data-sized stage is the same mergeable (segment, cents)

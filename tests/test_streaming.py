@@ -426,6 +426,50 @@ def test_cm_sketch_stream_equals_q188(spark, tmp_path):
         assert merged[r["term"]] >= r["n_true"]
 
 
+def test_duplicate_span_census_stream_equals_q189(spark, tmp_path):
+    """Streaming duplicate-span census (25th twin): gram counts are
+    merge-closed over WHOLE-DOC micro-batches, so the streamed census
+    must equal the batch census gram-for-gram and the finisher's
+    report must equal batch q189 exactly. Docs round-robin across 3
+    batches ARRIVING WHOLE — the documented atomicity unit (grams
+    span token windows, so text fragments would change grams)."""
+    from polla_spark.functions.spans import gram_census
+    from polla_spark.plans.llmdata import q189_duplicate_spans
+    from polla_spark.session import read_table
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    rows = docs.collect()
+    d = tmp_path / "span_stream"
+    for i in range(3):
+        spark.createDataFrame(rows[i::3], docs.schema).coalesce(1).write.parquet(
+            str(d / f"part{i}")
+        )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*/")
+    )
+    q = (
+        SW.gram_census_partials(stream)
+        .writeStream.format("memory")
+        .queryName("gram_census_updates")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = (
+        spark.table("gram_census_updates")
+        .groupBy("g")
+        .agg(F.max("n_occ").alias("n_occ"))
+    )
+    keys = ["g", "n_occ"]
+    assert _rows(streamed, keys) == _rows(gram_census(docs), keys)
+    got = SW.finish_duplicate_spans(spark.table("gram_census_updates"), docs)
+    keys = ["doc_id", "n_toks", "dup_tokens", "dup_ppm"]
+    assert _rows(got, keys) == _rows(q189_duplicate_spans(spark, SF_DIR), keys)
+
+
 def test_hll_distinct_stream_equals_batch_sketch(spark, tmp_path, batch_events):
     """Streaming HLL distinct sketches (20th twin): HLL union is
     LOSSLESS (register-wise max), so the streamed estimate over a

@@ -1,0 +1,102 @@
+"""Shared KMV (k-minimum-values / theta) distinct sketch — batch q191
+≡ its streaming twin (the one-source-of-truth pattern of
+functions/bloom.py / cmsketch.py / diversity.py).
+
+Bar-Yossef et al.'s KMV estimator: hash every element to a uniform
+integer and keep only the K smallest DISTINCT hash values. If the
+k-th smallest of n uniform draws on [0, M) sits at h_k, then
+n ≈ (K-1) * M / h_k — the sketch is K longs per group no matter how
+many distinct elements exist. This is DataSketches' theta-sketch
+family, expressed in PURE relational algebra:
+
+- the hash is seeded md5 folded to 56 bits (the q120/q183/q188
+  portable-hash idiom) — deterministic, content-addressed, and
+  recomputable bit-for-bit by the DuckDB oracle, so unlike HLL/KLL
+  (q38/q178, rows-only) the estimate is oracle-EXACT;
+- ``min-k`` is MERGE-CLOSED: min-k(A ∪ B) = min-k(min-k(A) ∪
+  min-k(B)), so per-partition / per-micro-batch / per-group minima
+  union into the global sketch losslessly — that is both the map-side
+  combine story (a window rank with an EXPLICIT rn <= K filter gets
+  WindowGroupLimit pushdown: each task forwards at most K rows per
+  group to the exchange) and the streaming story (the twin's per-key
+  state is the ≤K-long minima list, pinned equal to the batch sketch
+  in tests/test_streaming.py);
+- set algebra for free: the union sketch is min-k over the DISTINCT
+  union of per-group minima (same term ⇒ same hash, so duplicates
+  collapse), which is how q191 derives its corpus-wide 'ALL' row
+  without a second pass over the data.
+
+Why this is the 100 TB distinct-count shape: the exact census
+(COUNT(DISTINCT term)) shuffles one row per distinct value and dies
+on adversarial cardinality (URLs, UUIDs, raw n-grams); KMV shuffles
+≤K rows per group per task. Accuracy is the standard
+RSE ≈ 1/sqrt(K-2) (~6.3% at K=256) — a statistical bound, not a
+structural one, so q191 reports the signed error against the exact
+census rather than asserting it in-plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+KMV_K = 256                      # minima kept per group: RSE ~ 6.3%
+KMV_BITS = 56                    # md5 prefix bits: 14 hex chars, fits a signed long
+_KMV_M = 1 << KMV_BITS           # hash range [0, M)
+_KMV_NUMER = (KMV_K - 1) * _KMV_M  # estimator numerator; > int64, so DECIMAL
+
+
+def kmv_hash(term: Column) -> Column:
+    """Seeded 56-bit content hash — portable (DuckDB:
+    ``CAST(from_hex(substr(md5(term || ':kmv'), 1, 14)) AS
+    BIT)::BIGINT``) and order-free, so the sketch is deterministic
+    under any partitioning."""
+    seeded = F.md5(F.concat(term, F.lit(":kmv")))
+    return F.conv(F.substring(seeded, 1, 14), 16, 10).cast("long")
+
+
+def kmv_minima(terms: DataFrame) -> DataFrame:
+    """(scope, term) occurrence frame → the ≤K-row-per-scope
+    (scope, h) minima table. The EXPLICIT ``rn <= K`` filter licenses
+    WindowGroupLimit pushdown (the q104 lesson): each map task
+    forwards at most K rows per scope to the rank exchange, so the
+    shuffle is O(tasks × K) regardless of distinct-term count."""
+    h = terms.select("scope", kmv_hash(F.col("term")).alias("h")).distinct()
+    w = Window.partitionBy("scope").orderBy("h")
+    return (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .select("scope", "h")
+    )
+
+
+def kmv_union(minima: DataFrame, scope: str = "ALL") -> DataFrame:
+    """Union sketch: min-k over the DISTINCT union of per-scope
+    minima (identical terms hash identically across scopes, so
+    ``distinct`` collapses them — classic theta-sketch union). Input
+    is already ≤K rows per scope, so the single-partition rank window
+    here ranks at most K × n_scopes rows — label-sized, not
+    data-sized."""
+    u = minima.select(F.lit(scope).alias("scope"), "h").distinct()
+    w = Window.partitionBy("scope").orderBy("h")
+    return (
+        u.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .select("scope", "h")
+    )
+
+
+def kmv_estimate(minima: DataFrame) -> DataFrame:
+    """Minima table → (scope, n_kept, h_k, est). When a scope holds
+    fewer than K distinct hashes the sketch IS the exact set, so
+    est = n_kept exactly; otherwise the KMV estimator
+    ⌊(K-1) · 2^56 / h_k⌋ in DECIMAL(38,0) (the numerator exceeds
+    int64 — the q186 overflow lesson)."""
+    agg = minima.groupBy("scope").agg(
+        F.count("*").alias("n_kept"), F.max("h").alias("h_k")
+    )
+    numer = F.lit(str(_KMV_NUMER)).cast("decimal(38,0)")
+    est = F.when(F.col("n_kept") < KMV_K, F.col("n_kept")).otherwise(
+        F.floor(numer / F.col("h_k")).cast("long")
+    )
+    return agg.withColumn("est", est.cast("long"))

@@ -4056,6 +4056,97 @@ ORDER BY doc_a, doc_b
 """
 
 
+def q191_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / theta-sketch distinct-token estimation per language plus
+    the corpus-wide UNION sketch, verified against the exact census —
+    the distinct-count member of the deterministic-sketch family
+    (q183 bloom membership, q188 count-min frequency): keep the K
+    smallest seeded-md5 hash values per scope and estimate
+    n ≈ (K-1)·2^56 / h_k. Where q38's HLL is rows-only (register
+    values are implementation-defined), KMV's state is just hash
+    VALUES — portable md5, so DuckDB recomputes the sketch
+    bit-for-bit and the driver hash-checks the estimates themselves.
+
+    Plan shape at 100 TB: one distinct on (scope, h), then a rank
+    window whose EXPLICIT ``rn <= K`` filter gets WindowGroupLimit
+    pushdown — each map task forwards ≤K rows per scope, so the
+    exchange is O(tasks × K) no matter how many distinct tokens exist
+    (the exact census shuffles one row per distinct value and dies on
+    URL/UUID-cardinality columns). The 'ALL' row costs NO second data
+    pass: min-k is merge-closed, so the union sketch ranks the ≤K×5
+    already-kept minima (theta-sketch set algebra). The exact census
+    here exists only to report the signed error; production builds
+    the sketch alone. Kernels in ``functions/kmv.py`` — shared with
+    the streaming twin (per-key minima lists merge losslessly, so the
+    streamed sketch equals this batch one EXACTLY).
+
+    est = n_kept (exact) when a scope has < K distinct hashes;
+    accuracy otherwise is the statistical RSE ≈ 1/√(K-2) ≈ 6.3% —
+    not a structural bound, hence reported (delta) rather than
+    asserted in-plan (contrast q188's structural est ≥ true).
+    """
+    from ..functions.kmv import kmv_estimate, kmv_minima, kmv_union
+
+    tok = t(spark, sf_dir, "documents").select(
+        F.col("lang").alias("scope"), F.explode(_toks()).alias("term")
+    )
+    per = kmv_minima(tok)
+    minima = per.unionByName(kmv_union(per)).persist()
+    census = tok.distinct()
+    true = census.groupBy("scope").agg(
+        F.count("*").alias("n_true")
+    ).unionByName(
+        census.select("term").distinct().agg(
+            F.count("*").alias("n_true")
+        ).select(F.lit("ALL").alias("scope"), "n_true")
+    )
+    return (
+        kmv_estimate(minima)
+        .join(true, "scope")
+        .select(
+            "scope", "n_true", "n_kept", "est",
+            (F.col("est") - F.col("n_true")).alias("delta"),
+        )
+        .orderBy("scope")
+    )
+
+
+from ..functions.kmv import KMV_K as _KMV_K  # noqa: E402
+from ..functions.kmv import _KMV_NUMER as _KMV_NUM  # noqa: E402
+
+O191 = f"""
+WITH tok AS (
+  SELECT lang AS scope, unnest({TOKS}) AS term FROM documents
+), h AS (
+  SELECT DISTINCT scope,
+         CAST(from_hex(substr(md5(term || ':kmv'), 1, 14)) AS BIT)::BIGINT AS h
+  FROM tok
+), u AS (
+  SELECT scope, h FROM h
+  UNION ALL SELECT DISTINCT 'ALL' AS scope, h FROM h
+), mink AS (
+  SELECT scope, h FROM (
+    SELECT scope, h, ROW_NUMBER() OVER (PARTITION BY scope ORDER BY h) AS rn
+    FROM u
+  ) WHERE rn <= {_KMV_K}
+), est AS (
+  SELECT scope, COUNT(*) AS n_kept, MAX(h) AS h_k FROM mink GROUP BY 1
+), tru AS (
+  SELECT scope, COUNT(DISTINCT term) AS n_true FROM tok GROUP BY 1
+  UNION ALL
+  SELECT 'ALL', COUNT(DISTINCT term) FROM tok
+)
+SELECT e.scope, t.n_true, e.n_kept,
+       CAST(CASE WHEN e.n_kept < {_KMV_K} THEN e.n_kept
+            ELSE CAST('{_KMV_NUM}' AS HUGEINT) // e.h_k END AS BIGINT) AS est,
+       CAST(CASE WHEN e.n_kept < {_KMV_K} THEN e.n_kept
+            ELSE CAST('{_KMV_NUM}' AS HUGEINT) // e.h_k END AS BIGINT)
+       - t.n_true AS delta
+FROM est e JOIN tru t USING (scope)
+ORDER BY e.scope
+"""
+
+
 QUERIES = [
     Query("q50_exact_dedup", q50_exact_dedup, O50, "sha256 exact dedup"),
     Query("q51_fingerprint_dedup", q51_fingerprint_dedup, O51, "normalized fingerprint dedup"),
@@ -4179,4 +4270,9 @@ QUERIES = [
           "exact duplicate-span detection (ExactSubstr semantics: "
           "k-gram census + semi-join + interval-union coverage sweep; "
           "catches shared boilerplate doc-level MinHash cannot)"),
+    Query("q191_kmv_distinct", q191_kmv_distinct, O191,
+          "KMV/theta distinct sketch per lang + lossless union row "
+          "(portable md5 min-k -> oracle-exact estimates; "
+          "WindowGroupLimit-bounded shuffle; reports signed error "
+          "vs the exact census)"),
 ]

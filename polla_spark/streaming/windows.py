@@ -1135,6 +1135,66 @@ def finish_heavy_hitters(partials: DataFrame, k: int = 64) -> DataFrame:
     return mg_merge(partials, k)
 
 
+# ---------------------------------------------------------------------------
+# KMV distinct-sketch minima (streaming twin of plans/llmdata.q191)
+# ---------------------------------------------------------------------------
+
+KMV_UPDATE_SCHEMA = "scope string, minima array<long>, upd_seq long"
+_KMV_STATE_SCHEMA = "minima array<long>, seq long"
+
+
+def kmv_partials(terms: DataFrame) -> DataFrame:
+    """Streaming KMV / theta-sketch build: per-scope state is ONLY
+    the ≤K smallest DISTINCT hash values (≤K longs — fixed-size,
+    nothing to evict), because min-k is merge-closed:
+    min-k(state ∪ batch) = min-k(whole prefix), so no micro-batch
+    cut can lose a hash the one-shot batch sketch would have kept.
+    Hashing stays JVM-side (``kmv_hash`` native column) — only the
+    (scope, h) pairs cross into the stateful Python kernel. Each
+    batch emits the scope's full updated minima list (array-typed,
+    bounded by K); :func:`finish_kmv_estimate` keeps the latest per
+    scope and runs the IDENTICAL estimator as batch q191 — one
+    source of truth in functions/kmv.py."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..functions.kmv import KMV_K, kmv_hash
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        minima, seq = state.get if state.exists else ([], 0)
+        s = set(minima)
+        for pdf in pdfs:
+            s.update(int(h) for h in pdf["h"])
+        kept = sorted(s)[:KMV_K]
+        seq += 1
+        state.update((kept, seq))
+        yield pd.DataFrame(
+            {"scope": [key[0]], "minima": [kept], "upd_seq": [seq]}
+        )
+
+    hashed = terms.select("scope", kmv_hash(F.col("term")).alias("h"))
+    return hashed.groupBy("scope").applyInPandasWithState(
+        fn,
+        KMV_UPDATE_SCHEMA,
+        _KMV_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def finish_kmv_estimate(updates: DataFrame) -> DataFrame:
+    """Batch finisher: latest minima list per scope, plus the
+    lossless 'ALL' union row, through the same q191 estimator."""
+    from ..functions.kmv import kmv_estimate, kmv_union
+
+    latest = updates.groupBy("scope").agg(
+        F.max_by("minima", "upd_seq").alias("minima")
+    )
+    minima = latest.select("scope", F.explode("minima").alias("h"))
+    return kmv_estimate(minima.unionByName(kmv_union(minima)))
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
     """Drive a finite streaming source to completion into a memory
     sink; returns the materialized result (test/smoke harness)."""

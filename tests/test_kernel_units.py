@@ -219,3 +219,67 @@ def test_variant_try_semantics_null_malformed_rows(spark):
         "  FROM t)"
     ).fetchone()
     assert (got["n"], got["n_valid"], got["sum_k"]) == want
+
+
+def test_kmv_exact_below_k_and_merge_closed(spark):
+    """q191's two load-bearing properties, pinned on synthetic data:
+    (1) with fewer than K distinct values the sketch IS the set, so
+    est == exact count; (2) min-k is merge-closed — the minima of a
+    union equal the minima of the merged per-part minima, so
+    micro-batch/partition cuts can never change the sketch."""
+    from polla_spark.functions.kmv import (
+        KMV_K,
+        kmv_estimate,
+        kmv_minima,
+        kmv_union,
+    )
+
+    # (1) 100 distinct terms < K=256 -> est exactly 100
+    small = spark.createDataFrame(
+        [("s", f"term{i}") for i in range(100)] * 3, "scope string, term string"
+    )
+    row = kmv_estimate(kmv_minima(small)).first()
+    assert (row["n_kept"], row["est"]) == (100, 100)
+
+    # (2) >K distinct values split 3 ways: minima(whole) ==
+    # minima(union of per-part minima), hence identical estimates
+    terms = [f"v{i:05d}" for i in range(1000)]
+    whole = spark.createDataFrame(
+        [("s", t) for t in terms], "scope string, term string"
+    )
+    whole_min = {r["h"] for r in kmv_minima(whole).collect()}
+    assert len(whole_min) == KMV_K
+    part_minima = []
+    for j in range(3):
+        part = spark.createDataFrame(
+            [("s", t) for t in terms[j::3]], "scope string, term string"
+        )
+        part_minima.append(kmv_minima(part))
+    merged = part_minima[0]
+    for p in part_minima[1:]:
+        merged = merged.unionByName(p)
+    remin = kmv_union(merged, scope="s")
+    assert {r["h"] for r in remin.collect()} == whole_min
+
+
+def test_kmv_hash_matches_duckdb(spark):
+    """The 56-bit seeded-md5 fold must agree with the oracle's
+    from_hex/BIT expression value-for-value — the portability that
+    makes q191 oracle-exact rather than rows-only."""
+    import duckdb
+
+    from polla_spark.functions.kmv import kmv_hash
+    from pyspark.sql import functions as F
+
+    words = ["hello", "wörld", "", "a b", "ñandú", "123"]
+    df = spark.createDataFrame([(w,) for w in words], "term string")
+    got = {
+        r["term"]: r["h"]
+        for r in df.select("term", kmv_hash(F.col("term")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for w in words:
+        want = con.execute(
+            "SELECT CAST(from_hex(substr(md5(? || ':kmv'), 1, 14)) AS BIT)::BIGINT"
+        , [w]).fetchone()[0]
+        assert got[w] == want, w

@@ -1027,3 +1027,17 @@ def test_q185_variant_single_agg_no_join_no_python(spark):
     plan = _plan(q185_variant_shredding(spark, SF))
     assert "Join" not in plan, plan
     assert "Python" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_q191_kmv_minima_window_group_limit(spark):
+    # the per-scope min-k rank carries an EXPLICIT rn <= K filter so
+    # WindowGroupLimit pushes a map-side top-K below the exchange —
+    # each task forwards <=K rows per scope no matter the distinct-
+    # token cardinality (the whole 100 TB story); and nothing joins
+    # except the tiny label-sized report build
+    from polla_spark.plans.llmdata import q191_kmv_distinct
+
+    plan = _plan(q191_kmv_distinct(spark, SF))
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan

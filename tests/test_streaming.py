@@ -777,3 +777,64 @@ def test_dedupe_within_watermark_equals_first_seen(spark, stream_events, batch_e
     )
     keys = ["user_id", "event_type", "event_id"]
     assert _rows(stream_out, keys) == _rows(want, keys)
+
+
+def test_kmv_stream_equals_q191(spark, tmp_path):
+    """Streaming KMV build (26th twin): min-k is merge-closed, so the
+    stateful per-scope minima after a 3-batch document stream must be
+    IDENTICAL to the one-shot batch minima (hash for hash), and the
+    finisher's estimates — including the lossless 'ALL' union row —
+    must equal the batch estimator's. Kernels shared via
+    functions/kmv.py; docs are split round-robin so every scope's
+    token set genuinely fragments across micro-batches."""
+    from polla_spark.functions.kmv import kmv_estimate, kmv_minima, kmv_union
+    from polla_spark.session import read_table
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "lang", "text")
+    rows = docs.collect()
+    d = tmp_path / "kmv_stream"
+    for i in range(3):
+        spark.createDataFrame(rows[i::3], docs.schema).coalesce(1).write.parquet(
+            str(d / f"part{i}")
+        )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*/")
+    )
+    terms = stream.select(
+        F.col("lang").alias("scope"),
+        F.explode(F.split(F.col("text"), "\\s+")).alias("term"),
+    )
+    q = (
+        SW.kmv_partials(terms)
+        .writeStream.format("memory")
+        .queryName("kmv_updates")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    updates = spark.table("kmv_updates")
+    # ≥2 micro-batches actually updated some scope (the stream was
+    # genuinely incremental, not one big batch)
+    assert updates.select("upd_seq").agg(F.max("upd_seq")).first()[0] >= 2
+
+    tok = docs.select(
+        F.col("lang").alias("scope"),
+        F.explode(F.split(F.col("text"), "\\s+")).alias("term"),
+    )
+    batch_minima = kmv_minima(tok)
+    streamed_latest = updates.groupBy("scope").agg(
+        F.max_by("minima", "upd_seq").alias("minima")
+    )
+    streamed_minima = streamed_latest.select(
+        "scope", F.explode("minima").alias("h")
+    )
+    keys = ["scope", "h"]
+    assert _rows(streamed_minima, keys) == _rows(batch_minima, keys)
+
+    got_est = SW.finish_kmv_estimate(updates)
+    want_est = kmv_estimate(batch_minima.unionByName(kmv_union(batch_minima)))
+    keys = ["scope", "n_kept", "h_k", "est"]
+    assert _rows(got_est, keys) == _rows(want_est, keys)

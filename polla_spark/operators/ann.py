@@ -639,3 +639,91 @@ def probe_ivf(
         .select("query_id", "rn", "vec_id", "cosine")
         .orderBy("query_id", "rn")
     )
+
+
+def arrow_knn(
+    embeddings: DataFrame,
+    query_ids: tuple[int, ...] = (0, 1, 2),
+    k: int = 3,
+    dim: int = 64,
+) -> DataFrame:
+    """Arrow-native brute-force int8 kNN via ``mapInArrow`` — the
+    third (and fastest) Python transport, completing the engine's
+    UDF-kernel ladder: row-at-a-time Python UDF < Arrow-batched
+    pandas UDF (q58/q66's path) < raw ``mapInArrow``, which hands the
+    kernel pyarrow RecordBatches with NO pandas materialization —
+    the per-batch cost is one zero-copy numpy view + one int32 GEMM
+    (``codes @ queries.T``), C-speed over the whole batch.
+
+    EXACTNESS contract (same discipline as q77): quantization is the
+    identical floor(x·127) clamp as the declarative ``_quant``, dot
+    products are exact integers, and the final cosine is a float64
+    dot/(sqrt·sqrt) — IEEE-754 correctly-rounded ops on identical
+    integers, so numpy, the JVM and DuckDB produce the SAME double
+    bit-for-bit. Ranking uses the UNROUNDED cosine (vec_id
+    tie-break) so the in-kernel per-batch truncation and the global
+    window agree on one total order; display rounds to 4.
+
+    Scale shape: the query matrix is collected driver-side (bounded
+    by the query count — it is the broadcast build side, not a data
+    collect) and closes over the kernel; each Arrow batch emits ONLY
+    its per-batch top-k per query, so the exchange feeding the global
+    window carries batches × queries × k rows — the shard-and-k-merge
+    plan, independent of corpus size per task. The GEMM never
+    shuffles: only (query_id, vec_id, cos) triples leave the scan
+    stage.
+    """
+    import numpy as np
+
+    def _q8(mat: "np.ndarray") -> "np.ndarray":
+        return np.clip(np.floor(mat.astype(np.float64) * 127), -127, 127).astype(
+            np.int64
+        )
+
+    qrows = (
+        embeddings.filter(F.col("vec_id").isin(*query_ids))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = _q8(np.array([r["embedding"] for r in qrows], dtype=np.float64))
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1).astype(np.float64))
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            emb = batch.column("embedding")
+            flat = np.asarray(emb.flatten(), dtype=np.float64)
+            assert flat.size == len(ids) * dim, "ragged embedding batch"
+            codes = _q8(flat.reshape(len(ids), dim))
+            norms = np.sqrt((codes * codes).sum(axis=1).astype(np.float64))
+            dots = codes @ qmat.T  # exact int64 GEMM
+            cos = dots.astype(np.float64) / (norms[:, None] * qnorm[None, :])
+            out_q, out_v, out_c = [], [], []
+            for j, qid in enumerate(qids):
+                keep = ids != qid
+                order = np.lexsort((ids[keep], -cos[keep, j]))[:k]
+                cand_ids = ids[keep][order]
+                out_q.extend([int(qid)] * len(cand_ids))
+                out_v.extend(int(v) for v in cand_ids)
+                out_c.extend(float(c) for c in cos[keep, j][order])
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "vec_id": pa.array(out_v, pa.int64()),
+                    "cos": pa.array(out_c, pa.float64()),
+                }
+            )
+
+    cand = embeddings.select("vec_id", "embedding").mapInArrow(
+        kernel, "query_id long, vec_id long, cos double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "rn", "vec_id", F.round("cos", 4).alias("qcos"))
+        .orderBy("query_id", "rn")
+    )

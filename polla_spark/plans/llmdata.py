@@ -4147,6 +4147,50 @@ ORDER BY e.scope
 """
 
 
+def q192_arrow_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native int8 kNN through ``mapInArrow`` — q77's exact
+    semantics on the engine's THIRD Python transport (row-Python UDF
+    < Arrow-batched pandas UDF < raw ``mapInArrow``): the kernel
+    receives pyarrow RecordBatches with no pandas materialization and
+    answers each batch with one zero-copy numpy view + one int64 GEMM
+    over the whole batch, emitting only per-batch top-k candidates
+    (the shard-and-k-merge shape — the exchange feeding the global
+    window carries batches × queries × k rows, independent of corpus
+    size). Exactness survives the kernel because every lossy step is
+    pinned: the same floor(x·127) int8 clamp as q77, exact integer
+    dot products, and a float64 dot/(√·√) whose IEEE-754 ops are
+    correctly rounded — numpy, the JVM and DuckDB agree bit-for-bit
+    on the SAME integers. Ranking (and the oracle's) uses the
+    UNROUNDED cosine + vec_id so in-kernel truncation and the global
+    window share one total order; q77 ranks on the rounded value,
+    hence this query's own oracle. Operator:
+    ``operators/ann.arrow_knn``; kernel-vs-declarative equality and
+    the candidate-stream bound are pinned in tests/test_ivf_layout.py.
+    """
+    from ..operators.ann import arrow_knn
+
+    return arrow_knn(t(spark, sf_dir, "embeddings"))
+
+
+O192 = f"""
+WITH coded AS (
+  SELECT vec_id, {_QUANT_DUCK.format(c='embedding')} AS qe FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, qe AS qv FROM coded WHERE vec_id IN (0, 1, 2)
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         CAST({_QDOT_DUCK.format(a='e.qe', b='q.qv')} AS DOUBLE) /
+         (sqrt(CAST({_QDOT_DUCK.format(a='e.qe', b='e.qe')} AS DOUBLE)) *
+          sqrt(CAST({_QDOT_DUCK.format(a='q.qv', b='q.qv')} AS DOUBLE))) AS cos
+  FROM coded e CROSS JOIN q WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, rn, vec_id, ROUND(cos, 4) AS qcos FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rn
+  FROM scored
+) WHERE rn <= 3 ORDER BY query_id, rn
+"""
+
+
 QUERIES = [
     Query("q50_exact_dedup", q50_exact_dedup, O50, "sha256 exact dedup"),
     Query("q51_fingerprint_dedup", q51_fingerprint_dedup, O51, "normalized fingerprint dedup"),
@@ -4270,6 +4314,10 @@ QUERIES = [
           "exact duplicate-span detection (ExactSubstr semantics: "
           "k-gram census + semi-join + interval-union coverage sweep; "
           "catches shared boilerplate doc-level MinHash cannot)"),
+    Query("q192_arrow_knn", q192_arrow_knn, O192,
+          "Arrow-native int8 kNN via mapInArrow (zero-copy numpy GEMM "
+          "kernel, per-batch top-k shard-and-merge; exact-integer dots "
+          "+ bit-portable float64 cosine -> oracle-exact)"),
     Query("q191_kmv_distinct", q191_kmv_distinct, O191,
           "KMV/theta distinct sketch per lang + lossless union row "
           "(portable md5 min-k -> oracle-exact estimates; "

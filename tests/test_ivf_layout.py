@@ -520,3 +520,34 @@ def test_pq_append_equals_rebuild(spark, tmp_path):
         ).collect()
     ]
     assert got == want and got
+
+
+def test_arrow_knn_matches_declarative_topk(spark):
+    """q192's Arrow kernel must agree with the pure-declarative q77
+    plan on WHICH neighbors rank top-3 (set equality per query) and
+    on every rounded cosine — the two queries order by unrounded vs
+    rounded cosine, so rn can legally differ only across rounded ties;
+    here we pin the stronger practical contract: identical
+    (query_id, vec_id -> qcos) maps and identical top-3 id sets."""
+    from polla_spark.operators.ann import arrow_knn
+    from polla_spark.plans.llmdata import q77_quantized_knn
+
+    got = arrow_knn(spark.read.parquet(f"{SF}/embeddings.parquet"))
+    want = q77_quantized_knn(spark, SF)
+    g = {(r["query_id"], r["vec_id"]): r["qcos"] for r in got.collect()}
+    w = {(r["query_id"], r["vec_id"]): r["qcos"] for r in want.collect()}
+    assert g == w
+
+
+def test_arrow_knn_partition_cuts_never_change_the_answer(spark):
+    """Batch boundaries are an execution detail: repartitioning the
+    corpus into 4 explicit partitions (4+ Arrow batches, so the
+    kernel's per-batch top-k truncation genuinely engages) must
+    produce exactly the same 3x3 result as the unpartitioned run —
+    the shard-and-k-merge truncation is lossless because kernel and
+    global window share one total order (unrounded cos, vec_id)."""
+    from polla_spark.operators.ann import arrow_knn
+
+    base = arrow_knn(spark.read.parquet(f"{SF}/embeddings.parquet"))
+    split = arrow_knn(spark.read.parquet(f"{SF}/embeddings.parquet").repartition(4))
+    assert sorted(map(tuple, split.collect())) == sorted(map(tuple, base.collect()))

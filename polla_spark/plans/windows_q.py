@@ -1210,6 +1210,81 @@ FROM final
 """
 
 
+def q193_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type DAILY-REVENUE TREND via ordinary least squares —
+    the regression complement to q122's lag-based month-over-month
+    deltas: one slope per series instead of per-step ratios. Exact
+    integer arithmetic end-to-end (the q119 Pearson discipline):
+    x = day index REBASED to the series' own first day (a window min
+    sharing the per-type exchange — rebasing keeps every product
+    inside int64 at any calendar span, where raw epoch-day x² sums
+    would not), y = daily revenue cents. The report emits the slope
+    as an exact (numerator, denominator) integer PAIR —
+    num = n·Σxy − Σx·Σy, den = n·Σx² − (Σx)² — plus the sign class,
+    because the division is the only step two engines could disagree
+    on at the last ulp; the caller divides when a float is wanted.
+
+    Plan shape at 100 TB: daily census (partial-agged groupBy on
+    (event_type, day)) → window min + the five OLS sums ride ONE
+    event_type exchange; the scalar combine runs on the label-sized
+    report. The day census keys are uniform — no skew exposure.
+    """
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day"),
+        VQ().alias("vq"),
+    )
+    daily = e.groupBy("event_type", "day").agg(F.sum("vq").alias("y"))
+    w = Window.partitionBy("event_type")
+    xy = daily.withColumn("x", F.col("day") - F.min("day").over(w))
+    agg = xy.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        agg.select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            num.alias("slope_num"),
+            den.alias("slope_den"),
+            F.when(num > 0, F.lit("up"))
+            .when(num < 0, F.lit("down"))
+            .otherwise(F.lit("flat"))
+            .alias("trend"),
+        )
+        .orderBy("event_type")
+    )
+
+
+O193 = """
+WITH daily AS (
+  SELECT event_type, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), rebased AS (
+  SELECT event_type, day - MIN(day) OVER (PARTITION BY event_type) AS x, y
+  FROM daily
+), s AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM rebased GROUP BY 1
+)
+SELECT event_type, n AS n_days,
+       n * sxy - sx * sy AS slope_num,
+       n * sxx - sx * sx AS slope_den,
+       CASE WHEN n * sxy - sx * sy > 0 THEN 'up'
+            WHEN n * sxy - sx * sy < 0 THEN 'down'
+            ELSE 'flat' END AS trend
+FROM s ORDER BY event_type
+"""
+
+
 QUERIES = [
     Query("q70_tumbling", q70_tumbling, O70, "tumbling window"),
     Query("q71_sliding", q71_sliding, O71, "sliding window"),
@@ -1252,4 +1327,7 @@ QUERIES = [
           "first-view to first-purchase delay quantiles (conditional mins)"),
     Query("q150_clamped_balance", q150_clamped_balance, O150,
           "floor-at-zero running balance via the S - min(0, min S) identity"),
+    Query("q193_ols_trend", q193_ols_trend, O193,
+          "per-series OLS daily-revenue trend (rebased-x integer sums; "
+          "exact numerator/denominator slope pair + sign class)"),
 ]

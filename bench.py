@@ -115,6 +115,12 @@ HEADLINE = [
     # headline and is covered by parity + its own 20x measurement.
     "q188_countmin_frequency",
     "q190_containment_join",
+    # r6 session-2 additions: KMV distinct sketch (WindowGroupLimit-
+    # bounded min-k), Arrow-native GEMM kNN, integer OLS trend — all
+    # oracle-exact and cheap on the oracle side.
+    "q191_kmv_distinct",
+    "q192_arrow_knn",
+    "q193_ols_trend",
 ]
 
 

@@ -47,3 +47,49 @@ def growth_report(monthly: DataFrame) -> DataFrame:
         .select("month", "revenue_cents", "growth_pct")
         .orderBy("month")
     )
+
+
+def daily_type_census(events: DataFrame) -> DataFrame:
+    """Day-grain revenue census per event_type in exact integer cents
+    — q193's only data-sized stage, shared with its streaming twin.
+    Mergeable: cent sums over positive values grow monotonically
+    across micro-batches, so update-mode rows collapse with ``max``
+    exactly like :func:`monthly_census`."""
+    return events.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day"),
+    ).agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("y"))
+
+
+def ols_trend_report(daily: DataFrame) -> DataFrame:
+    """OLS slope over the day-grain census — the q193 report shape.
+    x is rebased to each series' first day (window min riding the
+    same event_type exchange) so every product stays inside int64;
+    the slope ships as the exact (numerator, denominator) integer
+    pair plus a sign class — the division is the only step two
+    engines could disagree on at the last ulp, so it is the
+    caller's."""
+    w = Window.partitionBy("event_type")
+    xy = daily.withColumn("x", F.col("day") - F.min("day").over(w))
+    agg = xy.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        agg.select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            num.alias("slope_num"),
+            den.alias("slope_den"),
+            F.when(num > 0, F.lit("up"))
+            .when(num < 0, F.lit("down"))
+            .otherwise(F.lit("flat"))
+            .alias("trend"),
+        )
+        .orderBy("event_type")
+    )

@@ -1227,38 +1227,14 @@ def q193_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape at 100 TB: daily census (partial-agged groupBy on
     (event_type, day)) → window min + the five OLS sums ride ONE
     event_type exchange; the scalar combine runs on the label-sized
-    report. The day census keys are uniform — no skew exposure.
+    report. The day census keys are uniform — no skew exposure. Census +
+    report live in ``functions/trends.py`` — shared with the
+    streaming twin (cent sums over positive values are monotone
+    across micro-batches, the q122-twin argument).
     """
-    e = t(spark, sf_dir, "events").select(
-        "event_type",
-        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day"),
-        VQ().alias("vq"),
-    )
-    daily = e.groupBy("event_type", "day").agg(F.sum("vq").alias("y"))
-    w = Window.partitionBy("event_type")
-    xy = daily.withColumn("x", F.col("day") - F.min("day").over(w))
-    agg = xy.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-    )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    return (
-        agg.select(
-            "event_type",
-            F.col("n").alias("n_days"),
-            num.alias("slope_num"),
-            den.alias("slope_den"),
-            F.when(num > 0, F.lit("up"))
-            .when(num < 0, F.lit("down"))
-            .otherwise(F.lit("flat"))
-            .alias("trend"),
-        )
-        .orderBy("event_type")
-    )
+    from ..functions.trends import daily_type_census, ols_trend_report
+
+    return ols_trend_report(daily_type_census(t(spark, sf_dir, "events")))
 
 
 O193 = """

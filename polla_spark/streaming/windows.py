@@ -1136,6 +1136,33 @@ def finish_heavy_hitters(partials: DataFrame, k: int = 64) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Daily-revenue OLS census (streaming twin of plans/windows_q.q193)
+# ---------------------------------------------------------------------------
+
+
+def daily_revenue_partials(events: DataFrame) -> DataFrame:
+    """Streaming twin of q193's day-grain census (27th twin): the
+    same mergeable (event_type, day) cent-sum partial agg as the
+    batch plan (imported from ``functions/trends.py`` — one source of
+    truth). State is bounded by types × DAYS; update mode — cent sums
+    over positive values are monotone, so the newest update per key
+    is the max (the q122-twin argument)."""
+    from ..functions.trends import daily_type_census
+
+    return daily_type_census(events)
+
+
+def finish_ols_trend(updates: DataFrame) -> DataFrame:
+    """Read-time finisher ≡ q193: collapse update-mode rows to the
+    latest census state, then the shared OLS report (rebase + five
+    integer sums) over the days-sized table."""
+    from ..functions.trends import ols_trend_report
+
+    daily = updates.groupBy("event_type", "day").agg(F.max("y").alias("y"))
+    return ols_trend_report(daily)
+
+
+# ---------------------------------------------------------------------------
 # KMV distinct-sketch minima (streaming twin of plans/llmdata.q191)
 # ---------------------------------------------------------------------------
 

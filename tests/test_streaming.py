@@ -838,3 +838,19 @@ def test_kmv_stream_equals_q191(spark, tmp_path):
     want_est = kmv_estimate(batch_minima.unionByName(kmv_union(batch_minima)))
     keys = ["scope", "n_kept", "h_k", "est"]
     assert _rows(got_est, keys) == _rows(want_est, keys)
+
+
+def test_ols_trend_stream_equals_q193(spark, stream_events, batch_events):
+    """Streaming daily-revenue census (27th twin): cent sums are
+    merge-closed, so the update-mode census over the event stream,
+    max-collapsed, must feed the shared OLS report to exactly the
+    batch q193 result."""
+    from polla_spark.functions.trends import daily_type_census, ols_trend_report
+
+    stream_out = SW.run_to_memory(
+        SW.daily_revenue_partials(stream_events), "t_ols_daily", "update"
+    )
+    got = SW.finish_ols_trend(stream_out)
+    want = ols_trend_report(daily_type_census(batch_events))
+    keys = ["event_type", "n_days", "slope_num", "slope_den", "trend"]
+    assert _rows(got, keys) == _rows(want, keys)

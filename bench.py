@@ -121,6 +121,7 @@ HEADLINE = [
     "q191_kmv_distinct",
     "q192_arrow_knn",
     "q193_ols_trend",
+    "q194_inclusion_profile",
 ]
 
 

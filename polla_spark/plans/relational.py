@@ -4527,6 +4527,103 @@ def q178_approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q194_inclusion_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency census — the data-PROFILING operator
+    (Metanome/SINDY family): for each candidate (lhs ⊆ rhs) column
+    pair, the distinct-value inclusion coefficient and an
+    ind / partial / none verdict. This is how a pipeline DISCOVERS
+    joinability and validates assumed FKs before trusting a join —
+    q112's quality audit checks ONE declared FK; this profiles the
+    candidate space, including the deliberately partial directions
+    (orders with no lineitems; customers who never produced events)
+    and the cross-domain links (events.user_id → customer,
+    documents → embeddings).
+
+    Plan shape at 100 TB: each pair reads exactly ONE column per side
+    (column pruning to the scan), collapses it with a partial-agged
+    ``distinct`` — the shuffle is bounded by the DISTINCT count, not
+    the row count — then a left join of the two distinct sets counts
+    hits and misses in one aggregation. Pairs are independent
+    subplans unioned into the 8-row report; a production profiler
+    batches same-lhs pairs onto one scan, which this shape composes
+    to (each subplan already prunes to its single column).
+    """
+    def ind(label: str, lhs: DataFrame, lcol: str, rhs: DataFrame, rcol: str) -> DataFrame:
+        L = lhs.select(F.col(lcol).cast("long").alias("v")).distinct()
+        R = (
+            rhs.select(F.col(rcol).cast("long").alias("v"))
+            .distinct()
+            .withColumn("hit", F.lit(1))
+        )
+        return L.join(R, "v", "left").agg(
+            F.lit(label).alias("pair"),
+            F.count("*").alias("n_lhs"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_matched"),
+        )
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    pairs = [
+        ind("customer.c_custkey<=events.user_id", c, "c_custkey",
+            t(spark, sf_dir, "events"), "user_id"),
+        ind("customer.c_nationkey<=nation.n_nationkey", c, "c_nationkey",
+            t(spark, sf_dir, "nation"), "n_nationkey"),
+        ind("documents.doc_id<=embeddings.vec_id",
+            t(spark, sf_dir, "documents"), "doc_id",
+            t(spark, sf_dir, "embeddings"), "vec_id"),
+        ind("events.user_id<=customer.c_custkey",
+            t(spark, sf_dir, "events"), "user_id", c, "c_custkey"),
+        ind("lineitem.l_partkey<=part.p_partkey", li, "l_partkey",
+            t(spark, sf_dir, "part"), "p_partkey"),
+        ind("lineitem.l_suppkey<=supplier.s_suppkey", li, "l_suppkey",
+            t(spark, sf_dir, "supplier"), "s_suppkey"),
+        ind("orders.o_custkey<=customer.c_custkey", o, "o_custkey", c, "c_custkey"),
+        ind("orders.o_orderkey<=lineitem.l_orderkey", o, "o_orderkey", li, "l_orderkey"),
+    ]
+    rep = pairs[0]
+    for p in pairs[1:]:
+        rep = rep.unionByName(p)
+    ppm = F.expr("(1000000 * n_matched) div n_lhs")
+    verdict = (
+        F.when(F.col("n_matched") == F.col("n_lhs"), F.lit("ind"))
+        .when(F.col("n_matched") > 0, F.lit("partial"))
+        .otherwise(F.lit("none"))
+    )
+    return rep.select(
+        "pair", "n_lhs", "n_matched", ppm.alias("incl_ppm"), verdict.alias("verdict")
+    ).orderBy("pair")
+
+
+def _O194_pair(label: str, lhs: str, lcol: str, rhs: str, rcol: str) -> str:
+    return f"""
+  SELECT '{label}' AS pair, COUNT(*) AS n_lhs,
+         CAST(SUM(CASE WHEN r.v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+  FROM (SELECT DISTINCT CAST({lcol} AS BIGINT) AS v FROM {lhs}) l
+  LEFT JOIN (SELECT DISTINCT CAST({rcol} AS BIGINT) AS v FROM {rhs}) r USING (v)"""
+
+
+O194 = f"""
+WITH rep AS (
+{" UNION ALL ".join([
+    _O194_pair("customer.c_custkey<=events.user_id", "customer", "c_custkey", "events", "user_id"),
+    _O194_pair("customer.c_nationkey<=nation.n_nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+    _O194_pair("documents.doc_id<=embeddings.vec_id", "documents", "doc_id", "embeddings", "vec_id"),
+    _O194_pair("events.user_id<=customer.c_custkey", "events", "user_id", "customer", "c_custkey"),
+    _O194_pair("lineitem.l_partkey<=part.p_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+    _O194_pair("lineitem.l_suppkey<=supplier.s_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    _O194_pair("orders.o_custkey<=customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    _O194_pair("orders.o_orderkey<=lineitem.l_orderkey", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+])}
+)
+SELECT pair, n_lhs, n_matched,
+       (1000000 * n_matched) // n_lhs AS incl_ppm,
+       CASE WHEN n_matched = n_lhs THEN 'ind'
+            WHEN n_matched > 0 THEN 'partial'
+            ELSE 'none' END AS verdict
+FROM rep ORDER BY pair
+"""
+
+
 QUERIES = [
     Query("q01_pricing_summary", q01_pricing_summary, O01, "TPC-H Q1 scan+agg"),
     Query("q02_topk_orders", q02_topk_orders, O02, "global top-k"),
@@ -4685,4 +4782,8 @@ QUERIES = [
     Query("q178_approx_percentile_check", q178_approx_percentile_check, None,
           "approx_percentile sketch, self-verifying its rank guarantee "
           "in-plan (rows-only: sketch values are implementation-defined)"),
+    Query("q194_inclusion_profile", q194_inclusion_profile, O194,
+          "inclusion-dependency census (Metanome-style FK discovery: "
+          "distinct-set inclusion ppm + ind/partial/none verdict per "
+          "candidate pair, incl. deliberately partial directions)"),
 ]

@@ -1041,3 +1041,17 @@ def test_q191_kmv_minima_window_group_limit(spark):
     assert "WindowGroupLimit" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_q194_inclusion_profile_prunes_to_single_columns(spark):
+    # each candidate pair must reach its scans with ONE pruned column
+    # (profiling reads columns, not tables) and collapse via
+    # partial-agged distincts; nothing may cartesian
+    from polla_spark.plans.relational import q194_inclusion_profile
+
+    plan = _plan(q194_inclusion_profile(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    # single-column pruned scans visible for the fact-side columns
+    assert "struct<l_partkey" in plan, plan
+    assert "struct<o_orderkey" in plan, plan

@@ -137,3 +137,21 @@ def test_sweep_pair_count_matches_brute_force(intervals):
         and intervals[j][0] <= intervals[i][1]
     )
     assert _sweep_count(intervals) == brute, intervals
+
+
+def test_kmv_estimator_accuracy_on_large_synthetic(spark):
+    """KMV's statistical contract on a 20k-distinct synthetic set:
+    the estimate is deterministic (seeded hashes), so this pins a
+    FIXED accuracy — |est - n| / n must sit well inside a few RSE
+    (1/sqrt(K-2) ~ 6.3% at K=256). A hash-fold or estimator
+    regression moves the estimate far outside this envelope."""
+    from polla_spark.functions.kmv import kmv_estimate, kmv_minima
+
+    n = 20_000
+    df = spark.createDataFrame(
+        [("s", f"item-{i}") for i in range(n)], "scope string, term string"
+    )
+    row = kmv_estimate(kmv_minima(df)).first()
+    assert row["n_kept"] == 256
+    rel_err = abs(row["est"] - n) / n
+    assert rel_err < 0.20, (row["est"], rel_err)

@@ -15,24 +15,30 @@ family, expressed in PURE relational algebra:
   (q38/q178, rows-only) the estimate is oracle-EXACT;
 - ``min-k`` is MERGE-CLOSED: min-k(A ∪ B) = min-k(min-k(A) ∪
   min-k(B)), so per-partition / per-micro-batch / per-group minima
-  union into the global sketch losslessly — that is both the map-side
-  combine story (a window rank with an EXPLICIT rn <= K filter gets
-  WindowGroupLimit pushdown: each task forwards at most K rows per
-  group to the exchange) and the streaming story (the twin's per-key
-  state is the ≤K-long minima list, pinned equal to the batch sketch
-  in tests/test_streaming.py);
+  union into the global sketch losslessly — the streaming twin's
+  per-key state is the ≤K-long minima list, pinned equal to the
+  batch sketch in tests/test_streaming.py;
 - set algebra for free: the union sketch is min-k over the DISTINCT
   union of per-group minima (same term ⇒ same hash, so duplicates
   collapse), which is how q191 derives its corpus-wide 'ALL' row
   without a second pass over the data.
 
-Why this is the 100 TB distinct-count shape: the exact census
-(COUNT(DISTINCT term)) shuffles one row per distinct value and dies
-on adversarial cardinality (URLs, UUIDs, raw n-grams); KMV shuffles
-≤K rows per group per task. Accuracy is the standard
-RSE ≈ 1/sqrt(K-2) (~6.3% at K=256) — a statistical bound, not a
-structural one, so q191 reports the signed error against the exact
-census rather than asserting it in-plan.
+Why this is the 100 TB distinct-count shape — stated honestly
+(second review-pass finding): the FIRST exchange (the ``distinct``
+on (scope, h)) still carries each task's local distinct hashes, the
+same per-distinct cost as the exact census's partial agg. What the
+sketch removes is everything AFTER it: the rank exchange is
+WindowGroupLimit-bounded to ≤K rows per scope per task, the global
+state is K longs per group (the census's second stage is
+distinct-sized), and the minima are merge-closed — which is what
+makes the streaming build exact with bounded state. For truly
+adversarial cardinality the first exchange too can be K-bounded by
+a per-partition min-k combiner (the ``operators/sketch.mg_partials``
+pattern / the streaming twin's stateful kernel) at the price of a
+Python stage; the native plan here keeps everything in codegen.
+Accuracy is the standard RSE ≈ 1/sqrt(K-2) (~6.3% at K=256) — a
+statistical bound, not a structural one, so q191 reports the signed
+error against the exact census rather than asserting it in-plan.
 """
 
 from __future__ import annotations
@@ -58,9 +64,10 @@ def kmv_hash(term: Column) -> Column:
 def kmv_minima(terms: DataFrame) -> DataFrame:
     """(scope, term) occurrence frame → the ≤K-row-per-scope
     (scope, h) minima table. The EXPLICIT ``rn <= K`` filter licenses
-    WindowGroupLimit pushdown (the q104 lesson): each map task
-    forwards at most K rows per scope to the rank exchange, so the
-    shuffle is O(tasks × K) regardless of distinct-term count."""
+    WindowGroupLimit pushdown (the q104 lesson): each task forwards
+    at most K rows per scope to the RANK exchange. (The preceding
+    ``distinct`` exchange is still per-distinct-value — see the
+    module docstring for the honest cost model.)"""
     h = terms.select("scope", kmv_hash(F.col("term")).alias("h")).distinct()
     w = Window.partitionBy("scope").orderBy("h")
     return (
@@ -95,8 +102,12 @@ def kmv_estimate(minima: DataFrame) -> DataFrame:
     agg = minima.groupBy("scope").agg(
         F.count("*").alias("n_kept"), F.max("h").alias("h_k")
     )
-    numer = F.lit(str(_KMV_NUMER)).cast("decimal(38,0)")
+    # integral `div`, NOT floor(a / b): Spark plans decimal division
+    # as decimal(38,6) with HALF_UP rounding BEFORE the floor, which
+    # can exceed the exact integer quotient by 1 when the true
+    # fraction is >= .9999995 — `div` divides exactly (second
+    # review-pass finding; DuckDB's HUGEINT // is exact too)
     est = F.when(F.col("n_kept") < KMV_K, F.col("n_kept")).otherwise(
-        F.floor(numer / F.col("h_k")).cast("long")
+        F.expr(f"CAST('{_KMV_NUMER}' AS DECIMAL(38,0)) div h_k")
     )
     return agg.withColumn("est", est.cast("long"))

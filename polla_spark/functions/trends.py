@@ -69,8 +69,14 @@ def ols_trend_report(daily: DataFrame) -> DataFrame:
     pair plus a sign class — the division is the only step two
     engines could disagree on at the last ulp, so it is the
     caller's."""
+    # x cast to LONG before any product: datediff is 32-bit, and a
+    # series spanning > 46341 days would overflow x*x in int32 —
+    # ANSI mode turns that into a runtime abort, not a wrap (second
+    # review-pass finding; the cast makes the int64 claim true)
     w = Window.partitionBy("event_type")
-    xy = daily.withColumn("x", F.col("day") - F.min("day").over(w))
+    xy = daily.withColumn(
+        "x", (F.col("day") - F.min("day").over(w)).cast("long")
+    )
     agg = xy.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("x").alias("sx"),

@@ -717,8 +717,16 @@ def arrow_knn(
                 }
             )
 
-    cand = embeddings.select("vec_id", "embedding").mapInArrow(
-        kernel, "query_id long, vec_id long, cos double"
+    # NULL embeddings are schema-legal and must not kill the kernel
+    # (ListArray.flatten() silently drops null slots, desyncing the
+    # reshape): filter them out, which matches the declarative plan's
+    # behavior — q77's NULL qcos rows sort last under desc and never
+    # rank (they could only surface when fewer than k non-null
+    # vectors exist, a degenerate corpus)
+    cand = (
+        embeddings.select("vec_id", "embedding")
+        .filter(F.col("embedding").isNotNull())
+        .mapInArrow(kernel, "query_id long, vec_id long, cos double")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (

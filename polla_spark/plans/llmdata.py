@@ -4067,14 +4067,18 @@ def q191_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     VALUES — portable md5, so DuckDB recomputes the sketch
     bit-for-bit and the driver hash-checks the estimates themselves.
 
-    Plan shape at 100 TB: one distinct on (scope, h), then a rank
-    window whose EXPLICIT ``rn <= K`` filter gets WindowGroupLimit
-    pushdown — each map task forwards ≤K rows per scope, so the
-    exchange is O(tasks × K) no matter how many distinct tokens exist
-    (the exact census shuffles one row per distinct value and dies on
-    URL/UUID-cardinality columns). The 'ALL' row costs NO second data
-    pass: min-k is merge-closed, so the union sketch ranks the ≤K×5
-    already-kept minima (theta-sketch set algebra). The exact census
+    Plan shape at 100 TB: one distinct on (scope, h) — whose first
+    exchange is still per-distinct-value, the honest cost model in
+    functions/kmv.py — then a rank window whose EXPLICIT ``rn <= K``
+    filter gets WindowGroupLimit pushdown: every exchange AFTER the
+    distinct is bounded at K rows per scope per task, and the global
+    state is K longs per scope where the census's second stage stays
+    distinct-sized. The 'ALL' row costs NO second data pass: min-k is
+    merge-closed, so the union sketch ranks the ≤K×5 already-kept
+    minima (theta-sketch set algebra); 'ALL' is a RESERVED scope
+    label, asserted in-plan against the (label-sized) per-scope
+    minima so a real lang named 'ALL' aborts loudly instead of
+    silently folding into the union row. The exact census
     here exists only to report the signed error; production builds
     the sketch alone. Kernels in ``functions/kmv.py`` — shared with
     the streaming twin (per-key minima lists merge losslessly, so the
@@ -4090,9 +4094,21 @@ def q191_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = t(spark, sf_dir, "documents").select(
         F.col("lang").alias("scope"), F.explode(_toks()).alias("term")
     )
-    per = kmv_minima(tok)
-    minima = per.unionByName(kmv_union(per)).persist()
-    census = tok.distinct()
+    # persist the REUSED frames (per feeds both union arms; census
+    # feeds both true-count arms) — without it the scan+tokenize+md5
+    # pipeline executes 4x in one action (second review-pass finding)
+    per = kmv_minima(tok).persist()
+    guarded = per.filter(
+        F.coalesce(
+            F.assert_true(
+                F.col("scope") != "ALL",
+                F.lit("q191: reserved scope label 'ALL' collides with a real lang"),
+            ),
+            F.lit(True),
+        )
+    )
+    minima = guarded.unionByName(kmv_union(per))
+    census = tok.distinct().persist()
     true = census.groupBy("scope").agg(
         F.count("*").alias("n_true")
     ).unionByName(

@@ -551,3 +551,30 @@ def test_arrow_knn_partition_cuts_never_change_the_answer(spark):
     base = arrow_knn(spark.read.parquet(f"{SF}/embeddings.parquet"))
     split = arrow_knn(spark.read.parquet(f"{SF}/embeddings.parquet").repartition(4))
     assert sorted(map(tuple, split.collect())) == sorted(map(tuple, base.collect()))
+
+
+def test_arrow_knn_tolerates_null_embeddings(spark):
+    """A NULL embedding is schema-legal; the Arrow kernel must skip
+    it (ListArray.flatten() silently drops null slots — unguarded,
+    the reshape desyncs and the task dies) and the result must equal
+    the run without the null row, matching the declarative plan where
+    NULL cosines sort last and never rank."""
+    from pyspark.sql import functions as F2, types as T2
+
+    from polla_spark.operators.ann import arrow_knn
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    null_row = spark.createDataFrame(
+        [(999_999, None, 0)],
+        T2.StructType(
+            [
+                T2.StructField("vec_id", T2.LongType()),
+                T2.StructField("embedding", T2.ArrayType(T2.FloatType())),
+                T2.StructField("label", T2.IntegerType()),
+            ]
+        ),
+    )
+    with_null = e.unionByName(null_row)
+    got = sorted(map(tuple, arrow_knn(with_null).collect()))
+    want = sorted(map(tuple, arrow_knn(e).collect()))
+    assert got == want

@@ -1031,9 +1031,9 @@ def test_q185_variant_single_agg_no_join_no_python(spark):
 
 def test_q191_kmv_minima_window_group_limit(spark):
     # the per-scope min-k rank carries an EXPLICIT rn <= K filter so
-    # WindowGroupLimit pushes a map-side top-K below the exchange —
-    # each task forwards <=K rows per scope no matter the distinct-
-    # token cardinality (the whole 100 TB story); and nothing joins
+    # WindowGroupLimit pushes a map-side top-K below the RANK exchange
+    # (the distinct's exchange before it stays per-distinct-value —
+    # the honest cost model in functions/kmv.py); and nothing joins
     # except the tiny label-sized report build
     from polla_spark.plans.llmdata import q191_kmv_distinct
 

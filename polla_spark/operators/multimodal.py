@@ -239,3 +239,70 @@ def sample_frames(assets: DataFrame, every_bytes: int = 4096) -> DataFrame:
             yield pd.DataFrame({"asset_id": ids, "frame_idx": idxs, "frame": frames})
 
     return assets.filter(F.col("modality") == "video").mapInPandas(kernel, FRAME_SCHEMA)
+
+
+SEGMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("seg_idx", T.IntegerType(), False),
+        T.StructField("t0_ms", T.LongType(), False),
+        T.StructField("t1_ms", T.LongType(), False),
+        T.StructField("segment", T.BinaryType()),
+    ]
+)
+
+
+def segment_audio(assets: DataFrame, window_ms: int = 640,
+                  stride_ms: int = 320) -> DataFrame:
+    """OVERLAPPING-window segmentation for ``modality = audio`` rows —
+    the ASR/diarization pre-processing contract, and deliberately a
+    different expansion shape than :func:`sample_frames`: video
+    frames tile the payload disjointly, audio windows OVERLAP
+    (stride < window), so one byte lands in multiple output rows and
+    total output bytes EXCEED input bytes — the batch-amplification
+    case a pipeline must budget for.
+
+    Segment k covers [k·stride, min(k·stride + window, dur)) in
+    media time (k·stride < dur, so every asset with positive
+    duration gets ≥1 segment, the trailing one clipped); the byte
+    range maps through EXACT integer arithmetic
+    b = (n_bytes · t) // dur_ms — reproducible across retries and
+    recomputable by the SQL oracle (q195). Zero/negative-duration
+    assets yield no segments (the oracle filters identically). The
+    modality filter runs before the Python boundary, so image/video
+    bytes never cross it."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, t0s, t1s, segs = [], [], [], [], []
+            for aid, c, meta in zip(pdf["asset_id"], pdf["content"], pdf["meta"]):
+                blob = bytes(c)
+                n = len(blob)
+                dur = int(meta["duration_ms"])
+                if dur <= 0:
+                    continue
+                k = 0
+                while k * stride_ms < dur:
+                    t0 = k * stride_ms
+                    t1 = min(t0 + window_ms, dur)
+                    ids.append(aid)
+                    idxs.append(k)
+                    t0s.append(t0)
+                    t1s.append(t1)
+                    segs.append(blob[(n * t0) // dur : (n * t1) // dur])
+                    k += 1
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "seg_idx": idxs,
+                    "t0_ms": t0s,
+                    "t1_ms": t1s,
+                    "segment": segs,
+                }
+            )
+
+    return assets.filter(F.col("modality") == "audio").mapInPandas(
+        kernel, SEGMENT_SCHEMA
+    )

@@ -2065,6 +2065,74 @@ FROM frames
 """
 
 
+_SEG_W, _SEG_S = 640, 320  # audio window/stride (ms) — overlap by design
+
+
+def q195_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio OVERLAPPING-window segmentation through the real 1→N
+    mapInPandas kernel (operators/multimodal.segment_audio) —
+    completing the modality triple's distinct expansion contracts:
+    image→resize (1→1), video→frames (disjoint 1→N, q98),
+    audio→segments (OVERLAPPING 1→N: stride < window, so output
+    bytes EXCEED input bytes — the ASR/diarization pre-processing
+    shape whose batch amplification a pipeline must budget for).
+
+    Media time maps to byte ranges via exact integer arithmetic
+    b = (n·t) // dur, so the kernel's 1→N output is bit-deterministic
+    (retry-safe) and the oracle recomputes every segment INCLUDING an
+    md5 fold of each segment body. The oracle slices characters where
+    the kernel slices bytes — equivalent here because the synthetic
+    corpus is single-byte (octet_length == length for every doc,
+    checked); the kernel itself is byte-correct for any input. The
+    modality filter runs before the Python boundary (image/video rows
+    never cross), and the overlap check sum(t1−t0) > sum(dur) is part
+    of the report — disjoint tiling cannot produce it.
+    """
+    from ..operators.multimodal import documents_as_assets, segment_audio
+
+    assets = documents_as_assets(_spread(spark, t(spark, sf_dir, "documents")))
+    segs = segment_audio(assets, window_ms=_SEG_W, stride_ms=_SEG_S)
+    shash = F.conv(F.substring(F.md5("segment"), 1, 8), 16, 10).cast("long")
+    return segs.agg(
+        F.count("*").alias("n_segments"),
+        F.countDistinct("asset_id").alias("n_assets"),
+        F.sum("seg_idx").alias("sum_idx"),
+        F.sum(F.col("t1_ms") - F.col("t0_ms")).alias("sum_window_ms"),
+        F.sum(F.length("segment")).alias("sum_bytes"),
+        F.sum(shash).alias("qsum_shash"),
+    )
+
+
+O195 = f"""
+WITH auds AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n,
+         octet_length(encode(text)) * 10 AS dur
+  FROM documents WHERE doc_id % 3 = 1
+), segs AS (
+  SELECT doc_id, k,
+         CAST(k * {_SEG_S} AS BIGINT) AS t0,
+         CAST(LEAST(k * {_SEG_S} + {_SEG_W}, dur) AS BIGINT) AS t1,
+         substr(text,
+                CAST((n * (k * {_SEG_S})) // dur AS BIGINT) + 1,
+                CAST((n * LEAST(k * {_SEG_S} + {_SEG_W}, dur)) // dur
+                     - (n * (k * {_SEG_S})) // dur AS BIGINT)) AS seg
+  FROM auds,
+       LATERAL unnest(generate_series(0, (dur + {_SEG_S} - 1) // {_SEG_S} - 1))
+       AS u(k)
+  WHERE dur > 0
+)
+SELECT COUNT(*) AS n_segments,
+       COUNT(DISTINCT doc_id) AS n_assets,
+       CAST(SUM(k) AS BIGINT) AS sum_idx,
+       CAST(SUM(t1 - t0) AS BIGINT) AS sum_window_ms,
+       CAST(SUM(octet_length(encode(seg))) AS BIGINT) AS sum_bytes,
+       CAST(SUM(list_reduce(list_transform(generate_series(1, 8), i ->
+            CAST(strpos('{_HEX}', substr(md5(seg), i, 1)) - 1 AS BIGINT)),
+            (x, y) -> x * 16 + y)) AS BIGINT) AS qsum_shash
+FROM segs
+"""
+
+
 def q99_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing at corpus scale: match + redact emails, phone
     numbers, and long digit runs with native ``regexp_extract_all`` /
@@ -4334,6 +4402,10 @@ QUERIES = [
           "Arrow-native int8 kNN via mapInArrow (zero-copy numpy GEMM "
           "kernel, per-batch top-k shard-and-merge; exact-integer dots "
           "+ bit-portable float64 cosine -> oracle-exact)"),
+    Query("q195_audio_segments", q195_audio_segments, O195,
+          "overlapping-window audio segmentation (1->N mapInPandas with "
+          "batch amplification; exact integer time->byte mapping, "
+          "md5-folded segment checksums -> oracle-exact)"),
     Query("q191_kmv_distinct", q191_kmv_distinct, O191,
           "KMV/theta distinct sketch per lang + lossless union row "
           "(portable md5 min-k -> oracle-exact estimates; "

@@ -198,3 +198,63 @@ def test_sample_frames_expands_rows(spark):
     )
     src = bytes(a.filter(F.col("asset_id") == one).first()["content"])
     assert got == src
+
+
+def test_segment_audio_overlap_and_coverage(spark):
+    """Audio segmentation contract: only audio rows cross the kernel;
+    stride < window produces genuine OVERLAP (summed window time per
+    asset exceeds its duration whenever it has >=2 segments); the
+    byte ranges are the exact integer mapping b = (n*t) // dur; and
+    the concatenation of stride-aligned prefixes reconstructs the
+    full payload (no byte lost at segment boundaries)."""
+    from polla_spark.operators.multimodal import segment_audio
+
+    a = _assets(spark)
+    segs = segment_audio(a, window_ms=640, stride_ms=320)
+    rows = segs.collect()
+    assert rows and all(r["asset_id"] % 3 == 1 for r in rows)
+    # overlap: an asset with >=2 segments has sum(t1-t0) > duration
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    multi = {k: v for k, v in by_asset.items() if len(v) >= 2}
+    assert multi, "fixture too small: no asset got >=2 segments"
+    durs = {
+        r["asset_id"]: r["meta"]["duration_ms"]
+        for r in a.filter(F.col("modality") == "audio").collect()
+    }
+    contents = {
+        r["asset_id"]: bytes(r["content"])
+        for r in a.filter(F.col("modality") == "audio").collect()
+    }
+    for aid, ss in multi.items():
+        assert sum(s["t1_ms"] - s["t0_ms"] for s in ss) > durs[aid]
+        # exact byte mapping per segment
+        blob, dur, n = contents[aid], durs[aid], len(contents[aid])
+        for s in ss:
+            want = blob[(n * s["t0_ms"]) // dur : (n * s["t1_ms"]) // dur]
+            assert bytes(s["segment"]) == want
+    # determinism: second run bit-identical
+    again = {
+        (r["asset_id"], r["seg_idx"]): bytes(r["segment"])
+        for r in segment_audio(a, window_ms=640, stride_ms=320).collect()
+    }
+    assert {(r["asset_id"], r["seg_idx"]): bytes(r["segment"]) for r in rows} == again
+
+
+def test_segment_audio_skips_zero_duration(spark):
+    """A zero-duration asset yields NO segments (kernel guard) —
+    matching the oracle's WHERE dur > 0."""
+    from pyspark.sql import Row
+
+    from polla_spark.operators.multimodal import ASSET_SCHEMA, segment_audio
+
+    rows = [
+        Row(asset_id=1, modality="audio", content=b"", meta=Row(
+            width=64, height=64, duration_ms=0, codec="fake/v1")),
+        Row(asset_id=4, modality="audio", content=b"0123456789", meta=Row(
+            width=64, height=64, duration_ms=100, codec="fake/v1")),
+    ]
+    df = spark.createDataFrame(rows, ASSET_SCHEMA)
+    got = segment_audio(df).collect()
+    assert {r["asset_id"] for r in got} == {4}

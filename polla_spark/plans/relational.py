@@ -4527,6 +4527,96 @@ def q178_approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q196_SQL = """
+WITH mixed AS (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END AS src,
+         n_chars
+  FROM {documents}
+)
+SELECT CAST(lower(min(src COLLATE UTF8_LCASE)) AS STRING) AS source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM mixed
+GROUP BY src COLLATE UTF8_LCASE
+ORDER BY source
+"""
+
+
+def q196_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping via Spark 4 COLLATIONS — the third
+    engine-native Spark 4 feature in the inventory (q184 recursive
+    CTE, q185 VARIANT): ``GROUP BY src COLLATE UTF8_LCASE`` makes the
+    ENGINE equate case variants, where the classic ``lower(src)``
+    rewrite (the oracle's form, since DuckDB has no collation
+    equivalent here) normalizes the data instead. Semantically equal
+    on this corpus; operationally the collation keeps the ORIGINAL
+    strings flowing (no derived column) and applies to joins, ORDER
+    BY and DISTINCT uniformly once declared on the column.
+
+    Determinism note: case variants are EQUAL under the collation, so
+    ``min(src)`` may return either variant — the report lowers it, so
+    the displayed key is stable regardless of which representative
+    the engine picks. Mixed-case input is derived in-query (upper()
+    on even doc_ids) because the corpus itself is single-case.
+
+    Plan shape: one partial-agged groupBy; the collation comparator
+    runs inside codegen — no UDF, no second pass.
+    """
+    t(spark, sf_dir, "documents").createOrReplaceTempView("q196_documents")
+    return spark.sql(_Q196_SQL.format(documents="q196_documents"))
+
+
+O196 = """
+WITH mixed AS (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END AS src,
+         n_chars
+  FROM documents
+)
+SELECT lower(min(src)) AS source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM mixed
+GROUP BY lower(src)
+ORDER BY source
+"""
+
+
+_Q197_SQL = """
+SELECT c.c_custkey, t.o_orderkey,
+       CAST(floor(t.o_totalprice * 100) AS BIGINT) AS price_cents
+FROM {customer} c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM {orders} o
+         WHERE o.o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+WHERE c.c_custkey % 10 = 0
+ORDER BY c.c_custkey, price_cents DESC, t.o_orderkey
+"""
+
+
+def q197_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per customer through a correlated LATERAL
+    subquery with LIMIT — the SQL-native per-group top-k surface
+    (q02/q104 drive the same semantics through window functions).
+    The statement is textually identical in both engines, so this
+    pins cross-engine LATERAL semantics the way q107 pins correlated
+    EXISTS.
+
+    What Catalyst does with it at scale: DecorrelateInnerQuery +
+    RewriteLateralSubquery turn the per-row subquery into a JOIN +
+    per-key rank limit — there is NO per-row re-execution of the
+    inner query at any scale, and nothing cartesians (plan-pinned in
+    tests/test_plan_shapes.py). The customer filter prunes the outer
+    side before the join.
+    """
+    t(spark, sf_dir, "customer").createOrReplaceTempView("q197_customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("q197_orders")
+    return spark.sql(
+        _Q197_SQL.format(customer="q197_customer", orders="q197_orders")
+    )
+
+
+O197 = _Q197_SQL.format(customer="customer", orders="orders")
+
+
 def q194_inclusion_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inclusion-dependency census — the data-PROFILING operator
     (Metanome/SINDY family): for each candidate (lhs ⊆ rhs) column
@@ -4782,6 +4872,12 @@ QUERIES = [
     Query("q178_approx_percentile_check", q178_approx_percentile_check, None,
           "approx_percentile sketch, self-verifying its rank guarantee "
           "in-plan (rows-only: sketch values are implementation-defined)"),
+    Query("q196_collated_grouping", q196_collated_grouping, O196,
+          "Spark 4 collation-aware grouping (COLLATE UTF8_LCASE vs the "
+          "oracle's lower() rewrite; engine-equated case variants)"),
+    Query("q197_lateral_topk", q197_lateral_topk, O197,
+          "correlated LATERAL subquery with LIMIT (SQL-native per-group "
+          "top-k; decorrelated to a join, textually identical oracle)"),
     Query("q194_inclusion_profile", q194_inclusion_profile, O194,
           "inclusion-dependency census (Metanome-style FK discovery: "
           "distinct-set inclusion ppm + ind/partial/none verdict per "

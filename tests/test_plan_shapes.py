@@ -1055,3 +1055,15 @@ def test_q194_inclusion_profile_prunes_to_single_columns(spark):
     # single-column pruned scans visible for the fact-side columns
     assert "struct<l_partkey" in plan, plan
     assert "struct<o_orderkey" in plan, plan
+
+
+def test_q197_lateral_decorrelates_no_per_row_subquery(spark):
+    # the correlated LATERAL + LIMIT must compile to a JOIN with a
+    # per-key rank limit — never a cartesian/nested-loop re-execution
+    # of the inner query per outer row
+    from polla_spark.plans.relational import q197_lateral_topk
+
+    plan = _plan(q197_lateral_topk(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "Join" in plan, plan
+    assert ("WindowGroupLimit" in plan) or ("Window" in plan), plan

@@ -122,6 +122,13 @@ HEADLINE = [
     "q192_arrow_knn",
     "q193_ols_trend",
     "q194_inclusion_profile",
+    # Spark 4 front-end features (collation grouping, decorrelated
+    # LATERAL top-k, pipe syntax) — cheap on both engines. q195's
+    # oracle recomputes per-segment md5 folds in DuckDB (q98's
+    # reason to stay out of the headline; covered by parity + 20x).
+    "q196_collated_grouping",
+    "q197_lateral_topk",
+    "q198_pipe_syntax",
 ]
 
 

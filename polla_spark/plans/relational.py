@@ -4617,6 +4617,49 @@ def q197_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 O197 = _Q197_SQL.format(customer="customer", orders="orders")
 
 
+_Q198_PIPE = """
+FROM {lineitem}
+|> WHERE l_shipdate <= DATE '1998-09-02'
+|> EXTEND CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+     AS disc_cents
+|> AGGREGATE COUNT(*) AS n,
+     CAST(SUM(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+     CAST(SUM(disc_cents) AS BIGINT) AS revenue_cents
+     GROUP BY l_returnflag, l_linestatus
+|> ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q198_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1's shape through Spark 4's SQL PIPE syntax (`|>`) —
+    the fifth engine-native Spark 4 surface in the inventory (q184
+    recursive CTE, q185 VARIANT, q196 collations, q197 LATERAL):
+    FROM … |> WHERE … |> EXTEND … |> AGGREGATE … |> ORDER BY reads in
+    dataflow order, and the parser lowers each stage onto the SAME
+    Catalyst operators as the classic statement — pushed scan filter,
+    partial-agged groupBy, sorted report — so the feature costs
+    nothing at scale (it is syntax, not a new executor). The oracle
+    is the classic-SQL equivalent (DuckDB has no pipe parser), which
+    also proves stage-lowering preserves ANSI semantics; the exact
+    integer-cent quantization keeps both engines' sums bit-equal
+    (q01's discipline).
+    """
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("q198_lineitem")
+    return spark.sql(_Q198_PIPE.format(lineitem="q198_lineitem"))
+
+
+O198 = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 def q194_inclusion_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inclusion-dependency census — the data-PROFILING operator
     (Metanome/SINDY family): for each candidate (lhs ⊆ rhs) column
@@ -4878,6 +4921,9 @@ QUERIES = [
     Query("q197_lateral_topk", q197_lateral_topk, O197,
           "correlated LATERAL subquery with LIMIT (SQL-native per-group "
           "top-k; decorrelated to a join, textually identical oracle)"),
+    Query("q198_pipe_syntax", q198_pipe_syntax, O198,
+          "Spark 4 SQL pipe syntax (FROM |> WHERE |> EXTEND |> AGGREGATE "
+          "lowered onto classic Catalyst operators; classic-SQL oracle)"),
     Query("q194_inclusion_profile", q194_inclusion_profile, O194,
           "inclusion-dependency census (Metanome-style FK discovery: "
           "distinct-set inclusion ppm + ind/partial/none verdict per "

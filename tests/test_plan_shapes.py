@@ -1067,3 +1067,15 @@ def test_q197_lateral_decorrelates_no_per_row_subquery(spark):
     assert "CartesianProduct" not in plan, plan
     assert "Join" in plan, plan
     assert ("WindowGroupLimit" in plan) or ("Window" in plan), plan
+
+
+def test_q198_pipe_lowers_to_pushed_filter_and_partial_agg(spark):
+    # pipe syntax is syntax, not a new executor: the WHERE stage must
+    # reach the scan as a pushed filter and the AGGREGATE stage must
+    # partial-aggregate like the classic statement
+    from polla_spark.plans.relational import q198_pipe_syntax
+
+    plan = _plan(q198_pipe_syntax(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "LessThanOrEqual(l_shipdate" in plan, plan
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+    assert "CartesianProduct" not in plan, plan

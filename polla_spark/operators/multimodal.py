@@ -278,6 +278,12 @@ def segment_audio(assets: DataFrame, window_ms: int = 640,
         for pdf in batches:
             ids, idxs, t0s, t1s, segs = [], [], [], [], []
             for aid, c, meta in zip(pdf["asset_id"], pdf["content"], pdf["meta"]):
+                # crash-vs-filter symmetry with the oracle: NULL
+                # content / NULL metadata rows are FILTERED like the
+                # oracle's encode(NULL) -> NULL, WHERE dur > 0 path
+                # (review-pass finding; extract_features' guard)
+                if c is None or meta is None or meta["duration_ms"] is None:
+                    continue
                 blob = bytes(c)
                 n = len(blob)
                 dur = int(meta["duration_ms"])

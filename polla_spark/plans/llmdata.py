@@ -2081,16 +2081,27 @@ def q195_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = (n·t) // dur, so the kernel's 1→N output is bit-deterministic
     (retry-safe) and the oracle recomputes every segment INCLUDING an
     md5 fold of each segment body. The oracle slices characters where
-    the kernel slices bytes — equivalent here because the synthetic
-    corpus is single-byte (octet_length == length for every doc,
-    checked); the kernel itself is byte-correct for any input. The
-    modality filter runs before the Python boundary (image/video rows
-    never cross), and the overlap check sum(t1−t0) > sum(dur) is part
-    of the report — disjoint tiling cannot produce it.
+    the kernel slices bytes — equivalent ONLY on a single-byte corpus,
+    so that invariant is ASSERTED IN-PLAN (octet_length == length on
+    every doc feeding the kernel; a multibyte doc aborts loudly
+    instead of silently hash-mismatching); the kernel itself is
+    byte-correct for any input. The modality filter runs before the
+    Python boundary (image/video rows never cross); the overlap
+    property — per-asset sum(t1−t0) exceeds the asset's duration —
+    is pinned in tests/test_multimodal.py.
     """
     from ..operators.multimodal import documents_as_assets, segment_audio
 
-    assets = documents_as_assets(_spread(spark, t(spark, sf_dir, "documents")))
+    d = t(spark, sf_dir, "documents").filter(
+        F.coalesce(
+            F.assert_true(
+                F.octet_length("text") == F.length("text"),
+                F.lit("q195: multibyte doc breaks the oracle's char==byte slicing"),
+            ),
+            F.lit(True),
+        )
+    )
+    assets = documents_as_assets(_spread(spark, d))
     segs = segment_audio(assets, window_ms=_SEG_W, stride_ms=_SEG_S)
     shash = F.conv(F.substring(F.md5("segment"), 1, 8), 16, 10).cast("long")
     return segs.agg(

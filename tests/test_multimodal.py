@@ -204,9 +204,10 @@ def test_segment_audio_overlap_and_coverage(spark):
     """Audio segmentation contract: only audio rows cross the kernel;
     stride < window produces genuine OVERLAP (summed window time per
     asset exceeds its duration whenever it has >=2 segments); the
-    byte ranges are the exact integer mapping b = (n*t) // dur; and
-    the concatenation of stride-aligned prefixes reconstructs the
-    full payload (no byte lost at segment boundaries)."""
+    byte ranges are the exact integer mapping b = (n*t) // dur; and —
+    independently of that formula — stitching each segment's
+    non-overlapping prefix reconstructs the full payload byte-for-
+    byte (no byte lost or shifted at segment boundaries)."""
     from polla_spark.operators.multimodal import segment_audio
 
     a = _assets(spark)
@@ -219,14 +220,9 @@ def test_segment_audio_overlap_and_coverage(spark):
         by_asset.setdefault(r["asset_id"], []).append(r)
     multi = {k: v for k, v in by_asset.items() if len(v) >= 2}
     assert multi, "fixture too small: no asset got >=2 segments"
-    durs = {
-        r["asset_id"]: r["meta"]["duration_ms"]
-        for r in a.filter(F.col("modality") == "audio").collect()
-    }
-    contents = {
-        r["asset_id"]: bytes(r["content"])
-        for r in a.filter(F.col("modality") == "audio").collect()
-    }
+    audio_rows = a.filter(F.col("modality") == "audio").collect()
+    durs = {r["asset_id"]: r["meta"]["duration_ms"] for r in audio_rows}
+    contents = {r["asset_id"]: bytes(r["content"]) for r in audio_rows}
     for aid, ss in multi.items():
         assert sum(s["t1_ms"] - s["t0_ms"] for s in ss) > durs[aid]
         # exact byte mapping per segment
@@ -234,6 +230,18 @@ def test_segment_audio_overlap_and_coverage(spark):
         for s in ss:
             want = blob[(n * s["t0_ms"]) // dur : (n * s["t1_ms"]) // dur]
             assert bytes(s["segment"]) == want
+        # INDEPENDENT no-byte-lost reconstruction: stitch each
+        # segment's non-overlapping prefix (up to the next segment's
+        # start byte) plus the last segment whole — must equal the
+        # original payload byte-for-byte (a spec-level boundary shift
+        # in the kernel fails this even if it matches its own formula)
+        ss_sorted = sorted(ss, key=lambda s: s["seg_idx"])
+        starts = [(n * s["t0_ms"]) // dur for s in ss_sorted]
+        rebuilt = b"".join(
+            bytes(s["segment"])[: starts[i + 1] - starts[i]]
+            for i, s in enumerate(ss_sorted[:-1])
+        ) + bytes(ss_sorted[-1]["segment"])
+        assert rebuilt == blob
     # determinism: second run bit-identical
     again = {
         (r["asset_id"], r["seg_idx"]): bytes(r["segment"])
@@ -243,8 +251,9 @@ def test_segment_audio_overlap_and_coverage(spark):
 
 
 def test_segment_audio_skips_zero_duration(spark):
-    """A zero-duration asset yields NO segments (kernel guard) —
-    matching the oracle's WHERE dur > 0."""
+    """Zero-duration and NULL-content assets yield NO segments
+    (kernel guards) — matching the oracle's encode(NULL) -> NULL,
+    WHERE dur > 0 filtering instead of crashing the task."""
     from pyspark.sql import Row
 
     from polla_spark.operators.multimodal import ASSET_SCHEMA, segment_audio
@@ -252,6 +261,8 @@ def test_segment_audio_skips_zero_duration(spark):
     rows = [
         Row(asset_id=1, modality="audio", content=b"", meta=Row(
             width=64, height=64, duration_ms=0, codec="fake/v1")),
+        Row(asset_id=2, modality="audio", content=None, meta=Row(
+            width=64, height=64, duration_ms=50, codec="fake/v1")),
         Row(asset_id=4, modality="audio", content=b"0123456789", meta=Row(
             width=64, height=64, duration_ms=100, codec="fake/v1")),
     ]

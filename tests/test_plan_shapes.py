@@ -1077,5 +1077,5 @@ def test_q198_pipe_lowers_to_pushed_filter_and_partial_agg(spark):
 
     plan = _plan(q198_pipe_syntax(spark, SF))
     assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "LessThanOrEqual(l_shipdate" in plan, plan
-    assert "partial_count" in plan or "partial" in plan.lower(), plan
+    assert "partial_count" in plan, plan
     assert "CartesianProduct" not in plan, plan

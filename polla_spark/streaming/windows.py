@@ -1136,6 +1136,27 @@ def finish_heavy_hitters(partials: DataFrame, k: int = 64) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Audio segmentation (streaming twin of plans/llmdata.q195)
+# ---------------------------------------------------------------------------
+
+
+def audio_segment_stream(docs: DataFrame) -> DataFrame:
+    """Streaming twin of q195's audio segmentation (28th twin): the
+    kernel is STATELESS per asset (one document in, its segments
+    out — the mg_partials property: ``mapInPandas`` works unchanged
+    on a streaming frame, zero streaming state, no watermark), so the
+    streamed segment set over any batch cut equals the batch kernel's
+    EXACTLY provided each document arrives whole — the same per-doc
+    atomicity unit as the q189 gram census, and the natural unit of
+    any demuxer. One source of truth: the identical
+    ``operators/multimodal.segment_audio`` over the identical
+    ``documents_as_assets`` modelling."""
+    from ..operators.multimodal import documents_as_assets, segment_audio
+
+    return segment_audio(documents_as_assets(docs))
+
+
+# ---------------------------------------------------------------------------
 # Daily-revenue OLS census (streaming twin of plans/windows_q.q193)
 # ---------------------------------------------------------------------------
 

@@ -854,3 +854,44 @@ def test_ols_trend_stream_equals_q193(spark, stream_events, batch_events):
     want = ols_trend_report(daily_type_census(batch_events))
     keys = ["event_type", "n_days", "slope_num", "slope_den", "trend"]
     assert _rows(got, keys) == _rows(want, keys)
+
+
+def test_audio_segments_stream_equals_q195(spark, tmp_path):
+    """Streaming audio segmentation (28th twin): the kernel is
+    stateless per asset, so streaming whole documents in 3 micro-
+    batches must yield exactly the batch segment set — ids, indexes,
+    times and segment BYTES identical."""
+    from polla_spark.operators.multimodal import documents_as_assets, segment_audio
+    from polla_spark.session import read_table
+
+    docs = read_table(spark, SF_DIR, "documents")
+    rows = docs.collect()
+    d = tmp_path / "audio_stream"
+    for i in range(3):
+        spark.createDataFrame(rows[i::3], docs.schema).coalesce(1).write.parquet(
+            str(d / f"part{i}")
+        )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*/")
+    )
+    q = (
+        SW.audio_segment_stream(stream)
+        .withColumn("shash", F.md5("segment"))
+        .drop("segment")
+        .writeStream.format("memory")
+        .queryName("audio_segs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.table("audio_segs")
+    want = (
+        segment_audio(documents_as_assets(docs))
+        .withColumn("shash", F.md5("segment"))
+        .drop("segment")
+    )
+    keys = ["asset_id", "seg_idx", "t0_ms", "t1_ms", "shash"]
+    assert _rows(got, keys) == _rows(want, keys)

@@ -129,6 +129,7 @@ HEADLINE = [
     "q196_collated_grouping",
     "q197_lateral_topk",
     "q198_pipe_syntax",
+    "q199_bpe_merges",
 ]
 
 

@@ -2065,6 +2065,129 @@ FROM frames
 """
 
 
+_BPE_VOCAB = 100  # training words (census top-N); rounds below are unrolled
+
+
+def q199_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training driver loop (Sennrich et al. 2016) in
+    PURE relational algebra — 3 unrolled merge rounds over the
+    corpus's top-100 word census: each round computes the adjacent-
+    symbol-pair census (weighted by word frequency), picks the argmax
+    pair (count desc, then lexicographic — a unique tie-break), and
+    rewrites every word's symbol sequence with the merged token.
+    The report is the learned merge table: (round, a, b, pair_count).
+
+    Plan shape at 100 TB: ONLY the word census touches the corpus
+    (one partial-agged shuffle); every merge round runs on the
+    ≤100-row vocabulary table with the 1-row argmax broadcast into
+    the rewrite — the classic tokenizer-training loop where corpus
+    scale and training-loop scale are decoupled. Each round's repr
+    table persists (feeds its census AND the next round).
+
+    Merge application = ONE left-to-right non-overlapping
+    regexp_replace pass with CONSUMED delimiters — deterministic and
+    verified IDENTICAL in Java regex and RE2 (' a a a ' -> ' aa a '),
+    which is what makes the query oracle-exact. Disclosure: because a
+    match eats both surrounding spaces, the pair starting at the very
+    next token is also skipped within the pass (' e r e r ' merges
+    once, not twice; exhaustive BPE would merge both) — later rounds
+    pick up what a pass leaves. A documented simplification that
+    keeps the rewrite relational instead of per-row sequential
+    Python; the exact semantics are pinned against a Python reference
+    in tests/test_r6_math_properties.py.
+    """
+    docs = t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(_toks()).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "w")
+        .limit(_BPE_VOCAB)
+    )
+    reprs = words.select(
+        F.concat(
+            F.lit(" "),
+            F.concat_ws(" ", F.expr("regexp_extract_all(w, '.', 0)")),
+            F.lit(" </w> "),
+        ).alias("repr"),
+        "cnt",
+    ).persist()
+
+    def top_pair(r: DataFrame, rnd: int) -> DataFrame:
+        pairs = r.select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(split(trim(repr), ' ')) - 2), "
+                    "i -> struct(split(trim(repr), ' ')[i] AS a, "
+                    "split(trim(repr), ' ')[i+1] AS b))"
+                )
+            ).alias("p"),
+        )
+        return (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), "a", "b")
+            .limit(1)
+            .select(F.lit(rnd).alias("round"), "a", "b", "n")
+        )
+
+    merges = []
+    r = reprs
+    for rnd in (1, 2, 3):
+        top = top_pair(r, rnd).persist()
+        merges.append(top)
+        r = (
+            r.crossJoin(F.broadcast(top))
+            .select(
+                F.regexp_replace(
+                    "repr",
+                    F.concat(F.lit(" "), F.col("a"), F.lit(" "), F.col("b"), F.lit(" ")),
+                    F.concat(F.lit(" "), F.col("a"), F.col("b"), F.lit(" ")),
+                ).alias("repr"),
+                "cnt",
+            )
+            .persist()
+        )
+    rep = merges[0]
+    for m in merges[1:]:
+        rep = rep.unionByName(m)
+    return rep.select("round", "a", "b", "n").orderBy("round")
+
+
+def _O199_round(prev: str, rnd: int) -> str:
+    return f"""p{rnd} AS (
+  SELECT arr[i] AS a, arr[i + 1] AS b, CAST(SUM(cnt) AS BIGINT) AS n
+  FROM (SELECT string_split(trim(repr), ' ') AS arr, cnt FROM {prev}),
+       LATERAL unnest(generate_series(1, len(arr) - 1)) AS u(i)
+  GROUP BY 1, 2
+), t{rnd} AS (
+  SELECT {rnd} AS round, a, b, n FROM p{rnd} ORDER BY n DESC, a, b LIMIT 1
+), r{rnd} AS (
+  SELECT regexp_replace(repr, ' ' || t{rnd}.a || ' ' || t{rnd}.b || ' ',
+                        ' ' || t{rnd}.a || t{rnd}.b || ' ', 'g') AS repr, cnt
+  FROM {prev}, t{rnd}
+)"""
+
+
+O199 = f"""
+WITH words AS (
+  SELECT w, COUNT(*) AS cnt FROM (
+    SELECT unnest({TOKS}) AS w FROM documents
+  ) WHERE regexp_matches(w, '^[a-z]+$')
+  GROUP BY 1 ORDER BY cnt DESC, w LIMIT {_BPE_VOCAB}
+), r0 AS (
+  SELECT ' ' || array_to_string(regexp_extract_all(w, '.', 0), ' ') || ' </w> ' AS repr,
+         cnt
+  FROM words
+), {_O199_round("r0", 1)}, {_O199_round("r1", 2)}, {_O199_round("r2", 3)}
+SELECT round, a, b, n FROM (
+  SELECT * FROM t1 UNION ALL SELECT * FROM t2 UNION ALL SELECT * FROM t3
+) ORDER BY round
+"""
+
+
 _SEG_W, _SEG_S = 640, 320  # audio window/stride (ms) — overlap by design
 
 
@@ -4413,6 +4536,11 @@ QUERIES = [
           "Arrow-native int8 kNN via mapInArrow (zero-copy numpy GEMM "
           "kernel, per-batch top-k shard-and-merge; exact-integer dots "
           "+ bit-portable float64 cosine -> oracle-exact)"),
+    Query("q199_bpe_merges", q199_bpe_merges, O199,
+          "BPE tokenizer-training loop (3 unrolled merge rounds: "
+          "weighted pair census -> argmax -> relational rewrite; only "
+          "the word census touches the corpus; cross-engine-identical "
+          "single-pass merge application)"),
     Query("q195_audio_segments", q195_audio_segments, O195,
           "overlapping-window audio segmentation (1->N mapInPandas with "
           "batch amplification; exact integer time->byte mapping, "

@@ -155,3 +155,51 @@ def test_kmv_estimator_accuracy_on_large_synthetic(spark):
     assert row["n_kept"] == 256
     rel_err = abs(row["est"] - n) / n
     assert rel_err < 0.20, (row["est"], rel_err)
+
+
+def test_bpe_single_pass_merge_semantics(spark):
+    """q199's merge application contract on crafted sequences: the
+    relational regexp_replace pass equals a Python reference doing
+    ONE left-to-right non-overlapping scan with consumed delimiters —
+    a merge eats both surrounding spaces, so the IMMEDIATELY following
+    pair is skipped too (' a a a a ' and ' e r e r ' each merge once
+    per pass), the precise semantics the q199 docstring discloses."""
+    from pyspark.sql import functions as F
+
+    def ref_merge(repr_, a, b):
+        # consumed-delimiter semantics: a match eats BOTH surrounding
+        # spaces, so the pair starting at the very next token has no
+        # leading delimiter left and cannot match in the same pass
+        toks = repr_.strip().split(" ")
+        out, i, blocked = [], 0, False
+        while i < len(toks):
+            if (not blocked and i + 1 < len(toks)
+                    and toks[i] == a and toks[i + 1] == b):
+                out.append(a + b)
+                i += 2
+                blocked = True
+            else:
+                out.append(toks[i])
+                i += 1
+                blocked = False
+        return " " + " ".join(out) + " "
+
+    cases = [
+        (" a a a </w> ", "a", "a"),
+        (" a a a a </w> ", "a", "a"),
+        (" e r e r </w> ", "e", "r"),
+        (" x e r y e r </w> ", "e", "r"),
+        (" e r </w> ", "r", "</w>"),
+        (" q </w> ", "e", "r"),
+    ]
+    df = spark.createDataFrame(cases, "repr string, a string, b string")
+    got = df.select(
+        "repr", "a", "b",
+        F.regexp_replace(
+            "repr",
+            F.concat(F.lit(" "), F.col("a"), F.lit(" "), F.col("b"), F.lit(" ")),
+            F.concat(F.lit(" "), F.col("a"), F.col("b"), F.lit(" ")),
+        ).alias("merged"),
+    ).collect()
+    for r in got:
+        assert r["merged"] == ref_merge(r["repr"], r["a"], r["b"]), r

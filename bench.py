@@ -130,6 +130,7 @@ HEADLINE = [
     "q197_lateral_topk",
     "q198_pipe_syntax",
     "q199_bpe_merges",
+    "q200_aqp_estimates",
 ]
 
 

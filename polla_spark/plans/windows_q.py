@@ -1261,6 +1261,73 @@ FROM s ORDER BY event_type
 """
 
 
+def q200_aqp_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing (BlinkDB-style): answer count/sum
+    per event_type from a 1/16 DETERMINISTIC hash sample, scaled by
+    the inverse sampling rate (Horvitz-Thompson with uniform
+    inclusion p = 16/256), and report the estimates AGAINST the exact
+    census. The gate is the q86/q120 md5 idiom — '10' is exactly
+    16/256, and a hash gate (never ``rand()``) makes the sample, the
+    estimates, and therefore the oracle comparison bit-reproducible
+    across engines, retries and cluster sizes.
+
+    Plan shape at 100 TB: production materializes the gated sample
+    ONCE as its own table (1/16 of the bytes) and routes exploratory
+    queries at it — this query computes gate, sample aggregates and
+    the exact census in one scan only so the driver can hash-check
+    estimate AND truth together. Estimates are exact integers
+    (16 × sample sums): the error columns are honest signed deltas,
+    not asserted bounds — sampling error is statistical, the q191
+    discipline.
+    """
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        VQ().alias("vq"),
+        (F.substring(F.md5(F.col("event_id").cast("string")), 1, 2) < "10").alias(
+            "in_sample"
+        ),
+    )
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("in_sample"), 1).otherwise(0)).alias("n_sample"),
+            F.count("*").alias("n_true"),
+            F.sum(F.when(F.col("in_sample"), F.col("vq")).otherwise(0)).alias("_s"),
+            F.sum("vq").alias("sum_true_cents"),
+        )
+        .select(
+            "event_type",
+            "n_sample",
+            (F.col("n_sample") * 16).alias("est_n"),
+            "n_true",
+            (F.col("n_sample") * 16 - F.col("n_true")).alias("delta_n"),
+            (F.col("_s") * 16).alias("est_sum_cents"),
+            "sum_true_cents",
+            (F.col("_s") * 16 - F.col("sum_true_cents")).alias("delta_sum_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+O200 = """
+WITH e AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS vq,
+         substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '10' AS in_sample
+  FROM events
+)
+SELECT event_type,
+       CAST(SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT) AS n_sample,
+       CAST(SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) * 16 AS BIGINT) AS est_n,
+       COUNT(*) AS n_true,
+       CAST(SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) * 16 - COUNT(*) AS BIGINT) AS delta_n,
+       CAST(SUM(CASE WHEN in_sample THEN vq ELSE 0 END) * 16 AS BIGINT) AS est_sum_cents,
+       CAST(SUM(vq) AS BIGINT) AS sum_true_cents,
+       CAST(SUM(CASE WHEN in_sample THEN vq ELSE 0 END) * 16
+            - SUM(vq) AS BIGINT) AS delta_sum_cents
+FROM e GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = [
     Query("q70_tumbling", q70_tumbling, O70, "tumbling window"),
     Query("q71_sliding", q71_sliding, O71, "sliding window"),
@@ -1303,6 +1370,9 @@ QUERIES = [
           "first-view to first-purchase delay quantiles (conditional mins)"),
     Query("q150_clamped_balance", q150_clamped_balance, O150,
           "floor-at-zero running balance via the S - min(0, min S) identity"),
+    Query("q200_aqp_estimates", q200_aqp_estimates, O200,
+          "AQP via deterministic 1/16 hash sample (Horvitz-Thompson "
+          "scaled count/sum vs the exact census; signed error deltas)"),
     Query("q193_ols_trend", q193_ols_trend, O193,
           "per-series OLS daily-revenue trend (rebased-x integer sums; "
           "exact numerator/denominator slope pair + sign class)"),

@@ -2065,6 +2065,86 @@ FROM frames
 """
 
 
+def q201_coverage_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy SET-COVER data selection (3 unrolled rounds) — the
+    submodular facility-location recipe behind coverage-driven
+    training-data subset selection: each round picks the document
+    adding the most NOT-YET-COVERED distinct 3-token shingles, then
+    folds its shingles into the covered set. Greedy gives the classic
+    (1 − 1/e) coverage guarantee and is inherently sequential in k —
+    like q199's BPE loop it unrolls as rounds, with the corpus-sized
+    work bounded per round: one anti-join of the (doc, shingle) table
+    against the covered set + one partial-agged gain census; the
+    1-row argmax broadcasts. The covered set grows by at most the
+    picked docs' shingles (production uses a bloom/KMV sketch of it —
+    q183/q191's kernels — once it outgrows a broadcast).
+
+    The element universe is DISTINCT 3-token shingles (q54/q190's
+    geometry; the corpus's whitespace-token vocabulary is only ~31
+    words, so token-level cover would degenerate to one doc).
+    Report: (round, doc_id, gain) — the greedy trace, deterministic
+    via the (gain desc, doc_id) tie-break.
+    """
+    d = (
+        t(spark, sf_dir, "documents")
+        .withColumn("_toks", _toks())
+        .withColumn("sh", F.array_distinct(F.expr(_shingles_expr())))
+    )
+    tok = d.select("doc_id", F.explode("sh").alias("sh")).persist()
+    covered = None
+    picks = []
+    for rnd in (1, 2, 3):
+        cand = tok if covered is None else tok.join(covered, "sh", "left_anti")
+        top = (
+            cand.groupBy("doc_id")
+            .agg(F.count("*").alias("gain"))
+            .orderBy(F.desc("gain"), "doc_id")
+            .limit(1)
+            .select(F.lit(rnd).alias("round"), "doc_id", "gain")
+            .persist()
+        )
+        picks.append(top)
+        new_cov = tok.join(
+            F.broadcast(top.select("doc_id")), "doc_id", "semi"
+        ).select("sh")
+        covered = (
+            new_cov if covered is None else covered.unionByName(new_cov)
+        ).distinct().persist()
+    rep = picks[0]
+    for p in picks[1:]:
+        rep = rep.unionByName(p)
+    return rep.select("round", "doc_id", "gain").orderBy("round")
+
+
+def _O201_round(prev_tok: str, prev_cov: str | None, rnd: int) -> str:
+    src = (
+        f"(SELECT doc_id, sh FROM {prev_tok} "
+        f"WHERE sh NOT IN (SELECT sh FROM {prev_cov}))"
+        if prev_cov
+        else prev_tok
+    )
+    cov_prev = f"SELECT sh FROM {prev_cov} UNION " if prev_cov else ""
+    return f"""t{rnd} AS (
+  SELECT {rnd} AS round, doc_id, COUNT(*) AS gain FROM {src} AS k{rnd}
+  GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1
+), c{rnd} AS (
+  {cov_prev}SELECT DISTINCT sh FROM {prev_tok}
+  WHERE doc_id IN (SELECT doc_id FROM t{rnd})
+)"""
+
+
+O201 = f"""
+WITH d AS (
+  SELECT doc_id, list_distinct({_DUCK_SHINGLES}) AS sh FROM documents
+), tok AS (
+  SELECT doc_id, unnest(sh) AS sh FROM d
+), {_O201_round("tok", None, 1)}, {_O201_round("tok", "c1", 2)}, {_O201_round("tok", "c2", 3)}
+SELECT round, doc_id, CAST(gain AS BIGINT) AS gain FROM (
+  SELECT * FROM t1 UNION ALL SELECT * FROM t2 UNION ALL SELECT * FROM t3
+) ORDER BY round
+"""
+
+
 _BPE_VOCAB = 100  # training words (census top-N); rounds below are unrolled
 
 
@@ -4536,6 +4616,10 @@ QUERIES = [
           "Arrow-native int8 kNN via mapInArrow (zero-copy numpy GEMM "
           "kernel, per-batch top-k shard-and-merge; exact-integer dots "
           "+ bit-portable float64 cosine -> oracle-exact)"),
+    Query("q201_coverage_selection", q201_coverage_selection, O201,
+          "greedy set-cover data selection (3 unrolled submodular "
+          "rounds over distinct 3-token shingles; anti-join vs the "
+          "covered set + gain census per round; greedy (1-1/e) trace)"),
     Query("q199_bpe_merges", q199_bpe_merges, O199,
           "BPE tokenizer-training loop (3 unrolled merge rounds: "
           "weighted pair census -> argmax -> relational rewrite; only "

@@ -203,3 +203,39 @@ def test_bpe_single_pass_merge_semantics(spark):
     ).collect()
     for r in got:
         assert r["merged"] == ref_merge(r["repr"], r["a"], r["b"]), r
+
+
+def test_greedy_cover_matches_python_reference(spark):
+    """q201's greedy trace on sf0.001, re-derived by an independent
+    Python set-cover implementation over the same (doc, shingle)
+    sets: picks and gains must match exactly, and greedy gains are
+    non-increasing (submodularity)."""
+    from pyspark.sql import functions as F
+
+    from polla_spark.plans.llmdata import (
+        _shingles_expr,
+        _toks,
+        q201_coverage_selection,
+    )
+    from polla_spark.session import read_table
+
+    got = q201_coverage_selection(spark, "/root/testdata/sf0.001").collect()
+    d = (
+        read_table(spark, "/root/testdata/sf0.001", "documents")
+        .withColumn("_toks", _toks())
+        .withColumn("sh", F.array_distinct(F.expr(_shingles_expr())))
+        .select("doc_id", "sh")
+        .collect()
+    )
+    sets = {r["doc_id"]: set(r["sh"]) for r in d}
+    covered: set = set()
+    want = []
+    for rnd in (1, 2, 3):
+        best = max(
+            sets.items(), key=lambda kv: (len(kv[1] - covered), -kv[0])
+        )
+        want.append((rnd, best[0], len(best[1] - covered)))
+        covered |= best[1]
+    assert [(r["round"], r["doc_id"], r["gain"]) for r in got] == want
+    gains = [g for _, _, g in want]
+    assert gains == sorted(gains, reverse=True)

@@ -96,6 +96,16 @@ def _shingles_expr() -> str:
     )
 
 
+def _with_shingle_sets(df: DataFrame) -> DataFrame:
+    """documents-shaped frame → + ``sh`` = the doc's DISTINCT 3-token
+    shingle set (q54/q190's geometry). ONE definition — every
+    set-similarity / containment / cover query shares it, so a
+    geometry change (k, null handling) cannot desynchronize them."""
+    return df.withColumn("_toks", _toks()).withColumn(
+        "sh", F.array_distinct(F.expr(_shingles_expr()))
+    )
+
+
 def _minhash_col(band: int):
     # slice the single per-shingle md5 into an independent 8-hex
     # (32-bit) hash per band; min is lexicographic = numeric on
@@ -267,10 +277,9 @@ def q54_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     q81_lsh_rescored_jaccard, which runs this exact kernel only on
     LSH band candidates."""
     d = (
-        t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 32)
-        .withColumn("_toks", _toks())
-        .withColumn("sh", F.array_distinct(F.expr(_shingles_expr())))
+        _with_shingle_sets(
+            t(spark, sf_dir, "documents").filter(F.col("doc_id") < 32)
+        )
         .select("doc_id", "sh")
     )
     a = d.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
@@ -1060,9 +1069,7 @@ def q81_lsh_rescored_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plan_shapes.py)."""
     cands = _minhash_band_candidates(spark, sf_dir)
     sh = (
-        t(spark, sf_dir, "documents")
-        .withColumn("_toks", _toks())
-        .withColumn("sh", F.array_distinct(F.expr(_shingles_expr())))
+        _with_shingle_sets(t(spark, sf_dir, "documents"))
         .select("doc_id", "sh")
     )
     j = cands.join(
@@ -2083,12 +2090,13 @@ def q201_coverage_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     geometry; the corpus's whitespace-token vocabulary is only ~31
     words, so token-level cover would degenerate to one doc).
     Report: (round, doc_id, gain) — the greedy trace, deterministic
-    via the (gain desc, doc_id) tie-break.
+    via the (gain desc, doc_id) tie-break. CONTRACT: a round whose
+    candidate set is empty (coverage exhausted early) emits NO row,
+    in BOTH engines — the trace is ≤3 rows, one per productive round
+    (gain ≥ 1 by construction; greedy never picks a gain-0 doc here).
     """
     d = (
-        t(spark, sf_dir, "documents")
-        .withColumn("_toks", _toks())
-        .withColumn("sh", F.array_distinct(F.expr(_shingles_expr())))
+        _with_shingle_sets(t(spark, sf_dir, "documents"))
     )
     tok = d.select("doc_id", F.explode("sh").alias("sh")).persist()
     covered = None
@@ -2104,6 +2112,8 @@ def q201_coverage_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             .persist()
         )
         picks.append(top)
+        if rnd == 3:
+            break  # the last round's covered set has no consumer
         new_cov = tok.join(
             F.broadcast(top.select("doc_id")), "doc_id", "semi"
         ).select("sh")
@@ -2116,7 +2126,8 @@ def q201_coverage_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rep.select("round", "doc_id", "gain").orderBy("round")
 
 
-def _O201_round(prev_tok: str, prev_cov: str | None, rnd: int) -> str:
+def _O201_round(prev_tok: str, prev_cov: str | None, rnd: int,
+                last: bool = False) -> str:
     src = (
         f"(SELECT doc_id, sh FROM {prev_tok} "
         f"WHERE sh NOT IN (SELECT sh FROM {prev_cov}))"
@@ -2124,10 +2135,13 @@ def _O201_round(prev_tok: str, prev_cov: str | None, rnd: int) -> str:
         else prev_tok
     )
     cov_prev = f"SELECT sh FROM {prev_cov} UNION " if prev_cov else ""
-    return f"""t{rnd} AS (
+    t_cte = f"""t{rnd} AS (
   SELECT {rnd} AS round, doc_id, COUNT(*) AS gain FROM {src} AS k{rnd}
   GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1
-), c{rnd} AS (
+)"""
+    if last:  # the last round's covered set has no consumer
+        return t_cte
+    return t_cte + f""", c{rnd} AS (
   {cov_prev}SELECT DISTINCT sh FROM {prev_tok}
   WHERE doc_id IN (SELECT doc_id FROM t{rnd})
 )"""
@@ -2138,7 +2152,7 @@ WITH d AS (
   SELECT doc_id, list_distinct({_DUCK_SHINGLES}) AS sh FROM documents
 ), tok AS (
   SELECT doc_id, unnest(sh) AS sh FROM d
-), {_O201_round("tok", None, 1)}, {_O201_round("tok", "c1", 2)}, {_O201_round("tok", "c2", 3)}
+), {_O201_round("tok", None, 1)}, {_O201_round("tok", "c1", 2)}, {_O201_round("tok", "c2", 3, last=True)}
 SELECT round, doc_id, CAST(gain AS BIGINT) AS gain FROM (
   SELECT * FROM t1 UNION ALL SELECT * FROM t2 UNION ALL SELECT * FROM t3
 ) ORDER BY round
@@ -2811,9 +2825,7 @@ def q127_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of the candidate rescore — without the persist the tokenizer +
     # shingler (the dominant per-row cost) runs three times.
     d = (
-        t(spark, sf_dir, "documents")
-        .withColumn("_toks", _toks())
-        .withColumn("sh", F.array_distinct(F.expr(_shingles_expr())))
+        _with_shingle_sets(t(spark, sf_dir, "documents"))
         .select("doc_id", "sh")
     ).persist()
     # ntok is just the array size — carried from the row, NOT a second
@@ -2917,9 +2929,7 @@ def q128_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent.
     """
     d = (
-        t(spark, sf_dir, "documents")
-        .withColumn("_toks", _toks())
-        .withColumn("sh", F.array_distinct(F.expr(_shingles_expr())))
+        _with_shingle_sets(t(spark, sf_dir, "documents"))
         .select("doc_id", "lang", "n_chars", "sh")
     )
     w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
@@ -3119,9 +3129,7 @@ def q155_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unigrams saturate instantly on the synthetic 31-token vocabulary;
     # 3-token shingles (~16k types) give the real growth regime
     d = (
-        t(spark, sf_dir, "documents")
-        .withColumn("_toks", _toks())
-        .withColumn("sh", F.array_distinct(F.expr(_shingles_expr())))
+        _with_shingle_sets(t(spark, sf_dir, "documents"))
     )
     first_seen = (
         d.select("doc_id", F.explode("sh").alias("term"))
@@ -4239,9 +4247,7 @@ def q190_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q127's discipline).
     """
     d = (
-        t(spark, sf_dir, "documents")
-        .withColumn("_toks", _toks())
-        .withColumn("sh", F.array_distinct(F.expr(_shingles_expr())))
+        _with_shingle_sets(t(spark, sf_dir, "documents"))
         .select("doc_id", "sh")
     ).persist()
     toks = d.select(

@@ -229,8 +229,11 @@ def test_greedy_cover_matches_python_reference(spark):
     )
     sets = {r["doc_id"]: set(r["sh"]) for r in d}
     covered: set = set()
+    universe = set().union(*sets.values())
     want = []
     for rnd in (1, 2, 3):
+        if covered >= universe:
+            break  # q201 contract: an exhausted round emits no row
         best = max(
             sets.items(), key=lambda kv: (len(kv[1] - covered), -kv[0])
         )

@@ -77,6 +77,30 @@ def kmv_minima(terms: DataFrame) -> DataFrame:
     )
 
 
+def kmv_guard_reserved(minima: DataFrame, scope: str = "ALL") -> DataFrame:
+    """In-plan guard against the reserved union label colliding with
+    a REAL scope value: asserts ``scope != label`` on every (already
+    label-sized, ≤K-per-scope) minima row, aborting loudly instead of
+    silently folding a genuine scope named 'ALL' into the union
+    sketch. One source of truth for batch q191 AND the streaming
+    finisher (round-6 advice: the twin paths must share the guard so
+    their semantics can't diverge). ``assert_true`` returns NULL on
+    success, hence the coalesce-to-True filter keeping it alive
+    through the optimizer (the q177 pattern)."""
+    return minima.filter(
+        F.coalesce(
+            F.assert_true(
+                F.col("scope") != scope,
+                F.lit(
+                    f"kmv: reserved scope label {scope!r} collides with a "
+                    "real scope value"
+                ),
+            ),
+            F.lit(True),
+        )
+    )
+
+
 def kmv_union(minima: DataFrame, scope: str = "ALL") -> DataFrame:
     """Union sketch: min-k over the DISTINCT union of per-scope
     minima (identical terms hash identically across scopes, so

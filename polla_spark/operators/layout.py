@@ -102,6 +102,10 @@ def zorder_key(a, b, a_min: float, a_max: float, b_min: float, b_max: float):
     def quant(c, mn, mx):
         span = max(mx - mn, 1e-300)
         q = F.floor((c.cast("double") - F.lit(mn)) / F.lit(span) * 65535.0)
+        # greatest/least skip NULL args, so a NULL cluster value would
+        # otherwise land at bucket 65535 (the max corner). Pin NULLs to
+        # bucket 0 instead — a documented, deterministic NULL corner.
+        q = F.coalesce(q, F.lit(0))
         return F.greatest(F.lit(0), F.least(F.lit(65535), q)).cast("long")
 
     return _spread16(quant(a, a_min, a_max)).bitwiseOR(
@@ -143,6 +147,12 @@ def write_zorder(
         F.min(F.col(b).cast("double")).alias("bmn"),
         F.max(F.col(b).cast("double")).alias("bmx"),
     ).collect()[0]
+    if st["amn"] is None or st["bmn"] is None:
+        raise ValueError(
+            "write_zorder: cluster column(s) "
+            f"{[c for c, v in ((a, st['amn']), (b, st['bmn'])) if v is None]} "
+            "are empty or all-NULL — no min/max span to quantize against"
+        )
     z = zorder_key(
         F.col(a), F.col(b), st["amn"], st["amx"], st["bmn"], st["bmx"]
     )

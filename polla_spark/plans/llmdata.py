@@ -2095,35 +2095,13 @@ def q201_coverage_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     in BOTH engines — the trace is ≤3 rows, one per productive round
     (gain ≥ 1 by construction; greedy never picks a gain-0 doc here).
     """
+    from ..operators.selection import coverage_selection
+
     d = (
         _with_shingle_sets(t(spark, sf_dir, "documents"))
     )
-    tok = d.select("doc_id", F.explode("sh").alias("sh")).persist()
-    covered = None
-    picks = []
-    for rnd in (1, 2, 3):
-        cand = tok if covered is None else tok.join(covered, "sh", "left_anti")
-        top = (
-            cand.groupBy("doc_id")
-            .agg(F.count("*").alias("gain"))
-            .orderBy(F.desc("gain"), "doc_id")
-            .limit(1)
-            .select(F.lit(rnd).alias("round"), "doc_id", "gain")
-            .persist()
-        )
-        picks.append(top)
-        if rnd == 3:
-            break  # the last round's covered set has no consumer
-        new_cov = tok.join(
-            F.broadcast(top.select("doc_id")), "doc_id", "semi"
-        ).select("sh")
-        covered = (
-            new_cov if covered is None else covered.unionByName(new_cov)
-        ).distinct().persist()
-    rep = picks[0]
-    for p in picks[1:]:
-        rep = rep.unionByName(p)
-    return rep.select("round", "doc_id", "gain").orderBy("round")
+    tok = d.select("doc_id", F.explode("sh").alias("sh"))
+    return coverage_selection(tok, 3, covered="exact")
 
 
 def _O201_round(prev_tok: str, prev_cov: str | None, rnd: int,
@@ -4377,7 +4355,12 @@ def q191_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     not a structural bound, hence reported (delta) rather than
     asserted in-plan (contrast q188's structural est ≥ true).
     """
-    from ..functions.kmv import kmv_estimate, kmv_minima, kmv_union
+    from ..functions.kmv import (
+        kmv_estimate,
+        kmv_guard_reserved,
+        kmv_minima,
+        kmv_union,
+    )
 
     tok = t(spark, sf_dir, "documents").select(
         F.col("lang").alias("scope"), F.explode(_toks()).alias("term")
@@ -4386,16 +4369,7 @@ def q191_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # feeds both true-count arms) — without it the scan+tokenize+md5
     # pipeline executes 4x in one action (second review-pass finding)
     per = kmv_minima(tok).persist()
-    guarded = per.filter(
-        F.coalesce(
-            F.assert_true(
-                F.col("scope") != "ALL",
-                F.lit("q191: reserved scope label 'ALL' collides with a real lang"),
-            ),
-            F.lit(True),
-        )
-    )
-    minima = guarded.unionByName(kmv_union(per))
+    minima = kmv_guard_reserved(per).unionByName(kmv_union(per))
     census = tok.distinct().persist()
     true = census.groupBy("scope").agg(
         F.count("*").alias("n_true")

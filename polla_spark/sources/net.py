@@ -112,30 +112,41 @@ def fetch_html(url: str, user_agent: str | None = None,
     attempts = retries if retries is not None else DEFAULT_RETRIES
     host = urlparse(url).netloc
     last: Exception | None = None
-    if session is None:
+    owns_session = session is None
+    if owns_session:
         session = requests.Session()  # one session across retries
-    for attempt in range(1, attempts + 1):
-        _rate_limit(host)
-        try:
-            resp = session.get(url, headers={"User-Agent": user_agent}, timeout=timeout)
-            if resp.status_code == 429 or resp.status_code >= 500:
-                raise NetworkError(f"HTTP {resp.status_code} from {url}")
-            resp.raise_for_status()
-            if "charset" not in resp.headers.get("content-type", "").lower():
-                # requests defaults charset-less text/* to ISO-8859-1
-                # (RFC 2616) which mojibakes UTF-8 pages ("N°" -> "NÂ°");
-                # sniff the real encoding instead.
-                resp.encoding = resp.apparent_encoding or "utf-8"
-            return FetchMetadata(
-                url=url,
-                user_agent=user_agent,
-                fetched_at=dt.datetime.now(dt.timezone.utc),
-                html=resp.text,
-            )
-        except Exception as exc:  # noqa: BLE001 — isolate, retry
-            last = exc
-            if attempt < attempts:
-                time.sleep(backoff_seconds(attempt))
+    try:
+        for attempt in range(1, attempts + 1):
+            _rate_limit(host)
+            try:
+                resp = session.get(
+                    url, headers={"User-Agent": user_agent}, timeout=timeout
+                )
+                if resp.status_code == 429 or resp.status_code >= 500:
+                    raise NetworkError(f"HTTP {resp.status_code} from {url}")
+                resp.raise_for_status()
+                if "charset" not in resp.headers.get("content-type", "").lower():
+                    # requests defaults charset-less text/* to ISO-8859-1
+                    # (RFC 2616) which mojibakes UTF-8 pages ("N°" -> "NÂ°");
+                    # sniff the real encoding instead.
+                    resp.encoding = resp.apparent_encoding or "utf-8"
+                return FetchMetadata(
+                    url=url,
+                    user_agent=user_agent,
+                    fetched_at=dt.datetime.now(dt.timezone.utc),
+                    html=resp.text,
+                )
+            except Exception as exc:  # noqa: BLE001 — isolate, retry
+                last = exc
+                if attempt < attempts:
+                    time.sleep(backoff_seconds(attempt))
+    finally:
+        if owns_session:
+            # close locally-created sessions deterministically — pooled
+            # sockets released only at GC exhaust file descriptors on
+            # long-running executors (round-6 advice). Caller-supplied
+            # sessions are the caller's to close.
+            session.close()
     raise NetworkError(f"fetch failed after {attempts} attempts: {url}",
                        original_error=last)
 
@@ -177,17 +188,24 @@ def fetch_udf_frame(urls_df, user_agent: str | None = None,
         import requests
 
         session = requests.Session()  # pooled across the whole task
-        for pdf in batches:
-            out = []
-            for url in pdf["url"]:
-                try:
-                    meta = fetch_html(url, user_agent, timeout, session=session)
-                    out.append((url, meta.fetched_at, meta.sha256, meta.html, None))
-                except Exception as exc:  # noqa: BLE001
-                    out.append((url, None, None, None, str(exc)[:500]))
-            yield pd.DataFrame(
-                out, columns=["url", "fetched_at", "sha256", "html", "error"]
-            )
+        try:
+            for pdf in batches:
+                out = []
+                for url in pdf["url"]:
+                    try:
+                        meta = fetch_html(url, user_agent, timeout, session=session)
+                        out.append(
+                            (url, meta.fetched_at, meta.sha256, meta.html, None)
+                        )
+                    except Exception as exc:  # noqa: BLE001
+                        out.append((url, None, None, None, str(exc)[:500]))
+                yield pd.DataFrame(
+                    out, columns=["url", "fetched_at", "sha256", "html", "error"]
+                )
+        finally:
+            # executors cycle many partitions per process — release the
+            # pooled sockets at task end, not at GC (round-6 advice)
+            session.close()
 
     host = F.parse_url(F.col("url"), F.lit("HOST"))
     parted = urls_df.repartition(host)

@@ -1233,14 +1233,20 @@ def kmv_partials(terms: DataFrame) -> DataFrame:
 
 def finish_kmv_estimate(updates: DataFrame) -> DataFrame:
     """Batch finisher: latest minima list per scope, plus the
-    lossless 'ALL' union row, through the same q191 estimator."""
-    from ..functions.kmv import kmv_estimate, kmv_union
+    lossless 'ALL' union row, through the same q191 estimator. The
+    reserved-label guard is the SAME shared helper batch q191 runs
+    (functions/kmv.kmv_guard_reserved) — a real scope named 'ALL'
+    aborts loudly here too, instead of silently folding into the
+    union sketch (round-6 advice: no batch/streaming divergence)."""
+    from ..functions.kmv import kmv_estimate, kmv_guard_reserved, kmv_union
 
     latest = updates.groupBy("scope").agg(
         F.max_by("minima", "upd_seq").alias("minima")
     )
     minima = latest.select("scope", F.explode("minima").alias("h"))
-    return kmv_estimate(minima.unionByName(kmv_union(minima)))
+    return kmv_estimate(
+        kmv_guard_reserved(minima).unionByName(kmv_union(minima))
+    )
 
 
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:

@@ -124,3 +124,29 @@ def test_zorder_cost_is_one_exchange_no_python(spark):
     assert plan.count("Exchange rangepartitioning") == 1, plan
     assert "Exchange SinglePartition" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_zorder_null_values_quantize_to_bucket_zero(spark):
+    # greatest/least skip NULL args, so without the explicit coalesce a
+    # NULL cluster value would silently land at bucket 65535 (the max
+    # corner). Pinned: NULL quantizes to the documented bucket 0 corner.
+    from pyspark.sql import functions as F2
+
+    from polla_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(None, 0), (0, 0), (100, 0)], "a int, b int"
+    ).select(zorder_key(F2.col("a"), F2.col("b"), 0, 100, 0, 100).alias("z"))
+    z_null, z_lo, z_hi = [r["z"] for r in df.collect()]
+    assert z_null == z_lo == 0  # NULL == min corner, not max
+    assert z_hi > 0
+
+
+def test_write_zorder_rejects_all_null_column(spark, tmp_path):
+    import pytest as _pytest
+
+    from polla_spark.operators.layout import write_zorder
+
+    df = spark.createDataFrame([(None, 1), (None, 2)], "a int, b int")
+    with _pytest.raises(ValueError, match="empty or all-NULL"):
+        write_zorder(df, str(tmp_path / "zo"), ["a", "b"])

@@ -32,7 +32,10 @@ class _Resp:
 def _fake_requests(monkeypatch, responses):
     """Install a fake `requests` whose Session.get pops ``responses``
     (an exception instance raises instead of returning)."""
-    calls = []
+    class _Calls(list):
+        closed = 0  # sessions closed — fetch_html must close what it creates
+
+    calls = _Calls()
 
     class Session:
         def get(self, url, headers=None, timeout=None):
@@ -41,6 +44,9 @@ def _fake_requests(monkeypatch, responses):
             if isinstance(r, Exception):
                 raise r
             return r
+
+        def close(self):  # real requests.Session has close()
+            calls.closed += 1
 
     mod = types.ModuleType("requests")
     mod.Session = Session
@@ -60,6 +66,7 @@ def test_fetch_success_sniffs_charsetless_encoding(monkeypatch):
     assert resp.encoding == "utf-8"  # apparent_encoding applied
     assert meta.sha256 and len(meta.sha256) == 64
     assert calls[0][1] == {"User-Agent": "UA/1"}
+    assert calls.closed == 1  # fetch_html closes the session it created
 
 
 def test_fetch_charset_present_keeps_encoding(monkeypatch):
@@ -85,6 +92,16 @@ def test_fetch_exhausts_retries_raises_network_error(monkeypatch):
     assert "after 3 attempts" in str(ei.value)
     assert isinstance(ei.value.original_error, ValueError)
     assert len(calls) == 3
+    assert calls.closed == 1  # closed even on the failure path
+
+
+def test_fetch_leaves_caller_supplied_session_open(monkeypatch):
+    calls = _fake_requests(monkeypatch, [_Resp()])
+    import requests  # the fake installed above
+
+    session = requests.Session()
+    net.fetch_html("https://x.test/p", user_agent="UA/1", session=session)
+    assert calls.closed == 0  # caller-owned sessions are the caller's to close
 
 
 def test_fetch_robots_disallowed(monkeypatch):

@@ -895,3 +895,19 @@ def test_audio_segments_stream_equals_q195(spark, tmp_path):
     )
     keys = ["asset_id", "seg_idx", "t0_ms", "t1_ms", "shash"]
     assert _rows(got, keys) == _rows(want, keys)
+
+
+def test_kmv_finisher_aborts_on_reserved_scope(spark):
+    """The streaming finisher shares batch q191's reserved-label guard
+    (functions/kmv.kmv_guard_reserved): a REAL scope literally named
+    'ALL' must abort loudly, not silently fold into the union sketch
+    (round-6 advice — batch/streaming twin semantics must not
+    diverge)."""
+    import pytest as _pytest
+
+    updates = spark.createDataFrame(
+        [("ALL", [1, 2, 3], 1), ("es", [4, 5], 1)],
+        "scope string, minima array<long>, upd_seq long",
+    )
+    with _pytest.raises(Exception, match="reserved scope label"):
+        SW.finish_kmv_estimate(updates).collect()

@@ -131,6 +131,7 @@ HEADLINE = [
     "q198_pipe_syntax",
     "q199_bpe_merges",
     "q200_aqp_estimates",
+    "q202_quantile_merge_order",
     # q201 stays out of the headline: its 3 chained greedy rounds run
     # ~9 jobs of fixed overhead (~12s regardless of sf — ratio 1.1 at
     # 20x), which would dominate the suite; covered by parity + its

@@ -26,22 +26,24 @@ from pyspark.sql import DataFrame, SparkSession
 # len(registry()) == DECLARED_QUERY_COUNT so an addition that forgets
 # the bump (or a bump without queries) fails fast instead of silently
 # shipping an undeclared inventory.
-# NOTE: query ids span q01–q201 with q139 intentionally unassigned
-# (a numbering skip from round 3, not a dropped query) — hence 200
-# registered queries over a 201-wide id range.
-DECLARED_QUERY_COUNT = 200
+# NOTE: query ids span q01–q202 with q139 intentionally unassigned
+# (a numbering skip from round 3, not a dropped query) — hence 201
+# registered queries over a 202-wide id range.
+DECLARED_QUERY_COUNT = 201
 
 # Rows-only queries: implemented but intentionally without a SQL
 # oracle (non-SQL-expressible semantics — q38: HLL sketch values are
-# implementation-defined; q177/q178: MG estimates / quantile-sketch
-# values are partitioning- or implementation-dependent, so each query
-# self-verifies its published guarantee in-plan instead). Everything
-# else must pair with an ANSI-SQL oracle string.
+# implementation-defined; q177/q178/q202: MG estimates /
+# quantile-sketch values are partitioning-, merge-order- or
+# implementation-dependent, so each query self-verifies its published
+# guarantee in-plan instead). Everything else must pair with an
+# ANSI-SQL oracle string.
 ROWS_ONLY_QUERIES = frozenset(
     {
         "q38_approx_count_distinct",
         "q177_heavy_hitters_sketch",
         "q178_approx_percentile_check",
+        "q202_quantile_merge_order",
     }
 )
 

@@ -4460,70 +4460,94 @@ def q178_approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     the verification census is a second scan + broadcast of the 6-row
     approx table — the TEST harness, not the production path.
     """
+    from ..functions.quantiles import approx_group_quantiles, rank_bound_verify
+
     acc = 200
-    pcts = [0.5, 0.9]
     o = t(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
-    ap = (
-        o.groupBy("o_orderstatus")
-        .agg(
-            F.percentile_approx(
-                "o_totalprice", pcts, F.lit(acc)
-            ).alias("vals"),
-            F.count("*").alias("n"),
-        )
+    ap = approx_group_quantiles(o, "o_orderstatus", "o_totalprice", [0.5, 0.9], acc)
+    # shared sketch-verification kernel (functions/quantiles.py — also
+    # q202 and streaming twin #29): exact-rank census + in-plan abort
+    return (
+        rank_bound_verify(ap, o, "o_orderstatus", "o_totalprice", acc, tag="q178")
         .select(
             "o_orderstatus",
+            "pct",
+            F.round("approx_value", 2).alias("approx_value"),
             "n",
-            F.posexplode("vals").alias("_i", "v"),
+            "rank_lt",
+            "rank_le",
+            "verified",
         )
-        .withColumn(
-            "pct", F.element_at(F.array(*[F.lit(p) for p in pcts]), F.col("_i") + 1)
-        )
-        .drop("_i")
-    )
-    ranks = (
-        o.join(F.broadcast(ap), "o_orderstatus")
-        .groupBy("o_orderstatus", "pct", "n", "v")
-        .agg(
-            F.sum(
-                F.when(F.col("o_totalprice") < F.col("v"), 1).otherwise(0)
-            ).alias("rank_lt"),
-            F.sum(
-                F.when(F.col("o_totalprice") <= F.col("v"), 1).otherwise(0)
-            ).alias("rank_le"),
-        )
-    )
-    err = F.col("n") / F.lit(acc) + F.lit(1)
-    target = F.col("pct") * F.col("n")
-    out = ranks.select(
-        "o_orderstatus",
-        "pct",
-        F.round("v", 2).alias("approx_value"),
-        "n",
-        "rank_lt",
-        "rank_le",
-        (
-            (target >= F.col("rank_lt") - err)
-            & (target <= F.col("rank_le") + err)
-        ).alias("verified"),
-    )
-    # loud failure on violation (q177's pattern): the rows-only gate
-    # sees only the count, so a flipped flag must abort the query —
-    # the coalesce keeps the otherwise-unreferenced assert alive
-    n_bad = out.filter(~F.col("verified")).agg(F.count("*").alias("_nbad"))
-    return (
-        out.crossJoin(F.broadcast(n_bad))
-        .filter(
-            F.coalesce(
-                F.assert_true(
-                    F.col("_nbad") == 0,
-                    F.lit("q178: approx_percentile rank guarantee violated"),
-                ),
-                F.lit(True),
-            )
-        )
-        .drop("_nbad")
         .orderBy("o_orderstatus", "pct")
+    )
+
+
+def q202_quantile_merge_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile sketch under ADVERSARIAL merge order — the piece
+    q178 leaves unpinned. ``percentile_approx``'s mergeable-sketch
+    guarantee (true rank of the returned value within ``n/acc`` of
+    the target, regardless of how partial sketches merge) is only
+    worth trusting at 100 TB if it survives the worst merge schedule,
+    not just the natural one. This plan builds the SAME per-flag
+    sketch twice:
+
+    - natural partitioning (whatever the scan delivers), and
+    - value-range-sorted runs (``repartitionByRange`` on the value,
+      so every partition holds a contiguous value range — the classic
+      adversarial input for rank-sketch compaction: each merge sees
+      totally disjoint, ordered mass),
+
+    then verifies BOTH against the exact rank census via the shared
+    kernel (functions/quantiles.rank_bound_verify — also the
+    streaming twin #29's finisher) which ABORTS in-plan on any
+    violation. Report: per (flag, pct) both sketch values and their
+    exact-rank windows — values may legitimately differ (sketch
+    output is merge-order-dependent, hence rows-only), the GUARANTEE
+    may not.
+
+    100 TB shape: two one-exchange mergeable aggregations (map-side
+    partial sketches, fixed memory per group) + one conditional-sum
+    census pass per variant joined against the broadcast report-sized
+    sketch table. The adversarial repartition is the TEST harness,
+    not the production path.
+    """
+    from ..functions.quantiles import (
+        QUANTILE_ACC,
+        approx_group_quantiles,
+        rank_bound_verify,
+    )
+
+    fact = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("price")
+    )
+    runs = fact.repartitionByRange(16, "price")
+
+    nat = rank_bound_verify(
+        approx_group_quantiles(fact, "l_returnflag", "price"),
+        fact, "l_returnflag", "price", QUANTILE_ACC, tag="q202 natural",
+    ).select(
+        "l_returnflag", "pct", "n",
+        F.col("approx_value").alias("v_natural"),
+        F.col("rank_lt").alias("rank_lt_nat"),
+        F.col("rank_le").alias("rank_le_nat"),
+    )
+    adv = rank_bound_verify(
+        approx_group_quantiles(runs, "l_returnflag", "price"),
+        fact, "l_returnflag", "price", QUANTILE_ACC, tag="q202 sorted-runs",
+    ).select(
+        "l_returnflag", "pct",
+        F.col("approx_value").alias("v_sorted_runs"),
+        F.col("rank_lt").alias("rank_lt_runs"),
+        F.col("rank_le").alias("rank_le_runs"),
+    )
+    return (
+        nat.join(adv, ["l_returnflag", "pct"])
+        .select(
+            "l_returnflag", "pct", "n",
+            "v_natural", "v_sorted_runs",
+            "rank_lt_nat", "rank_le_nat", "rank_lt_runs", "rank_le_runs",
+        )
+        .orderBy("l_returnflag", "pct")
     )
 
 
@@ -4915,6 +4939,11 @@ QUERIES = [
     Query("q178_approx_percentile_check", q178_approx_percentile_check, None,
           "approx_percentile sketch, self-verifying its rank guarantee "
           "in-plan (rows-only: sketch values are implementation-defined)"),
+    Query("q202_quantile_merge_order", q202_quantile_merge_order, None,
+          "KLL quantile sketch under adversarial (value-sorted-runs) "
+          "merge order vs natural partitioning, both rank-bound-verified "
+          "in-plan via the shared functions/quantiles kernel (rows-only: "
+          "sketch values are merge-order-dependent by construction)"),
     Query("q196_collated_grouping", q196_collated_grouping, O196,
           "Spark 4 collation-aware grouping (COLLATE UTF8_LCASE vs the "
           "oracle's lower() rewrite; engine-equated case variants)"),

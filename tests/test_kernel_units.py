@@ -283,3 +283,38 @@ def test_kmv_hash_matches_duckdb(spark):
             "SELECT CAST(from_hex(substr(md5(? || ':kmv'), 1, 14)) AS BIT)::BIGINT"
         , [w]).fetchone()[0]
         assert got[w] == want, w
+
+
+def test_rank_bound_verify_aborts_on_corrupted_sketch(spark):
+    """functions/quantiles.rank_bound_verify must ABORT in-plan when a
+    sketch value violates the documented rank bound (the q177/q178
+    loud-failure contract) — here a planted 'median' that is really
+    the maximum."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from polla_spark.functions.quantiles import rank_bound_verify
+
+    fact = spark.range(1000).select(
+        F.lit("k").alias("key"), F.col("id").cast("double").alias("v")
+    )
+    bad = spark.createDataFrame(
+        [("k", 1000, 0.5, 999.0)], "key string, n long, pct double, v double"
+    )
+    with _pytest.raises(Exception, match="rank guarantee violated"):
+        rank_bound_verify(bad, fact, "key", "v", 100, tag="unit").collect()
+
+
+def test_rank_bound_verify_passes_exact_quantile(spark):
+    from pyspark.sql import functions as F
+
+    from polla_spark.functions.quantiles import rank_bound_verify
+
+    fact = spark.range(1000).select(
+        F.lit("k").alias("key"), F.col("id").cast("double").alias("v")
+    )
+    ok = spark.createDataFrame(
+        [("k", 1000, 0.5, 500.0)], "key string, n long, pct double, v double"
+    )
+    out = rank_bound_verify(ok, fact, "key", "v", 100, tag="unit").collect()
+    assert len(out) == 1 and out[0]["verified"]

@@ -911,3 +911,54 @@ def test_kmv_finisher_aborts_on_reserved_scope(spark):
     )
     with _pytest.raises(Exception, match="reserved scope label"):
         SW.finish_kmv_estimate(updates).collect()
+
+
+def test_quantile_sketch_stream_within_bound(spark, tmp_path):
+    """Streaming KLL quantile sketch (29th twin): percentile_approx's
+    buffer IS the streaming aggregation state, so a 3-micro-batch
+    stream exercises the sketch's MERGE path across batch cuts. The
+    sketch value is merge-order-dependent (hence q202 is rows-only),
+    so the twin pins the documented contract instead of value
+    equality: the streamed sketch must pass the SAME exact-rank
+    verification as the batch sketch — shared kernel
+    functions/quantiles.rank_bound_verify, which aborts in-plan on a
+    violation — and the exact parts (n per group) must match batch
+    exactly."""
+    from polla_spark.functions.quantiles import (
+        QUANTILE_ACC,
+        approx_group_quantiles,
+        rank_bound_verify,
+    )
+    from polla_spark.session import read_table
+
+    events = read_table(spark, SF_DIR, "events").select("event_type", "value")
+    rows = events.collect()
+    d = tmp_path / "kll_stream"
+    for i in range(3):
+        spark.createDataFrame(rows[i::3], events.schema).coalesce(1).write.parquet(
+            str(d / f"part{i}")
+        )
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*/")
+    )
+    streamed = SW.run_to_memory(
+        approx_group_quantiles(stream, "event_type", "value"),
+        "t_kll_quantiles",
+        "complete",
+    )
+    verified = rank_bound_verify(
+        streamed, events, "event_type", "value", QUANTILE_ACC,
+        tag="twin29 streamed",
+    )
+    got = verified.collect()  # abort inside collect() on violation
+    n_types = events.select("event_type").distinct().count()
+    assert len(got) == n_types * 3  # keys x pcts, all verified
+    assert all(r["verified"] for r in got)
+    # exact parts are exactly batch: per-key n
+    batch = approx_group_quantiles(events, "event_type", "value")
+    keys = ["event_type", "pct", "n"]
+    assert _rows(verified.select(*keys), keys) == _rows(
+        batch.select(*keys), keys
+    )

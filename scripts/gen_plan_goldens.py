@@ -1,0 +1,67 @@
+"""Regenerate the golden plan skeletons (tests/goldens/plans/).
+
+Run after an INTENTIONAL plan change:
+
+    python scripts/gen_plan_goldens.py            # all 20
+    python scripts/gen_plan_goldens.py q190_containment_join ...
+
+Goldens are pinned at the sf0.001 test dir (same dir the pytest suite
+uses) so static broadcast-threshold decisions match the test run.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+GOLDEN_DIR = Path(__file__).resolve().parent.parent / "tests" / "goldens" / "plans"
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+# The 20 heaviest / most plan-sensitive queries: the round-6 verdict's
+# 5 most expensive headline plans + the 12 heavy scale shapes + the
+# refactor-prone shared-kernel queries.
+GOLDEN_QUERIES = [
+    "q53_lsh_candidate_pairs",
+    "q62_simhash_bands",
+    "q67_dedup_components",
+    "q76_trigram_lang_id",
+    "q81_lsh_rescored_jaccard",
+    "q87_bm25_topk",
+    "q97_incremental_dedup",
+    "q104_source_quota",
+    "q112_quality_audit",
+    "q127_prefix_filter_join",
+    "q130_histogram_median",
+    "q134_interval_overlap",
+    "q146_pagerank",
+    "q176_affinity_lift",
+    "q181_triangle_count",
+    "q188_countmin_frequency",
+    "q189_duplicate_spans",
+    "q190_containment_join",
+    "q191_kmv_distinct",
+    "q194_inclusion_profile",
+]
+
+
+def main() -> None:
+    from polla_spark.plans import registry
+    from polla_spark.plans.skeleton import plan_skeleton
+    from polla_spark.session import get_spark
+
+    names = sys.argv[1:] or GOLDEN_QUERIES
+    spark = get_spark("gen_plan_goldens")
+    reg = registry()
+    GOLDEN_DIR.mkdir(parents=True, exist_ok=True)
+    for name in names:
+        df = reg[name].spark(spark, SF)
+        (GOLDEN_DIR / f"{name}.txt").write_text(plan_skeleton(df))
+        spark.catalog.clearCache()  # eager persists must not leak across
+        print(f"wrote {name}.txt")
+
+
+if __name__ == "__main__":
+    main()

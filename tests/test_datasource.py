@@ -205,3 +205,114 @@ def test_poll_batch_adapter_priorities_and_error_drop(spark):
     assert all(r["run_id"] == "poll-7" for r in got.values())
     # registry order: openloto before polla (reference tie-break)
     assert got["openloto"]["source_priority"] < got["polla"]["source_priority"]
+
+
+def test_streaming_soak_failure_and_recovery(spark, tmp_path):
+    """5-poll soak of the streaming scrape source across THREE query
+    restarts sharing one checkpoint (round-6 verdict task #6):
+
+    - polls 1-2 (content A): publish, then same-sha skip;
+    - poll 3: the source page breaks mid-stream (parse failure) —
+      degraded mode turns it into a dropped error row, NO decision,
+      no state corruption;
+    - polls 4-5 (content B, changed amount): recovery publishes the
+      new sha, then same-sha skip again;
+    - finally a REPLAYED last batch (at-least-once delivery) must
+      decide skip against the already-written state — replay
+      idempotency at the decision layer, the manifest-v2 discipline.
+    """
+    import json
+    import time
+
+    from polla_spark.schemas import STATE_ROW
+    from polla_spark.streaming.pipeline import (
+        make_decision_batch_fn,
+        make_publish_gate_sink,
+        payloads_from_poll_batch,
+    )
+
+    page = tmp_path / "page.html"
+    content_a = (FIXTURES / "openloto" / "page.html").read_text(encoding="utf-8")
+    page.write_text(content_a, encoding="utf-8")
+
+    state_rows: list[dict] = []
+    published: list[tuple] = []
+    decisions: list[str] = []
+
+    gate = make_publish_gate_sink(
+        lambda rows: published.extend((r["run_id"], r["status"]) for r in rows),
+        state_rows=state_rows,
+    )
+
+    def recording_gate(df, epoch_id):
+        decisions.extend(r["status"] for r in df.collect())
+        gate(df, epoch_id)
+
+    inner = make_decision_batch_fn(
+        lambda: spark.createDataFrame(state_rows, STATE_ROW),
+        recording_gate,
+        expected_sources=1,
+    )
+
+    last_batches: list = []
+
+    def on_batch(df, epoch_id):
+        payloads = payloads_from_poll_batch(df, epoch_id)
+        if not payloads.isEmpty():
+            last_batches.append([tuple(r) for r in df.collect()])
+            inner(payloads, epoch_id)
+
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_until_poll(maxpolls: int) -> None:
+        q = (
+            spark.readStream.format("pozos")
+            .option("sources", "openloto")
+            .option("url.openloto", str(page))
+            .option("maxpolls", str(maxpolls))
+            .load()
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(on_batch)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p and p["sources"]:
+                end = json.loads(p["sources"][0]["endOffset"] or "{}")
+                if int(end.get("poll", 0)) >= maxpolls:
+                    break
+            time.sleep(0.5)
+        time.sleep(2)  # let the final (possibly skip) decision land
+        q.stop()
+
+    # phase 1: two polls of content A -> publish, skip
+    run_until_poll(2)
+    assert decisions == ["publish", "skip"]
+    assert len(published) == 1 and len(state_rows) == 1
+
+    # phase 2: the page breaks mid-stream -> dropped error row, no
+    # decision at all, state untouched
+    page.write_text("<html><body>mantenimiento</body></html>", encoding="utf-8")
+    run_until_poll(3)
+    assert decisions == ["publish", "skip"]
+    assert len(published) == 1 and len(state_rows) == 1
+
+    # phase 3: recovery with a CHANGED amount -> new sha publishes,
+    # then same-sha skip
+    page.write_text(content_a.replace("$690", "$710"), encoding="utf-8")
+    run_until_poll(5)
+    assert decisions == ["publish", "skip", "publish", "skip"]
+    assert len(published) == 2 and len(state_rows) == 2
+    assert state_rows[-1]["pozos_proximo"]["Loto Clásico"] == 710_000_000
+
+    # phase 4: at-least-once REPLAY of the final micro-batch — the
+    # sha already in state must decide skip, not double-publish
+    from polla_spark.sources.datasource import READER_SCHEMA
+
+    replay = spark.createDataFrame(last_batches[-1], READER_SCHEMA)
+    inner(payloads_from_poll_batch(replay, 99), 99)
+    assert decisions[-1] == "skip"
+    assert len(published) == 2 and len(state_rows) == 2

@@ -221,7 +221,7 @@ def test_streaming_soak_failure_and_recovery(spark, tmp_path):
       decide skip against the already-written state — replay
       idempotency at the decision layer, the manifest-v2 discipline.
     """
-    import json
+    import ast
     import time
 
     from polla_spark.schemas import STATE_ROW
@@ -281,7 +281,9 @@ def test_streaming_soak_failure_and_recovery(spark, tmp_path):
         while time.time() < deadline:
             p = q.lastProgress
             if p and p["sources"]:
-                end = json.loads(p["sources"][0]["endOffset"] or "{}")
+                # the Python-datasource offset is serialized as a dict
+                # repr (single quotes), not strict JSON
+                end = ast.literal_eval(p["sources"][0]["endOffset"] or "{}")
                 if int(end.get("poll", 0)) >= maxpolls:
                     break
             time.sleep(0.5)

@@ -132,6 +132,10 @@ HEADLINE = [
     "q199_bpe_merges",
     "q200_aqp_estimates",
     "q202_quantile_merge_order",
+    "q204_semantic_dedup_clusters",
+    # q203 stays out for q201's reason: its cost is the shared
+    # shingle-set construction (~10 s at any sf, the q201 fixed cost),
+    # not the sketch algebra; covered by parity + its SCALE.md row.
     # q201 stays out of the headline: its 3 chained greedy rounds run
     # ~9 jobs of fixed overhead (~12s regardless of sf — ratio 1.1 at
     # 20x), which would dominate the suite; covered by parity + its

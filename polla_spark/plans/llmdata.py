@@ -4469,6 +4469,270 @@ SELECT query_id, rn, vec_id, ROUND(cos, 4) AS qcos FROM (
 """
 
 
+
+
+def q203_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET ALGEBRA over the per-lang distinct-shingle
+    sets — the DataSketches capability q191's distinct counts stop
+    short of: estimate |A ∩ B| and |A \\ B| for every lang pair from
+    the ≤K-row sketches ALONE (Dasgupta et al., "Theta-Sketch
+    Framework", and the classic KMV intersection rule).
+
+    The rule: with theta_X = M when X's sketch is exact (kept < K)
+    else X's K-th smallest hash, every hash BELOW
+    theta = min(theta_A, theta_B) is retained by BOTH sketches iff
+    its element is in the respective set — membership below theta is
+    EXACT. So count the sub-theta hashes the sketches share (n_ab)
+    and the sub-theta hashes only A holds (n_a − n_ab), then scale
+    each by M/theta. Identical terms hash identically across scopes
+    (content-addressed seeded md5, functions/kmv.py), which is what
+    makes cross-sketch hash equality mean set membership.
+
+    100 TB shape: after ``kmv_minima``'s WindowGroupLimit-bounded
+    rank, EVERYTHING is label-sized — the theta table is one row per
+    lang, the pair table ``5 choose 2`` rows, and the sketch joins
+    touch ≤ K x 5 rows total. The exact INTERSECT/EXCEPT census
+    exists only to report the signed error (production ships the
+    estimates); deterministic hashing makes even the estimates
+    oracle-EXACT, so this is hash-checked, not rows-only.
+    """
+    from ..functions.kmv import KMV_K, _KMV_M, kmv_minima
+
+    d = _with_shingle_sets(t(spark, sf_dir, "documents"))
+    sh = (
+        d.select(F.col("lang").alias("scope"), F.explode("sh").alias("term"))
+        .distinct()
+        .persist()
+    )
+    minima = kmv_minima(sh).persist()
+    th = (
+        minima.groupBy("scope")
+        .agg(F.count("*").alias("n_kept"), F.max("h").alias("h_max"))
+        .select(
+            "scope",
+            F.when(F.col("n_kept") < KMV_K, F.lit(_KMV_M))
+            .otherwise(F.col("h_max"))
+            .alias("theta"),
+        )
+    )
+    pairs = (
+        th.alias("a")
+        .crossJoin(th.alias("b"))  # lang-count-sized, never data-sized
+        .filter(F.col("a.scope") < F.col("b.scope"))
+        .select(
+            F.col("a.scope").alias("lang_a"),
+            F.col("b.scope").alias("lang_b"),
+            F.least("a.theta", "b.theta").alias("theta"),
+        )
+        .persist()
+    )
+    ma = (
+        minima.join(F.broadcast(pairs), minima["scope"] == pairs["lang_a"])
+        .filter(F.col("h") < F.col("theta"))
+        .select("lang_a", "lang_b", "h")
+    )
+    mb = (
+        minima.join(F.broadcast(pairs), minima["scope"] == pairs["lang_b"])
+        .filter(F.col("h") < F.col("theta"))
+        .select("lang_a", "lang_b", "h")
+    )
+    n_ab = ma.join(mb, ["lang_a", "lang_b", "h"]).groupBy(
+        "lang_a", "lang_b"
+    ).agg(F.count("*").alias("n_ab"))
+    n_a = ma.groupBy("lang_a", "lang_b").agg(F.count("*").alias("n_a"))
+    # exact truth for the signed-error report
+    x, y = sh.alias("x"), sh.alias("y")
+    tru = (
+        x.join(y, (F.col("x.term") == F.col("y.term"))
+               & (F.col("x.scope") < F.col("y.scope")))
+        .groupBy(
+            F.col("x.scope").alias("lang_a"), F.col("y.scope").alias("lang_b")
+        )
+        .agg(F.count("*").alias("true_common"))
+    )
+    ntrue = sh.groupBy("scope").agg(F.count("*").alias("n_true"))
+    est = lambda n: F.expr(  # noqa: E731 — (n*M) div theta, > int64 so DECIMAL
+        f"CAST({n} AS DECIMAL(38,0)) * CAST('{_KMV_M}' AS DECIMAL(38,0)) div theta"
+    ).cast("long")
+    rep = (
+        pairs.join(n_ab, ["lang_a", "lang_b"], "left")
+        .join(n_a, ["lang_a", "lang_b"], "left")
+        .join(tru, ["lang_a", "lang_b"], "left")
+        .join(
+            ntrue.select(F.col("scope").alias("lang_a"),
+                         F.col("n_true").alias("n_true_a")),
+            "lang_a",
+        )
+        .na.fill(0, ["n_ab", "n_a", "true_common"])
+    )
+    return rep.select(
+        "lang_a",
+        "lang_b",
+        "true_common",
+        est("n_ab").alias("est_common"),
+        (est("n_ab") - F.col("true_common")).alias("delta_common"),
+        (F.col("n_true_a") - F.col("true_common")).alias("true_only_a"),
+        est("n_a - n_ab").alias("est_only_a"),
+        (est("n_a - n_ab") - (F.col("n_true_a") - F.col("true_common"))
+         ).alias("delta_only_a"),
+    ).orderBy("lang_a", "lang_b")
+
+
+O203 = f"""
+WITH d AS (
+  SELECT lang, list_distinct({_DUCK_SHINGLES}) AS sh FROM documents
+), tok AS (
+  SELECT DISTINCT lang AS scope, unnest(sh) AS term FROM d
+), h AS (
+  SELECT DISTINCT scope,
+         CAST(from_hex(substr(md5(term || ':kmv'), 1, 14)) AS BIT)::BIGINT AS h
+  FROM tok
+), mink AS (
+  SELECT scope, h FROM (
+    SELECT scope, h, ROW_NUMBER() OVER (PARTITION BY scope ORDER BY h) AS rn
+    FROM h
+  ) WHERE rn <= 256
+), th AS (
+  SELECT scope,
+         CASE WHEN COUNT(*) < 256 THEN CAST('72057594037927936' AS BIGINT)
+              ELSE MAX(h) END AS theta
+  FROM mink GROUP BY 1
+), pairs AS (
+  SELECT a.scope AS lang_a, b.scope AS lang_b,
+         least(a.theta, b.theta) AS theta
+  FROM th a, th b WHERE a.scope < b.scope
+), ma AS (
+  SELECT lang_a, lang_b, h FROM mink JOIN pairs ON scope = lang_a
+  WHERE h < theta
+), mb AS (
+  SELECT lang_a, lang_b, h FROM mink JOIN pairs ON scope = lang_b
+  WHERE h < theta
+), nab AS (
+  SELECT lang_a, lang_b, COUNT(*) AS n_ab
+  FROM ma JOIN mb USING (lang_a, lang_b, h) GROUP BY 1, 2
+), na AS (
+  SELECT lang_a, lang_b, COUNT(*) AS n_a FROM ma GROUP BY 1, 2
+), tru AS (
+  SELECT x.scope AS lang_a, y.scope AS lang_b, COUNT(*) AS true_common
+  FROM tok x JOIN tok y ON x.term = y.term AND x.scope < y.scope
+  GROUP BY 1, 2
+), ntrue AS (
+  SELECT scope, COUNT(*) AS n_true FROM tok GROUP BY 1
+)
+SELECT p.lang_a, p.lang_b,
+       CAST(COALESCE(t.true_common, 0) AS BIGINT) AS true_common,
+       CAST(CAST(COALESCE(nab.n_ab, 0) AS HUGEINT)
+            * CAST('72057594037927936' AS HUGEINT) // p.theta AS BIGINT) AS est_common,
+       CAST(CAST(COALESCE(nab.n_ab, 0) AS HUGEINT)
+            * CAST('72057594037927936' AS HUGEINT) // p.theta AS BIGINT)
+         - CAST(COALESCE(t.true_common, 0) AS BIGINT) AS delta_common,
+       CAST(nt.n_true - COALESCE(t.true_common, 0) AS BIGINT) AS true_only_a,
+       CAST(CAST(COALESCE(na.n_a, 0) - COALESCE(nab.n_ab, 0) AS HUGEINT)
+            * CAST('72057594037927936' AS HUGEINT) // p.theta AS BIGINT) AS est_only_a,
+       CAST(CAST(COALESCE(na.n_a, 0) - COALESCE(nab.n_ab, 0) AS HUGEINT)
+            * CAST('72057594037927936' AS HUGEINT) // p.theta AS BIGINT)
+         - CAST(nt.n_true - COALESCE(t.true_common, 0) AS BIGINT)
+         AS delta_only_a
+FROM pairs p
+LEFT JOIN nab USING (lang_a, lang_b)
+LEFT JOIN na USING (lang_a, lang_b)
+LEFT JOIN tru t USING (lang_a, lang_b)
+JOIN ntrue nt ON nt.scope = p.lang_a
+ORDER BY p.lang_a, p.lang_b
+"""
+
+
+
+
+def q204_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style EMBEDDING near-duplicate clustering (Abbas et
+    al. 2023): the missing step between q82's near-dup PAIRS and an
+    actionable dedup decision — group mutually-similar vectors into
+    CLUSTERS and report what a keep-one-per-cluster pass would drop.
+
+    Pipeline: q82's hyperplane-LSH-bucketed cosine edges (identical
+    exprs — same 8-plane sign code, same persisted coded+normed
+    table, same rounded-cosine gate at 0.40 — q82's exprs, a slightly
+    wider net so the cluster census is non-trivial at test scale) feed
+    ``operators/graph.connected_components``; the report is the
+    non-singleton cluster census (cluster = component-min vec_id,
+    size, n_dropped = size − 1). Clustering within LSH cells is the
+    SemDeDup scale discipline itself — candidate pairs exist only
+    inside a cell, so at 100 TB this is a per-partition self-join +
+    a component pass over the (sparse) near-dup graph, never an
+    all-pairs anything. The rounded-cosine gate makes the edge set —
+    hence the components — identical across engines; the oracle
+    replays the same edges through a recursive-CTE reachability walk
+    (O67's pattern).
+    """
+    from ..operators.graph import connected_components
+
+    e = t(spark, sf_dir, "embeddings").withColumn("code", F.expr(_CODE_SPARK))
+    n = e.select(
+        "vec_id",
+        "code",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    ).persist()
+    n.count()  # materialize before both join branches reference it
+    a = n.select(
+        F.col("code"), F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"), F.col("norm").alias("na"),
+    )
+    b = n.select(
+        F.col("code"), F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"), F.col("norm").alias("nb"),
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    edges = (
+        a.join(b, "code")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
+        .filter(F.col("cosine") >= 0.40)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    comps = connected_components(nodes, edges)
+    return (
+        comps.groupBy(F.col("label").alias("cluster"))
+        .agg(F.count("*").alias("size"))
+        .select(
+            "cluster", "size", (F.col("size") - F.lit(1)).alias("n_dropped")
+        )
+        .orderBy("cluster")
+    )
+
+
+O204 = f"""
+WITH RECURSIVE coded AS (
+  SELECT vec_id, embedding, {_CODE_DUCK} AS code,
+         sqrt({_DDOT.format(a='embedding', b='embedding')}) AS norm
+  FROM embeddings
+), edges AS MATERIALIZED (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM coded a JOIN coded b ON a.code = b.code AND a.vec_id < b.vec_id
+  WHERE ROUND({_DDOT.format(a='a.embedding', b='b.embedding')}
+              / (a.norm * b.norm), 4) >= 0.40
+), dedges AS MATERIALIZED (
+  SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+), nodes AS (
+  SELECT DISTINCT src AS node FROM dedges
+), reach(a, b) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN dedges e ON r.b = e.src
+), comp AS (
+  SELECT a AS node, MIN(b) AS cluster FROM reach GROUP BY a
+)
+SELECT cluster, COUNT(*) AS size, COUNT(*) - 1 AS n_dropped
+FROM comp GROUP BY cluster ORDER BY cluster
+"""
+
+
 QUERIES = [
     Query("q50_exact_dedup", q50_exact_dedup, O50, "sha256 exact dedup"),
     Query("q51_fingerprint_dedup", q51_fingerprint_dedup, O51, "normalized fingerprint dedup"),
@@ -4614,4 +4878,14 @@ QUERIES = [
           "(portable md5 min-k -> oracle-exact estimates; "
           "WindowGroupLimit-bounded shuffle; reports signed error "
           "vs the exact census)"),
+    Query("q203_kmv_set_algebra", q203_kmv_set_algebra, O203,
+          "theta-sketch set algebra: |A intersect B| and |A minus B| "
+          "per lang pair from the <=K-row sketches alone (exact-below-"
+          "theta rule; label-sized after the rank; oracle-exact via "
+          "deterministic hashing, signed error vs the exact census)"),
+    Query("q204_semantic_dedup_clusters", q204_semantic_dedup_clusters, O204,
+          "SemDeDup embedding near-dup clustering: q82's bucketed "
+          "cosine edges -> connected components -> keep-one census "
+          "(rounded-cosine gate makes edges engine-identical; oracle "
+          "replays them through a recursive reachability walk)"),
 ]

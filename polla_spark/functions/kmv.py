@@ -135,3 +135,87 @@ def kmv_estimate(minima: DataFrame) -> DataFrame:
         F.expr(f"CAST('{_KMV_NUMER}' AS DECIMAL(38,0)) div h_k")
     )
     return agg.withColumn("est", est.cast("long"))
+
+
+def kmv_set_algebra(minima: DataFrame) -> DataFrame:
+    """Theta-sketch SET ALGEBRA over a (scope, h) minima table — the
+    shared kernel of batch q203 and its streaming twin (#30): for
+    every scope pair a < b, estimate |A ∩ B| and |A \\ B| from the
+    sketches alone.
+
+    The exact-below-theta rule: with theta_X = M when X's sketch is
+    exact (kept < K) else X's largest retained hash, every hash below
+    theta = min(theta_a, theta_b) is retained by BOTH sketches iff its
+    element is in the respective set — so sub-theta hash equality IS
+    set membership, and the counts scale by M/theta. All inputs here
+    are already ≤K rows per scope, so every join below is label-sized.
+
+    Returns (lang_a, lang_b, theta, n_ab, n_a, est_common, est_only_a)
+    ordered by pair. Estimates are deterministic given the minima —
+    and the minima are merge-closed — so the streamed report equals
+    the batch report EXACTLY (pinned in tests/test_streaming.py).
+    """
+    th = (
+        minima.groupBy("scope")
+        .agg(F.count("*").alias("n_kept"), F.max("h").alias("h_max"))
+        .select(
+            "scope",
+            F.when(F.col("n_kept") < KMV_K, F.lit(_KMV_M))
+            .otherwise(F.col("h_max"))
+            .alias("theta"),
+        )
+    )
+    # rename BEFORE the self-cross-join: alias()-based self-joins of a
+    # streaming-derived plan hit conflicting-reference resolution
+    ta = th.select(
+        F.col("scope").alias("lang_a"), F.col("theta").alias("theta_a")
+    )
+    tb = th.select(
+        F.col("scope").alias("lang_b"), F.col("theta").alias("theta_b")
+    )
+    pairs = (
+        ta.crossJoin(tb)  # scope-count-sized, never data-sized
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .select(
+            "lang_a",
+            "lang_b",
+            F.least("theta_a", "theta_b").alias("theta"),
+        )
+    )
+    ma = (
+        minima.join(F.broadcast(pairs), minima["scope"] == pairs["lang_a"])
+        .filter(F.col("h") < F.col("theta"))
+        .select("lang_a", "lang_b", "h")
+    )
+    mb = (
+        minima.join(F.broadcast(pairs), minima["scope"] == pairs["lang_b"])
+        .filter(F.col("h") < F.col("theta"))
+        .select("lang_a", "lang_b", "h")
+    )
+    n_ab = ma.join(mb, ["lang_a", "lang_b", "h"]).groupBy(
+        "lang_a", "lang_b"
+    ).agg(F.count("*").alias("n_ab"))
+    n_a = ma.groupBy("lang_a", "lang_b").agg(F.count("*").alias("n_a"))
+
+    def est(n: str):
+        # (n * M) div theta exceeds int64 (256 * 2^56 = 2^64) -> DECIMAL
+        return F.expr(
+            f"CAST({n} AS DECIMAL(38,0)) "
+            f"* CAST('{_KMV_M}' AS DECIMAL(38,0)) div theta"
+        ).cast("long")
+
+    return (
+        pairs.join(n_ab, ["lang_a", "lang_b"], "left")
+        .join(n_a, ["lang_a", "lang_b"], "left")
+        .na.fill(0, ["n_ab", "n_a"])
+        .select(
+            "lang_a",
+            "lang_b",
+            "theta",
+            "n_ab",
+            "n_a",
+            est("n_ab").alias("est_common"),
+            est("n_a - n_ab").alias("est_only_a"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )

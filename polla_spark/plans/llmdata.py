@@ -4496,7 +4496,7 @@ def q203_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimates); deterministic hashing makes even the estimates
     oracle-EXACT, so this is hash-checked, not rows-only.
     """
-    from ..functions.kmv import KMV_K, _KMV_M, kmv_minima
+    from ..functions.kmv import kmv_minima, kmv_set_algebra
 
     d = _with_shingle_sets(t(spark, sf_dir, "documents"))
     sh = (
@@ -4505,41 +4505,7 @@ def q203_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     minima = kmv_minima(sh).persist()
-    th = (
-        minima.groupBy("scope")
-        .agg(F.count("*").alias("n_kept"), F.max("h").alias("h_max"))
-        .select(
-            "scope",
-            F.when(F.col("n_kept") < KMV_K, F.lit(_KMV_M))
-            .otherwise(F.col("h_max"))
-            .alias("theta"),
-        )
-    )
-    pairs = (
-        th.alias("a")
-        .crossJoin(th.alias("b"))  # lang-count-sized, never data-sized
-        .filter(F.col("a.scope") < F.col("b.scope"))
-        .select(
-            F.col("a.scope").alias("lang_a"),
-            F.col("b.scope").alias("lang_b"),
-            F.least("a.theta", "b.theta").alias("theta"),
-        )
-        .persist()
-    )
-    ma = (
-        minima.join(F.broadcast(pairs), minima["scope"] == pairs["lang_a"])
-        .filter(F.col("h") < F.col("theta"))
-        .select("lang_a", "lang_b", "h")
-    )
-    mb = (
-        minima.join(F.broadcast(pairs), minima["scope"] == pairs["lang_b"])
-        .filter(F.col("h") < F.col("theta"))
-        .select("lang_a", "lang_b", "h")
-    )
-    n_ab = ma.join(mb, ["lang_a", "lang_b", "h"]).groupBy(
-        "lang_a", "lang_b"
-    ).agg(F.count("*").alias("n_ab"))
-    n_a = ma.groupBy("lang_a", "lang_b").agg(F.count("*").alias("n_a"))
+    est = kmv_set_algebra(minima)  # the shared kernel (twin #30 finisher)
     # exact truth for the signed-error report
     x, y = sh.alias("x"), sh.alias("y")
     tru = (
@@ -4551,29 +4517,24 @@ def q203_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("true_common"))
     )
     ntrue = sh.groupBy("scope").agg(F.count("*").alias("n_true"))
-    est = lambda n: F.expr(  # noqa: E731 — (n*M) div theta, > int64 so DECIMAL
-        f"CAST({n} AS DECIMAL(38,0)) * CAST('{_KMV_M}' AS DECIMAL(38,0)) div theta"
-    ).cast("long")
     rep = (
-        pairs.join(n_ab, ["lang_a", "lang_b"], "left")
-        .join(n_a, ["lang_a", "lang_b"], "left")
-        .join(tru, ["lang_a", "lang_b"], "left")
+        est.join(tru, ["lang_a", "lang_b"], "left")
         .join(
             ntrue.select(F.col("scope").alias("lang_a"),
                          F.col("n_true").alias("n_true_a")),
             "lang_a",
         )
-        .na.fill(0, ["n_ab", "n_a", "true_common"])
+        .na.fill(0, ["true_common"])
     )
     return rep.select(
         "lang_a",
         "lang_b",
         "true_common",
-        est("n_ab").alias("est_common"),
-        (est("n_ab") - F.col("true_common")).alias("delta_common"),
+        "est_common",
+        (F.col("est_common") - F.col("true_common")).alias("delta_common"),
         (F.col("n_true_a") - F.col("true_common")).alias("true_only_a"),
-        est("n_a - n_ab").alias("est_only_a"),
-        (est("n_a - n_ab") - (F.col("n_true_a") - F.col("true_common"))
+        "est_only_a",
+        (F.col("est_only_a") - (F.col("n_true_a") - F.col("true_common"))
          ).alias("delta_only_a"),
     ).orderBy("lang_a", "lang_b")
 

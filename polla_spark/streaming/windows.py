@@ -1249,6 +1249,23 @@ def finish_kmv_estimate(updates: DataFrame) -> DataFrame:
     )
 
 
+def finish_kmv_set_algebra(updates: DataFrame) -> DataFrame:
+    """Set-algebra finisher over the streamed KMV state (twin #30):
+    latest minima per scope through the SAME
+    ``functions/kmv.kmv_set_algebra`` kernel as batch q203. min-k is
+    merge-closed, so the streamed minima — hence the pair estimates,
+    which are a deterministic function of the minima — equal the
+    one-shot batch sketch EXACTLY (truth census columns are q203's
+    report concern, not the sketch's)."""
+    from ..functions.kmv import kmv_set_algebra
+
+    latest = updates.groupBy("scope").agg(
+        F.max_by("minima", "upd_seq").alias("minima")
+    )
+    minima = latest.select("scope", F.explode("minima").alias("h"))
+    return kmv_set_algebra(minima)
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
     """Drive a finite streaming source to completion into a memory
     sink; returns the materialized result (test/smoke harness)."""

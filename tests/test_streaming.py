@@ -962,3 +962,50 @@ def test_quantile_sketch_stream_within_bound(spark, tmp_path):
     assert _rows(verified.select(*keys), keys) == _rows(
         batch.select(*keys), keys
     )
+
+
+def test_kmv_set_algebra_stream_equals_q203(spark, tmp_path):
+    """Streaming theta-sketch set algebra (30th twin): the pair
+    intersection/difference estimates are a deterministic function of
+    the per-scope minima, and min-k is merge-closed — so the streamed
+    3-batch build must yield estimates IDENTICAL to the one-shot
+    batch sketch's. Kernel shared via functions/kmv.kmv_set_algebra
+    (batch q203 adds only the truth-census columns on top)."""
+    from polla_spark.functions.kmv import kmv_minima, kmv_set_algebra
+    from polla_spark.plans.llmdata import _with_shingle_sets
+    from polla_spark.session import read_table
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "lang", "text")
+    rows = docs.collect()
+    d = tmp_path / "kmv_sa_stream"
+    for i in range(3):
+        spark.createDataFrame(rows[i::3], docs.schema).coalesce(1).write.parquet(
+            str(d / f"part{i}")
+        )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*/")
+    )
+    terms = _with_shingle_sets(stream).select(
+        F.col("lang").alias("scope"), F.explode("sh").alias("term")
+    )
+    q = (
+        SW.kmv_partials(terms)
+        .writeStream.format("memory")
+        .queryName("kmv_sa_updates")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    updates = spark.table("kmv_sa_updates")
+    assert updates.select("upd_seq").agg(F.max("upd_seq")).first()[0] >= 2
+
+    streamed = SW.finish_kmv_set_algebra(updates)
+    tok = _with_shingle_sets(docs).select(
+        F.col("lang").alias("scope"), F.explode("sh").alias("term")
+    )
+    want = kmv_set_algebra(kmv_minima(tok))
+    keys = ["lang_a", "lang_b", "theta", "n_ab", "n_a", "est_common", "est_only_a"]
+    assert _rows(streamed, keys) == _rows(want, keys)

@@ -312,3 +312,58 @@ def segment_audio(assets: DataFrame, window_ms: int = 640,
     return assets.filter(F.col("modality") == "audio").mapInPandas(
         kernel, SEGMENT_SCHEMA
     )
+
+
+AHASH_SCHEMA = "asset_id long, b0 int, b1 int, b2 int, b3 int"
+
+
+def ahash_bands(assets: DataFrame) -> DataFrame:
+    """Perceptual AVERAGE-HASH (aHash) of image assets as 4×16-bit
+    bands — the classic near-duplicate-image fingerprint (resize to
+    an 8×8 grid, threshold each pixel against the mean, read the 64
+    bits), with the decode step the container's deterministic fake:
+    the k-th grid pixel is the content byte at ``(k·n) div 64``
+    (reference polla has no media path; the Spark-side plumbing —
+    binary column in, typed bands out, Arrow batching, no ``content``
+    ever crossing an Exchange — is the real production shape, same
+    contract as :func:`extract_features`).
+
+    Bands instead of one 64-bit word: banding is what the LSH join
+    needs anyway (q62's SimHash discipline — near-dups at Hamming
+    distance ≤ d collide on ≥ one of 4 bands whenever d ≤ 3 per the
+    pigeonhole bound), and 16-bit ints dodge the signed-64 edge in
+    cross-engine comparisons. The mean threshold is computed in
+    integers (``64·p ≥ Σp``) so the bit pattern is bit-reproducible
+    by the DuckDB oracle (q205).
+    """
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def bands_of(content: bytes) -> tuple[int, int, int, int]:
+            n = len(content)
+            if n == 0:
+                return (0, 0, 0, 0)
+            px = [content[(k * n) // 64] for k in range(64)]
+            s = sum(px)
+            bits = [1 if 64 * p >= s else 0 for p in px]
+            out = []
+            for b in range(4):
+                v = 0
+                for bit in bits[16 * b : 16 * b + 16]:
+                    v = (v << 1) | bit
+                out.append(v)
+            return tuple(out)
+
+        for pdf in batches:
+            rows = [
+                (aid, *bands_of(bytes(c) if c is not None else b""))
+                for aid, c in zip(pdf["asset_id"], pdf["content"])
+            ]
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "b0", "b1", "b2", "b3"]
+            )
+
+    return assets.filter(F.col("modality") == "image").mapInPandas(
+        kernel, AHASH_SCHEMA
+    )

@@ -4694,6 +4694,117 @@ FROM comp GROUP BY cluster ORDER BY cluster
 """
 
 
+
+_AHASH_HAM = 16  # near-dup gate: <= 16 of 64 grid bits differ
+
+
+def q205_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash NEAR-DUPLICATE IMAGE detection — the multimodal
+    member of the dedup family (q62's SimHash discipline applied to
+    binary media): aHash each image asset through the Arrow kernel
+    (operators/multimodal.ahash_bands — 8×8 grid sample of the
+    content bytes, integer mean threshold, 4×16-bit bands), candidate
+    pairs ONLY where a band collides (0.5% of all pairs here), exact
+    Hamming rescore ``Σ bit_count(xor(band))`` ≤ {_AHASH_HAM} JVM-side.
+
+    100 TB shape: content crosses into Python once (Arrow-batched,
+    no Exchange ever carries it); everything after the kernel is a
+    16-byte-per-asset table — band join, distinct, rescore all run on
+    hashes. Candidate recall is the banding trade (guaranteed only at
+    Hamming ≤ 3 by pigeonhole; LSH-approximate above), and the ORACLE
+    replays the identical banding, so recall choices are
+    hash-checked, not hidden. The in-plan char==byte assert (q195's
+    pattern) guards the oracle's ascii-codepoint pixel recompute.
+    """
+    from ..operators.multimodal import ahash_bands, documents_as_assets
+
+    d = t(spark, sf_dir, "documents").filter(
+        F.coalesce(
+            F.assert_true(
+                F.octet_length("text") == F.length("text"),
+                F.lit("q205: multibyte doc breaks the oracle's byte sampling"),
+            ),
+            F.lit(True),
+        )
+    )
+    h = ahash_bands(documents_as_assets(d)).persist()
+    long = h.select(
+        "asset_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("k"), F.col(f"b{i}").alias("v"))
+                    for i in range(4)
+                ]
+            )
+        ).alias("s"),
+    ).select("asset_id", "s.k", "s.v")
+    la = long.select(
+        F.col("asset_id").alias("id_a"), F.col("k"), F.col("v")
+    )
+    lb = long.select(
+        F.col("asset_id").alias("id_b"), F.col("k").alias("k2"),
+        F.col("v").alias("v2"),
+    )
+    cand = (
+        la.join(lb, (F.col("k") == F.col("k2")) & (F.col("v") == F.col("v2"))
+                & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ha = h.select(F.col("asset_id").alias("id_a"),
+                  *[F.col(f"b{i}").alias(f"a{i}") for i in range(4)])
+    hb = h.select(F.col("asset_id").alias("id_b"),
+                  *[F.col(f"b{i}").alias(f"c{i}") for i in range(4)])
+    ham = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"c{i}")))
+        for i in range(4)
+    )
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= _AHASH_HAM)
+        .orderBy("id_a", "id_b")
+    )
+
+
+O205 = f"""
+WITH img AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n
+  FROM documents WHERE doc_id % 3 = 0
+), px AS (
+  SELECT doc_id, i,
+         ascii(substr(text, CAST((i * n) // 64 AS BIGINT) + 1, 1)) AS p
+  FROM img, LATERAL unnest(generate_series(0, 63)) AS u(i)
+), stats AS (
+  SELECT doc_id, SUM(p) AS s FROM px GROUP BY 1
+), bits AS (
+  SELECT px.doc_id, i, CASE WHEN 64 * p >= s THEN 1 ELSE 0 END AS bit
+  FROM px JOIN stats USING (doc_id)
+), bands AS (
+  SELECT doc_id, i // 16 AS k,
+         CAST(SUM(bit << (15 - (i % 16))) AS INTEGER) AS v
+  FROM bits GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.k = b.k AND a.v = b.v AND a.doc_id < b.doc_id
+), ham AS (
+  SELECT c.id_a, c.id_b,
+         CAST(SUM(CASE WHEN xa.bit <> xb.bit THEN 1 ELSE 0 END) AS INTEGER)
+           AS hamming
+  FROM cand c
+  JOIN bits xa ON xa.doc_id = c.id_a
+  JOIN bits xb ON xb.doc_id = c.id_b AND xb.i = xa.i
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, hamming FROM ham
+WHERE hamming <= {_AHASH_HAM}
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = [
     Query("q50_exact_dedup", q50_exact_dedup, O50, "sha256 exact dedup"),
     Query("q51_fingerprint_dedup", q51_fingerprint_dedup, O51, "normalized fingerprint dedup"),
@@ -4849,4 +4960,9 @@ QUERIES = [
           "cosine edges -> connected components -> keep-one census "
           "(rounded-cosine gate makes edges engine-identical; oracle "
           "replays them through a recursive reachability walk)"),
+    Query("q205_phash_near_dup", q205_phash_near_dup, O205,
+          "perceptual-hash (aHash) near-duplicate image pairs: Arrow "
+          "decode kernel -> 4x16-bit bands -> band-collision candidates "
+          "-> exact Hamming rescore (oracle recomputes the grid pixels "
+          "from ascii codepoints under an in-plan char==byte assert)"),
 ]

@@ -269,3 +269,43 @@ def test_segment_audio_skips_zero_duration(spark):
     df = spark.createDataFrame(rows, ASSET_SCHEMA)
     got = segment_audio(df).collect()
     assert {r["asset_id"] for r in got} == {4}
+
+
+def test_ahash_bands_kernel(spark):
+    """aHash bands are a pure function of content bytes: identical
+    content -> identical bands regardless of batching; empty content
+    -> all-zero bands; a changed byte flips some band."""
+    from pyspark.sql import functions as F
+
+    from polla_spark.operators.multimodal import ahash_bands
+
+    rows = [
+        (1, "image", bytearray(b"a" * 100)),
+        (2, "image", bytearray(b"a" * 100)),          # identical twin
+        (3, "image", bytearray(b"a" * 50 + b"z" * 50)),
+        (4, "audio", bytearray(b"a" * 100)),          # filtered out
+        (5, "image", bytearray(b"")),
+    ]
+    assets = spark.createDataFrame(
+        rows, "asset_id long, modality string, content binary"
+    )
+    got = {r["asset_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+           for r in ahash_bands(assets).collect()}
+    assert set(got) == {1, 2, 3, 5}  # audio never enters the kernel
+    assert got[1] == got[2]          # content-addressed
+    assert got[1] != got[3]          # a different byte pattern diverges
+    assert got[5] == (0, 0, 0, 0)    # zero-byte asset -> documented zeros
+    for bands in got.values():       # bands are 16-bit
+        assert all(0 <= b < 65536 for b in bands)
+
+
+def test_ahash_uniform_content_is_all_ones(spark):
+    # every pixel equals the mean -> every bit is 1 (64*p >= sum)
+    from polla_spark.operators.multimodal import ahash_bands
+
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(b"\x07" * 64))],
+        "asset_id long, modality string, content binary",
+    )
+    r = ahash_bands(assets).collect()[0]
+    assert (r["b0"], r["b1"], r["b2"], r["b3"]) == (65535,) * 4

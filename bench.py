@@ -159,17 +159,34 @@ def _flag_regressions(times: dict[str, float], ratio: float = 1.5) -> None:
     prior_files = sorted(here.glob("BENCH_r*.json"), key=_round_no)
     if not prior_files:
         return
-    try:
-        prior = json.loads(prior_files[-1].read_text())
-    except (OSError, json.JSONDecodeError):
-        return
-    # the driver wraps the bench JSON line in {"parsed": {...}, "sf": ...}
-    if "parsed" in prior and isinstance(prior["parsed"], dict):
-        prior = {**prior["parsed"], "sf": prior.get("sf", prior["parsed"].get("sf"))}
+    # walk BACKWARDS to the newest baseline that actually carries
+    # per-query timings: once the driver's artifact keeps only the
+    # compact headline_total tail (no 'queries' dict), the latest file
+    # alone would silently turn this check into an all-clear no-op
+    # (review finding) — older full baselines stay valid comparisons.
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    if str(prior.get("sf")) != sf:
+    base: dict = {}
+    baseline_name = ""
+    for pf in reversed(prior_files):
+        try:
+            prior = json.loads(pf.read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        # the driver wraps the bench JSON line in {"parsed": {...}, "sf": ...}
+        if "parsed" in prior and isinstance(prior["parsed"], dict):
+            prior = {**prior["parsed"],
+                     "sf": prior.get("sf", prior["parsed"].get("sf"))}
+        if str(prior.get("sf")) != sf:
+            continue
+        if prior.get("queries"):
+            base = prior["queries"]
+            baseline_name = pf.name
+            break
+    if not base:
+        print("# no committed BENCH baseline carries per-query timings at "
+              f"sf{sf}; per-query delta check SKIPPED (not an all-clear)",
+              file=sys.stderr)
         return
-    base = prior.get("queries", {})
     flagged = [
         (n, base[n], t)
         for n, t in times.items()
@@ -177,13 +194,13 @@ def _flag_regressions(times: dict[str, float], ratio: float = 1.5) -> None:
     ]
     for n, b, t in flagged:
         print(
-            f"# DELTA>{ratio}x vs {prior_files[-1].name}: {n} "
+            f"# DELTA>{ratio}x vs {baseline_name}: {n} "
             f"{b:.2f}s -> {t:.2f}s (re-run on a quiet box before "
             "concluding a regression)",
             file=sys.stderr,
         )
     if not flagged:
-        print(f"# no >{ratio}x per-query deltas vs {prior_files[-1].name}",
+        print(f"# no >{ratio}x per-query deltas vs {baseline_name}",
               file=sys.stderr)
 
 

@@ -4718,16 +4718,26 @@ def q205_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.multimodal import ahash_bands, documents_as_assets
 
-    d = t(spark, sf_dir, "documents").filter(
-        F.coalesce(
-            F.assert_true(
-                F.octet_length("text") == F.length("text"),
-                F.lit("q205: multibyte doc breaks the oracle's byte sampling"),
-            ),
-            F.lit(True),
+    d = (
+        t(spark, sf_dir, "documents")
+        # zero-byte assets are EXCLUDED in both engines: the kernel's
+        # documented all-zero sentinel and the oracle's ascii('')-pixel
+        # recompute would otherwise disagree (review finding)
+        .filter(F.octet_length("text") > 0)
+        .filter(
+            F.coalesce(
+                F.assert_true(
+                    F.octet_length("text") == F.length("text"),
+                    F.lit("q205: multibyte doc breaks the oracle's byte sampling"),
+                ),
+                F.lit(True),
+            )
         )
     )
     h = ahash_bands(documents_as_assets(d)).persist()
+    h.count()  # materialize before the 4-way fan-out (q204's guard):
+    # band-join sides + both rescore sides otherwise race the cold
+    # cache and run the Python decode kernel up to 4x
     long = h.select(
         "asset_id",
         F.explode(
@@ -4772,7 +4782,7 @@ def q205_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 O205 = f"""
 WITH img AS (
   SELECT doc_id, text, octet_length(encode(text)) AS n
-  FROM documents WHERE doc_id % 3 = 0
+  FROM documents WHERE doc_id % 3 = 0 AND octet_length(encode(text)) > 0
 ), px AS (
   SELECT doc_id, i,
          ascii(substr(text, CAST((i * n) // 64 AS BIGINT) + 1, 1)) AS p

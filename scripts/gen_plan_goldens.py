@@ -18,7 +18,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 GOLDEN_DIR = Path(__file__).resolve().parent.parent / "tests" / "goldens" / "plans"
-SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+SF = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
 
 # The 20 heaviest / most plan-sensitive queries: the round-6 verdict's
 # 5 most expensive headline plans + the 12 heavy scale shapes + the

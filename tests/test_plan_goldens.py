@@ -20,7 +20,7 @@ from pathlib import Path
 import pytest
 
 GOLDEN_DIR = Path(__file__).parent / "goldens" / "plans"
-SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+SF = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
 
 
 def _golden_names() -> list[str]:

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from polla_spark.operators.selection import coverage_selection
 
-SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+SF = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
 
 
 def _doc_tok(spark):

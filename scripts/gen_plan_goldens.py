@@ -20,7 +20,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 GOLDEN_DIR = Path(__file__).resolve().parent.parent / "tests" / "goldens" / "plans"
 SF = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
 
-# The 20 heaviest / most plan-sensitive queries: the round-6 verdict's
+# The 24 heaviest / most plan-sensitive queries: the round-6 verdict's
 # 5 most expensive headline plans + the 12 heavy scale shapes + the
 # refactor-prone shared-kernel queries.
 GOLDEN_QUERIES = [
@@ -44,6 +44,12 @@ GOLDEN_QUERIES = [
     "q190_containment_join",
     "q191_kmv_distinct",
     "q194_inclusion_profile",
+    # r7 shared-kernel additions — the queries most exposed to kernel
+    # refactors (functions/quantiles, kmv_set_algebra, ahash_bands)
+    "q202_quantile_merge_order",
+    "q203_kmv_set_algebra",
+    "q204_semantic_dedup_clusters",
+    "q205_phash_near_dup",
 ]
 
 

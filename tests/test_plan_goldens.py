@@ -1,4 +1,5 @@
-"""Golden plan-skeleton snapshots for the 20 heaviest queries.
+"""Golden plan-skeleton snapshots for the 24 heaviest / most
+plan-sensitive queries.
 
 The targeted pins in test_plan_shapes.py assert SPECIFIC plan
 properties; these goldens catch everything else — a broadcast
@@ -43,8 +44,8 @@ def test_plan_skeleton_matches_golden(spark, name):
     )
 
 
-def test_goldens_cover_the_declared_twenty():
+def test_goldens_cover_the_declared_set():
     from scripts.gen_plan_goldens import GOLDEN_QUERIES  # type: ignore
 
     assert sorted(GOLDEN_QUERIES) == _golden_names()
-    assert len(GOLDEN_QUERIES) == 20
+    assert len(GOLDEN_QUERIES) == 24

@@ -39,7 +39,11 @@ def plan_skeleton(df: DataFrame) -> str:
         lines.append(line.rstrip())
     text = "\n".join(lines)
     # normalize the few run-dependent tokens that CAN appear in tree
-    # lines: codegen stage ids and cached-plan hex ids
+    # lines: codegen stage ids, cached-plan hex ids, and the
+    # Statistics(...) annotations a materialized AQE cache embeds in
+    # its final-plan rendering (broadcast size estimates vary with JVM
+    # memory state run to run)
     text = re.sub(r"codegen id : \d+", "codegen id : N", text)
     text = re.sub(r"\[plan_id=\d+\]", "[plan_id=N]", text)
+    text = re.sub(r", Statistics\([^)]*\)", "", text)
     return text + "\n"

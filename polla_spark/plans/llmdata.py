@@ -4815,6 +4815,135 @@ ORDER BY id_a, id_b
 """
 
 
+
+# Fellegi-Sunter agreement/disagreement weights, precomputed as
+# round(1000 * log2(m/u)) / round(1000 * log2((1-m)/(1-u))) for the
+# documented (m, u) pairs — integer constants shared verbatim by the
+# Spark plan and the DuckDB oracle, so the scores hash identically.
+#   source match:  m=0.50, u=0.05  -> +3322 / -926
+#   length ~10%:   m=0.80, u=0.30  -> +1415 / -1807
+#   jaccard >=0.5: m=0.70, u=0.01  -> +6129 / -1722
+_FS_W = {"src": (3322, -926), "len": (1415, -1807), "jac": (6129, -1722)}
+_FS_LINK, _FS_POSSIBLE = 5000, 0  # millibit thresholds
+
+
+def q206_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter PROBABILISTIC RECORD LINKAGE scoring — the
+    decision layer classical entity resolution puts on top of q128's
+    blocking: each sorted-neighborhood candidate pair is scored by a
+    sum of per-field log-likelihood-ratio weights (agreement adds
+    log2(m/u), disagreement adds log2((1-m)/(1-u)), in millibits) and
+    classified link / possible / non_link against fixed thresholds —
+    the 1969 JASA model that Splink/JedAI-style toolkits still run.
+
+    The three field comparisons stay INTEGER so both engines hash
+    identically: same source, lengths within ~10% of their mean
+    (|la-lb|*20 <= la+lb), shingle Jaccard >= 0.5 (2*inter >= union).
+    The (m, u) parameters are documented constants (training them is
+    an EM loop outside this query's scope — the SCORING algebra is
+    what the engine contributes).
+
+    Plan shape at 100 TB: inherits q128's — one exchange on the block
+    key, one in-block sort, 3·n within-row comparisons (the neighbor's
+    fields arrive via lead(), the pair never joins), and the scoring
+    itself is per-row integer arithmetic inside codegen.
+    """
+    d = (
+        _with_shingle_sets(t(spark, sf_dir, "documents"))
+        .select("doc_id", "lang", "source", "n_chars", "sh")
+    )
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    nbrs = F.array(
+        *[
+            F.struct(
+                F.lead("doc_id", i).over(w).alias("doc_b"),
+                F.lead("source", i).over(w).alias("src_b"),
+                F.lead("n_chars", i).over(w).alias("nc_b"),
+                F.lead("sh", i).over(w).alias("shb"),
+                F.lit(i).alias("w_dist"),
+            )
+            for i in (1, 2, 3)
+        ]
+    )
+    neigh = (
+        d.withColumn("nb", nbrs)
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("source").alias("src_a"),
+            F.col("n_chars").alias("nc_a"),
+            F.col("sh").alias("sha"),
+            F.explode("nb").alias("nb"),
+        )
+        .select(
+            "doc_a", "src_a", "nc_a", "sha",
+            "nb.doc_b", "nb.src_b", "nb.nc_b", "nb.shb", "nb.w_dist",
+        )
+        .filter(F.col("doc_b").isNotNull())
+    )
+    inter = F.size(F.array_intersect("sha", "shb"))
+    un = F.size("sha") + F.size("shb") - inter
+    tests = [
+        (F.col("src_a") == F.col("src_b"), _FS_W["src"]),
+        (
+            F.abs(F.col("nc_a") - F.col("nc_b")) * 20
+            <= F.col("nc_a") + F.col("nc_b"),
+            _FS_W["len"],
+        ),
+        (2 * inter >= un, _FS_W["jac"]),
+    ]
+    score_col = None
+    for cond, (agree, disagree) in tests:
+        term = F.when(cond, F.lit(agree)).otherwise(F.lit(disagree))
+        score_col = term if score_col is None else score_col + term
+    verdict = (
+        F.when(F.col("score") >= _FS_LINK, "link")
+        .when(F.col("score") >= _FS_POSSIBLE, "possible")
+        .otherwise("non_link")
+    )
+    return (
+        neigh.select(
+            "doc_a",
+            "doc_b",
+            F.col("w_dist").cast("long").alias("w_dist"),
+            score_col.cast("long").alias("score"),
+        )
+        .withColumn("verdict", verdict)
+        .orderBy("doc_a", "doc_b", "w_dist")
+    )
+
+
+O206 = f"""
+WITH docs AS (
+  SELECT doc_id, lang, source, n_chars, list_distinct({_DUCK_SHINGLES}) AS sh
+  FROM documents
+), neigh AS (
+  SELECT doc_id AS doc_a, source AS src_a, n_chars AS nc_a, sh AS sa, i,
+         LEAD(doc_id, i) OVER (PARTITION BY lang, i ORDER BY n_chars, doc_id) AS doc_b,
+         LEAD(source, i) OVER (PARTITION BY lang, i ORDER BY n_chars, doc_id) AS src_b,
+         LEAD(n_chars, i) OVER (PARTITION BY lang, i ORDER BY n_chars, doc_id) AS nc_b,
+         LEAD(sh, i) OVER (PARTITION BY lang, i ORDER BY n_chars, doc_id) AS sb
+  FROM docs CROSS JOIN (SELECT unnest([1, 2, 3]) AS i) w
+), scored AS (
+  SELECT doc_a, doc_b, CAST(i AS BIGINT) AS w_dist,
+         CAST(
+           (CASE WHEN src_a = src_b
+                 THEN {_FS_W["src"][0]} ELSE {_FS_W["src"][1]} END)
+         + (CASE WHEN abs(nc_a - nc_b) * 20 <= nc_a + nc_b
+                 THEN {_FS_W["len"][0]} ELSE {_FS_W["len"][1]} END)
+         + (CASE WHEN 2 * len(list_intersect(sa, sb))
+                      >= len(sa) + len(sb) - len(list_intersect(sa, sb))
+                 THEN {_FS_W["jac"][0]} ELSE {_FS_W["jac"][1]} END)
+         AS BIGINT) AS score
+  FROM neigh WHERE doc_b IS NOT NULL
+)
+SELECT doc_a, doc_b, w_dist, score,
+       CASE WHEN score >= {_FS_LINK} THEN 'link'
+            WHEN score >= {_FS_POSSIBLE} THEN 'possible'
+            ELSE 'non_link' END AS verdict
+FROM scored ORDER BY doc_a, doc_b, w_dist
+"""
+
+
 QUERIES = [
     Query("q50_exact_dedup", q50_exact_dedup, O50, "sha256 exact dedup"),
     Query("q51_fingerprint_dedup", q51_fingerprint_dedup, O51, "normalized fingerprint dedup"),
@@ -4975,4 +5104,9 @@ QUERIES = [
           "decode kernel -> 4x16-bit bands -> band-collision candidates "
           "-> exact Hamming rescore (oracle recomputes the grid pixels "
           "from ascii codepoints under an in-plan char==byte assert)"),
+    Query("q206_record_linkage", q206_record_linkage, O206,
+          "Fellegi-Sunter record-linkage scoring over q128's sorted-"
+          "neighborhood candidates: integer millibit log-likelihood "
+          "weights, link/possible/non_link verdicts (the classic ER "
+          "decision model; within-row comparisons, never a pair join)"),
 ]

@@ -1156,6 +1156,20 @@ def audio_segment_stream(docs: DataFrame) -> DataFrame:
     return segment_audio(documents_as_assets(docs))
 
 
+def ahash_band_stream(docs: DataFrame) -> DataFrame:
+    """Streaming twin of q205's perceptual-hash bands (31st twin):
+    ``ahash_bands`` is a STATELESS per-asset Arrow kernel (one image
+    in, its 4 bands out — the q195/audio property: ``mapInPandas``
+    runs unchanged on a streaming frame, zero streaming state, no
+    watermark), so the streamed band table over ANY batch cut equals
+    the batch kernel's exactly, provided each asset arrives whole.
+    The downstream band JOIN stays a batch/foreachBatch concern — the
+    fingerprinting stage is the streaming-safe part."""
+    from ..operators.multimodal import ahash_bands, documents_as_assets
+
+    return ahash_bands(documents_as_assets(docs))
+
+
 # ---------------------------------------------------------------------------
 # Daily-revenue OLS census (streaming twin of plans/windows_q.q193)
 # ---------------------------------------------------------------------------

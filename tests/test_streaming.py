@@ -1009,3 +1009,32 @@ def test_kmv_set_algebra_stream_equals_q203(spark, tmp_path):
     want = kmv_set_algebra(kmv_minima(tok))
     keys = ["lang_a", "lang_b", "theta", "n_ab", "n_a", "est_common", "est_only_a"]
     assert _rows(streamed, keys) == _rows(want, keys)
+
+
+def test_ahash_band_stream_equals_batch(spark, tmp_path):
+    """Streaming perceptual-hash bands (31st twin): the aHash kernel
+    is stateless per asset, so the streamed band table over a 3-batch
+    document stream equals the batch table band for band."""
+    from polla_spark.operators.multimodal import ahash_bands, documents_as_assets
+    from polla_spark.session import read_table
+
+    docs = read_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    rows = docs.collect()
+    d = tmp_path / "ahash_stream"
+    for i in range(3):
+        spark.createDataFrame(rows[i::3], docs.schema).coalesce(1).write.parquet(
+            str(d / f"part{i}")
+        )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*/")
+    )
+    streamed = SW.run_to_memory(
+        SW.ahash_band_stream(stream), "t_ahash_bands", "append"
+    )
+    want = ahash_bands(documents_as_assets(docs))
+    keys = ["asset_id", "b0", "b1", "b2", "b3"]
+    assert _rows(streamed, keys) == _rows(want, keys)

@@ -106,6 +106,77 @@ def _with_shingle_sets(df: DataFrame) -> DataFrame:
     )
 
 
+def _snm_neighbors(d, extra_fields: tuple[str, ...] = ()):
+    """ONE source of truth for sorted-neighborhood candidate
+    generation (q128 blocking ≡ q206 scoring — the _with_shingle_sets
+    discipline): block by lang, sort by (n_chars NULLS FIRST, doc_id)
+    — the NULL placement is EXPLICIT because Spark defaults NULLS
+    FIRST while DuckDB defaults NULLS LAST, and a NULL n_chars row
+    would otherwise pair different neighbors in the two engines —
+    then compare each record to its next w=3 neighbors via lead()
+    over the SAME window (the pair never joins).
+
+    ``d`` must carry doc_id, lang, n_chars, sh plus ``extra_fields``;
+    returns (doc_a, sha, [f+'_a'...], doc_b, shb, [f+'_b'...],
+    w_dist) with doc_b non-null. The oracle-side twin of this CTE is
+    :func:`_o_snm_neighbors`.
+    """
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").asc_nulls_first(), "doc_id"
+    )
+    nbrs = F.array(
+        *[
+            F.struct(
+                F.lead("doc_id", i).over(w).alias("doc_b"),
+                F.lead("sh", i).over(w).alias("shb"),
+                *[
+                    F.lead(f, i).over(w).alias(f + "_b")
+                    for f in extra_fields
+                ],
+                F.lit(i).alias("w_dist"),
+            )
+            for i in (1, 2, 3)
+        ]
+    )
+    return (
+        d.withColumn("nb", nbrs)
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("sh").alias("sha"),
+            *[F.col(f).alias(f + "_a") for f in extra_fields],
+            F.explode("nb").alias("nb"),
+        )
+        .select(
+            "doc_a",
+            "sha",
+            *[f + "_a" for f in extra_fields],
+            "nb.doc_b",
+            "nb.shb",
+            *[f"nb.{f}_b" for f in extra_fields],
+            "nb.w_dist",
+        )
+        .filter(F.col("doc_b").isNotNull())
+    )
+
+
+def _o_snm_neighbors(extra_fields: tuple[str, ...] = ()) -> str:
+    """DuckDB twin of :func:`_snm_neighbors`: the ``neigh`` CTE body
+    (expects a ``docs`` CTE with doc_id, lang, n_chars, sh + fields).
+    NULLS FIRST pins DuckDB to Spark's default NULL placement."""
+    over = ("OVER (PARTITION BY lang, i "
+            "ORDER BY n_chars NULLS FIRST, doc_id)")
+    extra = "".join(
+        f",\n         LEAD({f}, i) {over} AS {f}_b" for f in extra_fields
+    )
+    extra_a = "".join(f", {f} AS {f}_a" for f in extra_fields)
+    return f"""
+  SELECT doc_id AS doc_a, sh AS sa{extra_a}, i,
+         LEAD(doc_id, i) {over} AS doc_b,
+         LEAD(sh, i) {over} AS sb{extra}
+  FROM docs CROSS JOIN (SELECT unnest([1, 2, 3]) AS i) w
+"""
+
+
 def _minhash_col(band: int):
     # slice the single per-shingle md5 into an independent 8-hex
     # (32-bit) hash per band; min is lexicographic = numeric on
@@ -2910,27 +2981,7 @@ def q128_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         _with_shingle_sets(t(spark, sf_dir, "documents"))
         .select("doc_id", "lang", "n_chars", "sh")
     )
-    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
-    nbrs = F.array(
-        *[
-            F.struct(
-                F.lead("doc_id", i).over(w).alias("doc_b"),
-                F.lead("sh", i).over(w).alias("shb"),
-                F.lit(i).alias("w_dist"),
-            )
-            for i in (1, 2, 3)
-        ]
-    )
-    neigh = (
-        d.withColumn("nb", nbrs)
-        .select(
-            F.col("doc_id").alias("doc_a"),
-            F.col("sh").alias("sha"),
-            F.explode("nb").alias("nb"),
-        )
-        .select("doc_a", "sha", "nb.doc_b", "nb.shb", "nb.w_dist")
-        .filter(F.col("doc_b").isNotNull())
-    )
+    neigh = _snm_neighbors(d)  # shared scaffolding (also q206's)
     inter = F.size(F.array_intersect("sha", "shb"))
     un = F.size("sha") + F.size("shb") - inter
     return (
@@ -2951,12 +3002,7 @@ O128 = f"""
 WITH docs AS (
   SELECT doc_id, lang, n_chars, list_distinct({_DUCK_SHINGLES}) AS sh
   FROM documents
-), neigh AS (
-  SELECT doc_id AS doc_a, sh AS sa, i,
-         LEAD(doc_id, i) OVER (PARTITION BY lang, i ORDER BY n_chars, doc_id) AS doc_b,
-         LEAD(sh, i) OVER (PARTITION BY lang, i ORDER BY n_chars, doc_id) AS sb
-  FROM docs CROSS JOIN (SELECT unnest([1, 2, 3]) AS i) w
-)
+), neigh AS ({_o_snm_neighbors()})
 SELECT doc_a, doc_b, CAST(i AS BIGINT) AS w_dist,
        CAST(len(list_intersect(sa, sb)) AS BIGINT) AS inter,
        CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS BIGINT) AS un,
@@ -4852,41 +4898,14 @@ def q206_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         _with_shingle_sets(t(spark, sf_dir, "documents"))
         .select("doc_id", "lang", "source", "n_chars", "sh")
     )
-    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
-    nbrs = F.array(
-        *[
-            F.struct(
-                F.lead("doc_id", i).over(w).alias("doc_b"),
-                F.lead("source", i).over(w).alias("src_b"),
-                F.lead("n_chars", i).over(w).alias("nc_b"),
-                F.lead("sh", i).over(w).alias("shb"),
-                F.lit(i).alias("w_dist"),
-            )
-            for i in (1, 2, 3)
-        ]
-    )
-    neigh = (
-        d.withColumn("nb", nbrs)
-        .select(
-            F.col("doc_id").alias("doc_a"),
-            F.col("source").alias("src_a"),
-            F.col("n_chars").alias("nc_a"),
-            F.col("sh").alias("sha"),
-            F.explode("nb").alias("nb"),
-        )
-        .select(
-            "doc_a", "src_a", "nc_a", "sha",
-            "nb.doc_b", "nb.src_b", "nb.nc_b", "nb.shb", "nb.w_dist",
-        )
-        .filter(F.col("doc_b").isNotNull())
-    )
+    neigh = _snm_neighbors(d, ("source", "n_chars"))
     inter = F.size(F.array_intersect("sha", "shb"))
     un = F.size("sha") + F.size("shb") - inter
     tests = [
-        (F.col("src_a") == F.col("src_b"), _FS_W["src"]),
+        (F.col("source_a") == F.col("source_b"), _FS_W["src"]),
         (
-            F.abs(F.col("nc_a") - F.col("nc_b")) * 20
-            <= F.col("nc_a") + F.col("nc_b"),
+            F.abs(F.col("n_chars_a") - F.col("n_chars_b")) * 20
+            <= F.col("n_chars_a") + F.col("n_chars_b"),
             _FS_W["len"],
         ),
         (2 * inter >= un, _FS_W["jac"]),
@@ -4916,19 +4935,12 @@ O206 = f"""
 WITH docs AS (
   SELECT doc_id, lang, source, n_chars, list_distinct({_DUCK_SHINGLES}) AS sh
   FROM documents
-), neigh AS (
-  SELECT doc_id AS doc_a, source AS src_a, n_chars AS nc_a, sh AS sa, i,
-         LEAD(doc_id, i) OVER (PARTITION BY lang, i ORDER BY n_chars, doc_id) AS doc_b,
-         LEAD(source, i) OVER (PARTITION BY lang, i ORDER BY n_chars, doc_id) AS src_b,
-         LEAD(n_chars, i) OVER (PARTITION BY lang, i ORDER BY n_chars, doc_id) AS nc_b,
-         LEAD(sh, i) OVER (PARTITION BY lang, i ORDER BY n_chars, doc_id) AS sb
-  FROM docs CROSS JOIN (SELECT unnest([1, 2, 3]) AS i) w
-), scored AS (
+), neigh AS ({_o_snm_neighbors(("source", "n_chars"))}), scored AS (
   SELECT doc_a, doc_b, CAST(i AS BIGINT) AS w_dist,
          CAST(
-           (CASE WHEN src_a = src_b
+           (CASE WHEN source_a = source_b
                  THEN {_FS_W["src"][0]} ELSE {_FS_W["src"][1]} END)
-         + (CASE WHEN abs(nc_a - nc_b) * 20 <= nc_a + nc_b
+         + (CASE WHEN abs(n_chars_a - n_chars_b) * 20 <= n_chars_a + n_chars_b
                  THEN {_FS_W["len"][0]} ELSE {_FS_W["len"][1]} END)
          + (CASE WHEN 2 * len(list_intersect(sa, sb))
                       >= len(sa) + len(sb) - len(list_intersect(sa, sb))

@@ -1180,6 +1180,34 @@ ORDER BY id_a, id_b
 """
 
 
+def _bucketed_cosine_sides(spark: SparkSession, sf_dir: str):
+    """ONE source of truth for the hyperplane-bucketed cosine-pair
+    scaffolding shared by q82 (pair report) and q204 (SemDeDup
+    clustering): the coded+normed table is persisted AND materialized
+    before the self-join (the q53 signature-table lesson — the 8-plane
+    sign code is ~512 fused multiply-adds per row, and both join
+    branches would otherwise race the cold cache), then split into the
+    two renamed join sides. Returns (side_a, side_b, cosine_expr)."""
+    e = t(spark, sf_dir, "embeddings").withColumn("code", F.expr(_CODE_SPARK))
+    n = e.select(
+        "vec_id",
+        "code",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    ).persist()
+    n.count()  # materialize before both join branches reference it
+    a = n.select(
+        F.col("code"), F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"), F.col("norm").alias("na"),
+    )
+    b = n.select(
+        F.col("code"), F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"), F.col("norm").alias("nb"),
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return a, b, cos
+
+
 def q82_bucket_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs restricted to hyperplane-LSH buckets:
     the scale-safe q63. Vectors sharing an 8-plane sign code are
@@ -1191,23 +1219,7 @@ def q82_bucket_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature-table lesson): the 8-plane sign code is ~512 fused
     multiply-adds per row, and without the persist both join branches
     race the cold cache and compute it twice."""
-    e = t(spark, sf_dir, "embeddings").withColumn("code", F.expr(_CODE_SPARK))
-    n = e.select(
-        "vec_id",
-        "code",
-        "embedding",
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
-    ).persist()
-    n.count()  # materialize before both branches reference it
-    a = n.select(
-        F.col("code"), F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("va"), F.col("norm").alias("na"),
-    )
-    b = n.select(
-        F.col("code"), F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("vb"), F.col("norm").alias("nb"),
-    )
-    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    a, b, cos = _bucketed_cosine_sides(spark, sf_dir)
     return (
         a.join(b, "code")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -4674,23 +4686,7 @@ def q204_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.graph import connected_components
 
-    e = t(spark, sf_dir, "embeddings").withColumn("code", F.expr(_CODE_SPARK))
-    n = e.select(
-        "vec_id",
-        "code",
-        "embedding",
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
-    ).persist()
-    n.count()  # materialize before both join branches reference it
-    a = n.select(
-        F.col("code"), F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("va"), F.col("norm").alias("na"),
-    )
-    b = n.select(
-        F.col("code"), F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("vb"), F.col("norm").alias("nb"),
-    )
-    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    a, b, cos = _bucketed_cosine_sides(spark, sf_dir)
     edges = (
         a.join(b, "code")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -4952,6 +4952,171 @@ FROM scored ORDER BY doc_a, doc_b, w_dist
 """
 
 
+
+_EM_INIT = {"p": 100000, "m": 700000, "u": 300000}  # ppm priors
+
+
+def q207_fs_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EM TRAINING of the Fellegi-Sunter (m, u) parameters — the loop
+    q206's docstring declares out of its scope, unrolled to 2 rounds
+    the way q199 unrolls BPE merges: the engine's recipe for iterative
+    ML-ish algorithms whose per-round state is tiny.
+
+    Winkler's unsupervised EM for record linkage: over the agreement
+    PATTERNS of the q206 candidate pairs (3 binary field tests ⇒ at
+    most 8 distinct patterns), E-step computes each pattern's match
+    responsibility w = p·Πm / (p·Πm + (1−p)·Πu), M-step re-estimates
+    p, m_k, u_k as responsibility-weighted agreement rates. ALL
+    arithmetic is exact-integer ppm (10^6-scaled) with floor `div` —
+    products of four ppm terms stay under DECIMAL(38,0) / HUGEINT and
+    divide identically in both engines — so the trained parameters
+    are oracle-EXACT, not approximately equal.
+
+    100 TB shape: the data-sized work is ONE candidate census down to
+    ≤8 (pattern, count) rows (inheriting q206/q128's single-exchange
+    blocking via the shared ``_snm_neighbors``); both EM rounds run
+    entirely on that 8-row table cross-joined with a broadcast 1-row
+    parameter frame — iteration cost is independent of corpus size.
+    Report: (round, p_ppm, m/u per field) for init + 2 rounds.
+    """
+    d = (
+        _with_shingle_sets(t(spark, sf_dir, "documents"))
+        .select("doc_id", "lang", "source", "n_chars", "sh")
+    )
+    neigh = _snm_neighbors(d, ("source", "n_chars"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    un = F.size("sha") + F.size("shb") - inter
+    census = (
+        neigh.select(
+            (F.col("source_a") == F.col("source_b")).cast("long").alias("g1"),
+            (
+                F.abs(F.col("n_chars_a") - F.col("n_chars_b")) * 20
+                <= F.col("n_chars_a") + F.col("n_chars_b")
+            ).cast("long").alias("g2"),
+            (2 * inter >= un).cast("long").alias("g3"),
+        )
+        .groupBy("g1", "g2", "g3")
+        .agg(F.count("*").alias("c"))
+        .persist()
+    )
+
+    M = 1_000_000
+    dec = 'CAST({} AS DECIMAL(38,0))'
+
+    def em_round(params):
+        """params: 1-row DF (p, m1..m3, u1..u3) in ppm → next round's."""
+        j = census.crossJoin(F.broadcast(params))
+        term = lambda g, m: (  # noqa: E731
+            f"(CASE WHEN {g} = 1 THEN {m} ELSE {M} - {m} END)"
+        )
+        pm = (f"{dec.format('p')} * {term('g1', 'm1')} "
+              f"* {term('g2', 'm2')} * {term('g3', 'm3')}")
+        pu = (f"{dec.format(f'{M} - p')} * {term('g1', 'u1')} "
+              f"* {term('g2', 'u2')} * {term('g3', 'u3')}")
+        w = j.withColumn(
+            "w", F.expr(f"CAST(({pm}) * {M} div (({pm}) + ({pu})) AS LONG)")
+        )
+        agg = [
+            F.expr(f"CAST(sum({dec.format('w')} * c) AS DECIMAL(38,0))").alias("sw"),
+            F.expr(f"CAST(sum({dec.format(f'{M} - w')} * c) AS DECIMAL(38,0))").alias("snw"),
+            F.sum("c").alias("n"),
+        ]
+        for k, g in (("1", "g1"), ("2", "g2"), ("3", "g3")):
+            agg.append(F.expr(
+                f"CAST(sum({dec.format('w')} * c * {g}) AS DECIMAL(38,0))"
+            ).alias(f"swg{k}"))
+            agg.append(F.expr(
+                f"CAST(sum({dec.format(f'{M} - w')} * c * {g}) AS DECIMAL(38,0))"
+            ).alias(f"snwg{k}"))
+        stats = w.agg(*agg)
+        return stats.select(
+            F.expr("CAST(sw div n AS LONG)").alias("p"),
+            *[
+                F.expr(f"CAST(swg{k} * {M} div sw AS LONG)").alias(f"m{k}")
+                for k in ("1", "2", "3")
+            ],
+            *[
+                F.expr(f"CAST(snwg{k} * {M} div snw AS LONG)").alias(f"u{k}")
+                for k in ("1", "2", "3")
+            ],
+        )
+
+    init = spark.createDataFrame(
+        [(
+            _EM_INIT["p"],
+            _EM_INIT["m"], _EM_INIT["m"], _EM_INIT["m"],
+            _EM_INIT["u"], _EM_INIT["u"], _EM_INIT["u"],
+        )],
+        "p long, m1 long, m2 long, m3 long, u1 long, u2 long, u3 long",
+    )
+    r1 = em_round(init).persist()
+    r2 = em_round(r1)
+    rows = [
+        df.select(F.lit(i).alias("round"), "p", "m1", "m2", "m3",
+                  "u1", "u2", "u3")
+        for i, df in ((0, init), (1, r1), (2, r2))
+    ]
+    rep = rows[0]
+    for r in rows[1:]:
+        rep = rep.unionByName(r)
+    return rep.orderBy("round")
+
+
+O207 = f"""
+WITH docs AS (
+  SELECT doc_id, lang, source, n_chars, list_distinct({_DUCK_SHINGLES}) AS sh
+  FROM documents
+), neigh AS ({_o_snm_neighbors(("source", "n_chars"))}), census AS (
+  SELECT CASE WHEN source_a = source_b THEN 1 ELSE 0 END AS g1,
+         CASE WHEN abs(n_chars_a - n_chars_b) * 20 <= n_chars_a + n_chars_b
+              THEN 1 ELSE 0 END AS g2,
+         CASE WHEN 2 * len(list_intersect(sa, sb))
+                   >= len(sa) + len(sb) - len(list_intersect(sa, sb))
+              THEN 1 ELSE 0 END AS g3,
+         COUNT(*) AS c
+  FROM neigh WHERE doc_b IS NOT NULL GROUP BY 1, 2, 3
+), p0 AS (
+  SELECT {_EM_INIT["p"]} AS p,
+         {_EM_INIT["m"]} AS m1, {_EM_INIT["m"]} AS m2, {_EM_INIT["m"]} AS m3,
+         {_EM_INIT["u"]} AS u1, {_EM_INIT["u"]} AS u2, {_EM_INIT["u"]} AS u3
+), w1 AS (
+  SELECT g1, g2, g3, c,
+         CAST((CAST(p0.p AS HUGEINT) * (CASE WHEN g1 = 1 THEN p0.m1 ELSE 1000000 - p0.m1 END) * (CASE WHEN g2 = 1 THEN p0.m2 ELSE 1000000 - p0.m2 END) * (CASE WHEN g3 = 1 THEN p0.m3 ELSE 1000000 - p0.m3 END)) * 1000000 // ((CAST(p0.p AS HUGEINT) * (CASE WHEN g1 = 1 THEN p0.m1 ELSE 1000000 - p0.m1 END) * (CASE WHEN g2 = 1 THEN p0.m2 ELSE 1000000 - p0.m2 END) * (CASE WHEN g3 = 1 THEN p0.m3 ELSE 1000000 - p0.m3 END)) + (CAST(1000000 - p0.p AS HUGEINT) * (CASE WHEN g1 = 1 THEN p0.u1 ELSE 1000000 - p0.u1 END) * (CASE WHEN g2 = 1 THEN p0.u2 ELSE 1000000 - p0.u2 END) * (CASE WHEN g3 = 1 THEN p0.u3 ELSE 1000000 - p0.u3 END))) AS HUGEINT) AS w
+  FROM census CROSS JOIN p0
+), p1 AS (
+  SELECT CAST(SUM(w * c) // SUM(c) AS BIGINT) AS p,
+         CAST(SUM(w * c * g1) * 1000000 // SUM(w * c) AS BIGINT) AS m1,
+         CAST(SUM(w * c * g2) * 1000000 // SUM(w * c) AS BIGINT) AS m2,
+         CAST(SUM(w * c * g3) * 1000000 // SUM(w * c) AS BIGINT) AS m3,
+         CAST(SUM((1000000 - w) * c * g1) * 1000000 // SUM((1000000 - w) * c) AS BIGINT) AS u1,
+         CAST(SUM((1000000 - w) * c * g2) * 1000000 // SUM((1000000 - w) * c) AS BIGINT) AS u2,
+         CAST(SUM((1000000 - w) * c * g3) * 1000000 // SUM((1000000 - w) * c) AS BIGINT) AS u3
+  FROM w1
+), w2 AS (
+  SELECT g1, g2, g3, c,
+         CAST((CAST(p1.p AS HUGEINT) * (CASE WHEN g1 = 1 THEN p1.m1 ELSE 1000000 - p1.m1 END) * (CASE WHEN g2 = 1 THEN p1.m2 ELSE 1000000 - p1.m2 END) * (CASE WHEN g3 = 1 THEN p1.m3 ELSE 1000000 - p1.m3 END)) * 1000000 // ((CAST(p1.p AS HUGEINT) * (CASE WHEN g1 = 1 THEN p1.m1 ELSE 1000000 - p1.m1 END) * (CASE WHEN g2 = 1 THEN p1.m2 ELSE 1000000 - p1.m2 END) * (CASE WHEN g3 = 1 THEN p1.m3 ELSE 1000000 - p1.m3 END)) + (CAST(1000000 - p1.p AS HUGEINT) * (CASE WHEN g1 = 1 THEN p1.u1 ELSE 1000000 - p1.u1 END) * (CASE WHEN g2 = 1 THEN p1.u2 ELSE 1000000 - p1.u2 END) * (CASE WHEN g3 = 1 THEN p1.u3 ELSE 1000000 - p1.u3 END))) AS HUGEINT) AS w
+  FROM census CROSS JOIN p1
+), p2 AS (
+  SELECT CAST(SUM(w * c) // SUM(c) AS BIGINT) AS p,
+         CAST(SUM(w * c * g1) * 1000000 // SUM(w * c) AS BIGINT) AS m1,
+         CAST(SUM(w * c * g2) * 1000000 // SUM(w * c) AS BIGINT) AS m2,
+         CAST(SUM(w * c * g3) * 1000000 // SUM(w * c) AS BIGINT) AS m3,
+         CAST(SUM((1000000 - w) * c * g1) * 1000000 // SUM((1000000 - w) * c) AS BIGINT) AS u1,
+         CAST(SUM((1000000 - w) * c * g2) * 1000000 // SUM((1000000 - w) * c) AS BIGINT) AS u2,
+         CAST(SUM((1000000 - w) * c * g3) * 1000000 // SUM((1000000 - w) * c) AS BIGINT) AS u3
+  FROM w2
+)
+SELECT * FROM (
+  SELECT 0 AS round, CAST(p AS BIGINT) AS p,
+         CAST(m1 AS BIGINT) AS m1, CAST(m2 AS BIGINT) AS m2,
+         CAST(m3 AS BIGINT) AS m3, CAST(u1 AS BIGINT) AS u1,
+         CAST(u2 AS BIGINT) AS u2, CAST(u3 AS BIGINT) AS u3 FROM p0
+  UNION ALL SELECT 1, p, m1, m2, m3, u1, u2, u3 FROM p1
+  UNION ALL SELECT 2, p, m1, m2, m3, u1, u2, u3 FROM p2
+) ORDER BY round
+"""
+
+
 QUERIES = [
     Query("q50_exact_dedup", q50_exact_dedup, O50, "sha256 exact dedup"),
     Query("q51_fingerprint_dedup", q51_fingerprint_dedup, O51, "normalized fingerprint dedup"),
@@ -5117,4 +5282,9 @@ QUERIES = [
           "neighborhood candidates: integer millibit log-likelihood "
           "weights, link/possible/non_link verdicts (the classic ER "
           "decision model; within-row comparisons, never a pair join)"),
+    Query("q207_fs_em_weights", q207_fs_em_weights, O207,
+          "unsupervised EM training of the Fellegi-Sunter (m, u, p) "
+          "parameters over the <=8-row agreement-pattern census: 2 "
+          "unrolled rounds of exact-integer ppm arithmetic (q199's "
+          "loop recipe) — iteration cost independent of corpus size"),
 ]

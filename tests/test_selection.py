@@ -79,3 +79,82 @@ def test_rejects_bad_args(spark):
         coverage_selection(tok, 2, covered="kmv")
     with pytest.raises(ValueError, match="k must be"):
         coverage_selection(tok, 0)
+
+
+def test_q207_em_matches_independent_python_reference(spark):
+    """q207's 2 unrolled EM rounds pinned against a from-scratch
+    Python implementation of Winkler's EM over the same agreement
+    census (the q199/q201 discipline: engine-vs-engine hash equality
+    proves portability, an INDEPENDENT reference proves the algorithm
+    itself)."""
+    from polla_spark.plans.llmdata import _EM_INIT, q207_fs_em_weights
+
+    got = {
+        r["round"]: (r["p"], r["m1"], r["m2"], r["m3"],
+                     r["u1"], r["u2"], r["u3"])
+        for r in q207_fs_em_weights(spark, SF).collect()
+    }
+
+    # independent census via DuckDB (no Spark code shared)
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    census = con.execute("""
+        WITH docs AS (
+          SELECT doc_id, lang, source, n_chars,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(string_split(
+                     regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')) - 2, 1)),
+                   i -> concat_ws(' ',
+                     string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')[i],
+                     string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')[i+1],
+                     string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')[i+2])
+                 )) AS sh
+          FROM documents
+        ), neigh AS (
+          SELECT source AS source_a, n_chars AS nc_a, sh AS sa, i,
+                 LEAD(doc_id, i) OVER w AS doc_b,
+                 LEAD(source, i) OVER w AS source_b,
+                 LEAD(n_chars, i) OVER w AS nc_b,
+                 LEAD(sh, i) OVER w AS sb
+          FROM docs CROSS JOIN (SELECT unnest([1, 2, 3]) AS i) t
+          WINDOW w AS (PARTITION BY lang, i ORDER BY n_chars NULLS FIRST, doc_id)
+        )
+        SELECT CASE WHEN source_a = source_b THEN 1 ELSE 0 END,
+               CASE WHEN abs(nc_a - nc_b) * 20 <= nc_a + nc_b THEN 1 ELSE 0 END,
+               CASE WHEN 2 * len(list_intersect(sa, sb))
+                    >= len(sa) + len(sb) - len(list_intersect(sa, sb))
+                    THEN 1 ELSE 0 END,
+               COUNT(*)
+        FROM neigh WHERE doc_b IS NOT NULL GROUP BY 1, 2, 3
+    """).fetchall()
+
+    M = 1_000_000
+    p = _EM_INIT["p"]
+    m = [_EM_INIT["m"]] * 3
+    u = [_EM_INIT["u"]] * 3
+    assert got[0] == (p, *m, *u)
+    for rnd in (1, 2):
+        sw = snw = n = 0
+        swg, snwg = [0, 0, 0], [0, 0, 0]
+        for g1, g2, g3, c in census:
+            gs = (g1, g2, g3)
+            pm = p
+            pu = M - p
+            for k in range(3):
+                pm *= m[k] if gs[k] else M - m[k]
+                pu *= u[k] if gs[k] else M - u[k]
+            w = pm * M // (pm + pu)
+            sw += w * c
+            snw += (M - w) * c
+            n += c
+            for k in range(3):
+                swg[k] += w * c * gs[k]
+                snwg[k] += (M - w) * c * gs[k]
+        p = sw // n
+        m = [swg[k] * M // sw for k in range(3)]
+        u = [snwg[k] * M // snw for k in range(3)]
+        assert got[rnd] == (p, *m, *u), (rnd, got[rnd], (p, *m, *u))

@@ -49,26 +49,15 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
-def sessionize_stateful(
-    events: DataFrame,
-    *,
-    gap_minutes: int = 120,
-    watermark: str = "30 minutes",
-) -> DataFrame:
-    """Emit one row per closed session: a session closes when the next
-    event is > gap away (split detected in-kernel) or the watermark
-    passes last_event + gap (event-time timeout).
-
-    Expects columns ``ts timestamp, user_id long, event_type string,
-    value double``; events must arrive time-ordered per key up to the
-    watermark delay (standard streaming contract).
-    """
-    import pandas as pd  # noqa: F401 (executor-side import)
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
+def make_session_kernel(gap_minutes: int = 120):
+    """Build the sessionizer's ``applyInPandasWithState`` kernel at
+    module level so it is DIRECTLY unit-testable with a fake
+    GroupState (the functions/udaf ``.func`` discipline — executor-side
+    kernel code is invisible to driver-process coverage tracing, so
+    its edge branches need in-process exercise too)."""
     gap_us = gap_minutes * 60_000_000
 
-    def fn(key, pdfs: Iterator["pd.DataFrame"], state: GroupState) -> Iterator["pd.DataFrame"]:
+    def fn(key, pdfs: Iterator["pd.DataFrame"], state) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         user_id = key[0]
@@ -126,6 +115,27 @@ def sessionize_stateful(
         # timeout fires when the event-time watermark passes this (ms)
         state.setTimeoutTimestamp(cur[1] // 1000 + gap_minutes * 60_000)
 
+    return fn
+
+
+def sessionize_stateful(
+    events: DataFrame,
+    *,
+    gap_minutes: int = 120,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Emit one row per closed session: a session closes when the next
+    event is > gap away (split detected in-kernel) or the watermark
+    passes last_event + gap (event-time timeout).
+
+    Expects columns ``ts timestamp, user_id long, event_type string,
+    value double``; events must arrive time-ordered per key up to the
+    watermark delay (standard streaming contract). Kernel built by
+    :func:`make_session_kernel` (unit-testable in-process).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    fn = make_session_kernel(gap_minutes)
     return (
         events.withWatermark("ts", watermark)
         .groupBy("user_id")

@@ -653,3 +653,102 @@ def test_time_to_convert_stream_equals_q149(spark, attribution_stream_dir):
     want = q149_time_to_convert(spark, SF_DIR).collect()[0]
     assert got.asDict() == want.asDict()
     assert got["n_converters"] > 0
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for in-process kernel tests."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = v
+
+    def remove(self):
+        self._value, self.removed = None, True
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ms = ms
+
+
+def _pdf(rows):
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "ts": pd.to_datetime([r[0] for r in rows], unit="s", utc=True),
+            "user_id": [1] * len(rows),
+            "event_type": [r[2] for r in rows],
+            "value": [r[1] for r in rows],
+        }
+    )
+
+
+def test_session_kernel_timeout_emits_and_removes():
+    from polla_spark.streaming.stateful import make_session_kernel
+
+    fn = make_session_kernel(gap_minutes=2)
+    st = _FakeState(value=(10_000_000, 20_000_000, 3, 500, "view", "click"),
+                    timed_out=True)
+    out = list(fn((1,), iter([]), st))
+    assert len(out) == 1 and st.removed
+    r = out[0].iloc[0]
+    assert (r["start_us"], r["end_us"], r["n_events"], r["qvalue"]) == (
+        10_000_000, 20_000_000, 3, 500)
+
+
+def test_session_kernel_gap_split_emits_closed_session():
+    from polla_spark.streaming.stateful import make_session_kernel
+
+    fn = make_session_kernel(gap_minutes=2)  # gap = 120s
+    st = _FakeState()
+    # two events 10s apart (one session), third 500s later (new session)
+    out = list(fn((1,), iter([_pdf([(100, 1.0, "view"), (110, 2.5, "click"),
+                                    (610, 1.0, "purchase")])]), st))
+    assert len(out) == 1  # first session closed by the in-kernel split
+    r = out[0].iloc[0]
+    assert (r["start_us"], r["end_us"], r["n_events"], r["qvalue"],
+            r["first_type"], r["last_type"]) == (
+        100_000_000, 110_000_000, 2, 350, "view", "click")
+    # live session = the purchase; timeout set at end + gap (ms)
+    assert st.get[0] == 610_000_000 and st.get[2] == 1
+    assert st.timeout_ms == 610_000 + 120_000
+
+
+def test_session_kernel_late_event_merges_into_stored_session():
+    from polla_spark.streaming.stateful import make_session_kernel
+
+    fn = make_session_kernel(gap_minutes=2)
+    # stored session [200s, 210s]; a late event at 150s (within gap of
+    # the stored start) must EXTEND the session backwards via min/max,
+    # not drag its end or emit anything
+    st = _FakeState(value=(200_000_000, 210_000_000, 2, 300, "view", "click"))
+    out = list(fn((1,), iter([_pdf([(150, 1.0, "ad")])]), st))
+    assert out == []
+    assert st.get == (150_000_000, 210_000_000, 3, 400, "ad", "click")
+
+
+def test_session_kernel_much_older_event_closes_as_own_session():
+    from polla_spark.streaming.stateful import make_session_kernel
+
+    fn = make_session_kernel(gap_minutes=2)
+    st = _FakeState(value=(1_000_000_000, 1_010_000_000, 1, 100, "view", "view"))
+    # event 500s before the stored start (> gap): closes as its OWN
+    # earlier session; stored session stays live
+    out = list(fn((1,), iter([_pdf([(500, 2.0, "ad")])]), st))
+    assert len(out) == 1
+    r = out[0].iloc[0]
+    assert (r["start_us"], r["end_us"], r["n_events"]) == (
+        500_000_000, 500_000_000, 1)
+    assert st.get[0] == 1_000_000_000 and st.get[2] == 1

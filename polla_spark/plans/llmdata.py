@@ -4858,6 +4858,32 @@ ORDER BY id_a, id_b
 
 
 
+_FS_SQL_AGREE = {
+    # ONE definition of the three Fellegi-Sunter field tests (oracle
+    # side) — q206 scores and q207 TRAINS against the same geometry,
+    # so an edit here cannot desynchronize them (the _snm_neighbors /
+    # _bucketed_cosine_sides discipline).
+    "src": "source_a = source_b",
+    "len": "abs(n_chars_a - n_chars_b) * 20 <= n_chars_a + n_chars_b",
+    "jac": ("2 * len(list_intersect(sa, sb)) "
+            ">= len(sa) + len(sb) - len(list_intersect(sa, sb))"),
+}
+
+
+def _fs_agreements():
+    """Spark twin of :data:`_FS_SQL_AGREE`: the three field-agreement
+    Columns over a ``_snm_neighbors(d, ("source", "n_chars"))`` frame,
+    in (src, len, jac) order."""
+    inter = F.size(F.array_intersect("sha", "shb"))
+    un = F.size("sha") + F.size("shb") - inter
+    return [
+        F.col("source_a") == F.col("source_b"),
+        F.abs(F.col("n_chars_a") - F.col("n_chars_b")) * 20
+        <= F.col("n_chars_a") + F.col("n_chars_b"),
+        2 * inter >= un,
+    ]
+
+
 # Fellegi-Sunter agreement/disagreement weights, precomputed as
 # round(1000 * log2(m/u)) / round(1000 * log2((1-m)/(1-u))) for the
 # documented (m, u) pairs — integer constants shared verbatim by the
@@ -4895,17 +4921,7 @@ def q206_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source", "n_chars", "sh")
     )
     neigh = _snm_neighbors(d, ("source", "n_chars"))
-    inter = F.size(F.array_intersect("sha", "shb"))
-    un = F.size("sha") + F.size("shb") - inter
-    tests = [
-        (F.col("source_a") == F.col("source_b"), _FS_W["src"]),
-        (
-            F.abs(F.col("n_chars_a") - F.col("n_chars_b")) * 20
-            <= F.col("n_chars_a") + F.col("n_chars_b"),
-            _FS_W["len"],
-        ),
-        (2 * inter >= un, _FS_W["jac"]),
-    ]
+    tests = list(zip(_fs_agreements(), (_FS_W["src"], _FS_W["len"], _FS_W["jac"])))
     score_col = None
     for cond, (agree, disagree) in tests:
         term = F.when(cond, F.lit(agree)).otherwise(F.lit(disagree))
@@ -4934,12 +4950,11 @@ WITH docs AS (
 ), neigh AS ({_o_snm_neighbors(("source", "n_chars"))}), scored AS (
   SELECT doc_a, doc_b, CAST(i AS BIGINT) AS w_dist,
          CAST(
-           (CASE WHEN source_a = source_b
+           (CASE WHEN {_FS_SQL_AGREE["src"]}
                  THEN {_FS_W["src"][0]} ELSE {_FS_W["src"][1]} END)
-         + (CASE WHEN abs(n_chars_a - n_chars_b) * 20 <= n_chars_a + n_chars_b
+         + (CASE WHEN {_FS_SQL_AGREE["len"]}
                  THEN {_FS_W["len"][0]} ELSE {_FS_W["len"][1]} END)
-         + (CASE WHEN 2 * len(list_intersect(sa, sb))
-                      >= len(sa) + len(sb) - len(list_intersect(sa, sb))
+         + (CASE WHEN {_FS_SQL_AGREE["jac"]}
                  THEN {_FS_W["jac"][0]} ELSE {_FS_W["jac"][1]} END)
          AS BIGINT) AS score
   FROM neigh WHERE doc_b IS NOT NULL
@@ -4984,16 +4999,12 @@ def q207_fs_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source", "n_chars", "sh")
     )
     neigh = _snm_neighbors(d, ("source", "n_chars"))
-    inter = F.size(F.array_intersect("sha", "shb"))
-    un = F.size("sha") + F.size("shb") - inter
+    g1, g2, g3 = _fs_agreements()
     census = (
         neigh.select(
-            (F.col("source_a") == F.col("source_b")).cast("long").alias("g1"),
-            (
-                F.abs(F.col("n_chars_a") - F.col("n_chars_b")) * 20
-                <= F.col("n_chars_a") + F.col("n_chars_b")
-            ).cast("long").alias("g2"),
-            (2 * inter >= un).cast("long").alias("g3"),
+            g1.cast("long").alias("g1"),
+            g2.cast("long").alias("g2"),
+            g3.cast("long").alias("g3"),
         )
         .groupBy("g1", "g2", "g3")
         .agg(F.count("*").alias("c"))
@@ -5067,12 +5078,9 @@ WITH docs AS (
   SELECT doc_id, lang, source, n_chars, list_distinct({_DUCK_SHINGLES}) AS sh
   FROM documents
 ), neigh AS ({_o_snm_neighbors(("source", "n_chars"))}), census AS (
-  SELECT CASE WHEN source_a = source_b THEN 1 ELSE 0 END AS g1,
-         CASE WHEN abs(n_chars_a - n_chars_b) * 20 <= n_chars_a + n_chars_b
-              THEN 1 ELSE 0 END AS g2,
-         CASE WHEN 2 * len(list_intersect(sa, sb))
-                   >= len(sa) + len(sb) - len(list_intersect(sa, sb))
-              THEN 1 ELSE 0 END AS g3,
+  SELECT CASE WHEN {_FS_SQL_AGREE["src"]} THEN 1 ELSE 0 END AS g1,
+         CASE WHEN {_FS_SQL_AGREE["len"]} THEN 1 ELSE 0 END AS g2,
+         CASE WHEN {_FS_SQL_AGREE["jac"]} THEN 1 ELSE 0 END AS g3,
          COUNT(*) AS c
   FROM neigh WHERE doc_b IS NOT NULL GROUP BY 1, 2, 3
 ), p0 AS (

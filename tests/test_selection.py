@@ -95,7 +95,8 @@ def test_q207_em_matches_independent_python_reference(spark):
         for r in q207_fs_em_weights(spark, SF).collect()
     }
 
-    # independent census via DuckDB (no Spark code shared)
+    # independent census via DuckDB (no Spark code shared; raw-text
+    # \\s+ tokenizer = production TOKS geometry, NOT lowercased)
     import duckdb
 
     con = duckdb.connect()
@@ -106,12 +107,12 @@ def test_q207_em_matches_independent_python_reference(spark):
         WITH docs AS (
           SELECT doc_id, lang, source, n_chars,
                  list_distinct(list_transform(
-                   generate_series(1, greatest(len(string_split(
-                     regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')) - 2, 1)),
+                   generate_series(1, greatest(
+                     len(regexp_split_to_array(text, '\\s+')) - 2, 1)),
                    i -> concat_ws(' ',
-                     string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')[i],
-                     string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')[i+1],
-                     string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')[i+2])
+                     regexp_split_to_array(text, '\\s+')[i],
+                     regexp_split_to_array(text, '\\s+')[i+1],
+                     regexp_split_to_array(text, '\\s+')[i+2])
                  )) AS sh
           FROM documents
         ), neigh AS (

@@ -1205,21 +1205,14 @@ KMV_UPDATE_SCHEMA = "scope string, minima array<long>, upd_seq long"
 _KMV_STATE_SCHEMA = "minima array<long>, seq long"
 
 
-def kmv_partials(terms: DataFrame) -> DataFrame:
-    """Streaming KMV / theta-sketch build: per-scope state is ONLY
-    the ≤K smallest DISTINCT hash values (≤K longs — fixed-size,
-    nothing to evict), because min-k is merge-closed:
-    min-k(state ∪ batch) = min-k(whole prefix), so no micro-batch
-    cut can lose a hash the one-shot batch sketch would have kept.
-    Hashing stays JVM-side (``kmv_hash`` native column) — only the
-    (scope, h) pairs cross into the stateful Python kernel. Each
-    batch emits the scope's full updated minima list (array-typed,
-    bounded by K); :func:`finish_kmv_estimate` keeps the latest per
-    scope and runs the IDENTICAL estimator as batch q191 — one
-    source of truth in functions/kmv.py."""
-    from pyspark.sql.streaming.state import GroupStateTimeout
-
-    from ..functions.kmv import KMV_K, kmv_hash
+def make_kmv_kernel():
+    """Build the KMV ``applyInPandasWithState`` kernel at module level
+    so it is directly unit-testable with a fake GroupState (the
+    make_session_kernel discipline — executor-side kernel code is
+    invisible to driver-process coverage tracing). State per scope is
+    the ≤K-long minima list + an update sequence; min-k merge-closure
+    is what makes the streamed sketch equal the batch one exactly."""
+    from ..functions.kmv import KMV_K
 
     def fn(key, pdfs, state):
         import pandas as pd
@@ -1235,6 +1228,26 @@ def kmv_partials(terms: DataFrame) -> DataFrame:
             {"scope": [key[0]], "minima": [kept], "upd_seq": [seq]}
         )
 
+    return fn
+
+
+def kmv_partials(terms: DataFrame) -> DataFrame:
+    """Streaming KMV / theta-sketch build: per-scope state is ONLY
+    the ≤K smallest DISTINCT hash values (≤K longs — fixed-size,
+    nothing to evict), because min-k is merge-closed:
+    min-k(state ∪ batch) = min-k(whole prefix), so no micro-batch
+    cut can lose a hash the one-shot batch sketch would have kept.
+    Hashing stays JVM-side (``kmv_hash`` native column) — only the
+    (scope, h) pairs cross into the stateful Python kernel. Each
+    batch emits the scope's full updated minima list (array-typed,
+    bounded by K); :func:`finish_kmv_estimate` keeps the latest per
+    scope and runs the IDENTICAL estimator as batch q191 — one
+    source of truth in functions/kmv.py."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..functions.kmv import kmv_hash
+
+    fn = make_kmv_kernel()
     hashed = terms.select("scope", kmv_hash(F.col("term")).alias("h"))
     return hashed.groupBy("scope").applyInPandasWithState(
         fn,

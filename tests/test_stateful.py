@@ -752,3 +752,34 @@ def test_session_kernel_much_older_event_closes_as_own_session():
     assert (r["start_us"], r["end_us"], r["n_events"]) == (
         500_000_000, 500_000_000, 1)
     assert st.get[0] == 1_000_000_000 and st.get[2] == 1
+
+
+def test_kmv_kernel_merge_closure_and_truncation():
+    """In-process KMV stateful kernel (make_kmv_kernel): state is the
+    <=K smallest DISTINCT hashes; feeding the same hashes in any
+    batching/order yields the same kept list (merge closure), and the
+    list truncates at K."""
+    import pandas as pd
+
+    from polla_spark.functions.kmv import KMV_K
+    from polla_spark.streaming.windows import make_kmv_kernel
+
+    fn = make_kmv_kernel()
+
+    # duplicate + unordered input collapses to sorted distinct
+    st = _FakeState()
+    out = list(fn(("es",), iter([pd.DataFrame({"h": [5, 3, 5, 9]}),
+                                 pd.DataFrame({"h": [3, 1]})]), st))
+    assert len(out) == 1
+    assert out[0].iloc[0]["minima"] == [1, 3, 5, 9]
+    assert out[0].iloc[0]["upd_seq"] == 1
+
+    # second batch merges with stored state, keeps the K smallest
+    big = pd.DataFrame({"h": list(range(10_000, 10_000 + KMV_K))})
+    out2 = list(fn(("es",), iter([big]), st))
+    kept = out2[0].iloc[0]["minima"]
+    assert len(kept) == KMV_K
+    assert kept[:4] == [1, 3, 5, 9]      # old minima survive at the front
+    assert kept == sorted(kept)          # sorted ascending
+    assert out2[0].iloc[0]["upd_seq"] == 2
+    assert st.get[0] == kept             # state == emitted minima

@@ -1,7 +1,22 @@
 """Benchmark: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+STDOUT CONTRACT — exactly TWO JSON lines (everything else goes to
+stderr):
+
+  line 1 (full):    {"metric": "headline_suite_seconds", "value": <total
+                     sec>, "unit": "sec", "queries": {<per-query sec>},
+                     "reps": N, "sf": ...}
+  line 2 (compact): {"metric": "headline_total", "value": <total sec>,
+                     "unit": "sec", "n": <query count>, "reps": N,
+                     "sf": ...}
+
+The compact line is LAST deliberately: the driver's BENCH artifact
+keeps only a ~2000-char stdout tail, and the full line (85+ inline
+per-query timings) overflows it — the tail line always survives and
+parses. Consumers must parse stdout LINE-WISE, never json.loads the
+whole stream: take the LAST line for the total, the FIRST for the
+per-query map (when un-truncated). Both lines agree on
+value/reps/sf.
 
 Methodology: one shared SparkSession (startup excluded — it is fixed
 cost, not throughput); each query is forced through the noop sink so

@@ -62,57 +62,73 @@ def coverage_selection(
         raise ValueError(f"covered must be 'exact' or 'bloom': {covered!r}")
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
+    spark = tok.sparkSession
     tok = tok.persist()
-    picks: list[DataFrame] = []
+    # every frame this builder persists is released before returning:
+    # the greedy argmax is COLLECTED each round (1 tiny row — the
+    # round is a driver-side decision anyway), so the returned report
+    # is a literal frame with NO lineage into the cached intermediates
+    # and repeated invocations (bench reps, exact-vs-bloom tests)
+    # cannot accumulate cached lineages for the session's life
+    # (ADVICE r7).
+    cached: list[DataFrame] = [tok]
+    pick_rows: list[tuple[int, int, int]] = []
     cov_exact: DataFrame | None = None     # exact: DISTINCT sh frame
     cov_words: DataFrame | None = None     # bloom: (w, word) table
-    for rnd in range(1, k + 1):
-        if covered == "exact":
-            cand = (
-                tok if cov_exact is None
-                else tok.join(cov_exact, "sh", "left_anti")
-            )
-            gains = cand.groupBy("doc_id").agg(F.count("*").alias("gain"))
-        else:
-            keyed = tok.select("doc_id", "sh", F.md5("sh").alias("hh"))
-            if cov_words is None:
-                gains = keyed.groupBy("doc_id").agg(
-                    F.count("*").alias("gain")
+    try:
+        for rnd in range(1, k + 1):
+            if covered == "exact":
+                cand = (
+                    tok if cov_exact is None
+                    else tok.join(cov_exact, "sh", "left_anti")
                 )
+                gains = cand.groupBy("doc_id").agg(F.count("*").alias("gain"))
             else:
-                novel = bloom_probe(
-                    keyed.select("doc_id", "hh"), cov_words
-                ).filter(~F.col("maybe_dup"))
-                gains = novel.groupBy("doc_id").agg(
-                    F.count("*").alias("gain")
-                )
-        # an exhausted round's argmax is simply EMPTY — it unions to
-        # nothing and folds nothing into the covered set, so no
-        # driver-side emptiness action is needed (q201's contract)
-        top = _argmax_gain(gains, rnd).persist()
-        picks.append(top)
-        if rnd == k:
-            break  # the last round's covered set has no consumer
-        picked_sh = tok.join(
-            F.broadcast(top.select("doc_id")), "doc_id", "semi"
-        )
-        if covered == "exact":
-            new_cov = picked_sh.select("sh")
-            cov_exact = (
-                new_cov if cov_exact is None
-                else cov_exact.unionByName(new_cov)
-            ).distinct().persist()
-        else:
-            new_words = bloom_word_table(
-                picked_sh.select(F.md5("sh").alias("hh"))
+                keyed = tok.select("doc_id", "sh", F.md5("sh").alias("hh"))
+                if cov_words is None:
+                    gains = keyed.groupBy("doc_id").agg(
+                        F.count("*").alias("gain")
+                    )
+                else:
+                    novel = bloom_probe(
+                        keyed.select("doc_id", "hh"), cov_words
+                    ).filter(~F.col("maybe_dup"))
+                    gains = novel.groupBy("doc_id").agg(
+                        F.count("*").alias("gain")
+                    )
+            top = _argmax_gain(gains, rnd).collect()
+            if not top:
+                # coverage exhausted: no positive gain this round, and
+                # the covered set is unchanged, so every later round is
+                # exhausted too — stop (q201's <=k-row contract)
+                break
+            pick_rows.append(
+                (rnd, int(top[0]["doc_id"]), int(top[0]["gain"]))
             )
-            cov_words = (
-                new_words if cov_words is None
-                else cov_words.unionByName(new_words)
-                .groupBy("w")
-                .agg(F.bit_or("word").alias("word"))
-            ).persist()
-    rep = picks[0]
-    for p in picks[1:]:
-        rep = rep.unionByName(p)
-    return rep.select("round", "doc_id", "gain").orderBy("round")
+            if rnd == k:
+                break  # the last round's covered set has no consumer
+            picked_sh = tok.filter(F.col("doc_id") == pick_rows[-1][1])
+            if covered == "exact":
+                new_cov = picked_sh.select("sh")
+                cov_exact = (
+                    new_cov if cov_exact is None
+                    else cov_exact.unionByName(new_cov)
+                ).distinct().persist()
+                cached.append(cov_exact)
+            else:
+                new_words = bloom_word_table(
+                    picked_sh.select(F.md5("sh").alias("hh"))
+                )
+                cov_words = (
+                    new_words if cov_words is None
+                    else cov_words.unionByName(new_words)
+                    .groupBy("w")
+                    .agg(F.bit_or("word").alias("word"))
+                ).persist()
+                cached.append(cov_words)
+    finally:
+        for df in cached:
+            df.unpersist()
+    return spark.createDataFrame(
+        pick_rows or [], "round int, doc_id long, gain long"
+    ).orderBy("round")

@@ -4762,6 +4762,13 @@ def q205_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = (
         t(spark, sf_dir, "documents")
+        # image-modality rows ONLY (doc_id % 3 == 0 is exactly
+        # documents_as_assets' modality rule and the oracle's sample):
+        # the zero-byte exclusion and the multibyte abort below must
+        # be scoped to the rows the query actually hashes — a
+        # multibyte AUDIO doc would otherwise abort the Spark side
+        # while the oracle, which never reads it, succeeds (ADVICE r7)
+        .filter(F.col("doc_id") % 3 == 0)
         # zero-byte assets are EXCLUDED in both engines: the kernel's
         # documented all-zero sentinel and the oracle's ascii('')-pixel
         # recompute would otherwise disagree (review finding)

@@ -1,0 +1,366 @@
+"""Fellegi-Sunter probabilistic record linkage — ONE source of truth
+for the field-agreement geometry, the millibit scoring weights, and
+the exact-ppm EM training algebra shared by q206 (scoring), q207
+(training), q208 (trained classification) and streaming twin #32.
+
+Everything here is EXACT INTEGER arithmetic so Spark and the DuckDB
+oracle hash identically:
+
+- the four field comparisons are integer/set tests (never floats);
+- EM runs in ppm (10^6-scaled) with floor division — products of a
+  prior and four ppm likelihood terms stay under DECIMAL(38,0) /
+  HUGEINT (1e6^5 = 1e30, ×1e6 = 1e36 < 1e38) and divide identically
+  in both engines;
+- classification thresholds are ppm posteriors (log-free: millibit
+  log2 weights are display constants, never re-derived in-plan —
+  log2 is not bit-portable across engines, the q186 lesson).
+
+The reference (polla) has no record-linkage surface; this family is
+declared north-star scope (SURVEY.md §2.6 dedup). Semantics follow
+Fellegi & Sunter (1969 JASA) and Winkler's unsupervised EM, the loop
+Splink-style toolkits run.
+
+Field comparators (all over the q128 sorted-neighborhood pairs):
+
+- ``src``: exact source equality;
+- ``len``: lengths within ~10% of their mean (|la−lb|·20 ≤ la+lb);
+- ``jac``: 3-token-shingle Jaccard ≥ 0.5 (2·|∩| ≥ |∪|);
+- ``bg`` (r8): character-BIGRAM OVERLAP coefficient ≥ 0.5 on the
+  24-char title prefix (2·|∩| ≥ min(|A|,|B|)) — the integer-exact
+  stand-in for the Jaro-Winkler-class string comparators ER toolkits
+  score names with (same monotone role: typo-tolerant, prefix-
+  weighted by construction since the prefix IS the compared field;
+  rational arithmetic only, hence oracle-checkable).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+PPM = 1_000_000
+
+#: comparator order — g1..g4 everywhere (census keys, EM, oracles)
+FS_FIELDS = ("src", "len", "jac", "bg")
+
+#: chars of ``text`` the bigram comparator reads (the "name field")
+BG_PREFIX = 24
+
+_BG_TITLE = f"substring(text, 1, {BG_PREFIX})"
+#: Spark expr: DISTINCT character bigrams of the title prefix.
+#: greatest(·,1) keeps 0/1-char titles well-defined (one degenerate
+#: short gram) identically in both engines.
+BG_SPARK_EXPR = (
+    f"array_distinct(transform(sequence(1, greatest(length({_BG_TITLE}) - 1, 1)), "
+    f"i -> substring({_BG_TITLE}, i, 2)))"
+)
+_O_BG_TITLE = f"substr(text, 1, {BG_PREFIX})"
+BG_DUCK_EXPR = (
+    f"list_distinct(list_transform(generate_series(1, greatest(length({_O_BG_TITLE}) - 1, 1)), "
+    f"i -> substr({_O_BG_TITLE}, i, 2)))"
+)
+
+
+def with_bigram_set(df: DataFrame) -> DataFrame:
+    """documents-shaped frame → + ``bg`` = the title-prefix bigram
+    set (the _with_shingle_sets discipline: one definition)."""
+    return df.withColumn("bg", F.expr(BG_SPARK_EXPR))
+
+
+#: DuckDB-side agreement tests over an ``_o_snm_neighbors`` frame
+#: (shingles arrive as sa/sb, extra fields as <f>_a/<f>_b).
+FS_SQL_AGREE = {
+    "src": "source_a = source_b",
+    "len": "abs(n_chars_a - n_chars_b) * 20 <= n_chars_a + n_chars_b",
+    "jac": ("2 * len(list_intersect(sa, sb)) "
+            ">= len(sa) + len(sb) - len(list_intersect(sa, sb))"),
+    "bg": ("2 * len(list_intersect(bg_a, bg_b)) "
+           ">= least(len(bg_a), len(bg_b))"),
+}
+
+
+def fs_agreements() -> list[Column]:
+    """Spark twin of :data:`FS_SQL_AGREE`: the four field-agreement
+    Columns over a ``_snm_neighbors(d, ("source", "n_chars", "bg"))``
+    frame, in :data:`FS_FIELDS` order."""
+    inter = F.size(F.array_intersect("sha", "shb"))
+    un = F.size("sha") + F.size("shb") - inter
+    bg_inter = F.size(F.array_intersect("bg_a", "bg_b"))
+    return [
+        F.col("source_a") == F.col("source_b"),
+        F.abs(F.col("n_chars_a") - F.col("n_chars_b")) * 20
+        <= F.col("n_chars_a") + F.col("n_chars_b"),
+        2 * inter >= un,
+        2 * bg_inter >= F.least(F.size("bg_a"), F.size("bg_b")),
+    ]
+
+
+def fs_flag_cols() -> list[Column]:
+    """The agreement flags as EXPLICIT 0/1 longs (g1..g4) — CASE
+    semantics, so a NULL comparison (NULL source/n_chars/text) folds
+    into the 0 pattern exactly like the oracle's CASE...ELSE 0 and
+    the census keeps its documented ≤2^4-row shape (ADVICE r7: a bare
+    cast('long') would group NULL patterns separately)."""
+    return [
+        F.when(cond, F.lit(1)).otherwise(F.lit(0)).cast("long").alias(f"g{k}")
+        for k, cond in enumerate(fs_agreements(), start=1)
+    ]
+
+
+def fs_sql_flag_select() -> str:
+    """DuckDB twin of :func:`fs_flag_cols`: ``CASE WHEN … END AS gk``
+    column list (no trailing comma)."""
+    return ",\n         ".join(
+        f"CASE WHEN {FS_SQL_AGREE[f]} THEN 1 ELSE 0 END AS g{k}"
+        for k, f in enumerate(FS_FIELDS, start=1)
+    )
+
+
+# Millibit scoring weights for q206 — round(1000·log2(m/u)) /
+# round(1000·log2((1−m)/(1−u))) for the documented (m, u) pairs,
+# precomputed as integer constants shared verbatim by both engines:
+#   source match:   m=0.50, u=0.05 -> +3322 / -926
+#   length ~10%:    m=0.80, u=0.30 -> +1415 / -1807
+#   jaccard >=0.5:  m=0.70, u=0.01 -> +6129 / -1722
+#   bigram overlap: m=0.85, u=0.15 -> +2503 / -2503
+FS_W = {
+    "src": (3322, -926),
+    "len": (1415, -1807),
+    "jac": (6129, -1722),
+    "bg": (2503, -2503),
+}
+FS_LINK, FS_POSSIBLE = 5000, 0  # millibit LLR thresholds (q206)
+
+#: ppm EM priors (p = match prevalence, m/u per field — one shared
+#: prior per side keeps the init census-independent)
+EM_INIT = {"p": 100_000, "m": 700_000, "u": 300_000}
+
+#: ppm POSTERIOR thresholds for trained classification (q208):
+#: link at ≥ 0.9, possible at ≥ 0.1 — the standard Splink-style cut.
+LINK_PPM, POSSIBLE_PPM = 900_000, 100_000
+
+_N = len(FS_FIELDS)
+_DEC = "CAST({} AS DECIMAL(38,0))"
+
+
+def _pm_pu_exprs(prefix: str = "") -> tuple[str, str]:
+    """The E-step's two product terms as Spark SQL strings over a
+    frame carrying g1..g4 and {prefix}p/m_k/u_k ppm columns."""
+    def term(g: str, m: str) -> str:
+        return f"(CASE WHEN {g} = 1 THEN {m} ELSE {PPM} - {m} END)"
+
+    pm = _DEC.format(f"{prefix}p")
+    pu = _DEC.format(f"{PPM} - {prefix}p")
+    for k in range(1, _N + 1):
+        pm += f" * {term(f'g{k}', f'{prefix}m{k}')}"
+        pu += f" * {term(f'g{k}', f'{prefix}u{k}')}"
+    return pm, pu
+
+
+def fs_posterior_expr(prefix: str = "") -> str:
+    """Spark SQL expr: the pattern's ppm match posterior
+    w = p·Πm · 10^6 div (p·Πm + (1−p)·Πu) — the E-step weight AND
+    q208's classification score (same algebra, trained params)."""
+    pm, pu = _pm_pu_exprs(prefix)
+    return f"CAST(({pm}) * {PPM} div (({pm}) + ({pu})) AS LONG)"
+
+
+def fs_em_round(census: DataFrame, params: DataFrame) -> DataFrame:
+    """One Winkler EM round in exact ppm integers.
+
+    ``census``: (g1..g4, c) agreement-pattern counts (≤2^4 rows);
+    ``params``: 1-row (p, m1..m4, u1..u4) ppm frame. Returns the next
+    round's 1-row params frame. All data-sized work happened in the
+    census — this runs on ≤16 rows × a broadcast 1-row frame, so
+    iteration cost is independent of corpus size.
+    """
+    j = census.crossJoin(F.broadcast(params))
+    w = j.withColumn("w", F.expr(fs_posterior_expr()))
+    agg = [
+        F.expr(f"CAST(sum({_DEC.format('w')} * c) AS DECIMAL(38,0))").alias("sw"),
+        F.expr(
+            f"CAST(sum({_DEC.format(f'{PPM} - w')} * c) AS DECIMAL(38,0))"
+        ).alias("snw"),
+        F.sum("c").alias("n"),
+    ]
+    for k in range(1, _N + 1):
+        agg.append(F.expr(
+            f"CAST(sum({_DEC.format('w')} * c * g{k}) AS DECIMAL(38,0))"
+        ).alias(f"swg{k}"))
+        agg.append(F.expr(
+            f"CAST(sum({_DEC.format(f'{PPM} - w')} * c * g{k}) AS DECIMAL(38,0))"
+        ).alias(f"snwg{k}"))
+    stats = w.agg(*agg)
+    return stats.select(
+        F.expr("CAST(sw div n AS LONG)").alias("p"),
+        *[
+            F.expr(f"CAST(swg{k} * {PPM} div sw AS LONG)").alias(f"m{k}")
+            for k in range(1, _N + 1)
+        ],
+        *[
+            F.expr(f"CAST(snwg{k} * {PPM} div snw AS LONG)").alias(f"u{k}")
+            for k in range(1, _N + 1)
+        ],
+    )
+
+
+def fs_init_params(spark) -> DataFrame:
+    """The 1-row ppm prior frame (:data:`EM_INIT`)."""
+    cols = "p long, " + ", ".join(
+        f"m{k} long" for k in range(1, _N + 1)
+    ) + ", " + ", ".join(f"u{k} long" for k in range(1, _N + 1))
+    return spark.createDataFrame(
+        [(EM_INIT["p"], *([EM_INIT["m"]] * _N), *([EM_INIT["u"]] * _N))],
+        cols,
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle generators (the CTE chain O207/O208 are assembled from)
+
+def _o_pm_pu(src: str) -> tuple[str, str]:
+    def term(g: str, m: str) -> str:
+        return f"(CASE WHEN {g} = 1 THEN {src}.{m} ELSE {PPM} - {src}.{m} END)"
+
+    pm = f"CAST({src}.p AS HUGEINT)"
+    pu = f"CAST({PPM} - {src}.p AS HUGEINT)"
+    for k in range(1, _N + 1):
+        pm += f" * {term(f'g{k}', f'm{k}')}"
+        pu += f" * {term(f'g{k}', f'u{k}')}"
+    return pm, pu
+
+
+def o_fs_posterior(src: str) -> str:
+    """DuckDB twin of :func:`fs_posterior_expr` over params CTE ``src``."""
+    pm, pu = _o_pm_pu(src)
+    return f"CAST(({pm}) * {PPM} // (({pm}) + ({pu})) AS HUGEINT)"
+
+
+def o_fs_em_ctes(rounds: int = 2) -> str:
+    """The p0, w1, p1, … w{rounds}, p{rounds} CTE bodies (expects a
+    ``census`` CTE with g1..g4, c). Returned WITHOUT a leading WITH —
+    append after the caller's census CTE."""
+    gs = ", ".join(f"g{k}" for k in range(1, _N + 1))
+    p0 = (
+        f"p0 AS (\n  SELECT {EM_INIT['p']} AS p, "
+        + ", ".join(f"{EM_INIT['m']} AS m{k}" for k in range(1, _N + 1))
+        + ",\n         "
+        + ", ".join(f"{EM_INIT['u']} AS u{k}" for k in range(1, _N + 1))
+        + "\n)"
+    )
+    parts = [p0]
+    for r in range(1, rounds + 1):
+        prev = f"p{r - 1}"
+        parts.append(
+            f"w{r} AS (\n  SELECT {gs}, c,\n         "
+            f"{o_fs_posterior(prev)} AS w\n"
+            f"  FROM census CROSS JOIN {prev}\n)"
+        )
+        m_lines = ",\n         ".join(
+            f"CAST(SUM(w * c * g{k}) * {PPM} // SUM(w * c) AS BIGINT) AS m{k}"
+            for k in range(1, _N + 1)
+        )
+        u_lines = ",\n         ".join(
+            f"CAST(SUM(({PPM} - w) * c * g{k}) * {PPM} "
+            f"// SUM(({PPM} - w) * c) AS BIGINT) AS u{k}"
+            for k in range(1, _N + 1)
+        )
+        parts.append(
+            f"p{r} AS (\n  SELECT CAST(SUM(w * c) // SUM(c) AS BIGINT) AS p,\n"
+            f"         {m_lines},\n         {u_lines}\n  FROM w{r}\n)"
+        )
+    return ", ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin #32: per-lang agreement-pattern census kernel.
+
+FS_CENSUS_SCHEMA = "lang string, g1 long, g2 long, g3 long, g4 long, c long"
+_FS_CENSUS_STATE = "seen long"
+
+
+def make_fs_census_kernel(window: int = 3):
+    """``applyInPandasWithState`` kernel: one WHOLE lang-block in →
+    that block's agreement-pattern census rows out.
+
+    ATOMICITY CONTRACT (q189's whole-unit discipline, stated
+    explicitly per the r7 verdict): sorted-neighborhood pairs depend
+    on the complete in-block sort, so each lang block must arrive
+    WHOLE in a single micro-batch — the kernel keeps a "seen" flag in
+    state and ABORTS if a lang shows up in a second batch, rather
+    than silently emitting a census over half-derived neighborhoods.
+    Pattern counts themselves are plain sums, merge-closed across
+    blocks/batches — which is why the census (and the trained
+    parameters, a deterministic function of it) streams exactly.
+
+    Input rows carry doc_id, n_chars, source, sh, bg — the SET
+    columns are computed by the SAME Spark exprs as the batch path
+    (``_with_shingle_sets`` / :data:`BG_SPARK_EXPR`) in the streaming
+    projection, so the kernel never re-tokenizes (no Java-vs-Python
+    regex drift); it only sorts, leads, and compares sets.
+    """
+
+    def fn(key, pdfs: Iterator["pd.DataFrame"], state) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        lang = key[0]
+        if state.exists:
+            raise RuntimeError(
+                f"fs census: lang block {lang!r} split across micro-batches "
+                "(whole-block atomicity contract)"
+            )
+        state.update((1,))
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        # the batch window's sort: n_chars NULLS FIRST, then doc_id
+        rows = rows.sort_values(
+            ["n_chars", "doc_id"], na_position="first"
+        ).reset_index(drop=True)
+
+        def flags(i: int, j: int) -> tuple[int, int, int, int]:
+            # NULL semantics mirror the batch CASE: any NULL operand
+            # folds the flag to 0 (arrays arrive as numpy objects —
+            # explicit None tests, never truthiness)
+            a, b = rows.iloc[i], rows.iloc[j]
+            src = int(
+                a["source"] is not None and b["source"] is not None
+                and a["source"] == b["source"]
+            )
+            if a["n_chars"] is None or b["n_chars"] is None or \
+                    pd.isna(a["n_chars"]) or pd.isna(b["n_chars"]):
+                ln = 0
+            else:
+                la, lb = int(a["n_chars"]), int(b["n_chars"])
+                ln = int(abs(la - lb) * 20 <= la + lb)
+            if a["sh"] is None or b["sh"] is None:
+                jac = 0
+            else:
+                sa, sb = set(a["sh"]), set(b["sh"])
+                inter = len(sa & sb)
+                jac = int(2 * inter >= len(sa) + len(sb) - inter)
+            if a["bg"] is None or b["bg"] is None:
+                bg = 0
+            else:
+                ba, bb = set(a["bg"]), set(b["bg"])
+                bg = int(2 * len(ba & bb) >= min(len(ba), len(bb)))
+            return (src, ln, jac, bg)
+
+        census: dict[tuple[int, int, int, int], int] = {}
+        n = len(rows)
+        for i in range(n):
+            for d in range(1, window + 1):
+                if i + d >= n:
+                    break
+                k = flags(i, i + d)
+                census[k] = census.get(k, 0) + 1
+        out = [(lang, *k, c) for k, c in sorted(census.items())]
+        yield pd.DataFrame(
+            out, columns=["lang", "g1", "g2", "g3", "g4", "c"]
+        )
+
+    return fn

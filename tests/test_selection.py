@@ -81,29 +81,18 @@ def test_rejects_bad_args(spark):
         coverage_selection(tok, 0)
 
 
-def test_q207_em_matches_independent_python_reference(spark):
-    """q207's 2 unrolled EM rounds pinned against a from-scratch
-    Python implementation of Winkler's EM over the same agreement
-    census (the q199/q201 discipline: engine-vs-engine hash equality
-    proves portability, an INDEPENDENT reference proves the algorithm
-    itself)."""
-    from polla_spark.plans.llmdata import _EM_INIT, q207_fs_em_weights
-
-    got = {
-        r["round"]: (r["p"], r["m1"], r["m2"], r["m3"],
-                     r["u1"], r["u2"], r["u3"])
-        for r in q207_fs_em_weights(spark, SF).collect()
-    }
-
-    # independent census via DuckDB (no Spark code shared; raw-text
-    # \\s+ tokenizer = production TOKS geometry, NOT lowercased)
+def _independent_fs_census(sf_dir):
+    """Agreement-pattern census computed WITHOUT any polla_spark code:
+    DuckDB SQL written from the comparator definitions (raw-text \\s+
+    tokenizer = production TOKS geometry, NOT lowercased; 24-char
+    title-prefix bigrams for the 4th field)."""
     import duckdb
 
     con = duckdb.connect()
     con.execute(
-        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
     )
-    census = con.execute("""
+    return con.execute("""
         WITH docs AS (
           SELECT doc_id, lang, source, n_chars,
                  list_distinct(list_transform(
@@ -113,14 +102,19 @@ def test_q207_em_matches_independent_python_reference(spark):
                      regexp_split_to_array(text, '\\s+')[i],
                      regexp_split_to_array(text, '\\s+')[i+1],
                      regexp_split_to_array(text, '\\s+')[i+2])
-                 )) AS sh
+                 )) AS sh,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(length(text[1:24]) - 1, 1)),
+                   i -> text[1:24][i:i+1]
+                 )) AS bg
           FROM documents
         ), neigh AS (
-          SELECT source AS source_a, n_chars AS nc_a, sh AS sa, i,
+          SELECT source AS source_a, n_chars AS nc_a, sh AS sa, bg AS ba, i,
                  LEAD(doc_id, i) OVER w AS doc_b,
                  LEAD(source, i) OVER w AS source_b,
                  LEAD(n_chars, i) OVER w AS nc_b,
-                 LEAD(sh, i) OVER w AS sb
+                 LEAD(sh, i) OVER w AS sb,
+                 LEAD(bg, i) OVER w AS bb
           FROM docs CROSS JOIN (SELECT unnest([1, 2, 3]) AS i) t
           WINDOW w AS (PARTITION BY lang, i ORDER BY n_chars NULLS FIRST, doc_id)
         )
@@ -129,33 +123,91 @@ def test_q207_em_matches_independent_python_reference(spark):
                CASE WHEN 2 * len(list_intersect(sa, sb))
                     >= len(sa) + len(sb) - len(list_intersect(sa, sb))
                     THEN 1 ELSE 0 END,
+               CASE WHEN 2 * len(list_intersect(ba, bb))
+                    >= least(len(ba), len(bb)) THEN 1 ELSE 0 END,
                COUNT(*)
-        FROM neigh WHERE doc_b IS NOT NULL GROUP BY 1, 2, 3
+        FROM neigh WHERE doc_b IS NOT NULL GROUP BY 1, 2, 3, 4
     """).fetchall()
 
+
+def _python_em(census, init, rounds):
+    """From-scratch integer-ppm Winkler EM (no polla_spark code).
+    census rows: (*flags, count). Yields (p, m[...], u[...]) per
+    round, after the init round."""
     M = 1_000_000
-    p = _EM_INIT["p"]
-    m = [_EM_INIT["m"]] * 3
-    u = [_EM_INIT["u"]] * 3
-    assert got[0] == (p, *m, *u)
-    for rnd in (1, 2):
+    nf = len(census[0]) - 1
+    p, m, u = init["p"], [init["m"]] * nf, [init["u"]] * nf
+    for _ in range(rounds):
         sw = snw = n = 0
-        swg, snwg = [0, 0, 0], [0, 0, 0]
-        for g1, g2, g3, c in census:
-            gs = (g1, g2, g3)
+        swg, snwg = [0] * nf, [0] * nf
+        for *gs, c in census:
             pm = p
             pu = M - p
-            for k in range(3):
+            for k in range(nf):
                 pm *= m[k] if gs[k] else M - m[k]
                 pu *= u[k] if gs[k] else M - u[k]
             w = pm * M // (pm + pu)
             sw += w * c
             snw += (M - w) * c
             n += c
-            for k in range(3):
+            for k in range(nf):
                 swg[k] += w * c * gs[k]
                 snwg[k] += (M - w) * c * gs[k]
         p = sw // n
-        m = [swg[k] * M // sw for k in range(3)]
-        u = [snwg[k] * M // snw for k in range(3)]
+        m = [swg[k] * M // sw for k in range(nf)]
+        u = [snwg[k] * M // snw for k in range(nf)]
+        yield p, list(m), list(u)
+
+
+def test_q207_em_matches_independent_python_reference(spark):
+    """q207's 2 unrolled EM rounds (4 comparator fields) pinned
+    against a from-scratch Python implementation of Winkler's EM over
+    an independently-derived agreement census (the q199/q201
+    discipline: engine-vs-engine hash equality proves portability, an
+    INDEPENDENT reference proves the algorithm itself)."""
+    from polla_spark.functions.linkage import EM_INIT
+    from polla_spark.plans.llmdata import q207_fs_em_weights
+
+    got = {
+        r["round"]: (r["p"], r["m1"], r["m2"], r["m3"], r["m4"],
+                     r["u1"], r["u2"], r["u3"], r["u4"])
+        for r in q207_fs_em_weights(spark, SF).collect()
+    }
+    census = _independent_fs_census(SF)
+    assert got[0] == (EM_INIT["p"], *([EM_INIT["m"]] * 4), *([EM_INIT["u"]] * 4))
+    for rnd, (p, m, u) in enumerate(_python_em(census, EM_INIT, 2), start=1):
         assert got[rnd] == (p, *m, *u), (rnd, got[rnd], (p, *m, *u))
+
+
+def test_q208_posteriors_match_independent_python_reference(spark):
+    """q208's pattern-level posterior table pinned against the same
+    independent Python EM: train 2 rounds from scratch, compute each
+    census pattern's exact-ppm posterior, and check every (pattern ->
+    w_ppm) pair q208 assigned — plus the threshold verdicts."""
+    from polla_spark.functions.linkage import (
+        EM_INIT, LINK_PPM, POSSIBLE_PPM,
+    )
+    from polla_spark.plans.llmdata import q208_fs_trained_classify
+
+    census = _independent_fs_census(SF)
+    p, m, u = list(_python_em(census, EM_INIT, 2))[-1]
+    M = 1_000_000
+
+    def posterior(gs):
+        pm, pu = p, M - p
+        for k in range(4):
+            pm *= m[k] if gs[k] else M - m[k]
+            pu *= u[k] if gs[k] else M - u[k]
+        return pm * M // (pm + pu)
+
+    want_w = {tuple(gs): posterior(gs) for *gs, _ in census}
+    rows = q208_fs_trained_classify(spark, SF).collect()
+    n_pairs = sum(c for *_, c in census)
+    assert len(rows) == n_pairs
+    seen_w = {r["w_ppm"] for r in rows}
+    assert seen_w <= set(want_w.values())
+    for r in rows:
+        w = r["w_ppm"]
+        want_v = ("link" if w >= LINK_PPM
+                  else "possible" if w >= POSSIBLE_PPM else "non_link")
+        assert r["verdict"] == want_v, (r, want_v)

@@ -20,14 +20,16 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import linkage as LK
+from ..functions import shingles
 from . import Query
 from .relational import t
 
 TOKS = "regexp_split_to_array(text, '\\s+')"  # duckdb side tokenizer
 
-
-def _toks():
-    return F.split(F.col("text"), "\\s+")
+# tokenizer + shingle geometry moved to functions/shingles.py (r8) so
+# the streaming census twin can share it without importing plans —
+# these aliases keep llmdata the query-side name
+_toks = shingles.toks
 
 
 def _spread(spark: SparkSession, d: DataFrame) -> DataFrame:
@@ -89,22 +91,8 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
-def _shingles_expr() -> str:
-    """3-token shingles via 0-based Spark array indexing."""
-    return (
-        "transform(sequence(0, greatest(size(_toks) - 3, 0)), "
-        "i -> concat_ws(' ', _toks[i], _toks[i+1], _toks[i+2]))"
-    )
-
-
-def _with_shingle_sets(df: DataFrame) -> DataFrame:
-    """documents-shaped frame → + ``sh`` = the doc's DISTINCT 3-token
-    shingle set (q54/q190's geometry). ONE definition — every
-    set-similarity / containment / cover query shares it, so a
-    geometry change (k, null handling) cannot desynchronize them."""
-    return df.withColumn("_toks", _toks()).withColumn(
-        "sh", F.array_distinct(F.expr(_shingles_expr()))
-    )
+_shingles_expr = shingles.shingles_expr
+_with_shingle_sets = shingles.with_shingle_sets
 
 
 def _snm_neighbors(d, extra_fields: tuple[str, ...] = ()):

@@ -1293,6 +1293,72 @@ def finish_kmv_set_algebra(updates: DataFrame) -> DataFrame:
     return kmv_set_algebra(minima)
 
 
+def fs_census_partials(docs: DataFrame) -> DataFrame:
+    """Streaming Fellegi-Sunter agreement-pattern census (twin #32,
+    batch q207's front half): the comparator SET columns (shingles +
+    title bigrams) are computed by the SAME Spark exprs as batch
+    (functions/shingles.py + functions/linkage.py — the kernel never
+    re-tokenizes), then one ``applyInPandasWithState`` group per LANG
+    BLOCK derives the sorted-neighborhood pairs and their 4 agreement
+    flags and emits (pattern, count) partials.
+
+    ATOMICITY CONTRACT (explicit, per the r7 verdict): SNM neighbors
+    depend on the complete in-block sort, so each lang block must
+    arrive WHOLE in one micro-batch; the kernel keeps a seen-flag in
+    state and ABORTS on a split block instead of emitting a census
+    over half-derived neighborhoods. Pattern counts are plain sums —
+    merge-closed across blocks and batches — so the streamed census
+    (and the trained EM parameters, a deterministic function of it:
+    :func:`finish_fs_em_weights`) equals batch q207 EXACTLY.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..functions.linkage import (
+        FS_CENSUS_SCHEMA,
+        _FS_CENSUS_STATE,
+        make_fs_census_kernel,
+        with_bigram_set,
+    )
+    from ..functions.shingles import with_shingle_sets
+
+    proj = with_bigram_set(with_shingle_sets(docs)).select(
+        "doc_id", "lang", "source", "n_chars", "sh", "bg"
+    )
+    return proj.groupBy("lang").applyInPandasWithState(
+        make_fs_census_kernel(),
+        FS_CENSUS_SCHEMA,
+        _FS_CENSUS_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def finish_fs_census(updates: DataFrame) -> DataFrame:
+    """Batch finisher: fold the per-lang partials into the global
+    (g1..g4, c) census — plain sums, the merge-closure that makes the
+    twin exact."""
+    return updates.groupBy("g1", "g2", "g3", "g4").agg(
+        F.sum("c").alias("c")
+    )
+
+
+def finish_fs_em_weights(updates: DataFrame) -> DataFrame:
+    """Train the FS parameters from the STREAMED census through the
+    identical exact-ppm EM as batch q207 (functions/linkage.py — one
+    source of truth): init + 2 unrolled rounds, same report shape."""
+    from ..functions.linkage import fs_em_round, fs_init_params
+
+    census = finish_fs_census(updates)
+    init = fs_init_params(updates.sparkSession)
+    r1 = fs_em_round(census, init).persist()
+    r2 = fs_em_round(census, r1)
+    cols = ["p"] + [f"m{k}" for k in range(1, 5)] + [f"u{k}" for k in range(1, 5)]
+    rep = init.select(F.lit(0).alias("round"), *cols)
+    for i, df in ((1, r1), (2, r2)):
+        rep = rep.unionByName(df.select(F.lit(i).alias("round"), *cols))
+    return rep.orderBy("round")
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
     """Drive a finite streaming source to completion into a memory
     sink; returns the materialized result (test/smoke harness)."""

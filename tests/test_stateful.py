@@ -783,3 +783,72 @@ def test_kmv_kernel_merge_closure_and_truncation():
     assert kept == sorted(kept)          # sorted ascending
     assert out2[0].iloc[0]["upd_seq"] == 2
     assert st.get[0] == kept             # state == emitted minima
+
+
+def _fs_pdf(rows):
+    """rows: (doc_id, n_chars, source, sh, bg) — lang is the key."""
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "n_chars": [r[1] for r in rows],
+            "source": [r[2] for r in rows],
+            "sh": [r[3] for r in rows],
+            "bg": [r[4] for r in rows],
+        },
+        dtype=object,
+    )
+
+
+def test_fs_census_kernel_flags_and_sort():
+    """In-process FS census kernel (make_fs_census_kernel): the SNM
+    sort is (n_chars NULLS FIRST, doc_id) and the 4 flags reproduce
+    the batch CASE semantics on a hand-checkable block."""
+    from polla_spark.functions.linkage import make_fs_census_kernel
+
+    fn = make_fs_census_kernel(window=1)  # only adjacent pairs
+    st = _FakeState()
+    # sorted order: doc 3 (NULL n_chars first), doc 1 (10), doc 2 (11)
+    rows = [
+        (1, 10, "web", ["a b c"], ["ab", "bc"]),
+        (2, 11, "web", ["a b c"], ["ab", "xy"]),
+        (3, None, "pdf", ["z z z"], ["zz"]),
+    ]
+    out = list(fn(("en",), iter([_fs_pdf(rows)]), st))
+    got = {(r.g1, r.g2, r.g3, r.g4): r.c for r in out[0].itertuples()}
+    # pair (3,1): src pdf!=web ->0; len NULL ->0; jac disjoint ->0;
+    #             bg {zz} vs {ab,bc} overlap 0 < min(1,2)/2 -> 0
+    # pair (1,2): src 1; len |10-11|*20=20 <= 21 -> 1; jac equal -> 1;
+    #             bg inter {ab} 2*1 >= min(2,2)=2 -> 1
+    assert got == {(0, 0, 0, 0): 1, (1, 1, 1, 1): 1}
+
+
+def test_fs_census_kernel_null_sets_fold_to_zero():
+    """NULL sh/bg (NULL text) folds flags to 0 — the batch CASE
+    semantics, never a crash."""
+    from polla_spark.functions.linkage import make_fs_census_kernel
+
+    fn = make_fs_census_kernel(window=1)
+    st = _FakeState()
+    rows = [
+        (1, 5, None, None, None),
+        (2, 5, None, ["a"], ["aa"]),
+    ]
+    out = list(fn(("en",), iter([_fs_pdf(rows)]), st))
+    got = {(r.g1, r.g2, r.g3, r.g4): r.c for r in out[0].itertuples()}
+    # src: NULL source -> 0; len: equal -> 1; jac/bg: NULL side -> 0
+    assert got == {(0, 1, 0, 0): 1}
+
+
+def test_fs_census_kernel_split_block_raises():
+    """Atomicity contract: the same lang in a second batch ABORTS."""
+    import pytest
+
+    from polla_spark.functions.linkage import make_fs_census_kernel
+
+    fn = make_fs_census_kernel()
+    st = _FakeState()
+    list(fn(("en",), iter([_fs_pdf([(1, 5, "w", ["a"], ["aa"])])]), st))
+    with pytest.raises(RuntimeError, match="atomicity"):
+        list(fn(("en",), iter([_fs_pdf([(2, 6, "w", ["a"], ["aa"])])]), st))

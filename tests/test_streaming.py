@@ -470,6 +470,83 @@ def test_duplicate_span_census_stream_equals_q189(spark, tmp_path):
     assert _rows(got, keys) == _rows(q189_duplicate_spans(spark, SF_DIR), keys)
 
 
+def test_fs_pattern_census_stream_equals_q207(spark, tmp_path):
+    """Streaming FS agreement-pattern census (32nd twin): each LANG
+    BLOCK arrives whole in one micro-batch (the documented atomicity
+    unit — SNM neighbors depend on the complete in-block sort), blocks
+    spread across 3 batches; pattern counts are merge-closed sums, so
+    the streamed census must equal batch q207's census pattern-for-
+    pattern AND the finisher's EM-trained parameters must equal batch
+    q207's report row-for-row."""
+    from polla_spark.plans.llmdata import _fs_census, _fs_neighbors
+    from polla_spark.plans.llmdata import q207_fs_em_weights
+    from polla_spark.session import read_table
+
+    docs = read_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "source", "n_chars", "text"
+    )
+    d = tmp_path / "fs_stream"
+    batches = [("de", "en"), ("es",), ("fr", "zh")]
+    for i, langs in enumerate(batches):
+        docs.filter(F.col("lang").isin(*langs)).coalesce(1).write.parquet(
+            str(d / f"part{i}")
+        )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*/")
+    )
+    q = (
+        SW.fs_census_partials(stream)
+        .writeStream.format("memory")
+        .queryName("fs_census_updates")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    updates = spark.table("fs_census_updates")
+    keys = ["g1", "g2", "g3", "g4", "c"]
+    want_census = _fs_census(_fs_neighbors(spark, SF_DIR))
+    assert _rows(SW.finish_fs_census(updates), keys) == _rows(want_census, keys)
+    keys = ["round", "p", "m1", "m2", "m3", "m4", "u1", "u2", "u3", "u4"]
+    assert _rows(SW.finish_fs_em_weights(updates), keys) == _rows(
+        q207_fs_em_weights(spark, SF_DIR), keys
+    )
+
+
+def test_fs_census_split_block_aborts(spark, tmp_path):
+    """The atomicity contract is ENFORCED, not assumed: the same lang
+    arriving in two micro-batches must abort the query (a census over
+    half-derived neighborhoods would be silently wrong)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from polla_spark.session import read_table
+
+    docs = read_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "source", "n_chars", "text"
+    )
+    d = tmp_path / "fs_split"
+    en = docs.filter(F.col("lang") == "en")
+    en.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(str(d / "a"))
+    en.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(str(d / "b"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*/")
+    )
+    q = (
+        SW.fs_census_partials(stream)
+        .writeStream.format("memory")
+        .queryName("fs_census_split")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="atomicity"):
+        q.awaitTermination(300)
+
+
 def test_hll_distinct_stream_equals_batch_sketch(spark, tmp_path, batch_events):
     """Streaming HLL distinct sketches (20th twin): HLL union is
     LOSSLESS (register-wise max), so the streamed estimate over a

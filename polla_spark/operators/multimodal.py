@@ -367,3 +367,80 @@ def ahash_bands(assets: DataFrame) -> DataFrame:
     return assets.filter(F.col("modality") == "image").mapInPandas(
         kernel, AHASH_SCHEMA
     )
+
+
+#: 8-point DCT-II basis, fixed-point: round(16384 · c(u) ·
+#: cos((2x+1)uπ/16)) with orthonormal c(u) — PRECOMPUTED ONCE and
+#: committed as integers so the Arrow kernel and the DuckDB oracle
+#: share the exact same table (no runtime float recompute anywhere;
+#: the q186 lesson — transcendental functions are not bit-portable,
+#: constants are).
+PHASH_T = (
+    (5793, 5793, 5793, 5793, 5793, 5793, 5793, 5793),
+    (8035, 6811, 4551, 1598, -1598, -4551, -6811, -8035),
+    (7568, 3135, -3135, -7568, -7568, -3135, 3135, 7568),
+    (6811, -1598, -8035, -4551, 4551, 8035, 1598, -6811),
+    (5793, -5793, -5793, 5793, 5793, -5793, -5793, 5793),
+    (4551, -8035, 1598, 6811, -6811, -1598, 8035, -4551),
+    (3135, -7568, 7568, -3135, -3135, 7568, -7568, 3135),
+    (1598, -4551, 6811, -8035, 8035, -6811, 4551, -1598),
+)
+
+
+def phash_bands(assets: DataFrame) -> DataFrame:
+    """Perceptual DCT-HASH (pHash) of image assets as 4×16-bit bands —
+    the production-grade upgrade of :func:`ahash_bands` (the r7
+    verdict's ask): same 8×8 grid sample of the content bytes, then a
+    2-D integer DCT (``C = T·P·Tᵀ`` with the fixed-point
+    :data:`PHASH_T` table — all int64, max |C| ≈ 1.05e12), bit k set
+    when coefficient k exceeds the MEDIAN of the 63 AC coefficients
+    (the 32nd-smallest — exact order statistic, no float mean).
+    pHash keys on the image's coarse spectral shape, so it survives
+    brightness/contrast shifts that flip aHash bits; banding and the
+    downstream join discipline are identical to aHash (q62's
+    pigeonhole bound: Hamming ≤ 3 near-dups always collide on ≥1 of
+    4 bands).
+
+    Everything is exact integer arithmetic, so the DuckDB oracle
+    (q209) recomputes identical coefficients from the same committed
+    table and the hash is bit-reproducible. Same Arrow contract as
+    the other kernels: content crosses into Python once, the output
+    is a 16-byte/asset table, no Exchange ever carries bytes.
+    """
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        t8 = np.array(PHASH_T, dtype=np.int64)
+
+        def bands_of(content: bytes) -> tuple[int, int, int, int]:
+            n = len(content)
+            if n == 0:
+                return (0, 0, 0, 0)
+            px = np.array(
+                [content[(k * n) // 64] for k in range(64)], dtype=np.int64
+            ).reshape(8, 8)
+            coef = (t8 @ px @ t8.T).reshape(64)
+            med = int(np.partition(coef[1:], 31)[31])  # 32nd-smallest AC
+            bits = [1 if int(c) > med else 0 for c in coef]
+            out = []
+            for b in range(4):
+                v = 0
+                for bit in bits[16 * b : 16 * b + 16]:
+                    v = (v << 1) | bit
+                out.append(v)
+            return tuple(out)
+
+        for pdf in batches:
+            rows = [
+                (aid, *bands_of(bytes(c) if c is not None else b""))
+                for aid, c in zip(pdf["asset_id"], pdf["content"])
+            ]
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "b0", "b1", "b2", "b3"]
+            )
+
+    return assets.filter(F.col("modality") == "image").mapInPandas(
+        kernel, AHASH_SCHEMA
+    )

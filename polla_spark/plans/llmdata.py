@@ -4729,53 +4729,38 @@ FROM comp GROUP BY cluster ORDER BY cluster
 _AHASH_HAM = 16  # near-dup gate: <= 16 of 64 grid bits differ
 
 
-def q205_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual-hash NEAR-DUPLICATE IMAGE detection — the multimodal
-    member of the dedup family (q62's SimHash discipline applied to
-    binary media): aHash each image asset through the Arrow kernel
-    (operators/multimodal.ahash_bands — 8×8 grid sample of the
-    content bytes, integer mean threshold, 4×16-bit bands), candidate
-    pairs ONLY where a band collides (0.5% of all pairs here), exact
-    Hamming rescore ``Σ bit_count(xor(band))`` ≤ {_AHASH_HAM} JVM-side.
-
-    100 TB shape: content crosses into Python once (Arrow-batched,
-    no Exchange ever carries it); everything after the kernel is a
-    16-byte-per-asset table — band join, distinct, rescore all run on
-    hashes. Candidate recall is the banding trade (guaranteed only at
-    Hamming ≤ 3 by pigeonhole; LSH-approximate above), and the ORACLE
-    replays the identical banding, so recall choices are
-    hash-checked, not hidden. The in-plan char==byte assert (q195's
-    pattern) guards the oracle's ascii-codepoint pixel recompute.
-    """
-    from ..operators.multimodal import ahash_bands, documents_as_assets
-
-    d = (
+def _image_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared perceptual-hash input frame (q205/q209): image-
+    modality documents (doc_id % 3 == 0 — documents_as_assets' rule
+    and the oracles' sample), zero-byte assets excluded in both
+    engines, and the char==byte abort SCOPED to exactly these rows
+    (ADVICE r7: a multibyte audio doc must not abort an image query
+    whose oracle never reads it)."""
+    return (
         t(spark, sf_dir, "documents")
-        # image-modality rows ONLY (doc_id % 3 == 0 is exactly
-        # documents_as_assets' modality rule and the oracle's sample):
-        # the zero-byte exclusion and the multibyte abort below must
-        # be scoped to the rows the query actually hashes — a
-        # multibyte AUDIO doc would otherwise abort the Spark side
-        # while the oracle, which never reads it, succeeds (ADVICE r7)
         .filter(F.col("doc_id") % 3 == 0)
-        # zero-byte assets are EXCLUDED in both engines: the kernel's
-        # documented all-zero sentinel and the oracle's ascii('')-pixel
-        # recompute would otherwise disagree (review finding)
         .filter(F.octet_length("text") > 0)
         .filter(
             F.coalesce(
                 F.assert_true(
                     F.octet_length("text") == F.length("text"),
-                    F.lit("q205: multibyte doc breaks the oracle's byte sampling"),
+                    F.lit("perceptual hash: multibyte doc breaks the "
+                          "oracle's byte sampling"),
                 ),
                 F.lit(True),
             )
         )
     )
-    h = ahash_bands(documents_as_assets(d)).persist()
-    h.count()  # materialize before the 4-way fan-out (q204's guard):
-    # band-join sides + both rescore sides otherwise race the cold
-    # cache and run the Python decode kernel up to 4x
+
+
+def _band_near_dup(h: DataFrame, max_ham: int) -> DataFrame:
+    """Shared band-LSH near-dup scaffolding over a PERSISTED
+    (asset_id, b0..b3) hash table (q205 aHash ≡ q209 pHash — the
+    _snm_neighbors discipline): explode to (asset_id, band-k, value)
+    rows, candidates ONLY where a band collides, exact Hamming
+    rescore Σ bit_count(xor(band)) ≤ ``max_ham`` JVM-side. Everything
+    here runs on 16 bytes/asset — the content bytes never reach this
+    function."""
     long = h.select(
         "asset_id",
         F.explode(
@@ -4812,25 +4797,51 @@ def q205_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(ha, "id_a")
         .join(hb, "id_b")
         .select("id_a", "id_b", ham.cast("int").alias("hamming"))
-        .filter(F.col("hamming") <= _AHASH_HAM)
+        .filter(F.col("hamming") <= max_ham)
         .orderBy("id_a", "id_b")
     )
 
 
-O205 = f"""
-WITH img AS (
+def q205_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash NEAR-DUPLICATE IMAGE detection — the multimodal
+    member of the dedup family (q62's SimHash discipline applied to
+    binary media): aHash each image asset through the Arrow kernel
+    (operators/multimodal.ahash_bands — 8×8 grid sample of the
+    content bytes, integer mean threshold, 4×16-bit bands), candidate
+    pairs ONLY where a band collides (0.5% of all pairs here), exact
+    Hamming rescore ``Σ bit_count(xor(band))`` ≤ {_AHASH_HAM} JVM-side.
+
+    100 TB shape: content crosses into Python once (Arrow-batched,
+    no Exchange ever carries it); everything after the kernel is a
+    16-byte-per-asset table — band join, distinct, rescore all run on
+    hashes. Candidate recall is the banding trade (guaranteed only at
+    Hamming ≤ 3 by pigeonhole; LSH-approximate above), and the ORACLE
+    replays the identical banding, so recall choices are
+    hash-checked, not hidden. The in-plan char==byte assert (q195's
+    pattern) guards the oracle's ascii-codepoint pixel recompute.
+    """
+    from ..operators.multimodal import ahash_bands, documents_as_assets
+
+    h = ahash_bands(documents_as_assets(_image_docs(spark, sf_dir))).persist()
+    h.count()  # materialize before the 4-way fan-out (q204's guard):
+    # band-join sides + both rescore sides otherwise race the cold
+    # cache and run the Python decode kernel up to 4x
+    return _band_near_dup(h, _AHASH_HAM)
+
+
+#: shared oracle prologue (q205/q209): image sample + grid pixels
+_O_PX = """img AS (
   SELECT doc_id, text, octet_length(encode(text)) AS n
   FROM documents WHERE doc_id % 3 = 0 AND octet_length(encode(text)) > 0
 ), px AS (
   SELECT doc_id, i,
          ascii(substr(text, CAST((i * n) // 64 AS BIGINT) + 1, 1)) AS p
   FROM img, LATERAL unnest(generate_series(0, 63)) AS u(i)
-), stats AS (
-  SELECT doc_id, SUM(p) AS s FROM px GROUP BY 1
-), bits AS (
-  SELECT px.doc_id, i, CASE WHEN 64 * p >= s THEN 1 ELSE 0 END AS bit
-  FROM px JOIN stats USING (doc_id)
-), bands AS (
+)"""
+
+#: shared oracle tail (q205/q209): a ``bits`` CTE (doc_id, i, bit) →
+#: 4×16-bit bands → band-collision candidates → exact Hamming ≤ {ham}
+_O_BAND_TAIL = """, bands AS (
   SELECT doc_id, i // 16 AS k,
          CAST(SUM(bit << (15 - (i % 16))) AS INTEGER) AS v
   FROM bits GROUP BY 1, 2
@@ -4848,8 +4859,137 @@ WITH img AS (
   GROUP BY 1, 2
 )
 SELECT id_a, id_b, hamming FROM ham
-WHERE hamming <= {_AHASH_HAM}
+WHERE hamming <= {ham}
 ORDER BY id_a, id_b
+"""
+
+O205 = f"""
+WITH {_O_PX}, stats AS (
+  SELECT doc_id, SUM(p) AS s FROM px GROUP BY 1
+), bits AS (
+  SELECT px.doc_id, i, CASE WHEN 64 * p >= s THEN 1 ELSE 0 END AS bit
+  FROM px JOIN stats USING (doc_id)
+){_O_BAND_TAIL.format(ham=_AHASH_HAM)}"""
+
+
+_PHASH_HAM = 16  # pHash near-dup gate (same banding trade as q205)
+
+
+def q209_dct_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCT-based pHash image fingerprinting — q205 with the
+    production-grade perceptual hash (the r7 verdict's ask #4): the
+    Arrow kernel computes an 8×8 integer 2-D DCT of the grid pixels
+    with the committed fixed-point cosine table
+    (operators/multimodal.PHASH_T) and thresholds each coefficient
+    against the exact MEDIAN of the 63 AC coefficients; the banding,
+    candidate join, and Hamming rescore are the SAME shared
+    scaffolding as q205 (``_band_near_dup``), and the oracle replays
+    the identical integer DCT from the same table.
+
+    Report = the per-asset HASH TABLE (all 4 bands — certifying every
+    DCT bit against the oracle, the strongest check of the kernel)
+    plus each asset's band-collision candidate count and
+    near-dup-within-{_PHASH_HAM} count. The pair LIST is q205's
+    already-certified report shape; here the corpus truth is that
+    pHash — correctly — decorrelates the fake byte content q205's
+    mean-threshold aHash still banded together (2 candidate pairs,
+    none within the gate, vs q205's 35): reporting per-asset keeps
+    the certified surface rich (one row per image) instead of
+    hash-matching an empty set.
+
+    100 TB shape: identical to q205 — content crosses Python once,
+    everything after the kernel is 16 bytes/asset; the extra DCT cost
+    is a per-asset 8×8×8 int multiply inside the already-amortized
+    Arrow batch, invisible next to the decode."""
+    from ..operators.multimodal import documents_as_assets, phash_bands
+
+    h = phash_bands(documents_as_assets(_image_docs(spark, sf_dir))).persist()
+    h.count()  # q205's materialization guard before the 4-way fan-out
+    pairs = _band_near_dup(h, 64)  # all band-colliding candidates
+    sym = pairs.select(
+        F.col("id_a").alias("asset_id"), "hamming"
+    ).unionByName(pairs.select(F.col("id_b").alias("asset_id"), "hamming"))
+    stats = sym.groupBy("asset_id").agg(
+        F.count("*").alias("n_cand"),
+        F.sum(
+            F.when(F.col("hamming") <= _PHASH_HAM, 1).otherwise(0)
+        ).alias("n_near"),
+    )
+    return (
+        h.join(stats, "asset_id", "left")
+        .select(
+            "asset_id", "b0", "b1", "b2", "b3",
+            F.coalesce("n_cand", F.lit(0)).cast("long").alias("n_cand"),
+            F.coalesce("n_near", F.lit(0)).cast("long").alias("n_near"),
+        )
+        .orderBy("asset_id")
+    )
+
+
+def _o_phash_tbl() -> str:
+    from ..operators.multimodal import PHASH_T
+
+    return ", ".join(
+        f"({u}, {x}, {PHASH_T[u][x]})" for u in range(8) for x in range(8)
+    )
+
+
+O209 = f"""
+WITH {_O_PX}, tbl AS (
+  SELECT * FROM (VALUES {_o_phash_tbl()}) AS t(u, x, tv)
+), co AS (
+  SELECT px.doc_id, tu.u AS cu, tv2.u AS cv,
+         CAST(SUM(CAST(p AS BIGINT) * tu.tv * tv2.tv) AS BIGINT) AS coef
+  FROM px
+  JOIN tbl tu ON tu.x = px.i // 8
+  JOIN tbl tv2 ON tv2.x = px.i % 8
+  GROUP BY 1, 2, 3
+), med AS (
+  SELECT doc_id, coef AS med FROM (
+    SELECT doc_id, coef,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY coef) AS rn
+    FROM co WHERE NOT (cu = 0 AND cv = 0)
+  ) WHERE rn = 32
+), bits AS (
+  SELECT co.doc_id, cu * 8 + cv AS i,
+         CASE WHEN coef > med THEN 1 ELSE 0 END AS bit
+  FROM co JOIN med USING (doc_id)
+), bands AS (
+  SELECT doc_id, i // 16 AS k,
+         CAST(SUM(bit << (15 - (i % 16))) AS INTEGER) AS v
+  FROM bits GROUP BY 1, 2
+), bvec AS (
+  SELECT doc_id,
+         MAX(CASE WHEN k = 0 THEN v END) AS b0,
+         MAX(CASE WHEN k = 1 THEN v END) AS b1,
+         MAX(CASE WHEN k = 2 THEN v END) AS b2,
+         MAX(CASE WHEN k = 3 THEN v END) AS b3
+  FROM bands GROUP BY 1
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.k = b.k AND a.v = b.v AND a.doc_id < b.doc_id
+), hamp AS (
+  SELECT c.id_a, c.id_b,
+         CAST(SUM(CASE WHEN xa.bit <> xb.bit THEN 1 ELSE 0 END) AS INTEGER)
+           AS hamming
+  FROM cand c
+  JOIN bits xa ON xa.doc_id = c.id_a
+  JOIN bits xb ON xb.doc_id = c.id_b AND xb.i = xa.i
+  GROUP BY 1, 2
+), sym AS (
+  SELECT id_a AS doc_id, hamming FROM hamp
+  UNION ALL SELECT id_b, hamming FROM hamp
+), stats AS (
+  SELECT doc_id, COUNT(*) AS n_cand,
+         SUM(CASE WHEN hamming <= {_PHASH_HAM} THEN 1 ELSE 0 END) AS n_near
+  FROM sym GROUP BY 1
+)
+SELECT b.doc_id AS asset_id, b0, b1, b2, b3,
+       CAST(COALESCE(n_cand, 0) AS BIGINT) AS n_cand,
+       CAST(COALESCE(n_near, 0) AS BIGINT) AS n_near
+FROM bvec b LEFT JOIN stats USING (doc_id)
+ORDER BY asset_id
 """
 
 
@@ -5273,4 +5413,9 @@ QUERIES = [
           "-> classify every candidate pair by its pattern's exact-ppm "
           "posterior match probability (log-free, oracle-exact; the "
           "<=16-row posterior table broadcasts back onto the pairs)"),
+    Query("q209_dct_phash_near_dup", q209_dct_phash_near_dup, O209,
+          "DCT-based pHash image near-dup: integer 2-D DCT with the "
+          "committed fixed-point cosine table, bits vs the exact AC "
+          "median, then q205's shared band-join + Hamming rescore "
+          "(production perceptual hash, still oracle-exact)"),
 ]

@@ -50,6 +50,7 @@ GOLDEN_QUERIES = [
     "q203_kmv_set_algebra",
     "q204_semantic_dedup_clusters",
     "q205_phash_near_dup",
+    "q209_dct_phash_near_dup",
 ]
 
 

@@ -309,3 +309,58 @@ def test_ahash_uniform_content_is_all_ones(spark):
     )
     r = ahash_bands(assets).collect()[0]
     assert (r["b0"], r["b1"], r["b2"], r["b3"]) == (65535,) * 4
+
+
+def test_phash_bands_kernel_vs_independent_python_dct(spark):
+    """pHash bands pinned against an INDEPENDENT pure-Python DCT
+    (explicit quadruple loop + sorted()-median — no numpy, no shared
+    code path with the kernel's matmul), from the same committed
+    PHASH_T table. Also the invariance properties: content-addressed,
+    modality-filtered, zero-byte sentinel."""
+    from polla_spark.operators.multimodal import PHASH_T, phash_bands
+
+    def reference(content: bytes):
+        if not content:
+            return (0, 0, 0, 0)
+        n = len(content)
+        px = [[content[((8 * x + y) * n) // 64] for y in range(8)]
+              for x in range(8)]
+        coef = []
+        for u in range(8):
+            for v in range(8):
+                s = 0
+                for x in range(8):
+                    for y in range(8):
+                        s += px[x][y] * PHASH_T[u][x] * PHASH_T[v][y]
+                coef.append(s)
+        med = sorted(coef[1:])[31]
+        bits = [1 if c > med else 0 for c in coef]
+        out = []
+        for b in range(4):
+            v = 0
+            for bit in bits[16 * b: 16 * b + 16]:
+                v = (v << 1) | bit
+            out.append(v)
+        return tuple(out)
+
+    payloads = {
+        1: bytes(b"a" * 100),
+        2: bytes(b"a" * 100),
+        3: bytes(b"The quick brown fox jumps over the lazy dog" * 5),
+        5: bytes(b""),
+        6: bytes(range(256)),
+    }
+    rows = [(k, "image", bytearray(v)) for k, v in payloads.items()]
+    rows.append((4, "video", bytearray(b"a" * 100)))  # filtered out
+    assets = spark.createDataFrame(
+        rows, "asset_id long, modality string, content binary"
+    )
+    got = {r["asset_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+           for r in phash_bands(assets).collect()}
+    assert set(got) == set(payloads)          # video never enters
+    for aid, content in payloads.items():
+        assert got[aid] == reference(content), aid
+    assert got[1] == got[2]                   # content-addressed
+    assert got[1] != got[3]
+    for bands in got.values():
+        assert all(0 <= b < 65536 for b in bands)

@@ -149,6 +149,108 @@ def sessionize_stateful(
     )
 
 
+class TwsGroupStateAdapter:
+    """Adapter exposing the ``applyInPandasWithState`` GroupState
+    surface over a ``transformWithStateInPandas`` ValueState + timer
+    handle, so :func:`make_session_kernel` runs UNCHANGED on both
+    stateful transports — one kernel, two engines' worth of plumbing,
+    zero behavioral drift (the q192 discipline applied to state).
+
+    Timeout mapping: the kernel's ``setTimeoutTimestamp(ms)`` becomes
+    a registered event-time TIMER (the TWS model); the processor
+    deletes the previously-registered timer first so exactly one
+    timer is live per key — GroupState semantics, where a new timeout
+    replaces the old one.
+    """
+
+    def __init__(self, vstate, handle, timed_out: bool = False):
+        self._v = vstate
+        self._h = handle
+        self.hasTimedOut = timed_out
+        self.timeout_ms: int | None = None
+
+    @property
+    def exists(self) -> bool:
+        return self._v.exists()
+
+    @property
+    def get(self):
+        return tuple(self._v.get())
+
+    def update(self, v) -> None:
+        self._v.update(tuple(v))
+
+    def remove(self) -> None:
+        self._v.clear()
+
+    def setTimeoutTimestamp(self, ms: int) -> None:
+        self.timeout_ms = ms
+        for old in self._h.listTimers():
+            self._h.deleteTimer(old)
+        self._h.registerTimer(ms)
+
+
+def make_session_processor(gap_minutes: int = 120):
+    """Build the TWS ``StatefulProcessor`` wrapping the SAME
+    :func:`make_session_kernel` the applyInPandasWithState path runs
+    (pinned equal in tests/test_stateful.py). Module-level factory so
+    the processor is unit-testable in-process with fake handles —
+    protobuf (the TWS state-server protocol) is only needed for the
+    live query, not for the logic."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    fn = make_session_kernel(gap_minutes)
+
+    class _Sessionizer(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._st = handle.getValueState("session", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):
+            st = TwsGroupStateAdapter(self._st, self._handle)
+            yield from fn(key, rows, st)
+
+        def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+            st = TwsGroupStateAdapter(self._st, self._handle, timed_out=True)
+            yield from fn(key, iter([]), st)
+
+        def close(self) -> None:
+            pass
+
+    return _Sessionizer()
+
+
+def sessionize_tws(
+    events: DataFrame,
+    *,
+    gap_minutes: int = 120,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """The sessionizer on Spark 4's ``transformWithStateInPandas``
+    (StatefulProcessor) API — the forward path for custom stateful
+    operators (typed named states, per-state TTL, event-time timers).
+    Output contract is IDENTICAL to :func:`sessionize_stateful`
+    because both transports run the same extracted kernel.
+
+    Requires the RocksDB state-store provider and ``google.protobuf``
+    (see funnel_updates_tws); environments without them use
+    :func:`sessionize_stateful` — same kernel, same output.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            make_session_processor(gap_minutes),
+            SESSION_SCHEMA,
+            "Append",
+            "EventTime",
+        )
+    )
+
+
 def sessionize_batch_oracle(events: DataFrame, *, gap_minutes: int = 120) -> DataFrame:
     """Batch ground truth for the stateful sessionizer: the identical
     session definition via ``session_window`` (gap merge), same output

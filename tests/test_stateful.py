@@ -852,3 +852,153 @@ def test_fs_census_kernel_split_block_raises():
     list(fn(("en",), iter([_fs_pdf([(1, 5, "w", ["a"], ["aa"])])]), st))
     with pytest.raises(RuntimeError, match="atomicity"):
         list(fn(("en",), iter([_fs_pdf([(2, 6, "w", ["a"], ["aa"])])]), st))
+
+
+class _FakeValueState:
+    """TWS ValueState stand-in (exists()/get()/update()/clear())."""
+
+    def __init__(self, value=None):
+        self._v = value
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def clear(self):
+        self._v = None
+
+
+class _FakeTwsHandle:
+    """TWS handle stand-in: timer registry per current key."""
+
+    def __init__(self):
+        self.timers = []
+
+    def listTimers(self):
+        return iter(list(self.timers))
+
+    def deleteTimer(self, ms):
+        self.timers.remove(ms)
+
+    def registerTimer(self, ms):
+        self.timers.append(ms)
+
+    def getValueState(self, name, schema):  # used by make_session_processor
+        self.vstate = _FakeValueState()
+        return self.vstate
+
+
+def test_tws_sessionizer_processor_equals_group_state_kernel():
+    """The transformWithStateInPandas sessionizer is the SAME kernel
+    behind an adapter — drive both transports in-process over the
+    same scripted batches (split + live-session carry + timeout) and
+    pin identical emissions and state. No protobuf needed: the logic
+    is transport-independent; only the live wire protocol is gated."""
+    from polla_spark.streaming.stateful import (
+        make_session_kernel, make_session_processor,
+    )
+
+    batches = [
+        _pdf([(100, 1.0, "view"), (110, 2.5, "click"), (610, 1.0, "purchase")]),
+        _pdf([(630, 3.0, "click")]),
+    ]
+
+    # transport A: applyInPandasWithState kernel + _FakeState
+    fn = make_session_kernel(gap_minutes=2)
+    st = _FakeState()
+    a_rows = []
+    for b in batches:
+        for out in fn((1,), iter([b.copy()]), st):
+            a_rows.extend(map(tuple, out.itertuples(index=False)))
+    a_timeout = st.timeout_ms
+
+    # transport B: TWS processor + fake handle/value-state
+    proc = make_session_processor(gap_minutes=2)
+    handle = _FakeTwsHandle()
+    proc.init(handle)
+    b_rows = []
+    for b in batches:
+        for out in proc.handleInputRows((1,), iter([b.copy()]), None):
+            b_rows.extend(map(tuple, out.itertuples(index=False)))
+    assert b_rows == a_rows
+    assert handle.vstate.get() == st.get          # identical live state
+    assert handle.timers == [a_timeout]           # one live timer == timeout
+
+    # timeout path: GroupState timed-out call == TWS expired timer
+    st2 = _FakeState(value=st.get, timed_out=True)
+    a_fin = [tuple(r) for out in fn((1,), iter([]), st2)
+             for r in out.itertuples(index=False)]
+    b_fin = [tuple(r) for out in proc.handleExpiredTimer((1,), None, None)
+             for r in out.itertuples(index=False)]
+    assert b_fin == a_fin and len(b_fin) == 1
+    assert handle.vstate.get() is None            # state cleared on emit
+    # a re-registered timeout REPLACES the old timer (GroupState
+    # semantics) — feed another event and check exactly one timer
+    for _ in proc.handleInputRows((1,), iter([_pdf([(700, 1.0, "view")])]), None):
+        pass
+    assert len(handle.timers) == 1
+
+
+def test_tws_sessionizer_stream_equals_apply_in_pandas(spark, staged_stream_dir):
+    """Live transformWithStateInPandas sessionizer == the
+    applyInPandasWithState one on the same staged stream (and hence
+    == batch, via test_stateful_sessionizer_equals_batch). Skipped
+    where google.protobuf is absent (TWS wire protocol), like
+    test_funnel_tws_equals_q108."""
+    pytest.importorskip("google.protobuf")
+    from polla_spark.streaming.stateful import sessionize_tws
+
+    d, schema = staged_stream_dir
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/*/")
+        )
+        out = sessionize_tws(stream, gap_minutes=GAP_MIN, watermark="5 minutes")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("sessions_tws")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    got = {
+        tuple(r)
+        for r in spark.table("sessions_tws").filter(F.col("user_id") >= 0).collect()
+    }
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*/")
+    )
+    out2 = sessionize_stateful(stream2, gap_minutes=GAP_MIN, watermark="5 minutes")
+    q2 = (
+        out2.writeStream.format("memory")
+        .queryName("sessions_apips")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+    want = {
+        tuple(r)
+        for r in spark.table("sessions_apips").filter(F.col("user_id") >= 0).collect()
+    }
+    assert got == want

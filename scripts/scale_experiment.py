@@ -51,7 +51,8 @@ DEFAULT_QUERIES = [
 # part shares lineitem's partkey offset for the same reason — without
 # it, part-joining queries (q168/q172) would silently match nothing
 # past replica 0 and understate join work in the reported ratios.
-SCALED_TABLES = {"documents", "events", "lineitem", "orders", "part"}
+SCALED_TABLES = {"documents", "events", "lineitem", "orders", "part",
+                 "embeddings"}
 
 
 def build_dir(spark, out: Path, factor: int, *, skew: bool = False) -> None:
@@ -77,7 +78,7 @@ def build_dir(spark, out: Path, factor: int, *, skew: bool = False) -> None:
         base = spark.read.parquet(f"{BASE}/{name}.parquet")
         n = {"documents": 5_000_000_000, "events": 10_000_000_000,
              "lineitem": 100_000_000_000, "orders": 100_000_000_000,
-             "part": 100_000_000_000}[name]
+             "part": 100_000_000_000, "embeddings": 1_000_000_000}[name]
         parts = []
         for i in range(factor):
             df = base
@@ -108,6 +109,33 @@ def build_dir(spark, out: Path, factor: int, *, skew: bool = False) -> None:
                 # part join matches inside every replica
                 df = df.withColumn(
                     "p_partkey", F.col("p_partkey") + F.lit(i * n)
+                )
+            elif name == "embeddings":
+                # REAL replicas, not symlinks (r7 verdict: the symlink
+                # made embedding-query ratios vacuous). Each replica
+                # applies an ORTHOGONAL transform — cyclic dimension
+                # shift by (i % 64) composed with an odd-dim sign flip
+                # for i >= 64 — so intra-replica dot products (hence
+                # cosines, LSH codes' relative structure, near-dup
+                # answers) are EXACTLY preserved while cross-replica
+                # cosines decorrelate: duplicate density stays
+                # constant as the corpus grows, the same discipline as
+                # the documents token prefix.
+                s = i % 64
+                flip = 1 if i >= 64 else 0
+                shifted = (
+                    f"concat(slice(embedding, {s + 1}, 64 - {s}), "
+                    f"slice(embedding, 1, {s}))"
+                )
+                df = df.withColumn(
+                    "vec_id", F.col("vec_id") + F.lit(i * n)
+                ).withColumn(
+                    "embedding",
+                    F.expr(
+                        f"transform({shifted}, (x, j) -> "
+                        f"CASE WHEN {flip} = 1 AND j % 2 = 1 "
+                        f"THEN -x ELSE x END)"
+                    ),
                 )
             elif name == "lineitem":
                 # disjoint order/part spaces => 20 disjoint co-purchase

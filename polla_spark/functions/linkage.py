@@ -54,15 +54,22 @@ BG_PREFIX = 24
 _BG_TITLE = f"substring(text, 1, {BG_PREFIX})"
 #: Spark expr: DISTINCT character bigrams of the title prefix.
 #: greatest(·,1) keeps 0/1-char titles well-defined (one degenerate
-#: short gram) identically in both engines.
+#: short gram) identically in both engines. NULL text must yield a
+#: NULL SET in BOTH engines (so the flag folds to the 0 pattern via
+#: the CASE): without the explicit CASE, Spark builds [NULL] (size 1)
+#: while DuckDB's list_distinct strips the NULL to [] (size 0) and
+#: the overlap test diverges — r8 review finding, pinned in
+#: tests/test_kernel_units.py.
 BG_SPARK_EXPR = (
+    f"CASE WHEN text IS NULL THEN NULL ELSE "
     f"array_distinct(transform(sequence(1, greatest(length({_BG_TITLE}) - 1, 1)), "
-    f"i -> substring({_BG_TITLE}, i, 2)))"
+    f"i -> substring({_BG_TITLE}, i, 2))) END"
 )
 _O_BG_TITLE = f"substr(text, 1, {BG_PREFIX})"
 BG_DUCK_EXPR = (
+    f"CASE WHEN text IS NULL THEN NULL ELSE "
     f"list_distinct(list_transform(generate_series(1, greatest(length({_O_BG_TITLE}) - 1, 1)), "
-    f"i -> substr({_O_BG_TITLE}, i, 2)))"
+    f"i -> substr({_O_BG_TITLE}, i, 2))) END"
 )
 
 
@@ -218,6 +225,41 @@ def fs_init_params(spark) -> DataFrame:
         [(EM_INIT["p"], *([EM_INIT["m"]] * _N), *([EM_INIT["u"]] * _N))],
         cols,
     )
+
+
+def fs_param_cols() -> list[str]:
+    """The parameter report columns (p, m1..mN, u1..uN) — derived
+    from :data:`FS_FIELDS` so a comparator addition cannot leave a
+    consumer (q207, the streaming finisher) at the old width."""
+    return (
+        ["p"]
+        + [f"m{k}" for k in range(1, _N + 1)]
+        + [f"u{k}" for k in range(1, _N + 1)]
+    )
+
+
+def fs_census_flag_cols() -> list[str]:
+    """The census pattern-key columns (g1..gN), same derivation."""
+    return [f"g{k}" for k in range(1, _N + 1)]
+
+
+def fs_em_report(spark, census: DataFrame, rounds: int = 2) -> DataFrame:
+    """The (round, p, m…, u…) training report — init + ``rounds`` EM
+    rounds over ``census``. ONE assembly shared by batch q207 and the
+    streaming twin's finisher (a hardcoded column list in either
+    would silently drop fields when a comparator is added — r8 review
+    finding)."""
+    frames = [fs_init_params(spark)]
+    for _ in range(rounds):
+        nxt = fs_em_round(census, frames[-1])
+        if len(frames) < rounds:  # intermediates feed two consumers
+            nxt = nxt.persist()
+        frames.append(nxt)
+    cols = fs_param_cols()
+    rep = frames[0].select(F.lit(0).alias("round"), *cols)
+    for i, df in enumerate(frames[1:], start=1):
+        rep = rep.unionByName(df.select(F.lit(i).alias("round"), *cols))
+    return rep.orderBy("round")
 
 
 # ---------------------------------------------------------------------------

@@ -4793,12 +4793,14 @@ def _band_near_dup(h: DataFrame, max_ham: int) -> DataFrame:
         F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"c{i}")))
         for i in range(4)
     )
+    # NO output ordering here: q205 sorts its pair report, q209
+    # aggregates — a sort before an aggregation is wasted work (r8
+    # review finding: it cost q209 two global sorts)
     return (
         cand.join(ha, "id_a")
         .join(hb, "id_b")
         .select("id_a", "id_b", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_ham)
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -4826,7 +4828,7 @@ def q205_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     h.count()  # materialize before the 4-way fan-out (q204's guard):
     # band-join sides + both rescore sides otherwise race the cold
     # cache and run the Python decode kernel up to 4x
-    return _band_near_dup(h, _AHASH_HAM)
+    return _band_near_dup(h, _AHASH_HAM).orderBy("id_a", "id_b")
 
 
 #: shared oracle prologue (q205/q209): image sample + grid pixels
@@ -4906,9 +4908,12 @@ def q209_dct_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = phash_bands(documents_as_assets(_image_docs(spark, sf_dir))).persist()
     h.count()  # q205's materialization guard before the 4-way fan-out
     pairs = _band_near_dup(h, 64)  # all band-colliding candidates
+    # ONE pass over the pair pipeline: explode each pair to both
+    # endpoints instead of a self-union that would execute the whole
+    # band join + rescore twice (r8 review finding)
     sym = pairs.select(
-        F.col("id_a").alias("asset_id"), "hamming"
-    ).unionByName(pairs.select(F.col("id_b").alias("asset_id"), "hamming"))
+        F.explode(F.array("id_a", "id_b")).alias("asset_id"), "hamming"
+    )
     stats = sym.groupBy("asset_id").agg(
         F.count("*").alias("n_cand"),
         F.sum(
@@ -5098,12 +5103,8 @@ FROM scored ORDER BY doc_a, doc_b, w_dist
 
 
 
-_FS_PARAM_COLS = (
-    ["p"]
-    + [f"m{k}" for k in range(1, len(LK.FS_FIELDS) + 1)]
-    + [f"u{k}" for k in range(1, len(LK.FS_FIELDS) + 1)]
-)
-_FS_G_COLS = [f"g{k}" for k in range(1, len(LK.FS_FIELDS) + 1)]
+_FS_PARAM_COLS = LK.fs_param_cols()
+_FS_G_COLS = LK.fs_census_flag_cols()
 
 
 def _fs_census(neigh: DataFrame) -> DataFrame:
@@ -5145,17 +5146,7 @@ def q207_fs_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Report: (round, p_ppm, m/u per field) for init + 2 rounds.
     """
     census = _fs_census(_fs_neighbors(spark, sf_dir)).persist()
-    init = LK.fs_init_params(spark)
-    r1 = LK.fs_em_round(census, init).persist()
-    r2 = LK.fs_em_round(census, r1)
-    rows = [
-        df.select(F.lit(i).alias("round"), *_FS_PARAM_COLS)
-        for i, df in ((0, init), (1, r1), (2, r2))
-    ]
-    rep = rows[0]
-    for r in rows[1:]:
-        rep = rep.unionByName(r)
-    return rep.orderBy("round")
+    return LK.fs_em_report(spark, census, rounds=2)
 
 
 _O_FS_COMMON = _O_FS_PROLOGUE.format(

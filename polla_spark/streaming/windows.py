@@ -1344,19 +1344,15 @@ def finish_fs_census(updates: DataFrame) -> DataFrame:
 
 def finish_fs_em_weights(updates: DataFrame) -> DataFrame:
     """Train the FS parameters from the STREAMED census through the
-    identical exact-ppm EM as batch q207 (functions/linkage.py — one
-    source of truth): init + 2 unrolled rounds, same report shape."""
-    from ..functions.linkage import fs_em_round, fs_init_params
+    identical exact-ppm EM as batch q207 — the SAME
+    ``functions/linkage.fs_em_report`` assembly (one source of truth:
+    a comparator addition changes both paths together, the report
+    shape cannot desynchronize)."""
+    from ..functions.linkage import fs_em_report
 
-    census = finish_fs_census(updates)
-    init = fs_init_params(updates.sparkSession)
-    r1 = fs_em_round(census, init).persist()
-    r2 = fs_em_round(census, r1)
-    cols = ["p"] + [f"m{k}" for k in range(1, 5)] + [f"u{k}" for k in range(1, 5)]
-    rep = init.select(F.lit(0).alias("round"), *cols)
-    for i, df in ((1, r1), (2, r2)):
-        rep = rep.unionByName(df.select(F.lit(i).alias("round"), *cols))
-    return rep.orderBy("round")
+    return fs_em_report(
+        updates.sparkSession, finish_fs_census(updates), rounds=2
+    )
 
 
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:

@@ -120,7 +120,17 @@ def build_dir(spark, out: Path, factor: int, *, skew: bool = False) -> None:
                 # answers) are EXACTLY preserved while cross-replica
                 # cosines decorrelate: duplicate density stays
                 # constant as the corpus grows, the same discipline as
-                # the documents token prefix.
+                # the documents token prefix. The transform family has
+                # PERIOD 128 (64 shifts x 2 sign patterns): replica
+                # 128 would be byte-identical to replica 0 and quietly
+                # reintroduce the duplicate-mass inflation — refuse
+                # instead of distorting ratios (r8 review finding).
+                if factor > 128:
+                    raise ValueError(
+                        "embeddings replica transforms repeat past "
+                        f"factor 128 (got {factor}): extend the "
+                        "orthogonal family before scaling further"
+                    )
                 s = i % 64
                 flip = 1 if i >= 64 else 0
                 shifted = (

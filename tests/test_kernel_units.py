@@ -318,3 +318,39 @@ def test_rank_bound_verify_passes_exact_quantile(spark):
     )
     out = rank_bound_verify(ok, fact, "key", "v", 100, tag="unit").collect()
     assert len(out) == 1 and out[0]["verified"]
+
+
+def test_bg_set_null_text_matches_duckdb(spark):
+    """NULL text must yield a NULL bigram SET in BOTH engines so the
+    bg agreement flag folds to the 0 pattern identically: without the
+    explicit CASE, Spark builds [NULL] (size 1) while DuckDB strips
+    the NULL to [] (size 0) and the overlap test diverges — the kind
+    of latent parity bomb the committed corpora (no NULL texts) never
+    detonate (r8 review finding)."""
+    import duckdb
+
+    from polla_spark.functions.linkage import BG_DUCK_EXPR, BG_SPARK_EXPR
+
+    rows = [(1, None), (2, "hello world"), (3, ""), (4, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # compare as SETS: DuckDB's list_distinct does not preserve
+    # element order, and the bg column is only ever consumed
+    # set-wise (list_intersect sizes) — order is out of contract
+    got = {
+        r["doc_id"]: (frozenset(r["bg"]) if r["bg"] is not None else None)
+        for r in df.selectExpr("doc_id", f"{BG_SPARK_EXPR} AS bg").collect()
+    }
+    con = duckdb.connect()
+    want = {
+        i: (frozenset(b) if b is not None else None)
+        for i, b in con.execute(
+            f"SELECT doc_id, {BG_DUCK_EXPR} AS bg FROM (VALUES "
+            "(1, NULL), (2, 'hello world'), (3, ''), (4, 'x')"
+            ") AS t(doc_id, text) ORDER BY doc_id"
+        ).fetchall()
+    }
+    assert got == want
+    assert got[1] is None                        # NULL in, NULL set out
+    # and the downstream flag semantics: NULL set -> flag 0 via the
+    # CASE in BOTH engines (fs_flag_cols' documented contract)
+    assert got[3] == {""} and got[4] == {"x"}    # degenerate titles agree

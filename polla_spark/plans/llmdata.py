@@ -2240,26 +2240,68 @@ def q199_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python; the exact semantics are pinned against a Python reference
     in tests/test_r6_math_properties.py.
     """
-    docs = t(spark, sf_dir, "documents")
-    words = (
-        docs.select(F.explode(_toks()).alias("w"))
+    merges = _bpe_train(spark, sf_dir)
+    rep = merges[0]
+    for m in merges[1:]:
+        rep = rep.unionByName(m)
+    return rep.select("round", "a", "b", "n").orderBy("round")
+
+
+def _bpe_word_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(w, cnt) census of lowercase-alpha corpus words — the ONLY
+    corpus-touching stage of the BPE family (q199 trains on its top
+    slice, q210 tokenizes all of it)."""
+    return (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(_toks()).alias("w"))
         .filter(F.col("w").rlike("^[a-z]+$"))
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
-        .orderBy(F.desc("cnt"), "w")
-        .limit(_BPE_VOCAB)
     )
-    reprs = words.select(
+
+
+def _bpe_reprs(words: DataFrame, *cols) -> DataFrame:
+    """Character-symbol representation ' c h a r s </w> ' per word."""
+    return words.select(
         F.concat(
             F.lit(" "),
             F.concat_ws(" ", F.expr("regexp_extract_all(w, '.', 0)")),
             F.lit(" </w> "),
         ).alias("repr"),
         "cnt",
-    ).persist()
+        *cols,
+    )
 
-    def top_pair(r: DataFrame, rnd: int) -> DataFrame:
-        pairs = r.select(
+
+def _bpe_apply_merge(r: DataFrame, merge: DataFrame) -> DataFrame:
+    """One left-to-right consumed-delimiter merge pass (q199's
+    documented single-pass contract) of the broadcast 1-row (a, b)
+    ``merge`` over a repr frame — shared by training rounds and q210's
+    corpus tokenization so the two cannot drift."""
+    others = [c for c in r.columns if c != "repr"]
+    return r.crossJoin(F.broadcast(merge.select("a", "b"))).select(
+        F.regexp_replace(
+            "repr",
+            F.concat(F.lit(" "), F.col("a"), F.lit(" "), F.col("b"), F.lit(" ")),
+            F.concat(F.lit(" "), F.col("a"), F.col("b"), F.lit(" ")),
+        ).alias("repr"),
+        *others,
+    )
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+    """q199's 3 unrolled training rounds over the top-{_BPE_VOCAB}
+    word census; returns the per-round 1-row merge frames
+    (round, a, b, n)."""
+    words = (
+        _bpe_word_census(spark, sf_dir)
+        .orderBy(F.desc("cnt"), "w")
+        .limit(_BPE_VOCAB)
+    )
+    r = _bpe_reprs(words).persist()
+
+    def top_pair(rr: DataFrame, rnd: int) -> DataFrame:
+        pairs = rr.select(
             "cnt",
             F.explode(
                 F.expr(
@@ -2278,26 +2320,11 @@ def q199_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     merges = []
-    r = reprs
     for rnd in (1, 2, 3):
         top = top_pair(r, rnd).persist()
         merges.append(top)
-        r = (
-            r.crossJoin(F.broadcast(top))
-            .select(
-                F.regexp_replace(
-                    "repr",
-                    F.concat(F.lit(" "), F.col("a"), F.lit(" "), F.col("b"), F.lit(" ")),
-                    F.concat(F.lit(" "), F.col("a"), F.col("b"), F.lit(" ")),
-                ).alias("repr"),
-                "cnt",
-            )
-            .persist()
-        )
-    rep = merges[0]
-    for m in merges[1:]:
-        rep = rep.unionByName(m)
-    return rep.select("round", "a", "b", "n").orderBy("round")
+        r = _bpe_apply_merge(r, top).persist()
+    return merges
 
 
 def _O199_round(prev: str, rnd: int) -> str:
@@ -2329,6 +2356,83 @@ WITH words AS (
 SELECT round, a, b, n FROM (
   SELECT * FROM t1 UNION ALL SELECT * FROM t2 UNION ALL SELECT * FROM t3
 ) ORDER BY round
+"""
+
+
+_BPE_TOPK = 20
+
+
+def q210_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED-tokenizer APPLICATION — the tokenizer family's q208:
+    q199 trains the merge table, this query composes training INTO
+    corpus tokenization: train 3 merges on the top-{_BPE_VOCAB} word
+    census, then apply them IN ORDER (the same shared single-pass
+    consumed-delimiter rewrite, ``_bpe_apply_merge`` — training and
+    application literally share the merge operator, so the two cannot
+    drift) to EVERY corpus word, and report the resulting token
+    vocabulary: top-{_BPE_TOPK} tokens by corpus-weighted count,
+    with the distinct-word support of each.
+
+    Plan shape at 100 TB: the corpus is touched ONCE (the word
+    census, one partial-agged shuffle); training rounds run on the
+    ≤{_BPE_VOCAB}-row vocabulary; application rewrites the
+    DISTINCT-WORD census (sublinear in corpus size — Heaps' law),
+    weighted by counts, with each merge a broadcast 1-row crossJoin —
+    so tokenizing 100 TB costs one census plus vocabulary-sized work,
+    never a second corpus pass.
+    """
+    merges = _bpe_train(spark, sf_dir)
+    r = _bpe_reprs(_bpe_word_census(spark, sf_dir))
+    for top in merges:
+        r = _bpe_apply_merge(r, top)
+    toks = r.select(
+        "cnt",
+        F.explode(F.split(F.trim("repr"), " ")).alias("token"),
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.sum("cnt").alias("total"),
+            F.count("*").alias("n_words"),
+        )
+        .orderBy(F.desc("total"), "token")
+        .limit(_BPE_TOPK)
+    )
+
+
+O210 = f"""
+WITH census AS (
+  SELECT w, COUNT(*) AS cnt FROM (
+    SELECT unnest({TOKS}) AS w FROM documents
+  ) WHERE regexp_matches(w, '^[a-z]+$')
+  GROUP BY 1
+), words AS (
+  SELECT w, cnt FROM census ORDER BY cnt DESC, w LIMIT {_BPE_VOCAB}
+), r0 AS (
+  SELECT ' ' || array_to_string(regexp_extract_all(w, '.', 0), ' ') || ' </w> ' AS repr,
+         cnt
+  FROM words
+), {_O199_round("r0", 1)}, {_O199_round("r1", 2)}, {_O199_round("r2", 3)}, a0 AS (
+  SELECT ' ' || array_to_string(regexp_extract_all(w, '.', 0), ' ') || ' </w> ' AS repr,
+         cnt
+  FROM census
+), a1 AS (
+  SELECT regexp_replace(repr, ' ' || t1.a || ' ' || t1.b || ' ',
+                        ' ' || t1.a || t1.b || ' ', 'g') AS repr, cnt
+  FROM a0, t1
+), a2 AS (
+  SELECT regexp_replace(repr, ' ' || t2.a || ' ' || t2.b || ' ',
+                        ' ' || t2.a || t2.b || ' ', 'g') AS repr, cnt
+  FROM a1, t2
+), a3 AS (
+  SELECT regexp_replace(repr, ' ' || t3.a || ' ' || t3.b || ' ',
+                        ' ' || t3.a || t3.b || ' ', 'g') AS repr, cnt
+  FROM a2, t3
+), toks AS (
+  SELECT unnest(string_split(trim(repr), ' ')) AS token, cnt FROM a3
+)
+SELECT token, CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS n_words
+FROM toks GROUP BY 1 ORDER BY total DESC, token LIMIT {_BPE_TOPK}
 """
 
 
@@ -5409,4 +5513,9 @@ QUERIES = [
           "committed fixed-point cosine table, bits vs the exact AC "
           "median, then q205's shared band-join + Hamming rescore "
           "(production perceptual hash, still oracle-exact)"),
+    Query("q210_bpe_tokenize", q210_bpe_tokenize, O210,
+          "trained-tokenizer application: q199's 3 learned merges "
+          "applied in order to the FULL word census via the shared "
+          "merge operator; top-20 token vocabulary report (corpus "
+          "touched once, application is census-sized)"),
 ]

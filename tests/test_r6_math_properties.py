@@ -242,3 +242,75 @@ def test_greedy_cover_matches_python_reference(spark):
     assert [(r["round"], r["doc_id"], r["gain"]) for r in got] == want
     gains = [g for _, _, g in want]
     assert gains == sorted(gains, reverse=True)
+
+
+def test_bpe_tokenize_matches_python_reference(spark):
+    """q210's trained-tokenizer application pinned against a
+    from-scratch Python BPE (train 3 merges on the top-100 census,
+    apply single-pass merges to every word, top-20 token census) over
+    an independently-derived word census — the q207/q201 discipline:
+    the DuckDB oracle proves engine portability, the Python reference
+    proves the algorithm."""
+    import os
+    from collections import Counter
+
+    import duckdb
+
+    from polla_spark.plans.llmdata import q210_bpe_tokenize
+
+    sf = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
+    con = duckdb.connect()
+    census = dict(con.execute(f"""
+        SELECT w, COUNT(*) FROM (
+          SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w
+          FROM read_parquet('{sf}/documents.parquet')
+        ) WHERE regexp_matches(w, '^[a-z]+$') GROUP BY 1
+    """).fetchall())
+
+    def ref_merge(toks, a, b):
+        out, i, blocked = [], 0, False
+        while i < len(toks):
+            if (not blocked and i + 1 < len(toks)
+                    and toks[i] == a and toks[i + 1] == b):
+                out.append(a + b)
+                i += 2
+                blocked = True
+            else:
+                out.append(toks[i])
+                i += 1
+                blocked = False
+        return out
+
+    top100 = sorted(census.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    reprs = {w: list(w) + ["</w>"] for w, _ in top100}
+    merges = []
+    for _ in range(3):
+        pairs = Counter()
+        for w, c in top100:
+            t = reprs[w]
+            for k in range(len(t) - 1):
+                pairs[(t[k], t[k + 1])] += c
+        (a, b), _n = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((a, b))
+        for w in reprs:
+            reprs[w] = ref_merge(reprs[w], a, b)
+
+    # q210's n_words explodes the token SEQUENCE of each distinct
+    # word, so it counts sequence SLOTS (a token twice in one word
+    # counts twice) — mirror that exactly
+    tok_census = Counter()
+    slot_support = Counter()
+    for w, c in census.items():
+        t = list(w) + ["</w>"]
+        for a, b in merges:
+            t = ref_merge(t, a, b)
+        for tok in t:
+            tok_census[tok] += c
+            slot_support[tok] += 1
+    want = sorted(
+        ((tok, n, slot_support[tok]) for tok, n in tok_census.items()),
+        key=lambda r: (-r[1], r[0]),
+    )[:20]
+    got = [(r["token"], r["total"], r["n_words"])
+           for r in q210_bpe_tokenize(spark, sf).collect()]
+    assert got == want, (got[:5], want[:5])

@@ -154,6 +154,7 @@ HEADLINE = [
     "q208_fs_trained_classify",
     "q209_dct_phash_near_dup",
     "q210_bpe_tokenize",
+    "q211_jaro_winkler",
     # q203 stays out for q201's reason: its cost is the shared
     # shingle-set construction (~10 s at any sf, the q201 fixed cost),
     # not the sketch algebra; covered by parity + its SCALE.md row.

@@ -1,0 +1,194 @@
+"""Jaro-Winkler string similarity in EXACT ppm integers — the real
+edit-based comparator ER toolkits score names with (q206's bigram
+overlap is the banding-friendly integer test; this is the classic
+sequential algorithm itself), expressed fully declaratively in BOTH
+engines so it is oracle-checkable:
+
+- Spark: one within-row ``aggregate()`` fold over the first string's
+  positions; the per-step greedy window search is a NESTED lambda
+  (``filter`` referencing the outer fold's accumulator — supported
+  since Spark 2.4), the used-positions set is a 16-bit mask in a
+  long. No UDF, no shuffle: the whole comparator runs inside
+  whole-stage codegen per row.
+- DuckDB (oracle): the same greedy recurrence as a RECURSIVE CTE
+  (DuckDB 1.0's ``list_reduce`` has no initial accumulator and its
+  nested lambdas cannot capture outer lambda variables, so the fold
+  becomes row-per-step recursion — same arithmetic, same mask).
+
+Algorithm (Jaro 1989 / Winkler 1990), all integer:
+
+- match window w = max(|a|, |b|) div 2 − 1 (≥ 0);
+- greedy left-to-right matching: position i of ``a`` takes the
+  SMALLEST unused j in [i−w, i+w] with a[i] = b[j];
+- m = matches; d = positions where the two matched sequences differ
+  (2t = d, t = transpositions);
+- jaro = (m/|a| + m/|b| + (2m−d)/(2m)) / 3, computed as ONE exact
+  floor division over the common denominator 6·m·|a|·|b|, scaled to
+  ppm — floor-div-exact in both engines, never a float;
+- Winkler boost (only above 0.7): jw = jaro + ℓ·(10^6 − jaro) div 10
+  with ℓ = common prefix length capped at 4.
+
+Conventions (documented, both engines): both strings empty → 10^6
+(identical); one empty or zero matches → 0. Inputs must be NON-NULL
+(callers filter); char-based substring keeps multibyte text correct
+in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PPM = 1_000_000
+#: Winkler boost applies only above this (the standard 0.7 gate)
+JW_BOOST_PPM = 700_000
+
+
+def _spark_cj(a: str, b: str, lb: str, w: str) -> str:
+    """The per-step greedy pick: smallest UNUSED j in [i−w, i+w] with
+    b[j] = a[i] (NULL when none). ``sequence(lo, hi)`` DESCENDS when
+    lo > hi in Spark, so the upper bound is clamped to ≥ lo and the
+    true bound re-checked inside the lambda."""
+    lo = f"greatest(1, i - {w})"
+    hi = f"least({lb}, i + {w})"
+    return (
+        f"array_min(filter(sequence({lo}, greatest({hi}, {lo})), "
+        f"j -> j <= {hi} and substring({b}, j, 1) = substring({a}, i, 1) "
+        f"and (shiftright(acc.mask, cast(j - 1 as int)) & 1) = 0))"
+    )
+
+
+def with_jaro_winkler(
+    df: DataFrame, a: str, b: str, *, out: str = "jw"
+) -> DataFrame:
+    """Add ``{out}_jaro_ppm`` and ``{out}_ppm`` columns scoring the
+    NON-NULL string columns ``a`` vs ``b``. Pure column expressions —
+    the comparator vectorizes per-row inside codegen."""
+    la, lb = f"__{out}_la", f"__{out}_lb"
+    w, st = f"__{out}_w", f"__{out}_st"
+    m, bm, d, l = (f"__{out}_m", f"__{out}_bm", f"__{out}_d", f"__{out}_l")
+    cj = _spark_cj(a, b, lb, w)
+    res = (
+        df.withColumn(la, F.length(a).cast("long"))
+        .withColumn(lb, F.length(b).cast("long"))
+        .withColumn(
+            w, F.expr(f"greatest(greatest({la}, {lb}) div 2 - 1, cast(0 as bigint))")
+        )
+        .withColumn(
+            st,
+            F.expr(f"""
+              aggregate(
+                sequence(cast(1 as bigint), greatest({la}, cast(1 as bigint))),
+                named_struct('mask', cast(0 as bigint), 'am', ''),
+                (acc, i) -> if(i > {la}, acc, named_struct(
+                  'mask', if({cj} is null, acc.mask,
+                             acc.mask | shiftleft(cast(1 as bigint), cast({cj} - 1 as int))),
+                  'am',   if({cj} is null, acc.am,
+                             concat(acc.am, substring({a}, i, 1)))
+                ))
+              )"""),
+        )
+        .withColumn(m, F.expr(f"cast(length({st}.am) as bigint)"))
+        .withColumn(
+            bm,
+            F.expr(
+                f"concat_ws('', transform("
+                f"filter(sequence(cast(1 as bigint), greatest({lb}, cast(1 as bigint))), "
+                f"j -> j <= {lb} and (shiftright({st}.mask, cast(j - 1 as int)) & 1) = 1), "
+                f"j -> substring({b}, j, 1)))"
+            ),
+        )
+        .withColumn(
+            d,
+            F.expr(
+                f"cast(size(filter(sequence(cast(1 as bigint), greatest({m}, cast(1 as bigint))), "
+                f"k -> k <= {m} and substring({st}.am, k, 1) != substring({bm}, k, 1))) as bigint)"
+            ),
+        )
+        .withColumn(
+            l,
+            F.expr(
+                f"cast(size(filter(sequence(1, 4), "
+                f"k -> k <= least({la}, {lb}) "
+                f"and substring({a}, 1, k) = substring({b}, 1, k))) as bigint)"
+            ),
+        )
+        .withColumn(
+            f"{out}_jaro_ppm",
+            F.expr(f"""
+              case when {la} = 0 and {lb} = 0 then cast({PPM} as bigint)
+                   when {m} = 0 then cast(0 as bigint)
+                   else ({PPM} * (2 * {m} * {m} * {lb} + 2 * {m} * {m} * {la}
+                                  + (2 * {m} - {d}) * {la} * {lb}))
+                        div (6 * {m} * {la} * {lb})
+              end"""),
+        )
+        .withColumn(
+            f"{out}_ppm",
+            F.expr(f"""
+              case when {out}_jaro_ppm > {JW_BOOST_PPM}
+                   then {out}_jaro_ppm
+                        + {l} * ({PPM} - {out}_jaro_ppm) div 10
+                   else {out}_jaro_ppm end"""),
+        )
+    )
+    return res.drop(la, lb, w, st, m, bm, d, l)
+
+
+def o_jaro_winkler_ctes(pairs_cte: str = "pairs") -> str:
+    """DuckDB twin: CTE chain scoring a ``{pairs_cte}`` relation with
+    UNIQUE key (doc_a, doc_b, w_dist) and NON-NULL strings (ta, tb).
+    Emits a final CTE ``jwscore`` (doc_a, doc_b, w_dist, jaro_ppm,
+    jw_ppm). Returned WITHOUT a leading WITH; requires the statement
+    to be WITH RECURSIVE."""
+    cj = (
+        "list_min(list_filter("
+        "generate_series(greatest(1, (i + 1) - w), least(lb, (i + 1) + w)), "
+        "j -> substr(tb, j, 1) = substr(ta, i + 1, 1) "
+        "AND ((mask >> CAST(j - 1 AS INTEGER)) & 1) = 0))"
+    )
+    return f"""jrec AS (
+  SELECT doc_a, doc_b, w_dist, ta, tb,
+         CAST(length(ta) AS BIGINT) AS la, CAST(length(tb) AS BIGINT) AS lb,
+         greatest(greatest(CAST(length(ta) AS BIGINT),
+                           CAST(length(tb) AS BIGINT)) // 2 - 1, 0) AS w,
+         CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS mask, '' AS am
+  FROM {pairs_cte}
+  UNION ALL
+  SELECT doc_a, doc_b, w_dist, ta, tb, la, lb, w, i + 1,
+         CASE WHEN cj IS NULL THEN mask
+              ELSE mask | (CAST(1 AS BIGINT) << CAST(cj - 1 AS INTEGER)) END,
+         CASE WHEN cj IS NULL THEN am ELSE am || substr(ta, CAST(i + 1 AS BIGINT), 1) END
+  FROM (SELECT *, {cj} AS cj FROM jrec WHERE i < la) s
+), jfinal AS (
+  SELECT doc_a, doc_b, w_dist, ta, tb, la, lb, mask,
+         am, CAST(length(am) AS BIGINT) AS m,
+         array_to_string(list_transform(
+           list_filter(generate_series(1, CAST(lb AS INTEGER)),
+                       j -> ((mask >> CAST(j - 1 AS INTEGER)) & 1) = 1),
+           j -> substr(tb, j, 1)), '') AS bm
+  FROM jrec WHERE i = la
+), jd AS (
+  SELECT *,
+         CAST(len(list_filter(generate_series(1, CAST(m AS INTEGER)),
+              k -> substr(am, k, 1) <> substr(bm, k, 1))) AS BIGINT) AS d,
+         CAST(len(list_filter(generate_series(1, 4),
+              k -> k <= least(la, lb)
+                   AND substr(ta, 1, k) = substr(tb, 1, k))) AS BIGINT) AS l
+  FROM jfinal
+), jjaro AS (
+  SELECT doc_a, doc_b, w_dist, l,
+         CASE WHEN la = 0 AND lb = 0 THEN CAST({PPM} AS BIGINT)
+              WHEN m = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(({PPM} * (2 * m * m * lb + 2 * m * m * la
+                                  + (2 * m - d) * la * lb))
+                        // (6 * m * la * lb) AS BIGINT)
+         END AS jaro_ppm
+  FROM jd
+), jwscore AS (
+  SELECT doc_a, doc_b, w_dist, jaro_ppm,
+         CASE WHEN jaro_ppm > {JW_BOOST_PPM}
+              THEN jaro_ppm + l * ({PPM} - jaro_ppm) // 10
+              ELSE jaro_ppm END AS jw_ppm
+  FROM jjaro
+)"""

@@ -5332,6 +5332,72 @@ ORDER BY f.doc_a, f.doc_b, f.w_dist
 """
 
 
+_JW_TITLE = 16  # chars of text the name-field comparator reads
+
+
+def q211_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro-Winkler NAME-FIELD similarity over the q128 sorted-
+    neighborhood candidate pairs — the classic sequential string
+    comparator (greedy windowed matching + transposition count +
+    prefix boost) expressed FULLY DECLARATIVELY: a within-row
+    ``aggregate()`` fold with a 16-bit used-positions mask
+    (functions/strsim.py), no UDF, no extra shuffle — the comparator
+    runs inside codegen on the same single-exchange SNM stream as
+    q206/q208. The DuckDB oracle replays the identical greedy
+    recurrence as a recursive CTE, and every score is an exact ppm
+    integer (one floor division over the common denominator), so the
+    report is hash-exact. Also pinned against an independent Python
+    Jaro-Winkler on crafted + corpus pairs (tests/test_strsim.py).
+
+    Report: (doc_a, doc_b, w_dist, jaro_ppm, jw_ppm) per candidate
+    pair, titles = the {_JW_TITLE}-char text prefix (the "name
+    field"), NULL-text docs excluded identically in both engines.
+    """
+    from ..functions.strsim import with_jaro_winkler
+
+    d = (
+        _with_shingle_sets(
+            t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+        )
+        .withColumn("title", F.expr(f"substring(text, 1, {_JW_TITLE})"))
+        .select("doc_id", "lang", "n_chars", "sh", "title")
+    )
+    neigh = _snm_neighbors(d, ("title",))
+    return (
+        with_jaro_winkler(neigh, "title_a", "title_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("w_dist").cast("long").alias("w_dist"),
+            "jw_jaro_ppm",
+            "jw_ppm",
+        )
+        .withColumnRenamed("jw_jaro_ppm", "jaro_ppm")
+        .orderBy("doc_a", "doc_b", "w_dist")
+    )
+
+
+def _o211() -> str:
+    from ..functions.strsim import o_jaro_winkler_ctes  # noqa: PLC0415
+
+    return f"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id, lang, n_chars, list_distinct({_DUCK_SHINGLES}) AS sh,
+         substr(text, 1, {_JW_TITLE}) AS title
+  FROM documents WHERE text IS NOT NULL
+), neigh AS ({_o_snm_neighbors(("title",))}), pairs AS (
+  SELECT doc_a, doc_b, CAST(i AS BIGINT) AS w_dist,
+         title_a AS ta, title_b AS tb
+  FROM neigh WHERE doc_b IS NOT NULL
+), {o_jaro_winkler_ctes("pairs")}
+SELECT doc_a, doc_b, w_dist, jaro_ppm, jw_ppm
+FROM jwscore ORDER BY doc_a, doc_b, w_dist
+"""
+
+
+O211 = _o211()
+
+
 QUERIES = [
     Query("q50_exact_dedup", q50_exact_dedup, O50, "sha256 exact dedup"),
     Query("q51_fingerprint_dedup", q51_fingerprint_dedup, O51, "normalized fingerprint dedup"),
@@ -5518,4 +5584,9 @@ QUERIES = [
           "applied in order to the FULL word census via the shared "
           "merge operator; top-20 token vocabulary report (corpus "
           "touched once, application is census-sized)"),
+    Query("q211_jaro_winkler", q211_jaro_winkler, O211,
+          "Jaro-Winkler name similarity over SNM pairs as a pure "
+          "within-row aggregate() fold (16-bit used mask, nested "
+          "lambda window search) in exact ppm integers; oracle = the "
+          "same greedy recurrence as a recursive CTE"),
 ]

@@ -1,0 +1,122 @@
+"""Jaro-Winkler comparator (functions/strsim.py) pinned against a
+from-scratch Python implementation — the q207/q210 discipline: the
+DuckDB oracle proves cross-engine portability, an INDEPENDENT
+reference proves the algorithm itself."""
+
+from __future__ import annotations
+
+import random
+
+PPM = 1_000_000
+
+
+def _py_jaro_winkler(a: str, b: str) -> tuple[int, int]:
+    """Classic Jaro (greedy windowed matching, transpositions) +
+    Winkler prefix boost above 0.7, in the same exact ppm floor
+    arithmetic the engine documents. Written from the published
+    algorithm, no polla_spark code."""
+    la, lb = len(a), len(b)
+    if la == 0 and lb == 0:
+        return PPM, PPM
+    w = max(max(la, lb) // 2 - 1, 0)
+    used = [False] * lb
+    am = []
+    for i in range(la):
+        for j in range(max(0, i - w), min(lb, i + w + 1)):
+            if not used[j] and b[j] == a[i]:
+                used[j] = True
+                am.append(a[i])
+                break
+    m = len(am)
+    if m == 0:
+        return 0, 0
+    bm = [b[j] for j in range(lb) if used[j]]
+    d = sum(1 for k in range(m) if am[k] != bm[k])
+    jaro = (PPM * (2 * m * m * lb + 2 * m * m * la
+                   + (2 * m - d) * la * lb)) // (6 * m * la * lb)
+    pref = 0
+    for k in range(min(4, la, lb)):
+        if a[k] == b[k]:
+            pref += 1
+        else:
+            break
+    jw = jaro + pref * (PPM - jaro) // 10 if jaro > 700_000 else jaro
+    return jaro, jw
+
+
+def _spark_scores(spark, cases):
+    from polla_spark.functions.strsim import with_jaro_winkler
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(cases)],
+        "pid long, ta string, tb string",
+    )
+    return {
+        r["pid"]: (r["jw_jaro_ppm"], r["jw_ppm"])
+        for r in with_jaro_winkler(df, "ta", "tb").collect()
+    }
+
+
+def test_jaro_winkler_published_classics(spark):
+    """The literature's worked examples, exact in ppm: Winkler's
+    MARTHA/MARHTA (0.944/0.961), DIXON/DICKSONX (0.767/0.813),
+    DWAYNE/DUANE (0.822/0.840)."""
+    cases = [("martha", "marhta"), ("dixon", "dicksonx"),
+             ("dwayne", "duane")]
+    got = _spark_scores(spark, cases)
+    assert got[0] == (944444, 961110)
+    assert got[1] == (766666, 813332)
+    assert got[2] == (822222, 839999)
+
+
+def test_jaro_winkler_edge_contract(spark):
+    """Documented conventions: both empty -> 1.0; one empty or no
+    matches -> 0; identity -> 1.0; window 0 means adjacent swaps of a
+    2-char string do NOT match (w = max(2,2)//2 - 1 = 0)."""
+    cases = [("", ""), ("", "abc"), ("abc", ""), ("same", "same"),
+             ("ab", "ba")]
+    got = _spark_scores(spark, cases)
+    want = [_py_jaro_winkler(a, b) for a, b in cases]
+    assert [got[i] for i in range(len(cases))] == want
+    assert got[0] == (PPM, PPM) and got[1] == (0, 0) and got[4] == (0, 0)
+
+
+def test_jaro_winkler_randomized_vs_python(spark):
+    """200 seeded random pairs (lengths 0..16, small alphabet so
+    matches/transpositions are dense) — Spark fold == the independent
+    Python reference on every pair, jaro and jw both."""
+    rng = random.Random(20260815)
+    alpha = "abcdef "
+    cases = []
+    for _ in range(200):
+        n1, n2 = rng.randint(0, 16), rng.randint(0, 16)
+        cases.append((
+            "".join(rng.choice(alpha) for _ in range(n1)).strip(),
+            "".join(rng.choice(alpha) for _ in range(n2)).strip(),
+        ))
+    got = _spark_scores(spark, cases)
+    for i, (a, b) in enumerate(cases):
+        assert got[i] == _py_jaro_winkler(a, b), (i, a, b, got[i])
+
+
+def test_q211_scores_match_python_on_corpus(spark):
+    """q211's report re-scored by the Python reference: every
+    (pair -> jaro/jw) row agrees, titles recomputed independently
+    from the parquet."""
+    import os
+
+    import duckdb
+
+    from polla_spark.plans.llmdata import _JW_TITLE, q211_jaro_winkler
+
+    sf = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
+    con = duckdb.connect()
+    titles = dict(con.execute(
+        f"SELECT doc_id, substr(text, 1, {_JW_TITLE}) "
+        f"FROM read_parquet('{sf}/documents.parquet') WHERE text IS NOT NULL"
+    ).fetchall())
+    rows = q211_jaro_winkler(spark, sf).collect()
+    assert len(rows) > 0
+    for r in rows:
+        want = _py_jaro_winkler(titles[r["doc_a"]], titles[r["doc_b"]])
+        assert (r["jaro_ppm"], r["jw_ppm"]) == want, (r, want)

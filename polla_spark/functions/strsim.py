@@ -7,9 +7,11 @@ engines so it is oracle-checkable:
 - Spark: one within-row ``aggregate()`` fold over the first string's
   positions; the per-step greedy window search is a NESTED lambda
   (``filter`` referencing the outer fold's accumulator — supported
-  since Spark 2.4), the used-positions set is a 16-bit mask in a
-  long. No UDF, no shuffle: the whole comparator runs inside
-  whole-stage codegen per row.
+  since Spark 2.4), the used-positions set is a bitmask in a long.
+  No UDF, no shuffle, no Python: higher-order functions evaluate in
+  Spark's INTERPRETED expression mode (not whole-stage codegen), but
+  entirely JVM-side per row — which is also why the window search is
+  let-bound to evaluate once per step (see ``with_jaro_winkler``).
 - DuckDB (oracle): the same greedy recurrence as a RECURSIVE CTE
   (DuckDB 1.0's ``list_reduce`` has no initial accumulator and its
   nested lambdas cannot capture outer lambda variables, so the fold
@@ -62,14 +64,36 @@ def with_jaro_winkler(
     df: DataFrame, a: str, b: str, *, out: str = "jw"
 ) -> DataFrame:
     """Add ``{out}_jaro_ppm`` and ``{out}_ppm`` columns scoring the
-    NON-NULL string columns ``a`` vs ``b``. Pure column expressions —
-    the comparator vectorizes per-row inside codegen."""
+    NON-NULL string columns ``a`` vs ``b``. Pure column expressions,
+    all JVM-side.
+
+    LENGTH CAP: ``b`` must be ≤ 64 characters — the used-positions
+    set is one long, and ``shiftleft`` wraps its shift amount mod 64,
+    so position 65 would silently alias position 1 (and DuckDB's
+    ``<<`` would diverge). ENFORCED with an in-plan abort rather than
+    documented-only (r8 review finding): callers score bounded name
+    fields; a longer field is a contract violation, not data."""
     la, lb = f"__{out}_la", f"__{out}_lb"
     w, st = f"__{out}_w", f"__{out}_st"
     m, bm, d, l = (f"__{out}_m", f"__{out}_bm", f"__{out}_d", f"__{out}_l")
     cj = _spark_cj(a, b, lb, w)
     res = (
-        df.withColumn(la, F.length(a).cast("long"))
+        # the cap test must be NULL-TOLERANT: Catalyst reorders
+        # filters, so this assert can evaluate BEFORE an upstream
+        # not-null gate (it did, on q211's lead()-padded rows — the
+        # q205 advice class); a NULL b is the caller's contract
+        # violation to surface as NULL scores, not this guard's
+        df.filter(
+            F.coalesce(
+                F.assert_true(
+                    F.coalesce(F.length(b), F.lit(0)) <= 64,
+                    F.lit("jaro_winkler: second string exceeds the 64-char "
+                          "mask capacity (shiftleft wraps mod 64)"),
+                ),
+                F.lit(True),
+            )
+        )
+        .withColumn(la, F.length(a).cast("long"))
         .withColumn(lb, F.length(b).cast("long"))
         .withColumn(
             w, F.expr(f"greatest(greatest({la}, {lb}) div 2 - 1, cast(0 as bigint))")

@@ -95,7 +95,8 @@ _shingles_expr = shingles.shingles_expr
 _with_shingle_sets = shingles.with_shingle_sets
 
 
-def _snm_neighbors(d, extra_fields: tuple[str, ...] = ()):
+def _snm_neighbors(d, extra_fields: tuple[str, ...] = (), *,
+                   include_sh: bool = True):
     """ONE source of truth for sorted-neighborhood candidate
     generation (q128 blocking ≡ q206 scoring — the _with_shingle_sets
     discipline): block by lang, sort by (n_chars NULLS FIRST, doc_id)
@@ -105,19 +106,26 @@ def _snm_neighbors(d, extra_fields: tuple[str, ...] = ()):
     then compare each record to its next w=3 neighbors via lead()
     over the SAME window (the pair never joins).
 
-    ``d`` must carry doc_id, lang, n_chars, sh plus ``extra_fields``;
-    returns (doc_a, sha, [f+'_a'...], doc_b, shb, [f+'_b'...],
-    w_dist) with doc_b non-null. The oracle-side twin of this CTE is
-    :func:`_o_snm_neighbors`.
+    ``d`` must carry doc_id, lang, n_chars plus ``extra_fields`` (and
+    sh when ``include_sh``); returns (doc_a, [sha], [f+'_a'...],
+    doc_b, [shb], [f+'_b'...], w_dist) with doc_b non-null. Pair
+    GENERATION never reads sh — ordering is (lang, n_chars, doc_id)
+    only — so a consumer that scores without shingles (q211) sets
+    ``include_sh=False`` and the shingle arrays never ride the
+    exchange (r8 review finding: dead weight on a benched query). The
+    oracle-side twin of this CTE is :func:`_o_snm_neighbors`.
     """
     w = Window.partitionBy("lang").orderBy(
         F.col("n_chars").asc_nulls_first(), "doc_id"
+    )
+    sh_lead = (
+        [lambda i: F.lead("sh", i).over(w).alias("shb")] if include_sh else []
     )
     nbrs = F.array(
         *[
             F.struct(
                 F.lead("doc_id", i).over(w).alias("doc_b"),
-                F.lead("sh", i).over(w).alias("shb"),
+                *[mk(i) for mk in sh_lead],
                 *[
                     F.lead(f, i).over(w).alias(f + "_b")
                     for f in extra_fields
@@ -131,16 +139,16 @@ def _snm_neighbors(d, extra_fields: tuple[str, ...] = ()):
         d.withColumn("nb", nbrs)
         .select(
             F.col("doc_id").alias("doc_a"),
-            F.col("sh").alias("sha"),
+            *([F.col("sh").alias("sha")] if include_sh else []),
             *[F.col(f).alias(f + "_a") for f in extra_fields],
             F.explode("nb").alias("nb"),
         )
         .select(
             "doc_a",
-            "sha",
+            *(["sha"] if include_sh else []),
             *[f + "_a" for f in extra_fields],
             "nb.doc_b",
-            "nb.shb",
+            *(["nb.shb"] if include_sh else []),
             *[f"nb.{f}_b" for f in extra_fields],
             "nb.w_dist",
         )
@@ -148,20 +156,25 @@ def _snm_neighbors(d, extra_fields: tuple[str, ...] = ()):
     )
 
 
-def _o_snm_neighbors(extra_fields: tuple[str, ...] = ()) -> str:
+def _o_snm_neighbors(extra_fields: tuple[str, ...] = (), *,
+                     include_sh: bool = True) -> str:
     """DuckDB twin of :func:`_snm_neighbors`: the ``neigh`` CTE body
-    (expects a ``docs`` CTE with doc_id, lang, n_chars, sh + fields).
-    NULLS FIRST pins DuckDB to Spark's default NULL placement."""
+    (expects a ``docs`` CTE with doc_id, lang, n_chars + fields, and
+    sh when ``include_sh``). NULLS FIRST pins DuckDB to Spark's
+    default NULL placement."""
     over = ("OVER (PARTITION BY lang, i "
             "ORDER BY n_chars NULLS FIRST, doc_id)")
-    extra = "".join(
-        f",\n         LEAD({f}, i) {over} AS {f}_b" for f in extra_fields
-    )
-    extra_a = "".join(f", {f} AS {f}_a" for f in extra_fields)
+    items = ["doc_id AS doc_a"]
+    if include_sh:
+        items.append("sh AS sa")
+    items += [f"{f} AS {f}_a" for f in extra_fields]
+    items += ["i", f"LEAD(doc_id, i) {over} AS doc_b"]
+    if include_sh:
+        items.append(f"LEAD(sh, i) {over} AS sb")
+    items += [f"LEAD({f}, i) {over} AS {f}_b" for f in extra_fields]
+    sel = ",\n         ".join(items)
     return f"""
-  SELECT doc_id AS doc_a, sh AS sa{extra_a}, i,
-         LEAD(doc_id, i) {over} AS doc_b,
-         LEAD(sh, i) {over} AS sb{extra}
+  SELECT {sel}
   FROM docs CROSS JOIN (SELECT unnest([1, 2, 3]) AS i) w
 """
 
@@ -2289,12 +2302,15 @@ def _bpe_apply_merge(r: DataFrame, merge: DataFrame) -> DataFrame:
     )
 
 
-def _bpe_train(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+def _bpe_train(
+    spark: SparkSession, sf_dir: str, census: DataFrame | None = None
+) -> list[DataFrame]:
     """q199's 3 unrolled training rounds over the top-{_BPE_VOCAB}
     word census; returns the per-round 1-row merge frames
-    (round, a, b, n)."""
+    (round, a, b, n). Pass an already-persisted ``census`` to share
+    the corpus scan with a downstream consumer (q210)."""
     words = (
-        _bpe_word_census(spark, sf_dir)
+        (census if census is not None else _bpe_word_census(spark, sf_dir))
         .orderBy(F.desc("cnt"), "w")
         .limit(_BPE_VOCAB)
     )
@@ -2373,19 +2389,22 @@ def q210_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary: top-{_BPE_TOPK} tokens by corpus-weighted count,
     with the distinct-word support of each.
 
-    Plan shape at 100 TB: the corpus is touched ONCE (the word
-    census, one partial-agged shuffle); training rounds run on the
-    ≤{_BPE_VOCAB}-row vocabulary; application rewrites the
-    DISTINCT-WORD census (sublinear in corpus size — Heaps' law),
-    weighted by counts, with each merge a broadcast 1-row crossJoin —
-    so tokenizing 100 TB costs one census plus vocabulary-sized work,
-    never a second corpus pass.
+    Plan shape at 100 TB: the corpus is touched ONCE — the word
+    census is computed once, PERSISTED, and feeds both the training
+    slice and the application pass (one partial-agged shuffle);
+    training rounds run on the ≤{_BPE_VOCAB}-row vocabulary;
+    application rewrites the DISTINCT-WORD census (sublinear in
+    corpus size — Heaps' law), weighted by counts, with each merge a
+    broadcast 1-row crossJoin — so tokenizing 100 TB costs one census
+    plus vocabulary-sized work, never a second corpus pass.
     """
-    merges = _bpe_train(spark, sf_dir)
-    r = _bpe_reprs(_bpe_word_census(spark, sf_dir))
+    census = _bpe_word_census(spark, sf_dir).persist()
+    merges = _bpe_train(spark, sf_dir, census=census)
+    r = _bpe_reprs(census, "w")
     for top in merges:
         r = _bpe_apply_merge(r, top)
     toks = r.select(
+        "w",
         "cnt",
         F.explode(F.split(F.trim("repr"), " ")).alias("token"),
     )
@@ -2393,7 +2412,7 @@ def q210_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.groupBy("token")
         .agg(
             F.sum("cnt").alias("total"),
-            F.count("*").alias("n_words"),
+            F.countDistinct("w").alias("n_words"),
         )
         .orderBy(F.desc("total"), "token")
         .limit(_BPE_TOPK)
@@ -2414,24 +2433,25 @@ WITH census AS (
   FROM words
 ), {_O199_round("r0", 1)}, {_O199_round("r1", 2)}, {_O199_round("r2", 3)}, a0 AS (
   SELECT ' ' || array_to_string(regexp_extract_all(w, '.', 0), ' ') || ' </w> ' AS repr,
-         cnt
+         w, cnt
   FROM census
 ), a1 AS (
   SELECT regexp_replace(repr, ' ' || t1.a || ' ' || t1.b || ' ',
-                        ' ' || t1.a || t1.b || ' ', 'g') AS repr, cnt
+                        ' ' || t1.a || t1.b || ' ', 'g') AS repr, w, cnt
   FROM a0, t1
 ), a2 AS (
   SELECT regexp_replace(repr, ' ' || t2.a || ' ' || t2.b || ' ',
-                        ' ' || t2.a || t2.b || ' ', 'g') AS repr, cnt
+                        ' ' || t2.a || t2.b || ' ', 'g') AS repr, w, cnt
   FROM a1, t2
 ), a3 AS (
   SELECT regexp_replace(repr, ' ' || t3.a || ' ' || t3.b || ' ',
-                        ' ' || t3.a || t3.b || ' ', 'g') AS repr, cnt
+                        ' ' || t3.a || t3.b || ' ', 'g') AS repr, w, cnt
   FROM a2, t3
 ), toks AS (
-  SELECT unnest(string_split(trim(repr), ' ')) AS token, cnt FROM a3
+  SELECT unnest(string_split(trim(repr), ' ')) AS token, w, cnt FROM a3
 )
-SELECT token, CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS n_words
+SELECT token, CAST(SUM(cnt) AS BIGINT) AS total,
+       COUNT(DISTINCT w) AS n_words
 FROM toks GROUP BY 1 ORDER BY total DESC, token LIMIT {_BPE_TOPK}
 """
 
@@ -5340,9 +5360,10 @@ def q211_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighborhood candidate pairs — the classic sequential string
     comparator (greedy windowed matching + transposition count +
     prefix boost) expressed FULLY DECLARATIVELY: a within-row
-    ``aggregate()`` fold with a 16-bit used-positions mask
-    (functions/strsim.py), no UDF, no extra shuffle — the comparator
-    runs inside codegen on the same single-exchange SNM stream as
+    ``aggregate()`` fold with a bitmask of used positions
+    (functions/strsim.py), no UDF, no Python, no extra shuffle — the
+    comparator evaluates JVM-side (interpreted HOF mode; see the
+    strsim module notes) on the same single-exchange SNM stream as
     q206/q208. The DuckDB oracle replays the identical greedy
     recurrence as a recursive CTE, and every score is an exact ppm
     integer (one floor division over the common denominator), so the
@@ -5356,13 +5377,24 @@ def q211_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.strsim import with_jaro_winkler
 
     d = (
-        _with_shingle_sets(
-            t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-        )
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
         .withColumn("title", F.expr(f"substring(text, 1, {_JW_TITLE})"))
-        .select("doc_id", "lang", "n_chars", "sh", "title")
+        # no shingle sets: pair generation orders by (lang, n_chars,
+        # doc_id) only, and this query scores titles — building and
+        # leading the shingle arrays through the exchange was pure
+        # dead weight (r8 review finding)
+        .select("doc_id", "lang", "n_chars", "title")
     )
-    neigh = _snm_neighbors(d, ("title",))
+    neigh = _snm_neighbors(d, ("title",), include_sh=False)
+    # the fold is CPU-bound and would otherwise run on the window
+    # exchange's LANG partitions (5 tasks on a 32-core box — measured
+    # 2x the wall-clock at 20x): rebalance the tiny pair rows across
+    # every core before scoring. The _spread lesson applied to an
+    # operator stage instead of a scan.
+    neigh = neigh.repartition(
+        spark.sparkContext.defaultParallelism, "doc_a", "doc_b", "w_dist"
+    )
     return (
         with_jaro_winkler(neigh, "title_a", "title_b")
         .select(
@@ -5382,10 +5414,10 @@ def _o211() -> str:
 
     return f"""
 WITH RECURSIVE docs AS (
-  SELECT doc_id, lang, n_chars, list_distinct({_DUCK_SHINGLES}) AS sh,
+  SELECT doc_id, lang, n_chars,
          substr(text, 1, {_JW_TITLE}) AS title
   FROM documents WHERE text IS NOT NULL
-), neigh AS ({_o_snm_neighbors(("title",))}), pairs AS (
+), neigh AS ({_o_snm_neighbors(("title",), include_sh=False)}), pairs AS (
   SELECT doc_a, doc_b, CAST(i AS BIGINT) AS w_dist,
          title_a AS ta, title_b AS tb
   FROM neigh WHERE doc_b IS NOT NULL

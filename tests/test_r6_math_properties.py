@@ -295,20 +295,20 @@ def test_bpe_tokenize_matches_python_reference(spark):
         for w in reprs:
             reprs[w] = ref_merge(reprs[w], a, b)
 
-    # q210's n_words explodes the token SEQUENCE of each distinct
-    # word, so it counts sequence SLOTS (a token twice in one word
-    # counts twice) — mirror that exactly
+    # n_words = DISTINCT-WORD support (a token twice in one word
+    # counts that word once) — the documented report semantics
     tok_census = Counter()
-    slot_support = Counter()
+    word_support = Counter()
     for w, c in census.items():
         t = list(w) + ["</w>"]
         for a, b in merges:
             t = ref_merge(t, a, b)
         for tok in t:
             tok_census[tok] += c
-            slot_support[tok] += 1
+        for tok in set(t):
+            word_support[tok] += 1
     want = sorted(
-        ((tok, n, slot_support[tok]) for tok, n in tok_census.items()),
+        ((tok, n, word_support[tok]) for tok, n in tok_census.items()),
         key=lambda r: (-r[1], r[0]),
     )[:20]
     got = [(r["token"], r["total"], r["n_words"])

@@ -99,6 +99,28 @@ def test_jaro_winkler_randomized_vs_python(spark):
         assert got[i] == _py_jaro_winkler(a, b), (i, a, b, got[i])
 
 
+def test_jaro_winkler_aborts_past_mask_capacity(spark):
+    """The 64-char cap on the second string is ENFORCED in-plan
+    (shiftleft wraps its shift amount mod 64 — a 65th position would
+    silently alias position 1), and the guard is NULL-tolerant
+    (Catalyst reorders filters, so it can see pre-not-null rows)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from polla_spark.functions.strsim import with_jaro_winkler
+
+    ok = spark.createDataFrame(
+        [("abc", "x" * 64), ("abc", None)], "ta string, tb string"
+    )
+    rows = with_jaro_winkler(ok, "ta", "tb").collect()  # 64 + NULL pass
+    assert len(rows) == 2
+    bad = spark.createDataFrame([("abc", "x" * 65)], "ta string, tb string")
+    with pytest.raises((SparkRuntimeException, Py4JJavaError),
+                       match="64-char mask"):
+        with_jaro_winkler(bad, "ta", "tb").collect()
+
+
 def test_q211_scores_match_python_on_corpus(spark):
     """q211's report re-scored by the Python reference: every
     (pair -> jaro/jw) row agrees, titles recomputed independently

@@ -320,10 +320,54 @@ def o_fs_em_ctes(rounds: int = 2) -> str:
 
 
 # ---------------------------------------------------------------------------
-# Streaming twin #32: per-lang agreement-pattern census kernel.
+# Streaming twins #32/#33: per-lang-block kernels.
 
 FS_CENSUS_SCHEMA = "lang string, g1 long, g2 long, g3 long, g4 long, c long"
 _FS_CENSUS_STATE = "seen long"
+
+SNM_PAIR_SCHEMA = (
+    "doc_a long, doc_b long, w_dist long, title_a string, title_b string"
+)
+
+
+def make_snm_pair_kernel(window: int = 3):
+    """``applyInPandasWithState`` kernel for twin #33: one WHOLE lang
+    block in → its sorted-neighborhood candidate PAIRS out, carrying
+    the title fields. Same atomicity contract (and the same abort on
+    a split block) as :func:`make_fs_census_kernel`; deliberately
+    emits UNSCORED pairs — the finisher scores them through the SAME
+    ``functions/strsim.with_jaro_winkler`` operator batch q211 runs,
+    so the twin cannot drift from the batch comparator by
+    construction (nothing is re-implemented)."""
+
+    def fn(key, pdfs: Iterator["pd.DataFrame"], state) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        lang = key[0]
+        if state.exists:
+            raise RuntimeError(
+                f"snm pairs: lang block {lang!r} split across micro-batches "
+                "(whole-block atomicity contract)"
+            )
+        state.update((1,))
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(
+            ["n_chars", "doc_id"], na_position="first"
+        ).reset_index(drop=True)
+        out = []
+        n = len(rows)
+        for i in range(n):
+            for d in range(1, window + 1):
+                if i + d >= n:
+                    break
+                a, b = rows.iloc[i], rows.iloc[i + d]
+                out.append((int(a["doc_id"]), int(b["doc_id"]), d,
+                            a["title"], b["title"]))
+        yield pd.DataFrame(
+            out, columns=["doc_a", "doc_b", "w_dist", "title_a", "title_b"]
+        )
+
+    return fn
 
 
 def make_fs_census_kernel(window: int = 3):

@@ -1355,6 +1355,46 @@ def finish_fs_em_weights(updates: DataFrame) -> DataFrame:
     )
 
 
+def snm_pair_partials(docs: DataFrame, title_chars: int = 16) -> DataFrame:
+    """Streaming sorted-neighborhood pair generation (twin #33,
+    batch q211's blocking half): whole-LANG-BLOCK atomicity enforced
+    in-kernel exactly like :func:`fs_census_partials`; emits the
+    candidate pairs WITH their title fields, UNSCORED — scoring
+    happens in :func:`finish_jaro_winkler` through the same
+    ``with_jaro_winkler`` operator batch q211 runs, so streamed
+    scores equal batch scores by construction."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..functions.linkage import (
+        SNM_PAIR_SCHEMA,
+        _FS_CENSUS_STATE,
+        make_snm_pair_kernel,
+    )
+
+    proj = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", "lang", "n_chars",
+        F.expr(f"substring(text, 1, {title_chars})").alias("title"),
+    )
+    return proj.groupBy("lang").applyInPandasWithState(
+        make_snm_pair_kernel(),
+        SNM_PAIR_SCHEMA,
+        _FS_CENSUS_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def finish_jaro_winkler(pairs: DataFrame) -> DataFrame:
+    """Score the streamed SNM pairs with the IDENTICAL batch
+    comparator (functions/strsim.py — one operator, two transports)."""
+    from ..functions.strsim import with_jaro_winkler
+
+    return with_jaro_winkler(pairs, "title_a", "title_b").select(
+        "doc_a", "doc_b", "w_dist",
+        F.col("jw_jaro_ppm").alias("jaro_ppm"), "jw_ppm",
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
     """Drive a finite streaming source to completion into a memory
     sink; returns the materialized result (test/smoke harness)."""

@@ -1002,3 +1002,33 @@ def test_tws_sessionizer_stream_equals_apply_in_pandas(spark, staged_stream_dir)
         for r in spark.table("sessions_apips").filter(F.col("user_id") >= 0).collect()
     }
     assert got == want
+
+
+def test_snm_pair_kernel_order_and_abort():
+    """In-process twin-#33 kernel: pairs follow the SNM sort (n_chars
+    NULLS FIRST, doc_id) at w<=3, and a split lang block aborts."""
+    import pandas as pd
+    import pytest
+
+    from polla_spark.functions.linkage import make_snm_pair_kernel
+
+    fn = make_snm_pair_kernel(window=2)
+    st = _FakeState()
+    rows = pd.DataFrame(
+        {
+            "doc_id": [5, 1, 9],
+            "n_chars": [3, None, 2],
+            "title": ["ccc", "a", "bb"],
+        },
+        dtype=object,
+    )
+    out = list(fn(("en",), iter([rows]), st))
+    got = [tuple(r) for r in out[0].itertuples(index=False)]
+    # sorted: doc 1 (NULL first), doc 9 (2), doc 5 (3)
+    assert got == [
+        (1, 9, 1, "a", "bb"),
+        (1, 5, 2, "a", "ccc"),
+        (9, 5, 1, "bb", "ccc"),
+    ]
+    with pytest.raises(RuntimeError, match="atomicity"):
+        list(fn(("en",), iter([rows]), st))

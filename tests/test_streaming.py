@@ -547,6 +547,42 @@ def test_fs_census_split_block_aborts(spark, tmp_path):
         q.awaitTermination(300)
 
 
+def test_jaro_winkler_stream_equals_q211(spark, tmp_path):
+    """Streaming Jaro-Winkler scoring (33rd twin): SNM pairs are
+    generated per whole lang block (the #32 atomicity contract), and
+    the finisher scores them through the IDENTICAL batch comparator
+    operator — so the streamed report must equal batch q211
+    row-for-row, jaro and jw both."""
+    from polla_spark.plans.llmdata import q211_jaro_winkler
+    from polla_spark.session import read_table
+
+    docs = read_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "n_chars", "text"
+    )
+    d = tmp_path / "jw_stream"
+    for i, langs in enumerate([("de", "en"), ("es",), ("fr", "zh")]):
+        docs.filter(F.col("lang").isin(*langs)).coalesce(1).write.parquet(
+            str(d / f"part{i}")
+        )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*/")
+    )
+    q = (
+        SW.snm_pair_partials(stream)
+        .writeStream.format("memory")
+        .queryName("jw_pairs")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = SW.finish_jaro_winkler(spark.table("jw_pairs"))
+    keys = ["doc_a", "doc_b", "w_dist", "jaro_ppm", "jw_ppm"]
+    assert _rows(got, keys) == _rows(q211_jaro_winkler(spark, SF_DIR), keys)
+
+
 def test_hll_distinct_stream_equals_batch_sketch(spark, tmp_path, batch_events):
     """Streaming HLL distinct sketches (20th twin): HLL union is
     LOSSLESS (register-wise max), so the streamed estimate over a

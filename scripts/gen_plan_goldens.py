@@ -51,6 +51,8 @@ GOLDEN_QUERIES = [
     "q204_semantic_dedup_clusters",
     "q205_phash_near_dup",
     "q209_dct_phash_near_dup",
+    "q208_fs_trained_classify",
+    "q211_jaro_winkler",
 ]
 
 

@@ -1,4 +1,4 @@
-"""Golden plan-skeleton snapshots for the 25 heaviest / most
+"""Golden plan-skeleton snapshots for the 27 heaviest / most
 plan-sensitive queries.
 
 The targeted pins in test_plan_shapes.py assert SPECIFIC plan
@@ -48,4 +48,4 @@ def test_goldens_cover_the_declared_set():
     from scripts.gen_plan_goldens import GOLDEN_QUERIES  # type: ignore
 
     assert sorted(GOLDEN_QUERIES) == _golden_names()
-    assert len(GOLDEN_QUERIES) == 25
+    assert len(GOLDEN_QUERIES) == 27

@@ -22,11 +22,13 @@ Algorithm (Jaro 1989 / Winkler 1990), all integer:
 - match window w = max(|a|, |b|) div 2 − 1 (≥ 0);
 - greedy left-to-right matching: position i of ``a`` takes the
   SMALLEST unused j in [i−w, i+w] with a[i] = b[j];
-- m = matches; d = positions where the two matched sequences differ
-  (2t = d, t = transpositions);
-- jaro = (m/|a| + m/|b| + (2m−d)/(2m)) / 3, computed as ONE exact
-  floor division over the common denominator 6·m·|a|·|b|, scaled to
-  ppm — floor-div-exact in both engines, never a float;
+- m = matches; d = positions where the two matched sequences differ;
+  t = d div 2 — the canonical INTEGER convention (jellyfish/strsim
+  use floor(d/2); with odd d the exact t = d/2 would differ);
+- jaro = (m/|a| + m/|b| + (m−t)/m) / 3 with the last term written
+  (2m − 2·(d div 2))/(2m), computed as ONE exact floor division over
+  the common denominator 6·m·|a|·|b|, scaled to ppm —
+  floor-div-exact in both engines, never a float;
 - Winkler boost (only above 0.7): jw = jaro + ℓ·(10^6 − jaro) div 10
   with ℓ = common prefix length capped at 4.
 
@@ -149,7 +151,7 @@ def with_jaro_winkler(
               case when {la} = 0 and {lb} = 0 then cast({PPM} as bigint)
                    when {m} = 0 then cast(0 as bigint)
                    else ({PPM} * (2 * {m} * {m} * {lb} + 2 * {m} * {m} * {la}
-                                  + (2 * {m} - {d}) * {la} * {lb}))
+                                  + (2 * {m} - 2 * ({d} div 2)) * {la} * {lb}))
                         div (6 * {m} * {la} * {lb})
               end"""),
         )
@@ -184,6 +186,13 @@ def o_jaro_winkler_ctes(pairs_cte: str = "pairs") -> str:
                            CAST(length(tb) AS BIGINT)) // 2 - 1, 0) AS w,
          CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS mask, '' AS am
   FROM {pairs_cte}
+  -- twin of the Spark-side in-plan abort: a >64-char tb would
+  -- silently alias mask bits (BIGINT << shifts >= 64) instead of
+  -- failing loudly — corrupt the oracle, not crash it (ADVICE r8)
+  WHERE CASE WHEN length(tb) > 64
+             THEN CAST(error('jaro_winkler oracle: second string exceeds '
+                             || 'the 64-char mask capacity') AS BOOLEAN)
+             ELSE TRUE END
   UNION ALL
   SELECT doc_a, doc_b, w_dist, ta, tb, la, lb, w, i + 1,
          CASE WHEN cj IS NULL THEN mask
@@ -211,7 +220,7 @@ def o_jaro_winkler_ctes(pairs_cte: str = "pairs") -> str:
          CASE WHEN la = 0 AND lb = 0 THEN CAST({PPM} AS BIGINT)
               WHEN m = 0 THEN CAST(0 AS BIGINT)
               ELSE CAST(({PPM} * (2 * m * m * lb + 2 * m * m * la
-                                  + (2 * m - d) * la * lb))
+                                  + (2 * m - 2 * (d // 2)) * la * lb))
                         // (6 * m * la * lb) AS BIGINT)
          END AS jaro_ppm
   FROM jd

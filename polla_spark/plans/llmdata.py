@@ -5319,8 +5319,17 @@ def q208_fs_trained_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_b",
         F.col("w_dist").cast("long").alias("w_dist"),
         *LK.fs_flag_cols(),
-    ).persist()
-    census = flags.groupBy(*_FS_G_COLS).agg(F.count("*").alias("c")).persist()
+    )
+    # the census is ≤16 rows: materialize it DRIVER-side (one
+    # deliberate action in the builder, the q205 disclosure) and
+    # train over the literal frame — nothing data-sized is ever
+    # persisted, so repeated invocations leak zero executor cache
+    # (ADVICE r8); the final broadcast join recomputes the pair
+    # stream once, which at 100 TB beats caching it
+    census_lazy = flags.groupBy(*_FS_G_COLS).agg(F.count("*").alias("c"))
+    census = spark.createDataFrame(
+        census_lazy.collect(), schema=census_lazy.schema
+    )
     r2 = LK.fs_em_round(census, LK.fs_em_round(census, LK.fs_init_params(spark)))
     post = (
         census.crossJoin(F.broadcast(r2))

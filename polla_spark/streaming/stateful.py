@@ -175,6 +175,15 @@ class TwsGroupStateAdapter:
 
     @property
     def get(self):
+        # GroupState.get raises when no state exists; mirror that
+        # contract instead of letting tuple(None) surface a bare
+        # TypeError if a timer ever fires for a cleared key (latent
+        # for future kernels reusing the adapter — ADVICE r8)
+        if not self._v.exists():
+            raise ValueError(
+                "TwsGroupStateAdapter.get: no state exists for this key "
+                "(GroupState semantics: check .exists first)"
+            )
         return tuple(self._v.get())
 
     def update(self, v) -> None:

@@ -893,6 +893,25 @@ class _FakeTwsHandle:
         return self.vstate
 
 
+def test_tws_adapter_get_without_state_raises_descriptively():
+    """GroupState.get contract on the TWS adapter: reading a cleared
+    key (e.g. an expired timer firing after remove()) raises a
+    descriptive error, not tuple(None)'s bare TypeError (ADVICE r8)."""
+    import pytest
+
+    from polla_spark.streaming.stateful import TwsGroupStateAdapter
+
+    ad = TwsGroupStateAdapter(_FakeValueState(), _FakeTwsHandle())
+    assert not ad.exists
+    with pytest.raises(ValueError, match="no state exists"):
+        _ = ad.get
+    ad.update((1, 2))
+    assert ad.get == (1, 2)
+    ad.remove()
+    with pytest.raises(ValueError, match="no state exists"):
+        _ = ad.get
+
+
 def test_tws_sessionizer_processor_equals_group_state_kernel():
     """The transformWithStateInPandas sessionizer is the SAME kernel
     behind an adapter — drive both transports in-process over the

@@ -32,8 +32,9 @@ def _py_jaro_winkler(a: str, b: str) -> tuple[int, int]:
         return 0, 0
     bm = [b[j] for j in range(lb) if used[j]]
     d = sum(1 for k in range(m) if am[k] != bm[k])
+    t = d // 2  # canonical integer convention (jellyfish/strsim)
     jaro = (PPM * (2 * m * m * lb + 2 * m * m * la
-                   + (2 * m - d) * la * lb)) // (6 * m * la * lb)
+                   + (2 * m - 2 * t) * la * lb)) // (6 * m * la * lb)
     pref = 0
     for k in range(min(4, la, lb)):
         if a[k] == b[k]:
@@ -119,6 +120,29 @@ def test_jaro_winkler_aborts_past_mask_capacity(spark):
     with pytest.raises((SparkRuntimeException, Py4JJavaError),
                        match="64-char mask"):
         with_jaro_winkler(bad, "ta", "tb").collect()
+
+
+def test_oracle_ctes_abort_past_mask_capacity():
+    """The DuckDB oracle chain carries a twin of the Spark-side
+    64-char abort: a >64-char tb raises instead of silently aliasing
+    mask bits (BIGINT << wraps at shift >= 64) — a contract violation
+    must crash the oracle, not corrupt it (ADVICE r8)."""
+    import duckdb
+    import pytest
+
+    from polla_spark.functions.strsim import o_jaro_winkler_ctes
+
+    con = duckdb.connect()
+    sql = (
+        "WITH RECURSIVE pairs AS (SELECT 1 AS doc_a, 2 AS doc_b, "
+        "0 AS w_dist, 'abc' AS ta, {tb} AS tb), "
+        + o_jaro_winkler_ctes("pairs")
+        + " SELECT * FROM jwscore"
+    )
+    ok = con.execute(sql.format(tb=f"'{'x' * 64}'")).fetchall()
+    assert len(ok) == 1
+    with pytest.raises(duckdb.Error, match="64-char mask"):
+        con.execute(sql.format(tb=f"'{'x' * 65}'")).fetchall()
 
 
 def test_q211_scores_match_python_on_corpus(spark):

@@ -5,10 +5,20 @@ stderr):
 
   line 1 (full):    {"metric": "headline_suite_seconds", "value": <total
                      sec>, "unit": "sec", "queries": {<per-query sec>},
-                     "reps": N, "sf": ...}
+                     "reps": N, "sf": ..., "noise_ratio": R}
   line 2 (compact): {"metric": "headline_total", "value": <total sec>,
                      "unit": "sec", "n": <query count>, "reps": N,
-                     "sf": ...}
+                     "sf": ..., "noise_ratio": R}
+
+``noise_ratio`` is the VM-noise sentinel: the FIRST headline query is
+re-run (same reps/median protocol) AFTER the suite finishes, and R =
+end-median / start-median. Three rounds running (r6-r8), the driver's
+BENCH artifact has shown uniform noisy-neighbor inflation that a judge
+had to diagnose manually by comparing untouched queries — R > ~1.3
+(or < ~0.75) self-identifies a run whose machine speed DRIFTED
+mid-run, so per-query deltas in that artifact are suspect. R ≈ 1 means
+the box was at least CONSISTENT (it cannot rule out a uniformly slow
+box vs a prior round's baseline — compare untouched queries for that).
 
 The compact line is LAST deliberately: the driver's BENCH artifact
 keeps only a ~2000-char stdout tail, and the full line (85+ inline
@@ -260,6 +270,25 @@ def main() -> None:
         print(f"# {name}: median {med:.2f}s of {[round(r, 2) for r in reps]}",
               file=sys.stderr)
     _flag_regressions(times)
+    # noise sentinel: re-time the FIRST query with the same protocol now
+    # that the whole suite has run — end/start >> 1 means machine speed
+    # drifted mid-run and this artifact's deltas are noise-suspect
+    sentinel = HEADLINE[0]
+    reps = []
+    for _ in range(REPS):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        reg[sentinel].spark(spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        reps.append(time.perf_counter() - t0)
+    end_med = statistics.median(reps)
+    noise_ratio = round(end_med / times[sentinel], 2) if times[sentinel] else None
+    print(
+        f"# noise sentinel {sentinel}: start {times[sentinel]:.2f}s "
+        f"end {end_med:.2f}s ratio {noise_ratio}",
+        file=sys.stderr,
+    )
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     print(
@@ -271,6 +300,7 @@ def main() -> None:
                 "queries": times,
                 "reps": REPS,
                 "sf": sf_val,
+                "noise_ratio": noise_ratio,
             }
         )
     )
@@ -286,6 +316,7 @@ def main() -> None:
                 "n": len(times),
                 "reps": REPS,
                 "sf": sf_val,
+                "noise_ratio": noise_ratio,
             }
         )
     )

@@ -165,6 +165,10 @@ HEADLINE = [
     "q209_dct_phash_near_dup",
     "q210_bpe_tokenize",
     "q211_jaro_winkler",
+    # r9 addition: k-means training (2 unrolled Lloyd rounds — per-round
+    # corpus scan + K*64-row exchange; the collect-unroll cost is real
+    # work and is deliberately inside the timed builder call)
+    "q212_kmeans_train",
     # q203 stays out for q201's reason: its cost is the shared
     # shingle-set construction (~10 s at any sf, the q201 fixed cost),
     # not the sketch algebra; covered by parity + its SCALE.md row.

@@ -5439,6 +5439,274 @@ FROM jwscore ORDER BY doc_a, doc_b, w_dist
 O211 = _o211()
 
 
+_LLOYD_K = 8
+_LLOYD_DIM = 64
+_LLOYD_ROUNDS = 2
+
+#: deterministic md5 stratification for seed picking: first hex char
+#: of md5(vec_id) -> 0..15 -> mod K. String-only (no hex->int cast),
+#: so the expression is literally portable to the DuckDB oracle.
+_LLOYD_STRATUM = (
+    "(instr('0123456789abcdef', "
+    "substring(md5(cast(vec_id as string)), 1, 1)) - 1) % {k}"
+)
+_O_LLOYD_STRATUM = (
+    "(strpos('0123456789abcdef', "
+    "substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1) % {k}"
+)
+
+
+def _lloyd_coded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "embeddings").select(
+        "vec_id", _quant(F.col("embedding")).alias("qe")
+    )
+
+
+def _lloyd_assign(coded: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """Assignment against LITERAL centroids, fully unrolled: for each
+    centroid the exact-integer score 2·⟨x,c⟩ − ⟨c,c⟩ (the Euclidean
+    argmin with the ‖x‖² term dropped — constant per vector, so the
+    argmax is identical) as its own column, then an explicit
+    first-match CASE so ties go to the LOWEST centroid id. K scores
+    per row, zero joins, zero windows — at 100 TB the assignment is
+    ONE narrow scan; nothing shuffles until the k×64-row update agg.
+    ⟨c,c⟩ is folded to a Python constant (centroids are literals)."""
+    s_cols = {}
+    for cid, dims in cents:
+        cc = sum(v * v for v in dims)
+        dot = F.aggregate(
+            F.zip_with(F.col("qe"), F.lit(dims), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        s_cols[f"_s{cid}"] = (F.lit(2).cast("long") * dot - F.lit(cc)).cast("long")
+    out = coded.withColumns(s_cols)
+    best = F.greatest(*[F.col(c) for c in s_cols])
+    expr = None
+    for cid, _ in sorted(cents):
+        cond = F.col(f"_s{cid}") == best
+        expr = F.when(cond, cid) if expr is None else expr.when(cond, cid)
+    return out.withColumn("cid", expr.cast("int")).select("vec_id", "qe", "cid")
+
+
+def _lloyd_update_plan(assigned: DataFrame) -> DataFrame:
+    """Per-(centroid, dim) integer sums + member counts — the ONLY
+    exchange of a Lloyd round, partial-aggregated map-side down to
+    K·64 rows."""
+    return (
+        assigned.select("cid", F.posexplode("qe").alias("pos", "v"))
+        .groupBy("cid", "pos")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+    )
+
+
+def _lloyd_new_dims(
+    upd_rows, prev: list[tuple[int, list[int]]]
+) -> tuple[list[tuple[int, list[int]]], dict[int, int]]:
+    """Floor-mean centroid update from collected exact sums. The mean
+    is ((s + 127·n) div n) − 127: shifting by the code floor makes the
+    numerator non-negative, where floor-division and truncating
+    division coincide — so Spark ``div``, DuckDB ``//`` (both
+    truncate) and Python ``//`` (floors) all produce the same value
+    without a per-engine convention note. Empty cluster keeps its
+    previous centroid (the standard Lloyd convention), n_members 0."""
+    by: dict[tuple[int, int], tuple[int, int]] = {
+        (r["cid"], r["pos"]): (r["s"], r["n"]) for r in upd_rows
+    }
+    new, members = [], {}
+    for cid, dims in sorted(prev):
+        if (cid, 0) in by:
+            n = by[(cid, 0)][1]
+            nd = [(by[(cid, p)][0] + 127 * n) // n - 127 for p in range(_LLOYD_DIM)]
+        else:
+            n, nd = 0, list(dims)
+        new.append((cid, nd))
+        members[cid] = n
+    return new, members
+
+
+_LLOYD_STATS_SCHEMA = (
+    "round long, centroid_id long, n_members long, c_sum long, "
+    "c_sq long, l1_move long"
+)
+
+
+def _lloyd_stats_row(rnd, cid, n, dims, prev_dims):
+    return (
+        rnd,
+        cid,
+        n,
+        sum(dims),
+        sum(v * v for v in dims),
+        sum(abs(a - b) for a, b in zip(dims, prev_dims)),
+    )
+
+
+def q212_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means TRAINING — 2 unrolled Lloyd rounds over
+    the int8-quantized embeddings in EXACT integer arithmetic, so the
+    whole training loop (not just one assignment step — that is q93)
+    is oracle-checkable. This brings the last trained component under
+    the oracle: operators/ann.py's ``fit_centroids`` (reference
+    parity: cortega26/polla has no vector ops; this family is the
+    LLM-data extension) is pinned only by recall, while q212's rounds
+    are replayed value-exactly by DuckDB AND by an independent Python
+    Lloyd (tests/test_lloyd.py) — the q199/q207 unrolled-loop recipe.
+
+    Determinism, documented in both engines:
+
+    - seeds: vector of the MIN vec_id in each of K=8 md5
+      strata (first hex char of md5(vec_id) mod K) — spread-out,
+      data-independent, no RNG;
+    - assignment: argmax of 2·⟨x,c⟩ − ⟨c,c⟩ (exact-integer Euclidean
+      argmin), ties to the lowest centroid id;
+    - update: per-dim floor mean via the non-negative shift
+      ((s + 127·n) div n) − 127 (identical in Spark/DuckDB/Python —
+      see :func:`_lloyd_new_dims`); empty clusters keep their
+      previous centroid.
+
+    Unrolling mechanics: each round's centroids are COLLECTED (K·64
+    longs, the q208 driver-side-materialization discipline — nothing
+    data-sized is ever persisted) and embedded as literals into the
+    next round's assignment, so round r+1's plan is again a single
+    narrow scan. Rounds 0..1 stats are emitted as literal rows
+    (their sums were engine-computed by the collect jobs); the FINAL
+    round stays a fully lazy plan — scan → unrolled assignment →
+    k×64 partial agg → join vs the literal previous dims — so the
+    driver's materialization performs a real Lloyd round.
+
+    100 TB shape per round: one corpus scan (int8 codes, 25 TB), K·D
+    multiply-adds per row JVM-side, ONE exchange of K·64 rows
+    (map-side combined). Iteration count is unrolled and fixed;
+    centroid state is O(K·D) on the driver — the textbook scalable
+    k-means layout.
+
+    Report: (round, centroid_id, n_members, c_sum, c_sq, l1_move) for
+    round 0 (seeds; n_members/l1_move 0) through the final round.
+    """
+    coded = _lloyd_coded(spark, sf_dir)
+    strat = coded.withColumn(
+        "stratum", F.expr(_LLOYD_STRATUM.format(k=_LLOYD_K))
+    )
+    seed_rows = (
+        strat.groupBy("stratum")
+        .agg(F.min_by("qe", "vec_id").alias("qe"))
+        .collect()
+    )
+    cents = sorted((r["stratum"], list(r["qe"])) for r in seed_rows)
+    stats = [_lloyd_stats_row(0, cid, 0, d, d) for cid, d in cents]
+    for rnd in range(1, _LLOYD_ROUNDS):  # all but the last round
+        upd_rows = _lloyd_update_plan(_lloyd_assign(coded, cents)).collect()
+        new, members = _lloyd_new_dims(upd_rows, cents)
+        stats.extend(
+            _lloyd_stats_row(rnd, cid, members[cid], nd, pd)
+            for (cid, nd), (_, pd) in zip(new, cents)
+        )
+        cents = new
+    lit_stats = spark.createDataFrame(stats, _LLOYD_STATS_SCHEMA)
+    # final round: fully lazy (real work at driver materialization)
+    prev = spark.createDataFrame(
+        [(cid, pos, d[pos]) for cid, d in cents for pos in range(_LLOYD_DIM)],
+        "cid int, pos int, pv long",
+    )
+    upd = _lloyd_update_plan(_lloyd_assign(coded, cents))
+    newdim = F.when(F.col("n").isNull(), F.col("pv")).otherwise(
+        F.expr("(s + 127 * n) div n - 127")
+    )
+    last = (
+        # broadcast the K·64-row agg output (the RIGHT side — the
+        # preserved side of a left join cannot be broadcast)
+        prev.join(F.broadcast(upd), ["cid", "pos"], "left")
+        .select("cid", "pv", F.coalesce("n", F.lit(0)).alias("n"), newdim.alias("nd"))
+        .groupBy("cid")
+        .agg(
+            F.max("n").alias("n_members"),
+            F.sum("nd").alias("c_sum"),
+            F.sum(F.col("nd") * F.col("nd")).alias("c_sq"),
+            F.sum(F.abs(F.col("nd") - F.col("pv"))).alias("l1_move"),
+        )
+        .select(
+            F.lit(_LLOYD_ROUNDS).cast("long").alias("round"),
+            F.col("cid").cast("long").alias("centroid_id"),
+            F.col("n_members").cast("long"),
+            F.col("c_sum").cast("long"),
+            F.col("c_sq").cast("long"),
+            F.col("l1_move").cast("long"),
+        )
+    )
+    return lit_stats.unionByName(last).orderBy("round", "centroid_id")
+
+
+def _o_lloyd_round(r: int, prev_cents: str, prev_dims: str) -> str:
+    """One oracle Lloyd round: assignment (cross join + window argmax
+    — same math as the Spark side's unrolled CASE), k×64 update sums,
+    floor-mean dims with the empty-cluster keep rule."""
+    qd_vc = _QDOT_DUCK.format(a="v.qe", b="c.qe")
+    qd_cc = _QDOT_DUCK.format(a="c.qe", b="c.qe")
+    return f"""a{r} AS (
+  SELECT v.vec_id, v.qe, c.cid,
+         2 * {qd_vc} - {qd_cc} AS score
+  FROM coded v CROSS JOIN {prev_cents} c
+), b{r} AS (
+  SELECT vec_id, qe, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY score DESC, cid ASC) AS rn FROM a{r}
+  ) WHERE rn = 1
+), u{r} AS (
+  SELECT b.cid, g.i AS pos, SUM(b.qe[g.i]) AS s, COUNT(*) AS n
+  FROM b{r} b CROSS JOIN generate_series(1, {_LLOYD_DIM}) g(i)
+  GROUP BY 1, 2
+), d{r} AS (
+  SELECT p.cid, p.pos,
+         CASE WHEN u.n IS NULL THEN p.pv
+              ELSE (u.s + 127 * u.n) // u.n - 127 END AS pv,
+         COALESCE(u.n, 0) AS n, p.pv AS prev
+  FROM {prev_dims} p LEFT JOIN u{r} u ON p.cid = u.cid AND p.pos = u.pos
+), c{r} AS (
+  SELECT cid, list(pv ORDER BY pos) AS qe FROM d{r} GROUP BY cid
+), s{r} AS (
+  SELECT CAST({r} AS BIGINT) AS round, CAST(cid AS BIGINT) AS centroid_id,
+         CAST(MAX(n) AS BIGINT) AS n_members, CAST(SUM(pv) AS BIGINT) AS c_sum,
+         CAST(SUM(pv * pv) AS BIGINT) AS c_sq,
+         CAST(SUM(ABS(pv - prev)) AS BIGINT) AS l1_move
+  FROM d{r} GROUP BY cid
+)"""
+
+
+def _o212() -> str:
+    rounds = ", ".join(
+        _o_lloyd_round(r, f"c{r - 1}" if r > 1 else "seeds",
+                       f"d{r - 1}" if r > 1 else "sd")
+        for r in range(1, _LLOYD_ROUNDS + 1)
+    )
+    unions = "\n  UNION ALL ".join(
+        f"SELECT * FROM s{r}" for r in range(1, _LLOYD_ROUNDS + 1)
+    )
+    return f"""
+WITH coded AS (
+  SELECT vec_id, {_QUANT_DUCK.format(c='embedding')} AS qe FROM embeddings
+), strat AS (
+  SELECT vec_id, qe, {_O_LLOYD_STRATUM.format(k=_LLOYD_K)} AS cid FROM coded
+), seeds AS (
+  SELECT s.cid, c.qe
+  FROM (SELECT cid, MIN(vec_id) AS mv FROM strat GROUP BY cid) s
+  JOIN strat c ON c.vec_id = s.mv
+), sd AS (
+  SELECT cid, g.i AS pos, qe[g.i] AS pv
+  FROM seeds CROSS JOIN generate_series(1, {_LLOYD_DIM}) g(i)
+), {rounds}
+SELECT CAST(0 AS BIGINT) AS round, CAST(cid AS BIGINT) AS centroid_id,
+       CAST(0 AS BIGINT) AS n_members, CAST(SUM(pv) AS BIGINT) AS c_sum,
+       CAST(SUM(pv * pv) AS BIGINT) AS c_sq, CAST(0 AS BIGINT) AS l1_move
+FROM sd GROUP BY cid
+UNION ALL {unions}
+ORDER BY round, centroid_id
+"""
+
+
+O212 = _o212()
+
+
 QUERIES = [
     Query("q50_exact_dedup", q50_exact_dedup, O50, "sha256 exact dedup"),
     Query("q51_fingerprint_dedup", q51_fingerprint_dedup, O51, "normalized fingerprint dedup"),
@@ -5630,4 +5898,11 @@ QUERIES = [
           "within-row aggregate() fold (16-bit used mask, nested "
           "lambda window search) in exact ppm integers; oracle = the "
           "same greedy recurrence as a recursive CTE"),
+    Query("q212_kmeans_train", q212_kmeans_train, O212,
+          "k-means TRAINING: 2 unrolled Lloyd rounds in exact integer "
+          "arithmetic (md5-stratum seeds, 2<x,c>-<c,c> argmax, "
+          "non-negative-shift floor-mean update) — assignment is an "
+          "unrolled scan against literal centroids, the only exchange "
+          "is K*64 rows; DuckDB replays both rounds, plus an "
+          "independent Python Lloyd pin"),
 ]

@@ -165,10 +165,12 @@ HEADLINE = [
     "q209_dct_phash_near_dup",
     "q210_bpe_tokenize",
     "q211_jaro_winkler",
-    # r9 addition: k-means training (2 unrolled Lloyd rounds — per-round
+    # r9 additions: k-means training (2 unrolled Lloyd rounds — per-round
     # corpus scan + K*64-row exchange; the collect-unroll cost is real
-    # work and is deliberately inside the timed builder call)
+    # work and is deliberately inside the timed builder call) and the
+    # smoothed-LM filter (five broadcast LM censuses over one explode)
     "q212_kmeans_train",
+    "q213_smoothed_lm_filter",
     # q203 stays out for q201's reason: its cost is the shared
     # shingle-set construction (~10 s at any sf, the q201 fixed cost),
     # not the sketch algebra; covered by parity + its SCALE.md row.

@@ -3803,7 +3803,10 @@ def q182_lm_likelihood_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``div`` for DuckDB ``//`` parity), per-doc scores are integer
     sums and floor averages, unseen trigrams contribute 0 (the
     hit-rate column keeps smoothing visible instead of hiding it in
-    a fudge constant). Ties break on doc_id.
+    a fudge constant). Ties break on doc_id. q213 is the SMOOTHED
+    production form of this filter — same skeleton, with the unseen
+    mass redistributed by interpolated absolute discounting instead
+    of reported as a hit rate.
 
     Plan shape at 100 TB: trigram extraction is within-row (q136's
     kernel); the LM census is one partial-agged shuffle bounded by
@@ -5707,6 +5710,188 @@ ORDER BY round, centroid_id
 O212 = _o212()
 
 
+#: absolute-discount constant D = 0.75 (the classic Ney/Essen/Kneser
+#: value) as a ppm integer — the ONLY model constant in q213
+_AD_DPPM = 750_000
+
+
+def q213_smoothed_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMOOTHED-LM quality filter — q182's CCNet recipe upgraded from
+    unsmoothed ML to **interpolated absolute discounting** (the
+    Ney-Essen-Kneser family KenLM implements), entirely in exact ppm
+    rational arithmetic so both engines and the independent Python
+    scorer (tests/test_smoothed_lm.py) agree bit-for-bit. q182 keeps
+    unseen-trigram mass visible as a hit-rate column; q213 REDISTRIBUTES
+    it the production way: every observed count is discounted by
+    D = 0.75 and the freed mass interpolates the next-lower order.
+
+    Model (reference slice = docs with doc_id % 10 == 0, ≥3 tokens):
+
+    - p1(w)        = (10^6·c1(w)) div N                (ML unigram, ppm)
+    - p2(a,b)      = (max(10^6·c23 − D, 0)
+                      + (D·N1+(a·)·p1(b)) div 10^6) div c12(a)
+    - p3(a,b,c)    = (max(10^6·c123 − D, 0)
+                      + (D·N1+(ab·)·p2(b,c)) div 10^6) div c12t(a,b)
+    - back-off when the CONTEXT is unseen: p3 → p2 → p1 (the unseen-
+      context row has no discounted mass to interpolate).
+
+    where c23/c123 are bigram/trigram stream counts, c12/c12t the
+    context totals, and N1+(·) the DISTINCT-continuation censuses —
+    the "continuation counts" are plain integer group-by-countDistinct
+    tables, which is what makes the smoothing oracle-expressible.
+    D enters only as the integer {_AD_DPPM}; each level floor-divides
+    ONCE, so the quantization order is part of the spec (documented
+    here, replayed identically in SQL and Python). All intermediates
+    fit BIGINT up to vocab ~10^6 distinct continuations (D·N1+·p ≤
+    7.5e5·10^6·10^6); a web-scale vocabulary would move the two
+    products to DECIMAL(38,0).
+
+    Plan shape at 100 TB: the five LM censuses are built from the
+    ~10% reference slice (vocab-bounded after partial agg) and
+    BROADCAST onto the corpus trigram stream — the corpus explodes
+    once and never shuffles; the report is one doc-grain agg +
+    TakeOrdered(20). Same skeleton as q182, one extra census tier.
+    """
+    d = (
+        t(spark, sf_dir, "documents")
+        .withColumn("_toks", _toks())
+        .filter(F.size("_toks") >= 3)
+    )
+    ref = d.filter(F.col("doc_id") % 10 == 0)
+
+    def tri(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(_toks) - 3), i -> "
+                    "struct(_toks[i] AS w1, _toks[i+1] AS w2, _toks[i+2] AS w3))"
+                )
+            ).alias("g"),
+        ).select("doc_id", "g.*")
+
+    big = ref.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(_toks) - 2), i -> "
+                "struct(_toks[i] AS a, _toks[i+1] AS b))"
+            )
+        ).alias("g")
+    ).select("g.*")
+    uni = ref.select(F.explode("_toks").alias("w"))
+
+    n_total = uni.groupBy().agg(F.count("*").alias("n"))
+    t1 = (
+        uni.groupBy("w")
+        .agg(F.count("*").alias("c1"))
+        .crossJoin(F.broadcast(n_total))
+        .select(F.col("w").alias("u_w"), F.expr("(1000000 * c1) div n").alias("p1"))
+    )
+    t2 = big.groupBy("a", "b").agg(F.count("*").alias("c23"))
+    c2 = big.groupBy("a").agg(
+        F.count("*").alias("c12"), F.countDistinct("b").alias("n1p2")
+    )
+    t3 = tri(ref).groupBy("w1", "w2", "w3").agg(F.count("*").alias("c123"))
+    c3 = tri(ref).groupBy("w1", "w2").agg(
+        F.count("*").alias("c12t"), F.countDistinct("w3").alias("n1p3")
+    )
+
+    scored = (
+        tri(d.filter(F.col("doc_id") % 10 != 0))
+        .join(F.broadcast(t3), ["w1", "w2", "w3"], "left")
+        .join(F.broadcast(c3), ["w1", "w2"], "left")
+        .join(
+            F.broadcast(t2),
+            (F.col("w2") == F.col("a")) & (F.col("w3") == F.col("b")),
+            "left",
+        )
+        .drop("a", "b")
+        .join(F.broadcast(c2), F.col("w2") == F.col("a"), "left")
+        .drop("a", "b")
+        .join(F.broadcast(t1), F.col("w3") == F.col("u_w"), "left")
+        .withColumn("p1v", F.coalesce("p1", F.lit(0)))
+        .withColumn(
+            "p2v",
+            F.expr(f"""
+              case when c12 is null then p1v
+                   else (greatest(1000000 * coalesce(c23, 0) - {_AD_DPPM}, 0)
+                         + ({_AD_DPPM} * n1p2 * p1v) div 1000000) div c12
+              end"""),
+        )
+        .withColumn(
+            "p3v",
+            F.expr(f"""
+              case when c12t is null then p2v
+                   else (greatest(1000000 * coalesce(c123, 0) - {_AD_DPPM}, 0)
+                         + ({_AD_DPPM} * n1p3 * p2v) div 1000000) div c12t
+              end"""),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tri"),
+            F.count("c12t").alias("n_ctx3"),
+            F.sum("p3v").cast("long").alias("sum_p_ppm"),
+        )
+        .withColumn("avg_p_ppm", F.expr("sum_p_ppm div n_tri"))
+        .orderBy("avg_p_ppm", "doc_id")
+        .limit(20)
+    )
+
+
+O213 = f"""
+WITH toks AS (
+  SELECT doc_id, {TOKS} AS tk FROM documents WHERE len({TOKS}) >= 3
+), tri AS (
+  SELECT doc_id, tk[g.i] AS w1, tk[g.i + 1] AS w2, tk[g.i + 2] AS w3
+  FROM toks, LATERAL unnest(generate_series(1, len(tk) - 2)) AS g(i)
+), big AS (
+  SELECT tk[g.i] AS a, tk[g.i + 1] AS b
+  FROM toks, LATERAL unnest(generate_series(1, len(tk) - 1)) AS g(i)
+  WHERE doc_id % 10 = 0
+), uni AS (
+  SELECT u.w FROM toks, LATERAL unnest(tk) AS u(w) WHERE doc_id % 10 = 0
+), t1 AS (
+  SELECT w AS u_w,
+         (1000000 * COUNT(*)) // (SELECT COUNT(*) FROM uni) AS p1
+  FROM uni GROUP BY w
+), t2 AS (
+  SELECT a, b, COUNT(*) AS c23 FROM big GROUP BY 1, 2
+), c2 AS (
+  SELECT a, COUNT(*) AS c12, COUNT(DISTINCT b) AS n1p2 FROM big GROUP BY 1
+), t3 AS (
+  SELECT w1, w2, w3, COUNT(*) AS c123 FROM tri WHERE doc_id % 10 = 0
+  GROUP BY 1, 2, 3
+), c3 AS (
+  SELECT w1, w2, COUNT(*) AS c12t, COUNT(DISTINCT w3) AS n1p3
+  FROM tri WHERE doc_id % 10 = 0 GROUP BY 1, 2
+), sc AS (
+  SELECT t.doc_id, c3.c12t,
+         CASE WHEN c3.c12t IS NULL THEN p2v.v
+              ELSE (GREATEST(1000000 * COALESCE(t3.c123, 0) - {_AD_DPPM}, 0)
+                    + ({_AD_DPPM} * c3.n1p3 * p2v.v) // 1000000) // c3.c12t
+         END AS p3v
+  FROM tri t
+  LEFT JOIN t3 ON t.w1 = t3.w1 AND t.w2 = t3.w2 AND t.w3 = t3.w3
+  LEFT JOIN c3 ON t.w1 = c3.w1 AND t.w2 = c3.w2
+  LEFT JOIN t2 ON t.w2 = t2.a AND t.w3 = t2.b
+  LEFT JOIN c2 ON t.w2 = c2.a
+  LEFT JOIN t1 ON t.w3 = t1.u_w,
+  LATERAL (SELECT COALESCE(t1.p1, 0) AS v) p1v,
+  LATERAL (SELECT CASE WHEN c2.c12 IS NULL THEN p1v.v
+           ELSE (GREATEST(1000000 * COALESCE(t2.c23, 0) - {_AD_DPPM}, 0)
+                 + ({_AD_DPPM} * c2.n1p2 * p1v.v) // 1000000) // c2.c12
+           END AS v) p2v
+  WHERE t.doc_id % 10 <> 0
+)
+SELECT doc_id, COUNT(*) AS n_tri, COUNT(c12t) AS n_ctx3,
+       CAST(SUM(p3v) AS BIGINT) AS sum_p_ppm,
+       CAST(SUM(p3v) // COUNT(*) AS BIGINT) AS avg_p_ppm
+FROM sc GROUP BY doc_id ORDER BY avg_p_ppm, doc_id LIMIT 20
+"""
+
+
 QUERIES = [
     Query("q50_exact_dedup", q50_exact_dedup, O50, "sha256 exact dedup"),
     Query("q51_fingerprint_dedup", q51_fingerprint_dedup, O51, "normalized fingerprint dedup"),
@@ -5898,6 +6083,13 @@ QUERIES = [
           "within-row aggregate() fold (16-bit used mask, nested "
           "lambda window search) in exact ppm integers; oracle = the "
           "same greedy recurrence as a recursive CTE"),
+    Query("q213_smoothed_lm_filter", q213_smoothed_lm_filter, O213,
+          "interpolated absolute-discounting trigram LM filter (the "
+          "smoothed KenLM-style production form of q182): D=0.75 as a "
+          "ppm constant, distinct-continuation censuses, one floor "
+          "division per level with the quantization order documented; "
+          "LM censuses broadcast onto the corpus trigram stream; "
+          "pinned vs an independent Python scorer"),
     Query("q212_kmeans_train", q212_kmeans_train, O212,
           "k-means TRAINING: 2 unrolled Lloyd rounds in exact integer "
           "arithmetic (md5-stratum seeds, 2<x,c>-<c,c> argmax, "

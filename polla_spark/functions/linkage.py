@@ -262,6 +262,40 @@ def fs_em_report(spark, census: DataFrame, rounds: int = 2) -> DataFrame:
     return rep.orderBy("round")
 
 
+def fs_classify(spark, flags: DataFrame) -> DataFrame:
+    """q208's trained-classification tail over a ``(doc_a, doc_b,
+    w_dist, g1..g4)`` frame: census → 2 exact-ppm EM rounds →
+    posterior table → broadcast classification. ONE assembly shared
+    by batch q208 and streaming twin #35's finisher (the
+    fs_em_report discipline: a threshold or comparator change moves
+    both paths together).
+
+    The census is ≤16 rows and is materialized DRIVER-side (one
+    deliberate action, the q205/q208 disclosure) so nothing
+    data-sized is ever persisted; the final broadcast join recomputes
+    the pair stream once, which at 100 TB beats caching it."""
+    gcols = fs_census_flag_cols()
+    census_lazy = flags.groupBy(*gcols).agg(F.count("*").alias("c"))
+    census = spark.createDataFrame(
+        census_lazy.collect(), schema=census_lazy.schema
+    )
+    r2 = fs_em_round(census, fs_em_round(census, fs_init_params(spark)))
+    post = census.crossJoin(F.broadcast(r2)).select(
+        *gcols, F.expr(fs_posterior_expr()).alias("w_ppm")
+    )
+    verdict = (
+        F.when(F.col("w_ppm") >= LINK_PPM, "link")
+        .when(F.col("w_ppm") >= POSSIBLE_PPM, "possible")
+        .otherwise("non_link")
+    )
+    return (
+        flags.join(F.broadcast(post), gcols)
+        .select("doc_a", "doc_b", "w_dist", "w_ppm")
+        .withColumn("verdict", verdict)
+        .orderBy("doc_a", "doc_b", "w_dist")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle generators (the CTE chain O207/O208 are assembled from)
 
@@ -370,6 +404,61 @@ def make_snm_pair_kernel(window: int = 3):
     return fn
 
 
+def snm_flagged_pairs(rows, window: int = 3) -> list[tuple]:
+    """Enumerate a SORTED lang block's sorted-neighborhood pairs with
+    their 4 agreement flags: ``(doc_a, doc_b, w_dist, g1, g2, g3,
+    g4)`` per pair. ONE enumerator shared by the census kernel (twin
+    #32 sums it) and the flagged-pair kernel (twin #35 emits it) —
+    the streamed census and the streamed pair stream cannot disagree
+    about what a pair or a flag is, because both are this function.
+
+    NULL semantics mirror the batch CASE exprs: any NULL operand
+    folds the flag to 0 (arrays arrive as numpy objects — explicit
+    None tests, never truthiness)."""
+    import pandas as pd
+
+    def flags(i: int, j: int) -> tuple[int, int, int, int]:
+        a, b = rows.iloc[i], rows.iloc[j]
+        src = int(
+            a["source"] is not None and b["source"] is not None
+            and a["source"] == b["source"]
+        )
+        if a["n_chars"] is None or b["n_chars"] is None or \
+                pd.isna(a["n_chars"]) or pd.isna(b["n_chars"]):
+            ln = 0
+        else:
+            la, lb = int(a["n_chars"]), int(b["n_chars"])
+            ln = int(abs(la - lb) * 20 <= la + lb)
+        if a["sh"] is None or b["sh"] is None:
+            jac = 0
+        else:
+            sa, sb = set(a["sh"]), set(b["sh"])
+            inter = len(sa & sb)
+            jac = int(2 * inter >= len(sa) + len(sb) - inter)
+        if a["bg"] is None or b["bg"] is None:
+            bg = 0
+        else:
+            ba, bb = set(a["bg"]), set(b["bg"])
+            bg = int(2 * len(ba & bb) >= min(len(ba), len(bb)))
+        return (src, ln, jac, bg)
+
+    out = []
+    n = len(rows)
+    for i in range(n):
+        for d in range(1, window + 1):
+            if i + d >= n:
+                break
+            out.append(
+                (
+                    int(rows.iloc[i]["doc_id"]),
+                    int(rows.iloc[i + d]["doc_id"]),
+                    d,
+                    *flags(i, i + d),
+                )
+            )
+    return out
+
+
 def make_fs_census_kernel(window: int = 3):
     """``applyInPandasWithState`` kernel: one WHOLE lang-block in →
     that block's agreement-pattern census rows out.
@@ -408,45 +497,123 @@ def make_fs_census_kernel(window: int = 3):
             ["n_chars", "doc_id"], na_position="first"
         ).reset_index(drop=True)
 
-        def flags(i: int, j: int) -> tuple[int, int, int, int]:
-            # NULL semantics mirror the batch CASE: any NULL operand
-            # folds the flag to 0 (arrays arrive as numpy objects —
-            # explicit None tests, never truthiness)
-            a, b = rows.iloc[i], rows.iloc[j]
-            src = int(
-                a["source"] is not None and b["source"] is not None
-                and a["source"] == b["source"]
-            )
-            if a["n_chars"] is None or b["n_chars"] is None or \
-                    pd.isna(a["n_chars"]) or pd.isna(b["n_chars"]):
-                ln = 0
-            else:
-                la, lb = int(a["n_chars"]), int(b["n_chars"])
-                ln = int(abs(la - lb) * 20 <= la + lb)
-            if a["sh"] is None or b["sh"] is None:
-                jac = 0
-            else:
-                sa, sb = set(a["sh"]), set(b["sh"])
-                inter = len(sa & sb)
-                jac = int(2 * inter >= len(sa) + len(sb) - inter)
-            if a["bg"] is None or b["bg"] is None:
-                bg = 0
-            else:
-                ba, bb = set(a["bg"]), set(b["bg"])
-                bg = int(2 * len(ba & bb) >= min(len(ba), len(bb)))
-            return (src, ln, jac, bg)
-
         census: dict[tuple[int, int, int, int], int] = {}
-        n = len(rows)
-        for i in range(n):
-            for d in range(1, window + 1):
-                if i + d >= n:
-                    break
-                k = flags(i, i + d)
-                census[k] = census.get(k, 0) + 1
+        for *_pair, g1, g2, g3, g4 in snm_flagged_pairs(rows, window):
+            k = (g1, g2, g3, g4)
+            census[k] = census.get(k, 0) + 1
         out = [(lang, *k, c) for k, c in sorted(census.items())]
         yield pd.DataFrame(
             out, columns=["lang", "g1", "g2", "g3", "g4", "c"]
+        )
+
+    return fn
+
+
+FS_PAIR_SCHEMA = (
+    "doc_a long, doc_b long, w_dist long, "
+    "g1 long, g2 long, g3 long, g4 long"
+)
+
+
+def make_fs_pair_kernel(window: int = 3):
+    """``applyInPandasWithState`` kernel for twin #35: one WHOLE lang
+    block in → its FLAGGED sorted-neighborhood pairs out — the same
+    atomicity contract and the same :func:`snm_flagged_pairs`
+    enumerator as the census kernel, emitted per-pair instead of
+    summed. The finisher re-derives the census from this stream by
+    the same sums and classifies every pair through the identical
+    batch :func:`fs_classify` — q208 streamed with nothing
+    re-implemented."""
+
+    def fn(key, pdfs: Iterator["pd.DataFrame"], state) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        lang = key[0]
+        if state.exists:
+            raise RuntimeError(
+                f"fs pairs: lang block {lang!r} split across micro-batches "
+                "(whole-block atomicity contract)"
+            )
+        state.update((1,))
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(
+            ["n_chars", "doc_id"], na_position="first"
+        ).reset_index(drop=True)
+        yield pd.DataFrame(
+            snm_flagged_pairs(rows, window),
+            columns=["doc_a", "doc_b", "w_dist", "g1", "g2", "g3", "g4"],
+        )
+
+    return fn
+
+
+#: twin #34's bounded state: the last ≤w rows of the sorted block
+SNM_SORTED_STATE = "nc array<long>, ids array<long>, titles array<string>"
+
+
+def make_snm_sorted_kernel(window: int = 3):
+    """``applyInPandasWithState`` kernel for twin #34 — the classic
+    BOUNDED-STATE streaming sorted-neighborhood form: state per lang
+    is only the LAST ``window`` rows of the sorted order (O(w), not
+    O(block)), so a lang block may span any number of micro-batches.
+
+    CONTRACT (the dual of the whole-block kernels' atomicity): rows
+    of a lang must ARRIVE in block-sort order across micro-batches —
+    each batch is self-sorted (intra-batch order is free), but a
+    batch's first row must not sort before the previous batch's last
+    row; the kernel compares against the stored tail and ABORTS on a
+    violation instead of silently dropping neighborhoods. Under the
+    contract the emitted pair set is IDENTICAL to the whole-block
+    kernel's by construction: the pair (i, i+d) is emitted when row
+    i+d arrives, pairing it with the d-th row back in the buffer.
+
+    This is the 100 TB streaming path the r8 verdict asked for —
+    twins #32/#33/#35 hold a whole lang block per group (disclosed
+    O(block) kernel memory; batch is the bulk path), while this
+    kernel's state is w rows regardless of block size."""
+
+    def fn(key, pdfs: Iterator["pd.DataFrame"], state) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def k_of(nc, did):
+            # the batch sort key: n_chars NULLS FIRST, then doc_id
+            return (nc is not None, nc if nc is not None else 0, did)
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(
+            ["n_chars", "doc_id"], na_position="first"
+        ).reset_index(drop=True)
+        if state.exists:
+            ncs, ids, titles = state.get
+            buf = [
+                (None if n is None else int(n), int(i), t)
+                for n, i, t in zip(ncs, ids, titles)
+            ]
+        else:
+            buf = []
+        out = []
+        for _, r in rows.iterrows():
+            nc = None if pd.isna(r["n_chars"]) else int(r["n_chars"])
+            did = int(r["doc_id"])
+            if buf and k_of(nc, did) < k_of(buf[-1][0], buf[-1][1]):
+                raise RuntimeError(
+                    f"snm sorted: lang block {key[0]!r} violated the "
+                    "sorted-arrival contract (row sorts before the "
+                    "previous batch's tail)"
+                )
+            for d in range(1, min(window, len(buf)) + 1):
+                a = buf[-d]
+                out.append((a[1], did, d, a[2], r["title"]))
+            buf.append((nc, did, r["title"]))
+            if len(buf) > window:
+                del buf[0]
+        state.update((
+            [b[0] for b in buf],
+            [b[1] for b in buf],
+            [b[2] for b in buf],
+        ))
+        yield pd.DataFrame(
+            out, columns=["doc_a", "doc_b", "w_dist", "title_a", "title_b"]
         )
 
     return fn

@@ -5323,32 +5323,11 @@ def q208_fs_trained_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w_dist").cast("long").alias("w_dist"),
         *LK.fs_flag_cols(),
     )
-    # the census is ≤16 rows: materialize it DRIVER-side (one
-    # deliberate action in the builder, the q205 disclosure) and
-    # train over the literal frame — nothing data-sized is ever
-    # persisted, so repeated invocations leak zero executor cache
-    # (ADVICE r8); the final broadcast join recomputes the pair
-    # stream once, which at 100 TB beats caching it
-    census_lazy = flags.groupBy(*_FS_G_COLS).agg(F.count("*").alias("c"))
-    census = spark.createDataFrame(
-        census_lazy.collect(), schema=census_lazy.schema
-    )
-    r2 = LK.fs_em_round(census, LK.fs_em_round(census, LK.fs_init_params(spark)))
-    post = (
-        census.crossJoin(F.broadcast(r2))
-        .select(*_FS_G_COLS, F.expr(LK.fs_posterior_expr()).alias("w_ppm"))
-    )
-    verdict = (
-        F.when(F.col("w_ppm") >= LK.LINK_PPM, "link")
-        .when(F.col("w_ppm") >= LK.POSSIBLE_PPM, "possible")
-        .otherwise("non_link")
-    )
-    return (
-        flags.join(F.broadcast(post), _FS_G_COLS)
-        .select("doc_a", "doc_b", "w_dist", "w_ppm")
-        .withColumn("verdict", verdict)
-        .orderBy("doc_a", "doc_b", "w_dist")
-    )
+    # census -> EM -> posterior -> broadcast classification lives in
+    # functions/linkage.fs_classify — ONE assembly shared with
+    # streaming twin #35's finisher (census materialized driver-side,
+    # ≤16 rows: nothing data-sized is ever persisted — ADVICE r8)
+    return LK.fs_classify(spark, flags)
 
 
 O208 = f"""{_O_FS_COMMON}, wf AS (

@@ -1384,6 +1384,83 @@ def snm_pair_partials(docs: DataFrame, title_chars: int = 16) -> DataFrame:
     )
 
 
+def snm_pair_partials_sorted(docs: DataFrame, title_chars: int = 16) -> DataFrame:
+    """Streaming sorted-neighborhood pairs with BOUNDED state (twin
+    #34) — the classic streaming-SNM form of twin #33: state per lang
+    is only the last w=3 rows of the sorted order, so a lang block
+    may span any number of micro-batches and kernel memory is O(w)
+    at any block size (the 100 TB streaming path; #32/#33/#35's
+    whole-block kernels are O(block) by disclosed contract).
+
+    CONTRACT (enforced in-kernel): rows of a lang arrive in
+    block-sort order across micro-batches — each batch self-sorts,
+    but a batch must not sort before the previous batch's stored
+    tail; violations ABORT. Under the contract the pair stream is
+    IDENTICAL to twin #33's (hence to batch q211's after the shared
+    :func:`finish_jaro_winkler`) by construction."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..functions.linkage import (
+        SNM_PAIR_SCHEMA,
+        SNM_SORTED_STATE,
+        make_snm_sorted_kernel,
+    )
+
+    proj = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", "lang", "n_chars",
+        F.expr(f"substring(text, 1, {title_chars})").alias("title"),
+    )
+    return proj.groupBy("lang").applyInPandasWithState(
+        make_snm_sorted_kernel(),
+        SNM_PAIR_SCHEMA,
+        SNM_SORTED_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def fs_flagged_pair_partials(docs: DataFrame) -> DataFrame:
+    """Streaming FLAGGED sorted-neighborhood pairs (twin #35's front
+    half): the same projection and whole-block atomicity contract as
+    :func:`fs_census_partials`, but emitting every pair with its 4
+    agreement flags instead of the summed census — both kernels
+    enumerate through the ONE shared
+    ``functions/linkage.snm_flagged_pairs``, so the pair stream and
+    the census cannot disagree about what a pair or a flag is."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..functions.linkage import (
+        FS_PAIR_SCHEMA,
+        _FS_CENSUS_STATE,
+        make_fs_pair_kernel,
+        with_bigram_set,
+    )
+    from ..functions.shingles import with_shingle_sets
+
+    proj = with_bigram_set(with_shingle_sets(docs)).select(
+        "doc_id", "lang", "source", "n_chars", "sh", "bg"
+    )
+    return proj.groupBy("lang").applyInPandasWithState(
+        make_fs_pair_kernel(),
+        FS_PAIR_SCHEMA,
+        _FS_CENSUS_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def finish_fs_trained_classify(updates: DataFrame) -> DataFrame:
+    """Classify the streamed flagged pairs through the IDENTICAL
+    batch tail (``functions/linkage.fs_classify``: census → 2 EM
+    rounds → posterior broadcast) — the full trained record-linkage
+    loop of q208, streamed, with nothing re-implemented (twin #35).
+    The census fs_classify derives is a deterministic merge-closed
+    function of the pair stream, so streamed == batch exactly."""
+    from ..functions.linkage import fs_classify
+
+    return fs_classify(updates.sparkSession, updates)
+
+
 def finish_jaro_winkler(pairs: DataFrame) -> DataFrame:
     """Score the streamed SNM pairs with the IDENTICAL batch
     comparator (functions/strsim.py — one operator, two transports)."""

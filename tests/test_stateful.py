@@ -1051,3 +1051,86 @@ def test_snm_pair_kernel_order_and_abort():
     ]
     with pytest.raises(RuntimeError, match="atomicity"):
         list(fn(("en",), iter([rows]), st))
+
+
+def test_snm_sorted_kernel_bounded_state_and_order_abort():
+    """In-process twin-#34 kernel: across sorted-arrival batches the
+    emitted pairs equal the whole-block kernel's enumeration, the
+    stored state never exceeds w rows, and a row that sorts before
+    the previous batch's tail aborts."""
+    import pandas as pd
+    import pytest
+
+    from polla_spark.functions.linkage import (
+        make_snm_pair_kernel,
+        make_snm_sorted_kernel,
+    )
+
+    cols = ["doc_id", "n_chars", "title"]
+    # sorted block order (n_chars NULLS FIRST, doc_id):
+    #   (1, None) (9, 2) (5, 3) (7, 3) (2, 8)
+    block = [
+        (1, None, "a"), (9, 2, "bb"), (5, 3, "ccc"),
+        (7, 3, "dd"), (2, 8, "e"),
+    ]
+    whole = pd.DataFrame(block, columns=cols, dtype=object)
+    want = [
+        tuple(r)
+        for r in next(
+            make_snm_pair_kernel(window=3)(("en",), iter([whole]), _FakeState())
+        ).itertuples(index=False)
+    ]
+
+    fn = make_snm_sorted_kernel(window=3)
+    st = _FakeState()
+    got = []
+    # batches split MID-block (2 + 2 + 1 rows), each self-unsorted to
+    # prove intra-batch order is free
+    for chunk in ([block[1], block[0]], [block[3], block[2]], [block[4]]):
+        pdf = pd.DataFrame(chunk, columns=cols, dtype=object)
+        out = next(fn(("en",), iter([pdf]), st))
+        got.extend(tuple(r) for r in out.itertuples(index=False))
+        assert len(st.get[1]) <= 3  # state = last <=w rows, never the block
+    # emission ORDER differs by construction (whole-block enumerates
+    # i-then-d; sorted-arrival emits each pair when its later row
+    # arrives) — the pair SET is the contract
+    assert sorted(got) == sorted(want)
+
+    # disorder across batches: next row sorts BEFORE the stored tail
+    early = pd.DataFrame([(3, 1, "zz")], columns=cols, dtype=object)
+    with pytest.raises(RuntimeError, match="sorted-arrival"):
+        list(fn(("en",), iter([early]), st))
+
+
+def test_fs_pair_kernel_matches_census_kernel():
+    """Twin-#35 kernel: the flagged pair stream SUMS to exactly the
+    census kernel's output (both run the one shared enumerator)."""
+    import pandas as pd
+
+    from polla_spark.functions.linkage import (
+        make_fs_census_kernel,
+        make_fs_pair_kernel,
+    )
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": [5, 1, 9, 2],
+            "n_chars": [30, None, 29, 400],
+            "source": ["web", "web", "pdf", "web"],
+            "sh": [["a b c"], None, ["a b c", "x y z"], ["q r s"]],
+            "bg": [["ab"], ["ab"], ["ab", "cd"], None],
+        },
+        dtype=object,
+    )
+    pairs = next(make_fs_pair_kernel()(("en",), iter([rows.copy()]), _FakeState()))
+    census = next(
+        make_fs_census_kernel()(("en",), iter([rows.copy()]), _FakeState())
+    )
+    summed: dict[tuple, int] = {}
+    for r in pairs.itertuples(index=False):
+        k = (r.g1, r.g2, r.g3, r.g4)
+        summed[k] = summed.get(k, 0) + 1
+    want = {
+        (r.g1, r.g2, r.g3, r.g4): r.c for r in census.itertuples(index=False)
+    }
+    assert summed == want and len(pairs) == 6  # C(4,2) at w=3

@@ -583,6 +583,137 @@ def test_jaro_winkler_stream_equals_q211(spark, tmp_path):
     assert _rows(got, keys) == _rows(q211_jaro_winkler(spark, SF_DIR), keys)
 
 
+def _sorted_slices(docs, n_slices=3):
+    """Split every lang block into ``n_slices`` CONSECUTIVE slices of
+    its (n_chars NULLS FIRST, doc_id) sort — the staging for twin
+    #34's sorted-arrival contract: batch i carries slice i of every
+    lang, so each block spans all batches IN ORDER."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.asc_nulls_first("n_chars"), "doc_id"
+    )
+    ranked = docs.withColumn("rn", F.row_number().over(w)).withColumn(
+        "nblk", F.count("*").over(Window.partitionBy("lang"))
+    )
+    return [
+        ranked.filter(F.expr(f"(({n_slices} * (rn - 1)) div nblk) = {i}"))
+        .drop("rn", "nblk")
+        for i in range(n_slices)
+    ]
+
+
+def test_jaro_winkler_sorted_stream_equals_q211(spark, tmp_path):
+    """Streaming Jaro-Winkler over the BOUNDED-STATE sorted-arrival
+    SNM (34th twin): every lang block is split mid-block across all 3
+    micro-batches (the exact shape twins #32/#33 must abort on), the
+    kernel keeps only the last w=3 rows per lang, and the identical
+    batch comparator scores the pairs — so the streamed report equals
+    batch q211 row-for-row with O(w) state."""
+    import time
+
+    from polla_spark.plans.llmdata import q211_jaro_winkler
+    from polla_spark.session import read_table
+
+    docs = read_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "n_chars", "text"
+    )
+    d = tmp_path / "jw_sorted_stream"
+    for i, sl in enumerate(_sorted_slices(docs)):
+        sl.coalesce(1).write.parquet(str(d / f"part{i}"))
+        time.sleep(0.1)  # the file source orders batches by mtime
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*/")
+    )
+    q = (
+        SW.snm_pair_partials_sorted(stream)
+        .writeStream.format("memory")
+        .queryName("jw_sorted_pairs")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = SW.finish_jaro_winkler(spark.table("jw_sorted_pairs"))
+    keys = ["doc_a", "doc_b", "w_dist", "jaro_ppm", "jw_ppm"]
+    assert _rows(got, keys) == _rows(q211_jaro_winkler(spark, SF_DIR), keys)
+
+
+def test_snm_sorted_stream_aborts_on_disorder(spark, tmp_path):
+    """Twin #34's sorted-arrival contract is ENFORCED: feeding a lang
+    block's LATER slice before its earlier one aborts the query."""
+    import time
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from polla_spark.session import read_table
+
+    docs = read_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "n_chars", "text"
+    ).filter(F.col("lang") == "en")
+    d = tmp_path / "jw_disorder"
+    first, second, third = _sorted_slices(docs)
+    second.coalesce(1).write.parquet(str(d / "a"))
+    time.sleep(0.1)
+    first.coalesce(1).write.parquet(str(d / "b"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*/")
+    )
+    q = (
+        SW.snm_pair_partials_sorted(stream)
+        .writeStream.format("memory")
+        .queryName("jw_disorder")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="sorted-arrival"):
+        q.awaitTermination(300)
+
+
+def test_fs_trained_classify_stream_equals_q208(spark, tmp_path):
+    """Streaming trained record linkage END-TO-END (35th twin): the
+    flagged pair stream (whole-block atomicity, the one shared
+    enumerator with the census kernel) through the IDENTICAL batch
+    fs_classify tail — census, 2 EM rounds, posterior broadcast —
+    must equal batch q208 row-for-row: the full trained-ER loop,
+    streamed, nothing re-implemented."""
+    from polla_spark.plans.llmdata import q208_fs_trained_classify
+    from polla_spark.session import read_table
+
+    docs = read_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "source", "n_chars", "text"
+    )
+    d = tmp_path / "fs_classify_stream"
+    for i, langs in enumerate([("de", "en"), ("es",), ("fr", "zh")]):
+        docs.filter(F.col("lang").isin(*langs)).coalesce(1).write.parquet(
+            str(d / f"part{i}")
+        )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*/")
+    )
+    q = (
+        SW.fs_flagged_pair_partials(stream)
+        .writeStream.format("memory")
+        .queryName("fs_pair_updates")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = SW.finish_fs_trained_classify(spark.table("fs_pair_updates"))
+    keys = ["doc_a", "doc_b", "w_dist", "w_ppm", "verdict"]
+    assert _rows(got, keys) == _rows(
+        q208_fs_trained_classify(spark, SF_DIR), keys
+    )
+
+
 def test_hll_distinct_stream_equals_batch_sketch(spark, tmp_path, batch_events):
     """Streaming HLL distinct sketches (20th twin): HLL union is
     LOSSLESS (register-wise max), so the streamed estimate over a

@@ -769,9 +769,9 @@ def _hyperplane_weight(j: int, i: int) -> float:
     return 1.0 if (_HEX.index(h[0])) % 2 == 1 else -1.0
 
 
-def _code_spark_expr() -> str:
+def _code_spark_expr(n_planes: int = 8) -> str:
     planes = []
-    for j in range(8):
+    for j in range(n_planes):
         terms = ", ".join(
             f"cast({_hyperplane_weight(j, i)} as double)" for i in range(1, 65)
         )
@@ -1182,15 +1182,23 @@ ORDER BY id_a, id_b
 """
 
 
-def _bucketed_cosine_sides(spark: SparkSession, sf_dir: str):
+def _bucketed_cosine_sides(spark: SparkSession, sf_dir: str, n_planes: int = 8):
     """ONE source of truth for the hyperplane-bucketed cosine-pair
     scaffolding shared by q82 (pair report) and q204 (SemDeDup
     clustering): the coded+normed table is persisted AND materialized
-    before the self-join (the q53 signature-table lesson — the 8-plane
-    sign code is ~512 fused multiply-adds per row, and both join
+    before the self-join (the q53 signature-table lesson — the sign
+    code is ~64·n_planes fused multiply-adds per row, and both join
     branches would otherwise race the cold cache), then split into the
-    two renamed join sides. Returns (side_a, side_b, cosine_expr)."""
-    e = t(spark, sf_dir, "embeddings").withColumn("code", F.expr(_CODE_SPARK))
+    two renamed join sides. Returns (side_a, side_b, cosine_expr).
+
+    ``n_planes`` is the PRODUCTION scaling knob (SemDeDup's cell
+    count): more planes → exponentially more cells → lower per-cell
+    occupancy, at the price of splitting some true near-dup pairs
+    across cells. The oracle-checked queries pin n_planes=8; the
+    scale harness measures the log-scaled production rule
+    (see :func:`semantic_dedup_clusters`)."""
+    code = _CODE_SPARK if n_planes == 8 else _code_spark_expr(n_planes)
+    e = t(spark, sf_dir, "embeddings").withColumn("code", F.expr(code))
     n = e.select(
         "vec_id",
         "code",
@@ -4800,9 +4808,31 @@ def q204_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the same edges through a recursive-CTE reachability walk
     (O67's pattern).
     """
+    return semantic_dedup_clusters(spark, sf_dir, n_planes=8)
+
+
+def semantic_dedup_clusters(
+    spark: SparkSession, sf_dir: str, n_planes: int = 8
+) -> DataFrame:
+    """q204's pipeline with the plane count as the PRODUCTION scaling
+    knob. SemDeDup's cost driver is per-cell occupancy (in-cell pair
+    work is ~quadratic in it), so a fixed plane count saturates as the
+    corpus grows — SCALE.md's r8 caveat on q204's 20.6× at 100×. The
+    production rule, measured by ``scripts/scale_semdedup.py``:
+
+        n_planes(f) = 8 + round(log2 f)      (f = corpus scale factor)
+
+    Cells grow ~linearly with the corpus (2^round(log2 f) ≈ f), so
+    per-cell occupancy — hence per-cell pair work — holds ~constant
+    and total work returns to the data-linear floor. The trade is
+    recall at the margin (a finer code splits some true near-dup
+    pairs across cells); edges that DO form are still exact
+    rounded-cosine-gated, so every reported cluster is real — the
+    oracle story is unchanged, and q204 pins the n_planes=8 config
+    hash-exactly."""
     from ..operators.graph import connected_components
 
-    a, b, cos = _bucketed_cosine_sides(spark, sf_dir)
+    a, b, cos = _bucketed_cosine_sides(spark, sf_dir, n_planes)
     edges = (
         a.join(b, "code")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -254,23 +254,29 @@ def main() -> None:
 
     (spark.range(256).repartition(64)
      .mapInPandas(_ident, "id long").write.format("noop").mode("overwrite").save())
+    def _time_query(name: str) -> tuple[float, list[float]]:
+        """The ONE timing protocol (main loop AND noise sentinel —
+        they must measure alike for noise_ratio to mean anything):
+        REPS reps, cache cleared between reps (a plan's eager
+        persist() registers in the CacheManager by logical plan, so a
+        later rep would read the cache and understate the work),
+        construction + execution timed together (some plans
+        materialize an intermediate during construction), noop sink
+        so every column materializes; median."""
+        reps: list[float] = []
+        for _ in range(REPS):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            reg[name].spark(spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            reps.append(time.perf_counter() - t0)
+        return statistics.median(reps), reps
+
     times: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
-        q = reg[name]
-        reps: list[float] = []
-        for _ in range(REPS):
-            # a plan's eager persist() registers in the CacheManager by
-            # logical plan, so a later rep of the same query would read
-            # the cache and understate the work — clear between reps
-            spark.catalog.clearCache()
-            # time construction + execution: some plans materialize an
-            # intermediate (eager persist) during construction
-            t0 = time.perf_counter()
-            df = q.spark(spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            reps.append(time.perf_counter() - t0)
-        med = statistics.median(reps)
+        med, reps = _time_query(name)
         times[name] = round(med, 3)
         total += med
         print(f"# {name}: median {med:.2f}s of {[round(r, 2) for r in reps]}",
@@ -280,15 +286,7 @@ def main() -> None:
     # that the whole suite has run — end/start >> 1 means machine speed
     # drifted mid-run and this artifact's deltas are noise-suspect
     sentinel = HEADLINE[0]
-    reps = []
-    for _ in range(REPS):
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        reg[sentinel].spark(spark, SF_DIR).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        reps.append(time.perf_counter() - t0)
-    end_med = statistics.median(reps)
+    end_med, _ = _time_query(sentinel)
     noise_ratio = round(end_med / times[sentinel], 2) if times[sentinel] else None
     print(
         f"# noise sentinel {sentinel}: start {times[sentinel]:.2f}s "

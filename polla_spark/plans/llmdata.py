@@ -5796,13 +5796,17 @@ def q213_smoothed_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_total))
         .select(F.col("w").alias("u_w"), F.expr("(1000000 * c1) div n").alias("p1"))
     )
+    # the context censuses are exact derivatives of the n-gram
+    # censuses (c12 = Σc23, n1p2 = COUNT over t2 grouped by a; same
+    # for c12t/n1p3 from t3) — aggregate the vocab-bounded census,
+    # never re-explode the reference slice (r9 review finding)
     t2 = big.groupBy("a", "b").agg(F.count("*").alias("c23"))
-    c2 = big.groupBy("a").agg(
-        F.count("*").alias("c12"), F.countDistinct("b").alias("n1p2")
+    c2 = t2.groupBy("a").agg(
+        F.sum("c23").alias("c12"), F.count("*").alias("n1p2")
     )
     t3 = tri(ref).groupBy("w1", "w2", "w3").agg(F.count("*").alias("c123"))
-    c3 = tri(ref).groupBy("w1", "w2").agg(
-        F.count("*").alias("c12t"), F.countDistinct("w3").alias("n1p3")
+    c3 = t3.groupBy("w1", "w2").agg(
+        F.sum("c123").alias("c12t"), F.count("*").alias("n1p3")
     )
 
     scored = (
@@ -5868,13 +5872,12 @@ WITH toks AS (
 ), t2 AS (
   SELECT a, b, COUNT(*) AS c23 FROM big GROUP BY 1, 2
 ), c2 AS (
-  SELECT a, COUNT(*) AS c12, COUNT(DISTINCT b) AS n1p2 FROM big GROUP BY 1
+  SELECT a, SUM(c23) AS c12, COUNT(*) AS n1p2 FROM t2 GROUP BY 1
 ), t3 AS (
   SELECT w1, w2, w3, COUNT(*) AS c123 FROM tri WHERE doc_id % 10 = 0
   GROUP BY 1, 2, 3
 ), c3 AS (
-  SELECT w1, w2, COUNT(*) AS c12t, COUNT(DISTINCT w3) AS n1p3
-  FROM tri WHERE doc_id % 10 = 0 GROUP BY 1, 2
+  SELECT w1, w2, SUM(c123) AS c12t, COUNT(*) AS n1p3 FROM t3 GROUP BY 1, 2
 ), sc AS (
   SELECT t.doc_id, c3.c12t,
          CASE WHEN c3.c12t IS NULL THEN p2v.v

@@ -53,7 +53,24 @@ GOLDEN_QUERIES = [
     "q209_dct_phash_near_dup",
     "q208_fs_trained_classify",
     "q211_jaro_winkler",
+    # r9: the PRODUCTION SemDeDup config (log-scaled plane count —
+    # the shape scripts/scale_semdedup.py measures at 20x)
+    "q204_semantic_dedup_planes12",
 ]
+
+
+def extra_plans() -> dict:
+    """Golden-pinned plan VARIANTS that are not registry entries
+    (name -> builder(spark, sf_dir)). Shared with
+    tests/test_plan_goldens.py so the pin and the generator cannot
+    disagree about what a name builds."""
+    from polla_spark.plans.llmdata import semantic_dedup_clusters
+
+    return {
+        "q204_semantic_dedup_planes12": (
+            lambda spark, sf: semantic_dedup_clusters(spark, sf, n_planes=12)
+        ),
+    }
 
 
 def main() -> None:
@@ -64,9 +81,11 @@ def main() -> None:
     names = sys.argv[1:] or GOLDEN_QUERIES
     spark = get_spark("gen_plan_goldens")
     reg = registry()
+    extra = extra_plans()
     GOLDEN_DIR.mkdir(parents=True, exist_ok=True)
     for name in names:
-        df = reg[name].spark(spark, SF)
+        build = extra[name] if name in extra else reg[name].spark
+        df = build(spark, SF)
         (GOLDEN_DIR / f"{name}.txt").write_text(plan_skeleton(df))
         spark.catalog.clearCache()  # eager persists must not leak across
         print(f"wrote {name}.txt")

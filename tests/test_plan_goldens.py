@@ -1,4 +1,4 @@
-"""Golden plan-skeleton snapshots for the 27 heaviest / most
+"""Golden plan-skeleton snapshots for the 28 heaviest / most
 plan-sensitive queries.
 
 The targeted pins in test_plan_shapes.py assert SPECIFIC plan
@@ -32,8 +32,10 @@ def _golden_names() -> list[str]:
 def test_plan_skeleton_matches_golden(spark, name):
     from polla_spark.plans import registry
     from polla_spark.plans.skeleton import plan_skeleton
+    from scripts.gen_plan_goldens import extra_plans  # type: ignore
 
-    df = registry()[name].spark(spark, SF)
+    build = extra_plans().get(name) or registry()[name].spark
+    df = build(spark, SF)
     got = plan_skeleton(df)
     spark.catalog.clearCache()  # eager persists must not leak across
     want = (GOLDEN_DIR / f"{name}.txt").read_text()
@@ -48,4 +50,4 @@ def test_goldens_cover_the_declared_set():
     from scripts.gen_plan_goldens import GOLDEN_QUERIES  # type: ignore
 
     assert sorted(GOLDEN_QUERIES) == _golden_names()
-    assert len(GOLDEN_QUERIES) == 27
+    assert len(GOLDEN_QUERIES) == 28

@@ -178,6 +178,7 @@ HEADLINE = [
     # smoothed-LM filter (five broadcast LM censuses over one explode)
     "q212_kmeans_train",
     "q213_smoothed_lm_filter",
+    "q214_er_entities",
     # q203 stays out for q201's reason: its cost is the shared
     # shingle-set construction (~10 s at any sf, the q201 fixed cost),
     # not the sketch algebra; covered by parity + its SCALE.md row.

@@ -5904,6 +5904,85 @@ FROM sc GROUP BY doc_id ORDER BY avg_p_ppm, doc_id LIMIT 20
 """
 
 
+def q214_er_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution ENDGAME — the step after q208 that Splink
+    calls clustering pairwise predictions: transitive closure of the
+    trained classifier's ``link`` verdicts into ENTITIES (connected
+    components over the link graph), reported as the merge census a
+    golden-record pass would execute. Composes the whole trained-ER
+    stack end-to-end: block (q128's SNM) → EM-train (q207) →
+    posterior-classify (q208) → cluster (q204's component operator)
+    → canonical entity id = component-min doc_id.
+
+    Only ``link`` pairs form edges (``possible`` goes to clerical
+    review in the Fellegi-Sunter decision model, not to auto-merge).
+    Each SNM pair is unique by construction (one window distance per
+    ordered position pair), so the edge list needs no dedup.
+
+    Report per entity: (entity = min member doc_id, size, n_merged =
+    size − 1, sum_members as an exact membership checksum). Singleton
+    docs never enter the graph — an entity is by definition ≥ 2
+    records.
+
+    100 TB shape: q208's cost argument carries (one SNM exchange +
+    broadcast posterior probe); the link graph is SPARSE (near-dup
+    pairs only), so the component pass is the same
+    ``operators/graph.connected_components`` scale path q204 uses —
+    local union-find under the threshold, distributed label
+    propagation above it.
+    """
+    from ..operators.graph import connected_components
+
+    classified = q208_fs_trained_classify(spark, sf_dir)
+    links = classified.filter(F.col("verdict") == "link").select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    nodes = (
+        links.select(F.col("src").alias("node"))
+        .unionByName(links.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    comps = connected_components(nodes, links)
+    return (
+        comps.groupBy(F.col("label").alias("entity"))
+        .agg(
+            F.count("*").alias("size"),
+            F.sum("node").cast("long").alias("sum_members"),
+        )
+        .select(
+            "entity",
+            "size",
+            (F.col("size") - F.lit(1)).alias("n_merged"),
+            "sum_members",
+        )
+        .orderBy("entity")
+    )
+
+
+O214 = _O_FS_COMMON.replace("WITH docs AS", "WITH RECURSIVE docs AS", 1) + f""", wf AS (
+  SELECT g1, g2, g3, g4, CAST({LK.o_fs_posterior("p2")} AS BIGINT) AS w_ppm
+  FROM census CROSS JOIN p2
+), links AS MATERIALIZED (
+  SELECT f.doc_a AS src, f.doc_b AS dst
+  FROM flags f JOIN wf w USING (g1, g2, g3, g4)
+  WHERE w.w_ppm >= {LK.LINK_PPM}
+), dedges AS MATERIALIZED (
+  SELECT src, dst FROM links UNION ALL SELECT dst, src FROM links
+), lnodes AS (
+  SELECT DISTINCT src AS node FROM dedges
+), reach(a, b) AS (
+  SELECT node, node FROM lnodes
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN dedges e ON r.b = e.src
+), comp AS (
+  SELECT a AS node, MIN(b) AS entity FROM reach GROUP BY a
+)
+SELECT entity, COUNT(*) AS size, COUNT(*) - 1 AS n_merged,
+       CAST(SUM(node) AS BIGINT) AS sum_members
+FROM comp GROUP BY entity ORDER BY entity
+"""
+
+
 QUERIES = [
     Query("q50_exact_dedup", q50_exact_dedup, O50, "sha256 exact dedup"),
     Query("q51_fingerprint_dedup", q51_fingerprint_dedup, O51, "normalized fingerprint dedup"),
@@ -6102,6 +6181,12 @@ QUERIES = [
           "division per level with the quantization order documented; "
           "LM censuses broadcast onto the corpus trigram stream; "
           "pinned vs an independent Python scorer"),
+    Query("q214_er_entities", q214_er_entities, O214,
+          "entity-resolution endgame: transitive closure of q208's "
+          "trained 'link' verdicts into entities (connected "
+          "components over the sparse link graph, q204's operator), "
+          "reported as the merge census with component-min canonical "
+          "ids — the full Splink-style stack composed end-to-end"),
     Query("q212_kmeans_train", q212_kmeans_train, O212,
           "k-means TRAINING: 2 unrolled Lloyd rounds in exact integer "
           "arithmetic (md5-stratum seeds, 2<x,c>-<c,c> argmax, "

@@ -296,6 +296,41 @@ def fs_classify(spark, flags: DataFrame) -> DataFrame:
     )
 
 
+def er_entities(classified: DataFrame) -> DataFrame:
+    """Trained ``link`` verdicts → entity merge census: transitive
+    closure over the sparse link graph (the shared
+    ``operators/graph.connected_components``), one row per entity
+    with the component-min canonical id, size, n_merged and an exact
+    membership checksum. ONE assembly shared by batch q214 and
+    streaming twin #36's finisher. ``possible`` pairs go to clerical
+    review in the Fellegi-Sunter decision model — never auto-merge."""
+    from ..operators.graph import connected_components
+
+    links = classified.filter(F.col("verdict") == "link").select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    nodes = (
+        links.select(F.col("src").alias("node"))
+        .unionByName(links.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    return (
+        connected_components(nodes, links)
+        .groupBy(F.col("label").alias("entity"))
+        .agg(
+            F.count("*").alias("size"),
+            F.sum("node").cast("long").alias("sum_members"),
+        )
+        .select(
+            "entity",
+            "size",
+            (F.col("size") - F.lit(1)).alias("n_merged"),
+            "sum_members",
+        )
+        .orderBy("entity")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle generators (the CTE chain O207/O208 are assembled from)
 

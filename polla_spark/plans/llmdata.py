@@ -5929,34 +5929,11 @@ def q214_er_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs only), so the component pass is the same
     ``operators/graph.connected_components`` scale path q204 uses —
     local union-find under the threshold, distributed label
-    propagation above it.
+    propagation above it. The verdicts→entities assembly lives in
+    ``functions/linkage.er_entities``, shared with streaming twin
+    #36's finisher.
     """
-    from ..operators.graph import connected_components
-
-    classified = q208_fs_trained_classify(spark, sf_dir)
-    links = classified.filter(F.col("verdict") == "link").select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
-    nodes = (
-        links.select(F.col("src").alias("node"))
-        .unionByName(links.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    comps = connected_components(nodes, links)
-    return (
-        comps.groupBy(F.col("label").alias("entity"))
-        .agg(
-            F.count("*").alias("size"),
-            F.sum("node").cast("long").alias("sum_members"),
-        )
-        .select(
-            "entity",
-            "size",
-            (F.col("size") - F.lit(1)).alias("n_merged"),
-            "sum_members",
-        )
-        .orderBy("entity")
-    )
+    return LK.er_entities(q208_fs_trained_classify(spark, sf_dir))
 
 
 O214 = _O_FS_COMMON.replace("WITH docs AS", "WITH RECURSIVE docs AS", 1) + f""", wf AS (

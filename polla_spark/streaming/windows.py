@@ -1461,6 +1461,19 @@ def finish_fs_trained_classify(updates: DataFrame) -> DataFrame:
     return fs_classify(updates.sparkSession, updates)
 
 
+def finish_er_entities(updates: DataFrame) -> DataFrame:
+    """Cluster the streamed trained ``link`` verdicts into ENTITIES —
+    batch q214 streamed (twin #36): :func:`finish_fs_trained_classify`
+    classifies the flagged pair stream through the identical batch
+    tail, then the IDENTICAL ``functions/linkage.er_entities``
+    assembly batch q214 delegates to. Everything downstream of the
+    pair stream is a deterministic function of it, so streamed ==
+    batch exactly — nothing re-implemented."""
+    from ..functions.linkage import er_entities
+
+    return er_entities(finish_fs_trained_classify(updates))
+
+
 def finish_jaro_winkler(pairs: DataFrame) -> DataFrame:
     """Score the streamed SNM pairs with the IDENTICAL batch
     comparator (functions/strsim.py — one operator, two transports)."""

@@ -712,6 +712,14 @@ def test_fs_trained_classify_stream_equals_q208(spark, tmp_path):
     assert _rows(got, keys) == _rows(
         q208_fs_trained_classify(spark, SF_DIR), keys
     )
+    # twin #36 rides the same pair stream: entities (q214) are a
+    # deterministic function of the classified pairs, so the streamed
+    # entity census must equal batch q214 row-for-row too
+    from polla_spark.plans.llmdata import q214_er_entities
+
+    ent = SW.finish_er_entities(spark.table("fs_pair_updates"))
+    keys = ["entity", "size", "n_merged", "sum_members"]
+    assert _rows(ent, keys) == _rows(q214_er_entities(spark, SF_DIR), keys)
 
 
 def test_hll_distinct_stream_equals_batch_sketch(spark, tmp_path, batch_events):

@@ -1079,3 +1079,36 @@ def test_q198_pipe_lowers_to_pushed_filter_and_partial_agg(spark):
     assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "LessThanOrEqual(l_shipdate" in plan, plan
     assert "partial_count" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q212_final_round_no_join_no_window(spark):
+    # the unrolled Lloyd assignment evaluates against LITERAL
+    # centroids as pure column expressions — the final-round plan may
+    # contain NO window and NO data-sized join; the only shuffles are
+    # the K*64-row update agg (+ the tiny report union/sort), and the
+    # literal-prev join must be a broadcast probe
+    from polla_spark.plans.llmdata import q212_kmeans_train
+
+    plan = _plan(q212_kmeans_train(spark, SF))
+    assert "Window" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # exactly two hash exchanges: the (cid, pos) partial agg (the
+    # only one fed by corpus-scale data, map-side combined to K*64
+    # rows) and the K*64 -> K report agg after the broadcast probe;
+    # the report sort is report-sized
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_q213_corpus_never_shuffles(spark):
+    # all five LM censuses broadcast onto the corpus trigram stream:
+    # the scored side must see only BroadcastHashJoins (no
+    # SortMergeJoin anywhere), and the only data-sized hash exchanges
+    # are census partial aggs + the final doc-grain agg
+    from polla_spark.plans.llmdata import q213_smoothed_lm_filter
+
+    plan = _plan(q213_smoothed_lm_filter(spark, SF))
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+    # top-20 report: per-task top-k merge, never a global sort
+    assert "TakeOrderedAndProject" in plan, plan

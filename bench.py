@@ -179,6 +179,12 @@ HEADLINE = [
     "q212_kmeans_train",
     "q213_smoothed_lm_filter",
     "q214_er_entities",
+    # r9 session-2 additions: golden-record survivorship (q214's
+    # component pass + member-sized windows, corpus probed by one
+    # broadcast join) and the Soundex blocking census (one distinct
+    # word exchange + per-word codegen string algebra)
+    "q215_golden_records",
+    "q216_soundex_blocking",
     # q203 stays out for q201's reason: its cost is the shared
     # shingle-set construction (~10 s at any sf, the q201 fixed cost),
     # not the sketch algebra; covered by parity + its SCALE.md row.

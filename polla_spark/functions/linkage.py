@@ -304,19 +304,9 @@ def er_entities(classified: DataFrame) -> DataFrame:
     membership checksum. ONE assembly shared by batch q214 and
     streaming twin #36's finisher. ``possible`` pairs go to clerical
     review in the Fellegi-Sunter decision model — never auto-merge."""
-    from ..operators.graph import connected_components
-
-    links = classified.filter(F.col("verdict") == "link").select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
-    nodes = (
-        links.select(F.col("src").alias("node"))
-        .unionByName(links.select(F.col("dst").alias("node")))
-        .distinct()
-    )
     return (
-        connected_components(nodes, links)
-        .groupBy(F.col("label").alias("entity"))
+        er_members(classified)
+        .groupBy("entity")
         .agg(
             F.count("*").alias("size"),
             F.sum("node").cast("long").alias("sum_members"),
@@ -328,6 +318,96 @@ def er_entities(classified: DataFrame) -> DataFrame:
             "sum_members",
         )
         .orderBy("entity")
+    )
+
+
+def er_golden_records(classified: DataFrame, docs: DataFrame) -> DataFrame:
+    """Golden-record SURVIVORSHIP — the merge step after
+    :func:`er_entities` clusters the trained ``link`` verdicts: one
+    canonical output record per entity, with each attribute picked by
+    a deterministic survivorship rule (the MDM "most complete / most
+    frequent" policy):
+
+    - ``rep_doc`` / ``rep_chars``: the representative text is the
+      LONGEST member's (max ``n_chars``), tie-break lowest doc_id —
+      the "most complete attribute" rule;
+    - ``src_surv`` / ``src_votes``: the surviving ``source`` is the
+      modal value among members, tie-break lexicographically smallest
+      — the "most frequent attribute" rule;
+    - ``size`` / ``sum_chars``: merge census + an exact checksum.
+
+    ONE assembly shared by batch q215 and streaming twin #37's
+    finisher. 100 TB shape: the member table is link-graph-sized
+    (near-dup-sparse), so it BROADCASTS onto the corpus scan — the
+    corpus is probed once by a broadcast hash join and never
+    shuffles; every window/agg downstream runs on member-sized data.
+
+    Every tie-break is total (doc_id unique; source a key of its
+    group), so row_number picks are deterministic and oracle-exact.
+    """
+    from pyspark.sql import Window
+
+    members = er_members(classified)
+    mem = docs.join(
+        F.broadcast(members), docs["doc_id"] == members["node"]
+    ).select("entity", "doc_id", "source", "n_chars")
+    w_rep = Window.partitionBy("entity").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    rep = (
+        mem.withColumn("rn", F.row_number().over(w_rep))
+        .filter(F.col("rn") == 1)
+        .select(
+            "entity",
+            F.col("doc_id").alias("rep_doc"),
+            F.col("n_chars").alias("rep_chars"),
+        )
+    )
+    w_src = Window.partitionBy("entity").orderBy(
+        F.col("src_votes").desc(), F.col("source")
+    )
+    smode = (
+        mem.groupBy("entity", "source")
+        .agg(F.count("*").alias("src_votes"))
+        .withColumn("rn", F.row_number().over(w_src))
+        .filter(F.col("rn") == 1)
+        .select("entity", F.col("source").alias("src_surv"), "src_votes")
+    )
+    stats = mem.groupBy("entity").agg(
+        F.count("*").alias("size"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+    return (
+        # rep/smode are ≤ member-sized (one row per entity): broadcast
+        # so the final assembly never exchanges — the static planner
+        # can't size post-agg frames and would pick sort-merge
+        stats.join(F.broadcast(rep), "entity")
+        .join(F.broadcast(smode), "entity")
+        .select(
+            "entity", "size", "rep_doc", "rep_chars",
+            "src_surv", "src_votes", "sum_chars",
+        )
+        .orderBy("entity")
+    )
+
+
+def er_members(classified: DataFrame) -> DataFrame:
+    """(node, entity) membership of the trained link graph — the
+    component pass :func:`er_entities` aggregates, exposed so
+    survivorship (:func:`er_golden_records`) can join members back to
+    their source records without re-deriving the closure."""
+    from ..operators.graph import connected_components
+
+    links = classified.filter(F.col("verdict") == "link").select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    nodes = (
+        links.select(F.col("src").alias("node"))
+        .unionByName(links.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    return connected_components(nodes, links).select(
+        "node", F.col("label").alias("entity")
     )
 
 

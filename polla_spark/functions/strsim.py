@@ -231,3 +231,57 @@ def o_jaro_winkler_ctes(pairs_cte: str = "pairs") -> str:
               ELSE jaro_ppm END AS jw_ppm
   FROM jjaro
 )"""
+
+
+# ---------------------------------------------------------------------------
+# American Soundex — the classic PHONETIC blocking key (Russell 1918,
+# the NARA/Knuth TAOCP vol. 3 variant with the H/W bridging rule).
+# One expression template shared by the Spark plan and the DuckDB
+# oracle: every building block (upper / translate-with-deletion /
+# regexp run-collapse / substr / replace / rpad) evaluates inside
+# whole-stage codegen on the Spark side and identically in DuckDB —
+# no UDF, no fold, no recursion. The ONLY dialect difference is that
+# DuckDB's regexp_replace defaults to first-match-only and needs the
+# explicit 'g' option (Spark always replaces globally).
+#
+# Algorithm, expressed as string algebra:
+#   1. map EVERY letter to its code digit with vowels→'0' and H/W
+#      DELETED (translate with a shorter replacement string deletes —
+#      deleting H/W BEFORE the run-collapse is exactly the "letters
+#      separated by h or w count as one" rule);
+#   2. collapse runs of each digit ('1+'→'1', … '0+'→'0' — seven
+#      backreference-free patterns, since RE2 has no backrefs);
+#   3. drop the leading digit UNLESS the first letter was H/W (its
+#      code was deleted, so the leading digit belongs to letter 2 —
+#      the Hall→H400 case);
+#   4. strip the vowel separators ('0'), keep 3 digits, pad with '0',
+#      prepend the original first letter.
+#
+# Verified against the published classics in tests/test_strsim.py:
+# Robert→R163, Rupert→R163, Ashcraft→A261 (the h/w rule), Tymczak→
+# T522, Pfister→P236 (first-letter collapse), Honeyman→H555,
+# Hall→H400 — plus a Hypothesis sweep vs an independent procedural
+# Python implementation.
+
+#: letters, in code-group order; H and W have NO replacement (deleted)
+SOUNDEX_MATCH = "BFPVCGJKQSXZDTLMNRAEIOUYHW"
+SOUNDEX_REP = "111122222222334556000000"
+
+
+def soundex_sql(col: str, dialect: str = "spark") -> str:
+    """The Soundex code of ``col`` (a non-empty alphabetic word, any
+    case) as one engine-portable SQL expression. ``dialect`` is
+    'spark' or 'duck' — identical text except the 'g' regexp flag."""
+    g = ", 'g'" if dialect == "duck" else ""
+    m = f"translate(upper({col}), '{SOUNDEX_MATCH}', '{SOUNDEX_REP}')"
+    for d in "0123456":
+        m = f"regexp_replace({m}, '{d}+', '{d}'{g})"
+    first = f"substring(upper({col}), 1, 1)"
+    fc = f"translate({first}, '{SOUNDEX_MATCH}', '{SOUNDEX_REP}')"
+    digits = (
+        f"(CASE WHEN {fc} = '' THEN {m} ELSE substring({m}, 2) END)"
+    )
+    return (
+        f"concat({first}, "
+        f"rpad(substring(replace({digits}, '0', ''), 1, 3), 3, '0'))"
+    )

@@ -5960,6 +5960,137 @@ FROM comp GROUP BY entity ORDER BY entity
 """
 
 
+def q215_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOLDEN-RECORD survivorship — the step after q214 that MDM
+    systems call merge: one canonical record per resolved entity,
+    each attribute picked by a deterministic survivorship rule
+    (longest text wins ``rep_doc``/``rep_chars``, modal source wins
+    ``src_surv``/``src_votes``, tie-breaks total in both engines).
+    Completes the trained-ER arc as data actually flows in
+    production: block (q128) → train (q207) → classify (q208) →
+    cluster (q214) → MERGE.
+
+    100 TB shape: inherits q208's single-exchange blocking +
+    broadcast posterior probe; the entity membership table is
+    link-graph-sized (near-dup-sparse), so it broadcasts back onto
+    the documents scan — the corpus is probed once and never
+    shuffles; all survivorship windows/aggs run on member-sized
+    data. Assembly in ``functions/linkage.er_golden_records``,
+    shared with streaming twin #37's finisher.
+    """
+    return LK.er_golden_records(
+        q208_fs_trained_classify(spark, sf_dir),
+        t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars"),
+    )
+
+
+O215 = _O_FS_COMMON.replace("WITH docs AS", "WITH RECURSIVE docs AS", 1) + f""", wf AS (
+  SELECT g1, g2, g3, g4, CAST({LK.o_fs_posterior("p2")} AS BIGINT) AS w_ppm
+  FROM census CROSS JOIN p2
+), links AS MATERIALIZED (
+  SELECT f.doc_a AS src, f.doc_b AS dst
+  FROM flags f JOIN wf w USING (g1, g2, g3, g4)
+  WHERE w.w_ppm >= {LK.LINK_PPM}
+), dedges AS MATERIALIZED (
+  SELECT src, dst FROM links UNION ALL SELECT dst, src FROM links
+), lnodes AS (
+  SELECT DISTINCT src AS node FROM dedges
+), reach(a, b) AS (
+  SELECT node, node FROM lnodes
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN dedges e ON r.b = e.src
+), comp AS (
+  SELECT a AS node, MIN(b) AS entity FROM reach GROUP BY a
+), mem AS (
+  SELECT c.entity, d.doc_id, d.source, d.n_chars
+  FROM comp c JOIN docs d ON d.doc_id = c.node
+), rep AS (
+  SELECT entity, doc_id AS rep_doc, n_chars AS rep_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY entity ORDER BY n_chars DESC, doc_id) AS rn
+  FROM mem
+), sm AS (
+  SELECT entity, source AS src_surv,
+         CAST(COUNT(*) AS BIGINT) AS src_votes,
+         ROW_NUMBER() OVER (
+           PARTITION BY entity ORDER BY COUNT(*) DESC, source) AS rn
+  FROM mem GROUP BY entity, source
+), st AS (
+  SELECT entity, COUNT(*) AS size, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+  FROM mem GROUP BY entity
+)
+SELECT st.entity, st.size, rep.rep_doc, rep.rep_chars,
+       sm.src_surv, sm.src_votes, st.sum_chars
+FROM st
+JOIN rep ON rep.entity = st.entity AND rep.rn = 1
+JOIN sm ON sm.entity = st.entity AND sm.rn = 1
+ORDER BY st.entity
+"""
+
+
+def q216_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHONETIC blocking census — American Soundex (the Russell/NARA
+    code, Knuth TAOCP vol. 3's variant with the H/W bridging rule)
+    over the corpus vocabulary: the classic cheap blocking key ER
+    toolkits offer beside sorted-neighborhood (q128) and the trained
+    comparators (q206–q211). The code is ONE engine-portable string-
+    algebra expression (``functions/strsim.soundex_sql`` — translate
+    with deletion + seven backreference-free run-collapses; no UDF,
+    no fold, fully inside whole-stage codegen), pinned on the
+    published classics and against an independent procedural Python
+    implementation in tests/test_strsim.py.
+
+    Report: the 20 largest phonetic buckets — (code, n_words =
+    distinct vocabulary words in the bucket, w_min / w_max as
+    deterministic example members), ordered by n_words desc then
+    code.
+
+    100 TB shape: corpus → word explode → ONE distinct exchange on
+    the uniform word key (the q199/q210 word-census discipline —
+    Heaps-law sublinear, and partial agg dedups map-side); the
+    Soundex expression is per-distinct-word codegen arithmetic and
+    the code census is ≤|alphabet|·7³ rows.
+    """
+    from ..functions.strsim import soundex_sql
+
+    words = (
+        t(spark, sf_dir, "documents")
+        .select(
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w")
+        )
+        .filter(F.col("w").rlike("^[a-z]{2,}$"))
+        .distinct()
+    )
+    return (
+        words.withColumn("code", F.expr(soundex_sql("w", "spark")))
+        .groupBy("code")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.min("w").alias("w_min"),
+            F.max("w").alias("w_max"),
+        )
+        .orderBy(F.col("n_words").desc(), "code")
+        .limit(20)
+    )
+
+
+from ..functions.strsim import soundex_sql as _soundex_sql  # noqa: E402
+
+O216 = f"""
+WITH words AS (
+  SELECT DISTINCT w
+  FROM documents,
+       LATERAL unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS t(w)
+  WHERE regexp_matches(w, '^[a-z]{{2,}}$')
+), coded AS (
+  SELECT w, {_soundex_sql("w", "duck")} AS code FROM words
+)
+SELECT code, CAST(COUNT(*) AS BIGINT) AS n_words,
+       MIN(w) AS w_min, MAX(w) AS w_max
+FROM coded GROUP BY code ORDER BY n_words DESC, code LIMIT 20
+"""
+
+
 QUERIES = [
     Query("q50_exact_dedup", q50_exact_dedup, O50, "sha256 exact dedup"),
     Query("q51_fingerprint_dedup", q51_fingerprint_dedup, O51, "normalized fingerprint dedup"),
@@ -6171,4 +6302,17 @@ QUERIES = [
           "unrolled scan against literal centroids, the only exchange "
           "is K*64 rows; DuckDB replays both rounds, plus an "
           "independent Python Lloyd pin"),
+    Query("q215_golden_records", q215_golden_records, O215,
+          "golden-record survivorship (MDM merge): one canonical "
+          "record per q214 entity — longest-text representative, "
+          "modal source, exact merge checksums; membership broadcasts "
+          "onto the corpus scan (corpus never shuffles); oracle "
+          "extends q214's recursive closure with the same "
+          "deterministic row_number picks"),
+    Query("q216_soundex_blocking", q216_soundex_blocking, O216,
+          "American Soundex phonetic blocking census over the corpus "
+          "vocabulary: one engine-portable string-algebra expression "
+          "(no UDF, codegen-resident), pinned on the published "
+          "classics; top-20 phonetic buckets with deterministic "
+          "example members"),
 ]

@@ -1474,6 +1474,24 @@ def finish_er_entities(updates: DataFrame) -> DataFrame:
     return er_entities(finish_fs_trained_classify(updates))
 
 
+def finish_golden_records(updates: DataFrame, docs: DataFrame) -> DataFrame:
+    """MERGE the streamed entities into golden records — batch q215
+    streamed (twin #37): the flagged pair stream classifies through
+    the identical trained tail, clusters through the identical
+    component pass, then survivorship runs through the IDENTICAL
+    ``functions/linkage.er_golden_records`` assembly against the
+    (static, dimension-style) ``docs`` attribute table. The entire
+    trained-ER production arc — block → train → classify → cluster →
+    merge — is now a deterministic function of the pair stream on
+    both transports, nothing re-implemented."""
+    from ..functions.linkage import er_golden_records
+
+    return er_golden_records(
+        finish_fs_trained_classify(updates),
+        docs.select("doc_id", "source", "n_chars"),
+    )
+
+
 def finish_jaro_winkler(pairs: DataFrame) -> DataFrame:
     """Score the streamed SNM pairs with the IDENTICAL batch
     comparator (functions/strsim.py — one operator, two transports)."""

@@ -1112,3 +1112,32 @@ def test_q213_corpus_never_shuffles(spark):
     assert plan.count("BroadcastHashJoin") >= 5, plan
     # top-20 report: per-task top-k merge, never a global sort
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q215_corpus_probed_by_broadcast_no_smj(spark):
+    # the entity membership table is link-graph-sized and must
+    # BROADCAST onto the documents scan (the corpus never shuffles);
+    # the survivorship assembly joins (stats x rep x smode, one row
+    # per entity) are explicitly broadcast too — no sort-merge join
+    # anywhere in the plan
+    from polla_spark.plans.llmdata import q215_golden_records
+
+    plan = _plan(q215_golden_records(spark, SF))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q216_one_distinct_exchange_then_topk(spark):
+    # phonetic census: corpus -> explode -> ONE distinct exchange on
+    # the word key (map-side partial dedup), census aggs, and a
+    # per-task top-k merge — no join, never a global sort of words
+    from polla_spark.plans.llmdata import q216_soundex_blocking
+
+    plan = _plan(q216_soundex_blocking(spark, SF))
+    assert "Join" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    # the Soundex expression is per-row string algebra, not a UDF
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    # distinct exchange + census exchange only
+    assert plan.count("Exchange hashpartitioning") == 2, plan

@@ -720,6 +720,16 @@ def test_fs_trained_classify_stream_equals_q208(spark, tmp_path):
     ent = SW.finish_er_entities(spark.table("fs_pair_updates"))
     keys = ["entity", "size", "n_merged", "sum_members"]
     assert _rows(ent, keys) == _rows(q214_er_entities(spark, SF_DIR), keys)
+    # twin #37 completes the arc: golden-record survivorship (q215)
+    # over the streamed entities against the static docs attribute
+    # table — the whole block→train→classify→cluster→merge loop is a
+    # deterministic function of the pair stream
+    from polla_spark.plans.llmdata import q215_golden_records
+
+    gold = SW.finish_golden_records(spark.table("fs_pair_updates"), docs)
+    keys = ["entity", "size", "rep_doc", "rep_chars",
+            "src_surv", "src_votes", "sum_chars"]
+    assert _rows(gold, keys) == _rows(q215_golden_records(spark, SF_DIR), keys)
 
 
 def test_hll_distinct_stream_equals_batch_sketch(spark, tmp_path, batch_events):

@@ -166,3 +166,97 @@ def test_q211_scores_match_python_on_corpus(spark):
     for r in rows:
         want = _py_jaro_winkler(titles[r["doc_a"]], titles[r["doc_b"]])
         assert (r["jaro_ppm"], r["jw_ppm"]) == want, (r, want)
+
+
+# ---------------------------------------------------------------------------
+# Soundex (q216's phonetic blocking key)
+
+
+def _py_soundex(word: str) -> str:
+    """American Soundex written PROCEDURALLY from the published
+    algorithm (Knuth TAOCP vol. 3 / NARA variant): walk the word with
+    a last-code state, H/W transparent (bridging), vowels reset. No
+    polla_spark code — the independent reference for the string-
+    algebra expression."""
+    codes = {}
+    for letters, d in (("bfpv", "1"), ("cgjkqsxz", "2"), ("dt", "3"),
+                       ("l", "4"), ("mn", "5"), ("r", "6")):
+        for ch in letters:
+            codes[ch] = d
+    w = word.lower()
+    out: list[str] = []
+    prev = codes.get(w[0])  # None for vowels AND h/w initials
+    for c in w[1:]:
+        if c in "hw":
+            continue  # transparent: prev survives across h/w
+        d = codes.get(c)
+        if d is None:
+            prev = None  # vowel separator
+            continue
+        if d != prev:
+            out.append(d)
+        prev = d
+    return (w[0].upper() + "".join(out) + "000")[:4]
+
+
+def _spark_soundex(spark, words):
+    from pyspark.sql import functions as F
+
+    from polla_spark.functions.strsim import soundex_sql
+
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    return {
+        r["w"]: r["code"]
+        for r in df.withColumn(
+            "code", F.expr(soundex_sql("w", "spark"))
+        ).collect()
+    }
+
+
+def test_soundex_published_classics(spark):
+    """The worked examples every Soundex description publishes,
+    including the H/W-bridging cases (Ashcraft, Tymczak) and the
+    first-letter-collapse case (Pfister)."""
+    expect = {
+        "Robert": "R163", "Rupert": "R163", "Ashcraft": "A261",
+        "Ashcroft": "A261", "Tymczak": "T522", "Pfister": "P236",
+        "Honeyman": "H555", "Hall": "H400", "Jackson": "J250",
+        "Washington": "W252", "Lee": "L000", "Gutierrez": "G362",
+        "Euler": "E460", "Gauss": "G200", "Hilbert": "H416",
+        "Knuth": "K530", "Lloyd": "L300", "Lukasiewicz": "L222",
+        "Wu": "W000",
+    }
+    got = _spark_soundex(spark, list(expect))
+    assert got == expect
+    for w, c in expect.items():
+        assert _py_soundex(w) == c  # the reference agrees on its own
+
+
+def test_soundex_randomized_three_way(spark):
+    """300 random alphabetic words: the Spark expression, the DuckDB
+    dialect of the SAME template, and the independent procedural
+    Python all agree."""
+    import duckdb
+
+    from polla_spark.functions.strsim import soundex_sql
+
+    rng = random.Random(2161)
+    words = sorted(
+        {
+            "".join(rng.choice("abcdefghijklmnopqrstuvwxyz")
+                    for _ in range(rng.randint(2, 16)))
+            for _ in range(300)
+        }
+    )
+    got_spark = _spark_soundex(spark, words)
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register("words", pd.DataFrame({"w": words}))
+    got_duck = dict(
+        con.sql(
+            "SELECT w, " + soundex_sql("w", "duck") + " AS code FROM words"
+        ).fetchall()
+    )
+    for w in words:
+        assert got_spark[w] == _py_soundex(w) == got_duck[w], w

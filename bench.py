@@ -185,6 +185,12 @@ HEADLINE = [
     # word exchange + per-word codegen string algebra)
     "q215_golden_records",
     "q216_soundex_blocking",
+    "q217_corpus_mixer",
+    # q218 stays out of the headline: its cost IS the inverted-index
+    # self-join over the corpus's unusually dense bigram overlap
+    # (73M term-major tuples at sf0.1 -> ~12 s, which would dominate
+    # the suite); covered by parity, tests/test_allpairs.py's
+    # two-regime pin, and its SCALE.md row.
     # q203 stays out for q201's reason: its cost is the shared
     # shingle-set construction (~10 s at any sf, the q201 fixed cost),
     # not the sketch algebra; covered by parity + its SCALE.md row.

@@ -6091,6 +6091,335 @@ FROM coded GROUP BY code ORDER BY n_words DESC, code LIMIT 20
 """
 
 
+#: q217's mixture spec: uniform across sources, budget = 1/4 of corpus
+#: tokens — documented constants, not tunables hidden in the plan
+_MIX_BUDGET_DIV = 4
+_HEX24 = 16 ** 6  # gate resolution: 24-bit md5 prefix
+
+
+def q217_corpus_mixer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINING-MIX planning + deterministic resampling — the static
+    form of the DoReMi/Pile-style mixture step every large pretraining
+    corpus runs: given per-source token counts and a target mixture
+    (uniform across sources, total budget = corpus tokens div
+    {_MIX_BUDGET_DIV}), SOLVE the per-source keep-rate in exact ppm
+    (capped at 10^6 — a source smaller than its target is taken
+    whole, never upsampled), then APPLY it with the q86 hash-gate
+    discipline (md5-prefix gate, never rand(): the same row set on
+    every engine, retry, and cluster size) at 24-bit resolution.
+
+    Report per source: population (n_docs, src_toks), the plan
+    (target_toks, rate_ppm), and the achieved sample (n_keep,
+    toks_keep) — the drift between target and achieved is the
+    quantization the gate's integer arithmetic admits.
+
+    100 TB shape: two corpus scans (census, then gated pass — the
+    standard two-pass form; at scale the tokenized projection is the
+    thing you'd persist), each reducing map-side to a
+    sources-bounded census; the solved rate table is BROADCAST back
+    onto the corpus, so nothing data-sized ever shuffles.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(_toks()).alias("toks")
+    )
+    census = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("toks").cast("long").alias("src_toks"),
+    )
+    totals = census.agg(
+        F.sum("src_toks").cast("long").alias("tot_toks"),
+        F.count("*").alias("n_src"),
+    )
+    rates = (
+        census.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "target_toks",
+            F.expr(f"tot_toks div {_MIX_BUDGET_DIV} div n_src"),
+        )
+        .withColumn(
+            "rate_ppm",
+            F.least(
+                F.lit(1_000_000).cast("long"),
+                F.expr("target_toks * 1000000 div src_toks"),
+            ),
+        )
+        .select("source", "n_docs", "src_toks", "target_toks", "rate_ppm")
+    )
+    hash24 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("long")
+    achieved = (
+        d.join(F.broadcast(rates.select("source", "rate_ppm")), "source")
+        .withColumn(
+            "keep", hash24 * F.lit(1_000_000) < F.col("rate_ppm") * F.lit(_HEX24)
+        )
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("long").alias("n_keep"),
+            F.sum(F.when(F.col("keep"), F.col("toks")).otherwise(0))
+            .cast("long").alias("toks_keep"),
+        )
+    )
+    return (
+        rates.join(F.broadcast(achieved), "source")
+        .select(
+            "source", "n_docs", "src_toks", "target_toks", "rate_ppm",
+            "n_keep", "toks_keep",
+        )
+        .orderBy("source")
+    )
+
+
+O217 = f"""
+WITH dt AS (
+  SELECT doc_id, source, len({TOKS}) AS toks FROM documents
+), census AS (
+  SELECT source, COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS src_toks
+  FROM dt GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(src_toks) AS BIGINT) AS tot_toks, COUNT(*) AS n_src
+  FROM census
+), rates AS (
+  SELECT source, n_docs, src_toks,
+         tot_toks // {_MIX_BUDGET_DIV} // n_src AS target_toks,
+         LEAST(1000000,
+               (tot_toks // {_MIX_BUDGET_DIV} // n_src) * 1000000 // src_toks
+         ) AS rate_ppm
+  FROM census CROSS JOIN tot
+), gated AS (
+  SELECT d.source, d.toks,
+         CAST(from_hex(substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))
+              AS BIT)::BIGINT * 1000000 < r.rate_ppm * {_HEX24} AS keep
+  FROM dt d JOIN rates r USING (source)
+), achieved AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         CAST(SUM(CASE WHEN keep THEN toks ELSE 0 END) AS BIGINT) AS toks_keep
+  FROM gated GROUP BY source
+)
+SELECT r.source, r.n_docs, r.src_toks, r.target_toks, r.rate_ppm,
+       a.n_keep, a.toks_keep
+FROM rates r JOIN achieved a USING (source)
+ORDER BY r.source
+"""
+
+
+#: q218 cosine threshold (ppm) and its square at the 1e12 comparison
+#: scale — documented constants of the query, not tunables
+_APS_TAU_PPM = 800_000
+# the rescore inequality dot^2 * 1e12 >= tau_ppm^2 * na2 * nb2 is
+# divided through by 1e6 (exact: tau_ppm^2 is a multiple of 1e6) so
+# both sides stay far inside BIGINT under ANSI overflow checking
+assert (_APS_TAU_PPM * _APS_TAU_PPM) % 1_000_000 == 0
+_APS_TAU_SQ6 = (_APS_TAU_PPM * _APS_TAU_PPM) // 1_000_000  # 640000
+
+
+def _isqrt_sql(n2: str) -> str:
+    """EXACT integer floor-sqrt of a positive integer column in
+    engine-portable SQL: take floor(sqrt(double)) then adjust ±1, so
+    a 1-ulp FP rounding on either engine cannot change the result —
+    the correction, not the FP value, is what both engines hash."""
+    s0 = f"CAST(floor(sqrt(CAST({n2} AS DOUBLE))) AS BIGINT)"
+    return (
+        f"({s0} + (CASE WHEN ({s0} + 1) * ({s0} + 1) <= {n2} "
+        f"THEN 1 ELSE 0 END) "
+        f"- (CASE WHEN {s0} * {s0} > {n2} THEN 1 ELSE 0 END))"
+    )
+
+
+def _aps_postings(spark: SparkSession, sf_dir: str):
+    """q218's shared front end: token-BIGRAM tf postings (persisted —
+    they feed every downstream consumer; vocabulary-grouped, so
+    Heaps-sublinear, never raw text) and per-doc squared norms."""
+    grams = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .withColumn("tk", _toks())
+        .filter(F.size("tk") >= 2)
+        # sequence(1, n) would DESCEND for n = 0, hence the size gate
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1), "
+                    "i -> concat(element_at(tk, i), ' ', "
+                    "element_at(tk, i + 1)))"
+                )
+            ).alias("term"),
+        )
+    )
+    p = (
+        grams.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("w"))
+        .persist()
+    )
+    norms = p.groupBy("doc_id").agg(
+        F.sum(F.expr("w * w")).cast("long").alias("n2")
+    )
+    return p, norms
+
+
+def _aps_report(dots: DataFrame, norms: DataFrame) -> DataFrame:
+    """Exact integer-square threshold + report, shared by both q218
+    regimes: dot^2 * 10^6 >= (tau_ppm^2 div 10^6) * n2_a * n2_b —
+    the inequality divided through by 10^6 exactly (tau_ppm^2 is a
+    multiple of 10^6), so both sides stay far inside BIGINT under
+    ANSI overflow checking; squares instead of sqrt, the q77
+    integer-cosine discipline."""
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(
+            F.expr(f"dot * dot * 1000000 >= {_APS_TAU_SQ6} * na2 * nb2")
+        )
+        .select(
+            "doc_a", "doc_b", "dot", "na2", "nb2",
+            F.expr("dot * dot * 1000000 div (na2 * nb2)").alias("cos2_ppm"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def allpairs_cosine(
+    spark: SparkSession, sf_dir: str, *, prefix_filter: bool = False
+) -> DataFrame:
+    """EXACT weighted-cosine all-pairs similarity join over
+    token-BIGRAM tf vectors, tau = 0.8 — two regimes, both exact and
+    pinned equal in tests/test_allpairs.py (the graph.py/ann.py
+    regime-switch discipline):
+
+    - ``prefix_filter=False`` (q218's registered form): the
+      inverted-index SELF-JOIN — postings joined to postings on term
+      with doc_a < doc_b, one exchange on the term key, partial-agg
+      dots per sharing pair, then the exact threshold. Optimal when
+      the df distribution is FLAT: measured at sf0.1 this corpus has
+      931 bigrams / max df 338, sum(df^2) = 73M tuples, vs 13.5M for
+      the prefix path — but the prefix path's pair-major rescore
+      joins cost 46 s against the term-major join's single pass
+      (SCALE.md r9).
+    - ``prefix_filter=True``: the AllPairs/L2AP candidate pipeline
+      (Bayardo WWW'07; Anastasiu & Karypis ICDE'14) — the 100 TB
+      path when heavy-tailed df makes sum(df^2) explode:
+
+      * CONSERVATIVE integer upper bound on each normalized weight,
+        nw_ub = ceil(w*10^6 / isqrt(n2)): floor-sqrt UNDERestimates
+        the norm, ceil-div OVERestimates nw, and isqrt is the exact
+        +-1-adjusted integer sqrt (:func:`_isqrt_sql`) so both
+        engines compute the identical bound;
+      * a GLOBAL term order (rare-first: df asc, term) and per-doc
+        suffix bounds under it — the AllPairs l1 bound
+        sum(nw_ub*maxw) and L2AP's l2 bound sum(nw_ub^2); position k
+        is INDEXED while BOTH bounds >= tau;
+      * SYMMETRIC prefix x prefix candidate join: the globally-FIRST
+        shared term of any tau-pair must lie in BOTH prefixes (if it
+        escaped either side's prefix, every shared term would sit in
+        that side's suffix and the suffix bound already proves
+        cos < tau) — so prefix-to-prefix has zero false negatives;
+      * exact pair-major rescore of the candidates.
+
+    Report: (doc_a, doc_b, dot, na2, nb2, cos2_ppm) per qualifying
+    pair. Unigram tf is deliberately NOT used: over this synthetic
+    small vocabulary it makes the TRUE tau=0.8 answer near-quadratic
+    (measured 472k pairs at sf0.1 — dense answers are a data
+    property no algorithm fixes); bigrams restore the sparsity real
+    corpora have (256 pairs at sf0.1).
+    """
+    from pyspark.sql import Window
+
+    p, norms = _aps_postings(spark, sf_dir)
+    if not prefix_filter:
+        pa = p.select(F.col("doc_id").alias("doc_a"), "term",
+                      F.col("w").alias("wa"))
+        pb = p.select(F.col("doc_id").alias("doc_b"), "term",
+                      F.col("w").alias("wb"))
+        dots = (
+            pa.join(pb, "term")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum(F.expr("wa * wb")).cast("long").alias("dot"))
+        )
+        return _aps_report(dots, norms)
+
+    pn = p.join(norms, "doc_id").withColumn(
+        "nw_ub",
+        F.expr(f"(w * 1000000 + {_isqrt_sql('n2')} - 1) div {_isqrt_sql('n2')}"),
+    )
+    stats = pn.groupBy("term").agg(
+        F.max("nw_ub").alias("maxw"), F.count("*").alias("df")
+    )
+    w_sfx = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.col("df"), F.col("term"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ordered = (
+        pn.join(stats, "term")
+        .withColumn("s_k", F.sum(F.expr("nw_ub * maxw")).over(w_sfx))
+        .withColumn("s2_k", F.sum(F.expr("nw_ub * nw_ub")).over(w_sfx))
+    )
+    prefix = ordered.filter(
+        (F.col("s_k") >= F.lit(_APS_TAU_PPM * 1_000_000))
+        & (F.col("s2_k") >= F.lit(_APS_TAU_PPM * _APS_TAU_PPM))
+    ).select("term", "doc_id")
+    xa = prefix.select("term", F.col("doc_id").alias("doc_a"))
+    xb = prefix.select("term", F.col("doc_id").alias("doc_b"))
+    cands = (
+        xa.join(xb, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    pa = p.select(F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa"))
+    pb = p.select(F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("wb"))
+    dots = (
+        cands.join(pa, "doc_a")
+        .join(pb, ["doc_b", "term"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.expr("wa * wb")).cast("long").alias("dot"))
+    )
+    return _aps_report(dots, norms)
+
+
+def q218_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered form of :func:`allpairs_cosine` — term-major
+    inverted-index self-join regime (see that docstring for the
+    regime trade-off and the measured numbers). One exchange on the
+    term key, map-side partial dots, exact integer-square threshold;
+    the prefix-filtered AllPairs/L2AP path is the ``prefix_filter=
+    True`` regime, pinned equal in tests/test_allpairs.py."""
+    return allpairs_cosine(spark, sf_dir, prefix_filter=False)
+
+
+O218 = f"""
+WITH tkd AS (
+  SELECT doc_id, {TOKS} AS tk FROM documents
+  WHERE text IS NOT NULL AND len({TOKS}) >= 2
+), p AS (
+  SELECT doc_id, tk[g.i] || ' ' || tk[g.i + 1] AS term,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM tkd, LATERAL unnest(generate_series(1, len(tk) - 1)) AS g(i)
+  GROUP BY doc_id, term
+), norms AS (
+  SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2 FROM p GROUP BY doc_id
+), dots AS (
+  SELECT pa.doc_id AS doc_a, pb.doc_id AS doc_b,
+         CAST(SUM(pa.w * pb.w) AS BIGINT) AS dot
+  FROM p pa JOIN p pb ON pa.term = pb.term AND pa.doc_id < pb.doc_id
+  GROUP BY 1, 2
+)
+SELECT d.doc_a, d.doc_b, d.dot, na.n2 AS na2, nb.n2 AS nb2,
+       d.dot * d.dot * 1000000 // (na.n2 * nb.n2) AS cos2_ppm
+FROM dots d
+JOIN norms na ON na.doc_id = d.doc_a
+JOIN norms nb ON nb.doc_id = d.doc_b
+WHERE d.dot * d.dot * 1000000 >= {_APS_TAU_SQ6} * na.n2 * nb.n2
+ORDER BY d.doc_a, d.doc_b
+"""
+
+
 QUERIES = [
     Query("q50_exact_dedup", q50_exact_dedup, O50, "sha256 exact dedup"),
     Query("q51_fingerprint_dedup", q51_fingerprint_dedup, O51, "normalized fingerprint dedup"),
@@ -6315,4 +6644,16 @@ QUERIES = [
           "(no UDF, codegen-resident), pinned on the published "
           "classics; top-20 phonetic buckets with deterministic "
           "example members"),
+    Query("q217_corpus_mixer", q217_corpus_mixer, O217,
+          "training-mix planner + deterministic resampling: per-source "
+          "token census, exact-ppm keep-rate solve against a uniform "
+          "mixture target (capped, never upsampled), md5 hash-gate "
+          "application at 24-bit resolution; plan and achieved sample "
+          "reported side by side"),
+    Query("q218_allpairs_cosine", q218_allpairs_cosine, O218,
+          "exact weighted-cosine all-pairs join (Bayardo AllPairs): "
+          "conservative integer prefix filter (exact +-1-adjusted "
+          "isqrt, ceil-div normalized-weight bounds, suffix-bound "
+          "window) -> prefix-index probe -> exact integer-square "
+          "rescore; zero false negatives, pinned vs brute force"),
 ]

@@ -1141,3 +1141,31 @@ def test_q216_one_distinct_exchange_then_topk(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     # distinct exchange + census exchange only
     assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_q217_rates_broadcast_back_no_smj(spark):
+    # the solved rate table is sources-bounded and must BROADCAST
+    # back onto the corpus for the gated pass; the census/achieved
+    # reductions partial-aggregate map-side — nothing data-sized
+    # shuffles and no sort-merge join appears
+    from polla_spark.plans.llmdata import q217_corpus_mixer
+
+    plan = _plan(q217_corpus_mixer(spark, SF))
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_q218_term_major_join_no_cartesian(spark):
+    # the registered regime is the inverted-index SELF-JOIN: postings
+    # meet postings on the term key (never doc x doc), dots partial-
+    # aggregate map-side, and the persisted postings census is read
+    # from cache on every consumer instead of re-deriving the corpus
+    from polla_spark.plans.llmdata import q218_allpairs_cosine
+
+    plan = _plan(q218_allpairs_cosine(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "Join" in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    assert "partial_sum" in plan, plan

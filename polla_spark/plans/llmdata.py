@@ -6331,10 +6331,22 @@ def allpairs_cosine(
 
     p, norms = _aps_postings(spark, sf_dir)
     if not prefix_filter:
-        pa = p.select(F.col("doc_id").alias("doc_a"), "term",
-                      F.col("w").alias("wa"))
-        pb = p.select(F.col("doc_id").alias("doc_b"), "term",
-                      F.col("w").alias("wb"))
+        # size the self-join's partitioning from the postings count
+        # (one cheap action on the already-persisted census): the
+        # join output is sum(df^2) rows — orders of magnitude bigger
+        # than its inputs — so the session's fixed shuffle default
+        # SPILLS once the corpus grows (measured at 20x constant
+        # density: 177 s at 32 partitions vs 61 s at 256; SCALE.md).
+        # ~20k postings per join task keeps each task's df^2 blow-up
+        # in memory; both sides share the partitioning, so the join
+        # itself adds no further exchange.
+        nparts = int(min(1024, max(32, p.count() // 20_000)))
+        pa = p.repartition(nparts, "term").select(
+            F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa")
+        )
+        pb = p.repartition(nparts, "term").select(
+            F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("wb")
+        )
         dots = (
             pa.join(pb, "term")
             .filter(F.col("doc_a") < F.col("doc_b"))

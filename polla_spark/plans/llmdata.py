@@ -6432,6 +6432,131 @@ ORDER BY d.doc_a, d.doc_b
 """
 
 
+#: q219's sample gate ('4d'/256 ~ 30.1%, the q86 md5-prefix idiom)
+#: and the ground-truth Jaccard threshold (0.5, as 2|A∩B| >= |A∪B| —
+#: the same integer test as the FS 'jac' comparator)
+_CAL_GATE = "4d"
+
+
+def q219_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding CALIBRATION — the evaluation operator a dedup
+    pipeline runs before committing to a band count: on a
+    deterministic hash-gated SAMPLE of the corpus ({_CAL_GATE}/256 ≈
+    30% of docs, the q86 md5 gate — reproducible, never rand()),
+    compute the exact-Jaccard ground truth over ALL sample pairs and
+    the q53 MinHash band candidates over the same sample, and report
+    the confusion matrix: true pairs, candidates, tp/fp/fn, precision
+    and recall in exact ppm. Recall here is the measured analog of
+    the 1-(1-s^r)^b banding curve (MMDS ch. 3) — measured, not
+    assumed, which is the point of a calibration pass.
+
+    100 TB shape: the all-pairs ground truth is quadratic IN THE
+    SAMPLE by design — the sample rate is the evaluation budget knob
+    (the q54 lesson: a calibration pass runs on a bounded sample,
+    production dedup runs the banded path q53/q81). Candidates reuse
+    the identical `with_minhash` signatures, so the audit measures
+    exactly the production operator, not a reimplementation.
+    """
+    d = t(spark, sf_dir, "documents").filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+        < _CAL_GATE
+    )
+    sh = _with_shingle_sets(d).select("doc_id", "sh")
+    # the all-pairs set arithmetic is CPU-bound and the broadcast
+    # nested-loop join inherits the scan's few partitions — spread
+    # the probe side across every core (the _spread rule; measured
+    # 8 tasks -> 85.8 s at sf0.1 before this repartition)
+    a = sh.repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    allp = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                2 * F.size(F.array_intersect("sh_a", "sh_b"))
+                >= F.size(F.array_union("sh_a", "sh_b"))
+            ).cast("int").alias("is_true"),
+        )
+    )
+    long = with_minhash(d).selectExpr(
+        "doc_id", "stack(4, mh0, mh1, mh2, mh3) as sig"
+    )
+    cand = (
+        long.select(F.col("doc_id").alias("id_a"), "sig")
+        .join(long.select(F.col("doc_id").alias("id_b"), "sig"), "sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .withColumn("is_cand", F.lit(1))
+    )
+    flags = allp.join(cand, ["id_a", "id_b"], "left").select(
+        "is_true", F.coalesce("is_cand", F.lit(0)).alias("is_cand")
+    )
+    return flags.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("is_true").cast("long").alias("n_true"),
+        F.sum("is_cand").cast("long").alias("n_cand"),
+        F.sum(F.expr("is_true * is_cand")).cast("long").alias("tp"),
+        F.sum(F.expr("(1 - is_true) * is_cand")).cast("long").alias("fp"),
+        F.sum(F.expr("is_true * (1 - is_cand)")).cast("long").alias("fn"),
+    ).select(
+        "n_pairs", "n_true", "n_cand", "tp", "fp", "fn",
+        F.expr(
+            "CASE WHEN n_cand = 0 THEN 0 ELSE tp * 1000000 div n_cand END"
+        ).alias("precision_ppm"),
+        F.expr(
+            "CASE WHEN n_true = 0 THEN 0 ELSE tp * 1000000 div n_true END"
+        ).alias("recall_ppm"),
+    )
+
+
+O219 = f"""
+WITH d AS (
+  SELECT * FROM documents
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_CAL_GATE}'
+), sh AS (
+  SELECT doc_id, list_distinct({_DUCK_SHINGLES}) AS sh FROM d
+), allp AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CASE WHEN 2 * len(list_intersect(a.sh, b.sh))
+                   >= len(list_distinct(list_concat(a.sh, b.sh)))
+              THEN 1 ELSE 0 END AS is_true
+  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+), sigs AS (
+  SELECT doc_id, {_duck_mh(0)} AS mh0, {_duck_mh(1)} AS mh1,
+         {_duck_mh(2)} AS mh2, {_duck_mh(3)} AS mh3
+  FROM d
+), long AS (
+  SELECT doc_id, mh0 AS sig FROM sigs UNION ALL SELECT doc_id, mh1 FROM sigs
+  UNION ALL SELECT doc_id, mh2 FROM sigs UNION ALL SELECT doc_id, mh3 FROM sigs
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, 1 AS is_cand
+  FROM long a JOIN long b ON a.sig = b.sig AND a.doc_id < b.doc_id
+), flags AS (
+  SELECT p.is_true, COALESCE(c.is_cand, 0) AS is_cand
+  FROM allp p LEFT JOIN cand c USING (id_a, id_b)
+), agg AS (
+  SELECT COUNT(*) AS n_pairs,
+         CAST(SUM(is_true) AS BIGINT) AS n_true,
+         CAST(SUM(is_cand) AS BIGINT) AS n_cand,
+         CAST(SUM(is_true * is_cand) AS BIGINT) AS tp,
+         CAST(SUM((1 - is_true) * is_cand) AS BIGINT) AS fp,
+         CAST(SUM(is_true * (1 - is_cand)) AS BIGINT) AS fn
+  FROM flags
+)
+SELECT n_pairs, n_true, n_cand, tp, fp, fn,
+       CASE WHEN n_cand = 0 THEN 0 ELSE tp * 1000000 // n_cand END
+         AS precision_ppm,
+       CASE WHEN n_true = 0 THEN 0 ELSE tp * 1000000 // n_true END
+         AS recall_ppm
+FROM agg
+"""
+
+
 QUERIES = [
     Query("q50_exact_dedup", q50_exact_dedup, O50, "sha256 exact dedup"),
     Query("q51_fingerprint_dedup", q51_fingerprint_dedup, O51, "normalized fingerprint dedup"),
@@ -6668,4 +6793,10 @@ QUERIES = [
           "isqrt, ceil-div normalized-weight bounds, suffix-bound "
           "window) -> prefix-index probe -> exact integer-square "
           "rescore; zero false negatives, pinned vs brute force"),
+    Query("q219_lsh_calibration", q219_lsh_calibration, O219,
+          "LSH banding calibration: exact-Jaccard ground truth vs the "
+          "production MinHash band candidates on a deterministic "
+          "30% hash-gated sample; confusion matrix with exact-ppm "
+          "precision/recall - the measured form of the 1-(1-s^r)^b "
+          "banding curve"),
 ]

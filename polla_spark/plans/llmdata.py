@@ -6557,6 +6557,134 @@ FROM agg
 """
 
 
+_TRUNC_DIMS = 16  # q220's truncated prefix width (of 64)
+_TRUNC_K = 10     # top-k compared
+
+
+def q220_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding DIMENSION-TRUNCATION calibration — the measurement a
+    Matryoshka-style deployment runs before serving truncated
+    vectors: for each benchmark query, exact int8-cosine top-{_TRUNC_K}
+    at the full 64 dims vs the same ranking using only the first
+    {_TRUNC_DIMS} dims, reported as per-query overlap and recall_ppm
+    plus the two top-1 ids. q219's calibration pattern applied to the
+    ANN family: measure the production kernel (q77's `_quant`/`_qdot`
+    integer scoring, the rounded-double cosine idiom it certifies),
+    don't re-implement it.
+
+    100 TB shape: q58/q77's — broadcast query side, ONE streaming
+    scan scoring both widths per row (the truncated dot is a slice of
+    the same quantized code), two per-query top-k windows over the
+    3·N scored frame, then a {_TRUNC_K}-row-per-query overlap join.
+    """
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _quant(F.col("embedding")).alias("qe")
+    )
+    q = e.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("qe").alias("qv")
+    )
+    pairs = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("qe_t", F.slice("qe", 1, _TRUNC_DIMS))
+        .withColumn("qv_t", F.slice("qv", 1, _TRUNC_DIMS))
+    )
+
+    def _cos(a, b):
+        return F.round(
+            _qdot(F.col(a), F.col(b)).cast("double")
+            / (
+                F.sqrt(_qdot(F.col(a), F.col(a)).cast("double"))
+                * F.sqrt(_qdot(F.col(b), F.col(b)).cast("double"))
+            ),
+            4,
+        )
+
+    scored = pairs.select(
+        "query_id", "vec_id",
+        _cos("qe", "qv").alias("c_full"),
+        _cos("qe_t", "qv_t").alias("c_trunc"),
+    )
+    w_full = Window.partitionBy("query_id").orderBy(
+        F.desc("c_full"), F.asc("vec_id")
+    )
+    w_trunc = Window.partitionBy("query_id").orderBy(
+        F.desc("c_trunc"), F.asc("vec_id")
+    )
+    ranked = scored.select(
+        "query_id", "vec_id",
+        F.row_number().over(w_full).alias("rf"),
+        F.row_number().over(w_trunc).alias("rt"),
+    ).filter((F.col("rf") <= _TRUNC_K) | (F.col("rt") <= _TRUNC_K))
+    return (
+        ranked.groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when((F.col("rf") <= _TRUNC_K) & (F.col("rt") <= _TRUNC_K), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_overlap"),
+            F.min(F.when(F.col("rf") == 1, F.col("vec_id")))
+            .alias("top1_full"),
+            F.min(F.when(F.col("rt") == 1, F.col("vec_id")))
+            .alias("top1_trunc"),
+        )
+        .select(
+            "query_id", "n_overlap",
+            F.expr(f"n_overlap * 1000000 div {_TRUNC_K}").alias("recall_ppm"),
+            "top1_full", "top1_trunc",
+        )
+        .orderBy("query_id")
+    )
+
+
+def _o_qdot(a: str, b: str, n: int) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, {n}), "
+        f"i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+    )
+
+
+def _o_qcos(a: str, b: str, n: int) -> str:
+    return (
+        f"ROUND(CAST({_o_qdot(a, b, n)} AS DOUBLE) / "
+        f"(sqrt(CAST({_o_qdot(a, a, n)} AS DOUBLE)) * "
+        f"sqrt(CAST({_o_qdot(b, b, n)} AS DOUBLE))), 4)"
+    )
+
+
+O220 = f"""
+WITH coded AS (
+  SELECT vec_id, {_QUANT_DUCK.format(c='embedding')} AS qe FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, qe AS qv FROM coded
+  WHERE vec_id IN {_QUERY_IDS}
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         {_o_qcos('e.qe', 'q.qv', 64)} AS c_full,
+         {_o_qcos('e.qe', 'q.qv', _TRUNC_DIMS)} AS c_trunc
+  FROM coded e CROSS JOIN q WHERE e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY c_full DESC, vec_id) AS rf,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY c_trunc DESC, vec_id) AS rt
+  FROM scored
+)
+SELECT query_id,
+       CAST(SUM(CASE WHEN rf <= {_TRUNC_K} AND rt <= {_TRUNC_K}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+       CAST(SUM(CASE WHEN rf <= {_TRUNC_K} AND rt <= {_TRUNC_K}
+                THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // {_TRUNC_K}
+         AS recall_ppm,
+       MIN(CASE WHEN rf = 1 THEN vec_id END) AS top1_full,
+       MIN(CASE WHEN rt = 1 THEN vec_id END) AS top1_trunc
+FROM ranked
+WHERE rf <= {_TRUNC_K} OR rt <= {_TRUNC_K}
+GROUP BY query_id ORDER BY query_id
+"""
+
+
 QUERIES = [
     Query("q50_exact_dedup", q50_exact_dedup, O50, "sha256 exact dedup"),
     Query("q51_fingerprint_dedup", q51_fingerprint_dedup, O51, "normalized fingerprint dedup"),
@@ -6799,4 +6927,10 @@ QUERIES = [
           "30% hash-gated sample; confusion matrix with exact-ppm "
           "precision/recall - the measured form of the 1-(1-s^r)^b "
           "banding curve"),
+    Query("q220_dim_truncation_recall", q220_dim_truncation_recall, O220,
+          "Matryoshka-style dimension-truncation calibration: exact "
+          "int8-cosine top-10 at 64 dims vs the first-16-dims ranking "
+          "of the same quantized codes, per-query overlap/recall_ppm "
+          "and top-1 ids - q219's measure-the-production-kernel "
+          "pattern for the ANN family"),
 ]

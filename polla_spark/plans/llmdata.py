@@ -6339,8 +6339,11 @@ def allpairs_cosine(
         # density: 177 s at 32 partitions vs 61 s at 256; SCALE.md).
         # ~20k postings per join task keeps each task's df^2 blow-up
         # in memory; both sides share the partitioning, so the join
-        # itself adds no further exchange.
-        nparts = int(min(1024, max(32, p.count() // 20_000)))
+        # itself adds no further exchange. (The cap was first set at
+        # 1024 and BOUND at 100x: 25.6M postings -> 700 s median;
+        # uncapping to the derived 1282 measured 483 s — same plan,
+        # no spill. 4096 leaves headroom without task-overhead risk.)
+        nparts = int(min(4096, max(32, p.count() // 20_000)))
         pa = p.repartition(nparts, "term").select(
             F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa")
         )

@@ -6688,6 +6688,105 @@ GROUP BY query_id ORDER BY query_id
 """
 
 
+def q221_funnel_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-funnel ABLATION census — the debugging view every
+    filtering pipeline ships next to q84's composed funnel: for each
+    gate, how many docs fail it IN ISOLATION vs how many the
+    sequential funnel kills AT that stage (marginal kill), so a gate
+    that silently dominates (or never fires) is visible before a
+    training run. The gates are q84's exact semantics (sha256
+    survivorship; length ≥ 5 tokens; the English stopword-ratio
+    quality test — here in its exact integer form 50·stops ≥ tokens)
+    plus the q88-family repetition gate (duplicate 3-shingle
+    fraction ≤ 0.5, i.e. 2·|distinct| ≥ total) — shared kernels, not
+    re-implementations.
+
+    Report: one row per gate in funnel order — (stage, gate,
+    n_fail_alone, n_survivors_after, n_marginal_kill) — plus the
+    corpus size riding along for ratios.
+
+    100 TB shape: ONE scan computes all four flags (the survivorship
+    window is the only exchange, on the uniform sha key), one global
+    agg row, and the 4-row tall report is a stack of literals —
+    report cost is corpus-independent.
+    """
+    d = t(spark, sf_dir, "documents").withColumn("_toks", _toks())
+    n_toks = F.size("_toks")
+    stop_n = F.size(F.filter("_toks", lambda x: x.isin(*_EN_STOP)))
+    w = Window.partitionBy(F.sha2("text", 256))
+    n_sh_total = F.greatest(n_toks - 2, F.lit(1))
+    flags = shingles.with_shingle_sets(d).select(
+        (F.col("doc_id") == F.min("doc_id").over(w)).cast("int").alias("g1"),
+        (n_toks >= 5).cast("int").alias("g2"),
+        ((F.col("lang") != "en") | (50 * stop_n >= n_toks))
+        .cast("int").alias("g3"),
+        (2 * F.size("sh") >= n_sh_total).cast("int").alias("g4"),
+    )
+    agg = flags.agg(
+        F.count("*").alias("n_docs"),
+        *[
+            F.sum(F.lit(1) - F.col(f"g{k}")).cast("long").alias(f"f{k}")
+            for k in range(1, 5)
+        ],
+        F.sum("g1").cast("long").alias("s1"),
+        F.sum(F.expr("g1 * g2")).cast("long").alias("s2"),
+        F.sum(F.expr("g1 * g2 * g3")).cast("long").alias("s3"),
+        F.sum(F.expr("g1 * g2 * g3 * g4")).cast("long").alias("s4"),
+    )
+    return agg.selectExpr(
+        """stack(4,
+             1, 'dedup_survivor', f1, s1, n_docs - s1,
+             2, 'min_length',     f2, s2, s1 - s2,
+             3, 'stopword_quality', f3, s3, s2 - s3,
+             4, 'repetition',     f4, s4, s3 - s4
+           ) AS (stage, gate, n_fail_alone, n_survivors_after,
+                 n_marginal_kill)""",
+        "n_docs",
+    ).orderBy("stage")
+
+
+O221 = f"""
+WITH d AS (
+  SELECT doc_id, text, lang, {TOKS} AS tk FROM documents
+), flags AS (
+  SELECT
+    CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY sha256(text))
+         THEN 1 ELSE 0 END AS g1,
+    CASE WHEN len(tk) >= 5 THEN 1 ELSE 0 END AS g2,
+    CASE WHEN lang <> 'en'
+           OR 50 * len(list_filter(tk, x -> x IN {_EN_STOP}))
+              >= len(tk)
+         THEN 1 ELSE 0 END AS g3,
+    CASE WHEN 2 * len(list_distinct({_DUCK_SHINGLES}))
+              >= GREATEST(len(tk) - 2, 1)
+         THEN 1 ELSE 0 END AS g4
+  FROM d
+), agg AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(1 - g1) AS BIGINT) AS f1,
+         CAST(SUM(1 - g2) AS BIGINT) AS f2,
+         CAST(SUM(1 - g3) AS BIGINT) AS f3,
+         CAST(SUM(1 - g4) AS BIGINT) AS f4,
+         CAST(SUM(g1) AS BIGINT) AS s1,
+         CAST(SUM(g1 * g2) AS BIGINT) AS s2,
+         CAST(SUM(g1 * g2 * g3) AS BIGINT) AS s3,
+         CAST(SUM(g1 * g2 * g3 * g4) AS BIGINT) AS s4
+  FROM flags
+)
+SELECT u.stage, u.gate, u.n_fail_alone, u.n_survivors_after,
+       u.n_marginal_kill, agg.n_docs
+FROM agg, LATERAL (
+  SELECT * FROM (VALUES
+    (1, 'dedup_survivor',   f1, s1, n_docs - s1),
+    (2, 'min_length',       f2, s2, s1 - s2),
+    (3, 'stopword_quality', f3, s3, s2 - s3),
+    (4, 'repetition',       f4, s4, s3 - s4)
+  ) AS t(stage, gate, n_fail_alone, n_survivors_after, n_marginal_kill)
+) u
+ORDER BY u.stage
+"""
+
+
 QUERIES = [
     Query("q50_exact_dedup", q50_exact_dedup, O50, "sha256 exact dedup"),
     Query("q51_fingerprint_dedup", q51_fingerprint_dedup, O51, "normalized fingerprint dedup"),
@@ -6936,4 +7035,9 @@ QUERIES = [
           "of the same quantized codes, per-query overlap/recall_ppm "
           "and top-1 ids - q219's measure-the-production-kernel "
           "pattern for the ANN family"),
+    Query("q221_funnel_ablation", q221_funnel_ablation, O221,
+          "curation-funnel ablation census: per-gate fail-alone vs "
+          "sequential marginal kill over q84's exact gates plus the "
+          "repetition gate - one scan, one sha survivorship exchange, "
+          "4-row tall report"),
 ]

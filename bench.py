@@ -188,6 +188,7 @@ HEADLINE = [
     "q217_corpus_mixer",
     "q220_dim_truncation_recall",
     "q221_funnel_ablation",
+    "q222_dedup_threshold_sweep",
     # q218 stays out of the headline: its cost IS the inverted-index
     # self-join over the corpus's unusually dense bigram overlap
     # (73M term-major tuples at sf0.1 -> ~12 s, which would dominate

@@ -6787,6 +6787,120 @@ ORDER BY u.stage
 """
 
 
+#: q222's threshold grid (ppm) — the candidate near-dup cutoffs a
+#: dedup pass is tuned over
+_SWEEP_TAUS = (500_000, 600_000, 700_000, 800_000, 900_000)
+
+
+def q222_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup THRESHOLD-SENSITIVITY sweep — the tuning curve examined
+    before committing a near-dup cutoff: the q81 pipeline's exact
+    Jaccard scores (same band candidates, same shingle kernel — the
+    production operators, not re-implementations) bucketed against a
+    grid of thresholds, reporting per τ how many pairs a dedup pass
+    at that cutoff would act on and how many docs those pairs touch.
+    A cliff between adjacent rows is the signal (pick below it); a
+    smooth curve says the corpus has no natural cutoff; a FLAT curve
+    (this synthetic corpus: 25 pairs at every τ from 0.1 to 0.9 —
+    near-dups are near-copies, everything else is unrelated) says
+    the corpus is perfectly separable and any cutoff in the range
+    behaves identically. The q219/q220 calibration discipline
+    applied to the threshold knob itself.
+
+    Report: (tau_ppm, n_pairs, n_docs_in_pairs) per grid point —
+    cumulative (≥ τ), exact-ppm integer Jaccard so both engines
+    bucket identically.
+
+    100 TB shape: q81's (two keyed joins onto the band candidates, no
+    cross join), then the ≤|grid|·|pairs| explode is near-dup-sparse
+    and the report is grid-sized.
+    """
+    cands = _minhash_band_candidates(spark, sf_dir)
+    sh = (
+        _with_shingle_sets(t(spark, sf_dir, "documents"))
+        .select("doc_id", "sh")
+    )
+    j = cands.join(
+        sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")),
+        "id_a",
+    ).join(
+        sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")),
+        "id_b",
+    )
+    scored = j.select(
+        "id_a", "id_b",
+        F.expr(
+            f"CAST(size(array_intersect(sh_a, sh_b)) * 1000000 "
+            f"div size(array_union(sh_a, sh_b)) AS BIGINT)"
+        ).alias("jacc_ppm"),
+    )
+    taus = spark.createDataFrame(
+        [(t,) for t in _SWEEP_TAUS], "tau_ppm long"
+    )
+    hits = scored.crossJoin(F.broadcast(taus)).filter(
+        F.col("jacc_ppm") >= F.col("tau_ppm")
+    )
+    docs_long = hits.select("tau_ppm", F.col("id_a").alias("d")).unionByName(
+        hits.select("tau_ppm", F.col("id_b").alias("d"))
+    )
+    pairs_per = hits.groupBy("tau_ppm").agg(F.count("*").alias("n_pairs"))
+    docs_per = docs_long.groupBy("tau_ppm").agg(
+        F.countDistinct("d").alias("n_docs_in_pairs")
+    )
+    return (
+        taus.join(pairs_per, "tau_ppm", "left")
+        .join(docs_per, "tau_ppm", "left")
+        .select(
+            "tau_ppm",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_docs_in_pairs", F.lit(0)).alias("n_docs_in_pairs"),
+        )
+        .orderBy("tau_ppm")
+    )
+
+
+O222 = f"""
+WITH sigs AS (
+  SELECT doc_id, {_duck_mh(0)} AS mh0, {_duck_mh(1)} AS mh1,
+         {_duck_mh(2)} AS mh2, {_duck_mh(3)} AS mh3
+  FROM documents
+), long AS (
+  SELECT doc_id, mh0 AS sig FROM sigs UNION ALL SELECT doc_id, mh1 FROM sigs
+  UNION ALL SELECT doc_id, mh2 FROM sigs UNION ALL SELECT doc_id, mh3 FROM sigs
+), cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM long a JOIN long b ON a.sig = b.sig AND a.doc_id < b.doc_id
+), sh AS (
+  SELECT doc_id, list_distinct({_DUCK_SHINGLES}) AS sh FROM documents
+), scored AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(a.sh, b.sh)) * 1000000
+           // len(list_distinct(list_concat(a.sh, b.sh))) AS jacc_ppm
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b
+), taus AS (
+  SELECT * FROM (VALUES {", ".join(f"({t})" for t in _SWEEP_TAUS)})
+    AS t(tau_ppm)
+), hits AS (
+  SELECT t.tau_ppm, s.id_a, s.id_b
+  FROM scored s JOIN taus t ON s.jacc_ppm >= t.tau_ppm
+), dl AS (
+  SELECT tau_ppm, id_a AS d FROM hits
+  UNION ALL SELECT tau_ppm, id_b FROM hits
+)
+SELECT t.tau_ppm,
+       COALESCE(p.n_pairs, 0) AS n_pairs,
+       COALESCE(dd.n_docs_in_pairs, 0) AS n_docs_in_pairs
+FROM taus t
+LEFT JOIN (SELECT tau_ppm, CAST(COUNT(*) AS BIGINT) AS n_pairs
+           FROM hits GROUP BY tau_ppm) p USING (tau_ppm)
+LEFT JOIN (SELECT tau_ppm, CAST(COUNT(DISTINCT d) AS BIGINT)
+             AS n_docs_in_pairs FROM dl GROUP BY tau_ppm) dd USING (tau_ppm)
+ORDER BY t.tau_ppm
+"""
+
+
 QUERIES = [
     Query("q50_exact_dedup", q50_exact_dedup, O50, "sha256 exact dedup"),
     Query("q51_fingerprint_dedup", q51_fingerprint_dedup, O51, "normalized fingerprint dedup"),
@@ -7040,4 +7154,9 @@ QUERIES = [
           "sequential marginal kill over q84's exact gates plus the "
           "repetition gate - one scan, one sha survivorship exchange, "
           "4-row tall report"),
+    Query("q222_dedup_threshold_sweep", q222_dedup_threshold_sweep, O222,
+          "dedup threshold-sensitivity sweep: q81's exact-Jaccard "
+          "rescored band candidates bucketed over a 5-point tau grid "
+          "- per-threshold pair and touched-doc counts, the tuning "
+          "curve for choosing a near-dup cutoff"),
 ]

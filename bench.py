@@ -189,6 +189,7 @@ HEADLINE = [
     "q220_dim_truncation_recall",
     "q221_funnel_ablation",
     "q222_dedup_threshold_sweep",
+    "q223_tokenizer_fertility",
     # q218 stays out of the headline: its cost IS the inverted-index
     # self-join over the corpus's unusually dense bigram overlap
     # (73M term-major tuples at sf0.1 -> ~12 s, which would dominate

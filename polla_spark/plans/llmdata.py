@@ -2464,6 +2464,86 @@ FROM toks GROUP BY 1 ORDER BY total DESC, token LIMIT {_BPE_TOPK}
 """
 
 
+def q223_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY census — the evaluation every tokenizer
+    ships with (tokens-per-word and chars-per-token, the
+    compression/fertility numbers sentencepiece and tokenizers
+    report): q199's trained merges applied through the SHARED merge
+    operator (exactly q210's application pass — training, application
+    and now evaluation share one kernel), then the corpus-weighted
+    distribution of words by token count plus the global fertility
+    ratios in exact ppm.
+
+    Report: one row per n_tok bucket — (n_tok, n_words = distinct
+    census words, corpus_cnt = corpus-weighted occurrences, pct_ppm
+    of corpus words) — with the two global ratios
+    (tokens_per_word_ppm, chars_per_token_ppm) riding along, q221's
+    n_docs convention.
+
+    100 TB shape: q210's — ONE persisted word census feeds training
+    and application; evaluation adds a census-sized projection and a
+    ≤|buckets|-row report; the totals are a 1-row broadcast.
+    """
+    census = _bpe_word_census(spark, sf_dir).persist()
+    merges = _bpe_train(spark, sf_dir, census=census)
+    r = _bpe_reprs(census, "w")
+    for top in merges:
+        r = _bpe_apply_merge(r, top)
+    wt = r.select(
+        "w", "cnt",
+        F.size(F.split(F.trim("repr"), " ")).cast("long").alias("n_tok"),
+        F.length("w").cast("long").alias("n_chars"),
+    )
+    tot = wt.agg(
+        F.sum("cnt").cast("long").alias("t_words"),
+        F.sum(F.expr("cnt * n_tok")).cast("long").alias("t_toks"),
+        F.sum(F.expr("cnt * n_chars")).cast("long").alias("t_chars"),
+    )
+    return (
+        wt.groupBy("n_tok")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("cnt").cast("long").alias("corpus_cnt"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_tok", "n_words", "corpus_cnt",
+            F.expr("corpus_cnt * 1000000 div t_words").alias("pct_ppm"),
+            F.expr("t_toks * 1000000 div t_words")
+            .alias("tokens_per_word_ppm"),
+            F.expr("t_chars * 1000000 div t_toks")
+            .alias("chars_per_token_ppm"),
+        )
+        .orderBy("n_tok")
+    )
+
+
+#: O210's training+application CTE chain, reused verbatim up to the
+#: token explode — evaluation shares the oracle the same way the
+#: Spark side shares the merge operator
+_O210_PREFIX = O210.split("), toks AS (")[0]
+
+O223 = f"""{_O210_PREFIX}), wt AS (
+  SELECT w, cnt, CAST(len(string_split(trim(repr), ' ')) AS BIGINT) AS n_tok,
+         CAST(length(w) AS BIGINT) AS n_chars
+  FROM a3
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS t_words,
+         CAST(SUM(cnt * n_tok) AS BIGINT) AS t_toks,
+         CAST(SUM(cnt * n_chars) AS BIGINT) AS t_chars
+  FROM wt
+)
+SELECT wt.n_tok, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(wt.cnt) AS BIGINT) AS corpus_cnt,
+       CAST(SUM(wt.cnt) AS BIGINT) * 1000000 // MAX(tot.t_words) AS pct_ppm,
+       MAX(tot.t_toks) * 1000000 // MAX(tot.t_words) AS tokens_per_word_ppm,
+       MAX(tot.t_chars) * 1000000 // MAX(tot.t_toks) AS chars_per_token_ppm
+FROM wt, tot
+GROUP BY wt.n_tok
+ORDER BY wt.n_tok
+"""
+
+
 _SEG_W, _SEG_S = 640, 320  # audio window/stride (ms) — overlap by design
 
 
@@ -7159,4 +7239,10 @@ QUERIES = [
           "rescored band candidates bucketed over a 5-point tau grid "
           "- per-threshold pair and touched-doc counts, the tuning "
           "curve for choosing a near-dup cutoff"),
+    Query("q223_tokenizer_fertility", q223_tokenizer_fertility, O223,
+          "tokenizer fertility census: the trained BPE merges applied "
+          "through the shared merge operator, corpus-weighted words-"
+          "by-token-count distribution + global tokens-per-word and "
+          "chars-per-token in exact ppm - the sentencepiece-style "
+          "tokenizer evaluation"),
 ]

@@ -2268,17 +2268,24 @@ def q199_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rep.select("round", "a", "b", "n").orderBy("round")
 
 
-def _bpe_word_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(w, cnt) census of lowercase-alpha corpus words — the ONLY
-    corpus-touching stage of the BPE family (q199 trains on its top
-    slice, q210 tokenizes all of it)."""
+def bpe_word_census_from(docs: DataFrame) -> DataFrame:
+    """(w, cnt) census of lowercase-alpha words from a documents-shaped
+    frame — ONE definition shared by the batch census and streaming
+    twin #38's partials (counts are plain merge-closed sums, so the
+    streamed census over any micro-batch cut equals the batch one)."""
     return (
-        t(spark, sf_dir, "documents")
-        .select(F.explode(_toks()).alias("w"))
+        docs.select(F.explode(_toks()).alias("w"))
         .filter(F.col("w").rlike("^[a-z]+$"))
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def _bpe_word_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(w, cnt) census of lowercase-alpha corpus words — the ONLY
+    corpus-touching stage of the BPE family (q199 trains on its top
+    slice, q210 tokenizes all of it)."""
+    return bpe_word_census_from(t(spark, sf_dir, "documents"))
 
 
 def _bpe_reprs(words: DataFrame, *cols) -> DataFrame:
@@ -2484,8 +2491,19 @@ def q223_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     and application; evaluation adds a census-sized projection and a
     ≤|buckets|-row report; the totals are a 1-row broadcast.
     """
-    census = _bpe_word_census(spark, sf_dir).persist()
-    merges = _bpe_train(spark, sf_dir, census=census)
+    return bpe_fertility_report(
+        spark, _bpe_word_census(spark, sf_dir)
+    )
+
+
+def bpe_fertility_report(spark: SparkSession, census: DataFrame) -> DataFrame:
+    """q223's train→apply→evaluate tail over a (w, cnt) census — ONE
+    assembly shared by batch q223 and streaming twin #38's finisher
+    (the fs_em_report discipline: the fertility definition cannot
+    drift between transports). The census is persisted here; it feeds
+    the training slice and the application pass."""
+    census = census.persist()
+    merges = _bpe_train(spark, "", census=census)
     r = _bpe_reprs(census, "w")
     for top in merges:
         r = _bpe_apply_merge(r, top)

@@ -1492,6 +1492,31 @@ def finish_golden_records(updates: DataFrame, docs: DataFrame) -> DataFrame:
     )
 
 
+def bpe_census_partials(docs: DataFrame) -> DataFrame:
+    """Streaming twin of the BPE family's corpus stage (twin #38):
+    the (w, cnt) word census is a plain merge-closed count — ONE
+    definition shared with the batch census
+    (``plans/llmdata.bpe_word_census_from``), update mode, counts
+    monotone, no watermark. State is vocabulary-bounded
+    (Heaps-sublinear), never corpus-sized."""
+    from ..plans.llmdata import bpe_word_census_from
+
+    return bpe_word_census_from(docs)
+
+
+def finish_tokenizer_fertility(updates: DataFrame) -> DataFrame:
+    """Read-time finisher ≡ q223: max-collapse the update-mode census
+    rows to the newest count (monotone), then run the IDENTICAL
+    train→apply→evaluate tail (``plans/llmdata.bpe_fertility_report``)
+    batch q223 delegates to — the trained tokenizer AND its fertility
+    evaluation are deterministic functions of the merge-closed word
+    census, so streamed ≡ batch exactly, nothing re-implemented."""
+    from ..plans.llmdata import bpe_fertility_report
+
+    census = updates.groupBy("w").agg(F.max("cnt").alias("cnt"))
+    return bpe_fertility_report(updates.sparkSession, census)
+
+
 def finish_jaro_winkler(pairs: DataFrame) -> DataFrame:
     """Score the streamed SNM pairs with the IDENTICAL batch
     comparator (functions/strsim.py — one operator, two transports)."""

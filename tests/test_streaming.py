@@ -1300,3 +1300,41 @@ def test_ahash_band_stream_equals_batch(spark, tmp_path):
     want = ahash_bands(documents_as_assets(docs))
     keys = ["asset_id", "b0", "b1", "b2", "b3"]
     assert _rows(streamed, keys) == _rows(want, keys)
+
+
+def test_tokenizer_fertility_stream_equals_q223(spark, tmp_path):
+    """Streaming tokenizer fertility (38th twin) == batch q223 over a
+    multi-batch documents stream: the word census is count-merge-
+    closed, and the trained merges + fertility report are a
+    deterministic function of the merged census, so the streamed
+    report equals batch row-for-row — the whole train->apply->
+    evaluate tail runs through the ONE shared bpe_fertility_report."""
+    from polla_spark.plans.llmdata import q223_tokenizer_fertility
+    from polla_spark.session import read_table
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    d = tmp_path / "bpe_stream"
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            str(d / f"part{i}")
+        )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*/")
+    )
+    q = (
+        SW.bpe_census_partials(stream)
+        .writeStream.format("memory")
+        .queryName("bpe_census_updates")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = SW.finish_tokenizer_fertility(spark.table("bpe_census_updates"))
+    keys = ["n_tok", "n_words", "corpus_cnt", "pct_ppm",
+            "tokens_per_word_ppm", "chars_per_token_ppm"]
+    assert _rows(got, keys) == _rows(
+        q223_tokenizer_fertility(spark, SF_DIR), keys
+    )

@@ -6303,14 +6303,13 @@ ORDER BY r.source
 """
 
 
-#: q218 cosine threshold (ppm) and its square at the 1e12 comparison
-#: scale — documented constants of the query, not tunables
+#: q218 cosine threshold (ppm) — a documented constant of the query,
+#: not a tunable. tau = 800000 ppm = 4/5 EXACTLY, so the rescore
+#: inequality cos >= tau reduces to the coprime integer form
+#: 25 * dot^2 >= 16 * na2 * nb2 (both sides divided by the full
+#: gcd) — no 1e6 scaling survives into the guard at all.
 _APS_TAU_PPM = 800_000
-# the rescore inequality dot^2 * 1e12 >= tau_ppm^2 * na2 * nb2 is
-# divided through by 1e6 (exact: tau_ppm^2 is a multiple of 1e6) so
-# both sides stay far inside BIGINT under ANSI overflow checking
-assert (_APS_TAU_PPM * _APS_TAU_PPM) % 1_000_000 == 0
-_APS_TAU_SQ6 = (_APS_TAU_PPM * _APS_TAU_PPM) // 1_000_000  # 640000
+assert _APS_TAU_PPM * 5 == 4 * 1_000_000  # tau == 4/5 exactly
 
 
 def _isqrt_sql(n2: str) -> str:
@@ -6360,22 +6359,35 @@ def _aps_postings(spark: SparkSession, sf_dir: str):
 
 def _aps_report(dots: DataFrame, norms: DataFrame) -> DataFrame:
     """Exact integer-square threshold + report, shared by both q218
-    regimes: dot^2 * 10^6 >= (tau_ppm^2 div 10^6) * n2_a * n2_b —
-    the inequality divided through by 10^6 exactly (tau_ppm^2 is a
-    multiple of 10^6), so both sides stay far inside BIGINT under
-    ANSI overflow checking; squares instead of sqrt, the q77
-    integer-cosine discipline."""
+    regimes: tau = 4/5 exactly, so the guard is the coprime form
+    25 * dot^2 >= 16 * na2 * nb2 — squares instead of sqrt, the q77
+    integer-cosine discipline — evaluated in DECIMAL(38,0) (DuckDB:
+    HUGEINT), never raw BIGINT.
+
+    Overflow ceilings, explicit (the r9 ADVICE item — the old BIGINT
+    form failed once dot > ~3.03e6, which two repetitive few-thousand-
+    token documents can reach): in DECIMAL(38,0) the GUARD is exact
+    while 25*dot^2 and 16*na2*nb2 < 10^38, i.e. dot < 2*10^18 and
+    na2*nb2 < 6.25*10^36; the cos2_ppm REPORT column carries an extra
+    10^6 factor, so its ceiling is dot < ~3.16*10^15 — a pair of
+    ~50-million-token pure-repetition documents. Past either ceiling
+    ANSI mode fails LOUDLY (NUMERIC_VALUE_OUT_OF_RANGE), never
+    silently wrong; real corpora sit ~9 orders of magnitude below."""
     na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
     nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
+    dd = "CAST(dot AS DECIMAL(38,0))"
     return (
         dots.join(na, "doc_a")
         .join(nb, "doc_b")
         .filter(
-            F.expr(f"dot * dot * 1000000 >= {_APS_TAU_SQ6} * na2 * nb2")
+            F.expr(f"25 * {dd} * dot >= 16 * CAST(na2 AS DECIMAL(38,0)) * nb2")
         )
         .select(
             "doc_a", "doc_b", "dot", "na2", "nb2",
-            F.expr("dot * dot * 1000000 div (na2 * nb2)").alias("cos2_ppm"),
+            F.expr(
+                f"CAST(({dd} * dot * 1000000) div "
+                "(CAST(na2 AS DECIMAL(38,0)) * nb2) AS BIGINT)"
+            ).alias("cos2_ppm"),
         )
         .orderBy("doc_a", "doc_b")
     )
@@ -6524,11 +6536,13 @@ WITH tkd AS (
   GROUP BY 1, 2
 )
 SELECT d.doc_a, d.doc_b, d.dot, na.n2 AS na2, nb.n2 AS nb2,
-       d.dot * d.dot * 1000000 // (na.n2 * nb.n2) AS cos2_ppm
+       CAST(CAST(d.dot AS HUGEINT) * d.dot * 1000000
+            // (CAST(na.n2 AS HUGEINT) * nb.n2) AS BIGINT) AS cos2_ppm
 FROM dots d
 JOIN norms na ON na.doc_id = d.doc_a
 JOIN norms nb ON nb.doc_id = d.doc_b
-WHERE d.dot * d.dot * 1000000 >= {_APS_TAU_SQ6} * na.n2 * nb.n2
+WHERE 25 * CAST(d.dot AS HUGEINT) * d.dot
+      >= 16 * CAST(na.n2 AS HUGEINT) * nb.n2
 ORDER BY d.doc_a, d.doc_b
 """
 
@@ -6792,10 +6806,14 @@ def q221_funnel_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate, how many docs fail it IN ISOLATION vs how many the
     sequential funnel kills AT that stage (marginal kill), so a gate
     that silently dominates (or never fires) is visible before a
-    training run. The gates are q84's exact semantics (sha256
-    survivorship; length ≥ 5 tokens; the English stopword-ratio
-    quality test — here in its exact integer form 50·stops ≥ tokens)
-    plus the q88-family repetition gate (duplicate 3-shingle
+    training run. The gates are q84's FAMILY, not byte-identical
+    semantics: sha256 survivorship and the length ≥ 5 gate match q84
+    exactly, but the stopword gate here is the exact-INTEGER analogue
+    50·stops ≥ tokens, whereas q84 tests round(stops/tokens, 4) ≥
+    0.02 — the two disagree in the rounding band 0.01995 ≤ ratio <
+    0.02 (r9 ADVICE), and the integer form is kept because the whole
+    ablation census must stay in exact arithmetic. Fourth gate is
+    the q88-family repetition gate (duplicate 3-shingle
     fraction ≤ 0.5, i.e. 2·|distinct| ≥ total) — shared kernels, not
     re-implementations.
 
@@ -6816,7 +6834,13 @@ def q221_funnel_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags = shingles.with_shingle_sets(d).select(
         (F.col("doc_id") == F.min("doc_id").over(w)).cast("int").alias("g1"),
         (n_toks >= 5).cast("int").alias("g2"),
-        ((F.col("lang") != "en") | (50 * stop_n >= n_toks))
+        # lang folded through coalesce so a NULL lang counts as a
+        # non-'en' PASS in both engines — without it Spark's
+        # three-valued (NULL != 'en') yields NULL (dropped from the
+        # f3/s3 sums) while the oracle's CASE folds it to 0 (r9
+        # ADVICE: a latent divergence if documents.lang is ever NULL)
+        ((F.coalesce(F.col("lang"), F.lit("")) != "en")
+         | (50 * stop_n >= n_toks))
         .cast("int").alias("g3"),
         (2 * F.size("sh") >= n_sh_total).cast("int").alias("g4"),
     )
@@ -6851,7 +6875,7 @@ WITH d AS (
     CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY sha256(text))
          THEN 1 ELSE 0 END AS g1,
     CASE WHEN len(tk) >= 5 THEN 1 ELSE 0 END AS g2,
-    CASE WHEN lang <> 'en'
+    CASE WHEN COALESCE(lang, '') <> 'en'
            OR 50 * len(list_filter(tk, x -> x IN {_EN_STOP}))
               >= len(tk)
          THEN 1 ELSE 0 END AS g3,

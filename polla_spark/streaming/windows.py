@@ -1517,6 +1517,65 @@ def finish_tokenizer_fertility(updates: DataFrame) -> DataFrame:
     return bpe_fertility_report(updates.sparkSession, census)
 
 
+def lloyd_seed_partials(vecs: DataFrame) -> DataFrame:
+    """Streaming twin of q212's SEED pass (39th twin, stage 0): the
+    per-stratum (min vec_id, its quantized code) census — min/min_by
+    are merge-closed, so the update-mode rows converge to exactly the
+    batch seeds. State is K rows."""
+    from ..plans.llmdata import _LLOYD_K, _LLOYD_STRATUM, _quant
+
+    coded = vecs.select("vec_id", _quant(F.col("embedding")).alias("qe"))
+    return (
+        coded.withColumn("stratum", F.expr(_LLOYD_STRATUM.format(k=_LLOYD_K)))
+        .groupBy("stratum")
+        .agg(F.min("vec_id").alias("mv"), F.min_by("qe", "vec_id").alias("qe"))
+    )
+
+
+def finish_lloyd_seeds(updates: DataFrame) -> list[tuple[int, list[int]]]:
+    """Collapse the update-mode seed rows to the final state (mv is
+    monotone DECREASING per stratum, so min_by(qe, mv) is newest) and
+    return q212's centroid structure."""
+    rows = (
+        updates.groupBy("stratum")
+        .agg(F.min("mv").alias("mv"), F.min_by("qe", "mv").alias("qe"))
+        .collect()
+    )
+    return sorted((r["stratum"], list(r["qe"])) for r in rows)
+
+
+def lloyd_census_partials(vecs: DataFrame, cents) -> DataFrame:
+    """Streaming twin of ONE Lloyd training round's update census
+    (39th twin): the IDENTICAL ``_lloyd_assign`` →
+    ``_lloyd_update_plan`` assembly batch q212 unrolls — unrolled
+    literal-centroid assignment (narrow scan, no join/window, legal
+    in a stream) feeding the per-(cid, pos) sum/count agg. State is
+    K·64 rows; update mode. Nothing re-implemented."""
+    from ..plans.llmdata import _lloyd_assign, _lloyd_update_plan, _quant
+
+    coded = vecs.select("vec_id", _quant(F.col("embedding")).alias("qe"))
+    return _lloyd_update_plan(_lloyd_assign(coded, cents))
+
+
+def finish_lloyd_round(updates: DataFrame, prev):
+    """Collapse the update-mode census to its final state and run the
+    IDENTICAL floor-mean update (``_lloyd_new_dims``) batch q212
+    runs: per (cid, pos) the member count n is STRICTLY monotone (an
+    update row only exists when new rows hit the key, which raises
+    n), so max(n) / max_by(s, n) is the newest state — the q122-twin
+    argument extended to the non-monotone sum by pairing it with its
+    monotone count. Returns (new_centroids, members) exactly as the
+    batch round does."""
+    from ..plans.llmdata import _lloyd_new_dims
+
+    rows = (
+        updates.groupBy("cid", "pos")
+        .agg(F.max("n").alias("n"), F.max_by("s", "n").alias("s"))
+        .collect()
+    )
+    return _lloyd_new_dims(rows, prev)
+
+
 def finish_jaro_winkler(pairs: DataFrame) -> DataFrame:
     """Score the streamed SNM pairs with the IDENTICAL batch
     comparator (functions/strsim.py — one operator, two transports)."""

@@ -56,6 +56,15 @@ GOLDEN_QUERIES = [
     # r9: the PRODUCTION SemDeDup config (log-scaled plane count —
     # the shape scripts/scale_semdedup.py measures at 20x)
     "q204_semantic_dedup_planes12",
+    # r10: the four r9 plan-shape-pinned queries the r9 verdict noted
+    # were asserted but not snapshot (task #5), plus BOTH q218
+    # regimes — the auto-switch means either plan can be the
+    # registered one, so drift in either must show up in review
+    "q212_kmeans_train",
+    "q213_smoothed_lm_filter",
+    "q215_golden_records",
+    "q218_allpairs_cosine",
+    "q218_allpairs_prefix",
 ]
 
 
@@ -64,11 +73,20 @@ def extra_plans() -> dict:
     (name -> builder(spark, sf_dir)). Shared with
     tests/test_plan_goldens.py so the pin and the generator cannot
     disagree about what a name builds."""
-    from polla_spark.plans.llmdata import semantic_dedup_clusters
+    from polla_spark.plans.llmdata import (
+        allpairs_cosine,
+        semantic_dedup_clusters,
+    )
 
     return {
         "q204_semantic_dedup_planes12": (
             lambda spark, sf: semantic_dedup_clusters(spark, sf, n_planes=12)
+        ),
+        # the non-registered q218 regime (AllPairs/L2AP prefix filter):
+        # on flat-df corpora the auto-switch picks term-major, so this
+        # plan would otherwise never be snapshot
+        "q218_allpairs_prefix": (
+            lambda spark, sf: allpairs_cosine(spark, sf, prefix_filter=True)
         ),
     }
 

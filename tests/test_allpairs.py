@@ -71,3 +71,74 @@ def test_isqrt_sql_matches_duckdb(spark):
             f"SELECT {_isqrt_sql(str(v))}"
         ).fetchone()
         assert s == math.isqrt(v), v
+
+
+def test_auto_regime_picks_term_major_on_flat_df(spark):
+    """On the flat-df test corpora the census statistic (mean posting
+    df ~30 at sf0.001) sits far below the switch threshold, so the
+    registered auto form must build the term-major plan and return
+    the identical rows."""
+    from polla_spark.plans.llmdata import (
+        _aps_postings,
+        allpairs_cosine,
+        choose_aps_regime,
+    )
+
+    _, _, stats = _aps_postings(spark, SF_DIR)
+    spark.catalog.clearCache()
+    assert choose_aps_regime(stats) is False
+    auto = _rows(allpairs_cosine(spark, SF_DIR))
+    assert auto == _rows(allpairs_cosine(spark, SF_DIR, prefix_filter=False))
+
+
+def test_auto_regime_switches_on_zipf_head(spark, tmp_path):
+    """A shared hot bigram (df = corpus size) drives mean posting df
+    past the switch threshold: the auto form must pick the
+    prefix-filter regime, and — the whole point of the pinned-equal
+    regimes — the answer must not change."""
+    from pyspark.sql import functions as F
+
+    from polla_spark.plans.llmdata import (
+        _aps_postings,
+        allpairs_cosine,
+        choose_aps_regime,
+    )
+
+    n = 3000
+    rows = [(i, f"hh hh hh u{i} v{i} w{i} x{i}") for i in range(n)]
+    # one genuine near-dup pair so the qualifying set is non-empty
+    rows += [(n, "aa bb cc dd ee ff"), (n + 1, "aa bb cc dd ee ff")]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    d = str(tmp_path)
+
+    _, _, stats = _aps_postings(spark, d)
+    spark.catalog.clearCache()
+    assert stats["max_df"] == n  # the Zipf head: 'hh hh' in every doc
+    # mean posting df ~ n/5 = 600 > 512
+    assert stats["sum_df2"] / stats["n_postings"] > 512
+    assert choose_aps_regime(stats) is True
+
+    auto = _rows(allpairs_cosine(spark, d))
+    spark.catalog.clearCache()
+    brute = _rows(allpairs_cosine(spark, d, prefix_filter=False))
+    assert len(brute) >= 1  # the planted duplicate pair qualifies
+    assert auto == brute
+
+
+def test_choose_aps_regime_rule():
+    """The rule is mean posting df vs the calibrated constant —
+    scale-invariant on constant-density growth (sum_df2 and
+    n_postings both scale linearly), linear-in-N on a Zipf head."""
+    from polla_spark.plans.llmdata import _APS_SWITCH_MEAN_DF, choose_aps_regime
+
+    flat = {"n_postings": 256_477, "sum_df2": 73_200_955.0, "max_df": 338}
+    assert choose_aps_regime(flat) is False
+    # 20x constant density: both grow 20x -> same decision
+    flat20 = {k: v * 20 for k, v in flat.items()}
+    assert choose_aps_regime(flat20) is False
+    # a term in 30% of 100k docs contributes df^2 = 9e8 alone
+    zipf = {"n_postings": 5_369_540, "sum_df2": 7.76e9, "max_df": 30_000}
+    assert zipf["sum_df2"] / zipf["n_postings"] > _APS_SWITCH_MEAN_DF
+    assert choose_aps_regime(zipf) is True

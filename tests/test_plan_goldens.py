@@ -1,5 +1,5 @@
-"""Golden plan-skeleton snapshots for the 28 heaviest / most
-plan-sensitive queries.
+"""Golden plan-skeleton snapshots for the 33 heaviest / most
+plan-sensitive queries (and plan variants).
 
 The targeted pins in test_plan_shapes.py assert SPECIFIC plan
 properties; these goldens catch everything else — a broadcast
@@ -50,4 +50,4 @@ def test_goldens_cover_the_declared_set():
     from scripts.gen_plan_goldens import GOLDEN_QUERIES  # type: ignore
 
     assert sorted(GOLDEN_QUERIES) == _golden_names()
-    assert len(GOLDEN_QUERIES) == 28
+    assert len(GOLDEN_QUERIES) == 33

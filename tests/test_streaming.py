@@ -1338,3 +1338,65 @@ def test_tokenizer_fertility_stream_equals_q223(spark, tmp_path):
     assert _rows(got, keys) == _rows(
         q223_tokenizer_fertility(spark, SF_DIR), keys
     )
+
+
+def test_kmeans_training_stream_equals_q212(spark, tmp_path):
+    """Streamed k-means TRAINING (39th twin) == batch q212 over a
+    multi-batch embeddings stream: the seed census (min/min_by) and
+    each round's (cid, pos) sum/count census are merge-closed aggs
+    streamed through the IDENTICAL shared kernels q212 unrolls
+    (_lloyd_assign -> _lloyd_update_plan); the identical floor-mean
+    update (_lloyd_new_dims) runs in the finisher. The streamed
+    round-by-round stats table equals batch q212 row-for-row —
+    closing the streaming arc over the last trained component."""
+    from polla_spark.plans.llmdata import (
+        _LLOYD_ROUNDS,
+        _lloyd_stats_row,
+        q212_kmeans_train,
+    )
+    from polla_spark.session import read_table
+
+    vecs = read_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    d = tmp_path / "kmeans_stream"
+    for i in range(3):
+        vecs.filter(F.col("vec_id") % 3 == i).coalesce(1).write.parquet(
+            str(d / f"part{i}")
+        )
+
+    def _stream():
+        return (
+            spark.readStream.schema(vecs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/*/")
+        )
+
+    def _drain(df, name):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.table(name)
+
+    cents = SW.finish_lloyd_seeds(
+        _drain(SW.lloyd_seed_partials(_stream()), "t39_seeds")
+    )
+    stats = [_lloyd_stats_row(0, cid, 0, dm, dm) for cid, dm in cents]
+    for rnd in range(1, _LLOYD_ROUNDS + 1):
+        upd = _drain(SW.lloyd_census_partials(_stream(), cents), f"t39_r{rnd}")
+        new, members = SW.finish_lloyd_round(upd, cents)
+        stats.extend(
+            _lloyd_stats_row(rnd, cid, members[cid], nd, pd)
+            for (cid, nd), (_, pd) in zip(new, cents)
+        )
+        cents = new
+    got = sorted(tuple(int(v) for v in row) for row in stats)
+    want = sorted(
+        tuple(int(v) for v in r) for r in q212_kmeans_train(spark, SF_DIR).collect()
+    )
+    assert got == want

@@ -26,10 +26,10 @@ from pyspark.sql import DataFrame, SparkSession
 # len(registry()) == DECLARED_QUERY_COUNT so an addition that forgets
 # the bump (or a bump without queries) fails fast instead of silently
 # shipping an undeclared inventory.
-# NOTE: query ids span q01–q223 with q139 intentionally unassigned
-# (a numbering skip from round 3, not a dropped query) — hence 222
-# registered queries over a 223-wide id range.
-DECLARED_QUERY_COUNT = 222
+# NOTE: query ids span q01–q226 with q139 intentionally unassigned
+# (a numbering skip from round 3, not a dropped query) — hence 225
+# registered queries over a 226-wide id range.
+DECLARED_QUERY_COUNT = 225
 
 # Rows-only queries: implemented but intentionally without a SQL
 # oracle (non-SQL-expressible semantics — q38: HLL sketch values are
@@ -135,5 +135,15 @@ def registry() -> dict[str, Query]:
                 raise ValueError(f"duplicate query name: {q.name}")
             out[q.name] = q
     rounds = _certified_rounds()
-    ordered = sorted(out.values(), key=lambda q: rounds.get(q.name, 0))  # stable
+    ordered = sorted(
+        out.values(),
+        key=lambda q: 0 if q.name in RECERTIFY else rounds.get(q.name, 0),
+    )  # stable
     return {q.name: q for q in ordered}
+
+
+# Queries whose RESULT SHAPE changed after their newest green round:
+# their certification record is stale, so they sort as never-certified
+# until the driver re-greens them. r10: q219 went from one production-
+# config confusion row to the 4-row (r x b) calibration grid.
+RECERTIFY = frozenset({"q219_lsh_calibration"})

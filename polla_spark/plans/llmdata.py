@@ -7197,6 +7197,329 @@ ORDER BY t.tau_ppm
 """
 
 
+_PCT_EPOCHS = 2  # unrolled batch-perceptron epochs (the q212 recipe)
+
+
+def _pct_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q224's feature scan: one narrow pass over documents emitting
+    the integer feature vector (1, n_toks, stop_n, n_chars) and the
+    label y = +1 for lang='en' else -1 (NULL lang folded to -1, the
+    q221 discipline). All-integer so the whole training loop is
+    engine-exact."""
+    d = t(spark, sf_dir, "documents").withColumn("_toks", _toks())
+    return d.select(
+        F.when(F.coalesce(F.col("lang"), F.lit("")) == "en", 1)
+        .otherwise(-1).alias("y"),
+        F.coalesce(F.size("_toks"), F.lit(0)).cast("long").alias("x1"),
+        F.coalesce(
+            F.size(F.filter("_toks", lambda x: x.isin(*_EN_STOP))), F.lit(0)
+        ).cast("long").alias("x2"),
+        F.coalesce(F.col("n_chars"), F.lit(0)).cast("long").alias("x3"),
+    )
+
+
+def _pct_epoch_agg(feats: DataFrame, w: list[int]) -> DataFrame:
+    """One batch-perceptron epoch against LITERAL weights: margin
+    m = y * (w0 + w1*x1 + w2*x2 + w3*x3); a row is misclassified iff
+    m <= 0 (sign(0) counts as wrong — the classic convention, which
+    also makes the zero-weight first epoch deterministic); the update
+    is the SUM of y*x over misclassified rows. One narrow scan, one
+    1-row agg — no join, no window, map-side combined."""
+    m = F.expr(f"y * ({w[0]} + {w[1]} * x1 + {w[2]} * x2 + {w[3]} * x3)")
+    return feats.select((m <= 0).cast("int").alias("miss"),
+                        "y", "x1", "x2", "x3").agg(
+        F.sum("miss").cast("long").alias("n_miss"),
+        F.sum(F.expr("miss * y")).cast("long").alias("d0"),
+        F.sum(F.expr("miss * y * x1")).cast("long").alias("d1"),
+        F.sum(F.expr("miss * y * x2")).cast("long").alias("d2"),
+        F.sum(F.expr("miss * y * x3")).cast("long").alias("d3"),
+    )
+
+
+def q224_perceptron_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTRON quality-classifier TRAINING — {_PCT_EPOCHS} unrolled
+    batch epochs (Rosenblatt's rule in its batch form: w += sum of
+    y*x over misclassified rows) over all-integer document features,
+    so the full training loop replays value-exactly in the oracle —
+    the q212 unrolled-trained-component recipe applied to the linear
+    classifier family (the fasttext-style quality gates real curation
+    pipelines train; reference parity: cortega26/polla has no trained
+    ops — LLM-data extension).
+
+    Epoch 1's update is COLLECTED (5 longs, the q208 driver-side
+    materialization discipline) and embedded as literals into epoch
+    2's margin expression; the final epoch stays a lazy plan so the
+    driver's materialization performs a real epoch. Report: one row
+    per epoch — (epoch, n_miss, w_bias, w_ntoks, w_stopn, w_nchars),
+    n_miss measured against the PREVIOUS weights, weights AFTER the
+    update; epoch 0 is the zero seed.
+
+    100 TB shape per epoch: one narrow corpus scan, 4 multiply-adds
+    per row JVM-side, ONE 1-row exchange (map-side combined) — the
+    same strongest-possible trained shape as q212/q207."""
+    feats = _pct_features(spark, sf_dir)
+    w = [0, 0, 0, 0]
+    rows = [(0, 0, *w)]
+    for _ in range(1, _PCT_EPOCHS):  # all but the last epoch
+        r = _pct_epoch_agg(feats, w).collect()[0]
+        w = [w[i] + r[f"d{i}"] for i in range(4)]
+        rows.append((1, r["n_miss"], *w))
+    lit = spark.createDataFrame(
+        rows,
+        "epoch long, n_miss long, w_bias long, w_ntoks long, "
+        "w_stopn long, w_nchars long",
+    )
+    last = _pct_epoch_agg(feats, w).select(
+        F.lit(_PCT_EPOCHS).cast("long").alias("epoch"),
+        "n_miss",
+        *[
+            (F.lit(w[i]) + F.col(f"d{i}")).cast("long").alias(name)
+            for i, name in enumerate(
+                ["w_bias", "w_ntoks", "w_stopn", "w_nchars"]
+            )
+        ],
+    )
+    return lit.unionByName(last).orderBy("epoch")
+
+
+O224 = f"""
+WITH f AS (
+  SELECT CASE WHEN COALESCE(lang, '') = 'en' THEN 1 ELSE -1 END AS y,
+         COALESCE(len(tk), 0) AS x1,
+         COALESCE(len(list_filter(tk, x -> x IN {_EN_STOP})), 0) AS x2,
+         COALESCE(n_chars, 0) AS x3
+  FROM (SELECT lang, n_chars, {TOKS} AS tk FROM documents)
+), e1 AS (
+  -- zero weights: margin y*0 = 0 <= 0, every row misclassified
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_miss,
+         CAST(SUM(y) AS BIGINT) AS w0, CAST(SUM(y * x1) AS BIGINT) AS w1,
+         CAST(SUM(y * x2) AS BIGINT) AS w2, CAST(SUM(y * x3) AS BIGINT) AS w3
+  FROM f
+), e2 AS (
+  SELECT
+    CAST(SUM(CASE WHEN y * (w0 + w1 * x1 + w2 * x2 + w3 * x3) <= 0
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_miss,
+    CAST(MIN(w0) + SUM(CASE WHEN y * (w0 + w1 * x1 + w2 * x2 + w3 * x3) <= 0
+             THEN y ELSE 0 END) AS BIGINT) AS w0,
+    CAST(MIN(w1) + SUM(CASE WHEN y * (w0 + w1 * x1 + w2 * x2 + w3 * x3) <= 0
+             THEN y * x1 ELSE 0 END) AS BIGINT) AS w1,
+    CAST(MIN(w2) + SUM(CASE WHEN y * (w0 + w1 * x1 + w2 * x2 + w3 * x3) <= 0
+             THEN y * x2 ELSE 0 END) AS BIGINT) AS w2,
+    CAST(MIN(w3) + SUM(CASE WHEN y * (w0 + w1 * x1 + w2 * x2 + w3 * x3) <= 0
+             THEN y * x3 ELSE 0 END) AS BIGINT) AS w3
+  FROM f CROSS JOIN e1
+)
+SELECT CAST(0 AS BIGINT) AS epoch, CAST(0 AS BIGINT) AS n_miss,
+       CAST(0 AS BIGINT) AS w_bias, CAST(0 AS BIGINT) AS w_ntoks,
+       CAST(0 AS BIGINT) AS w_stopn, CAST(0 AS BIGINT) AS w_nchars
+UNION ALL
+SELECT 1, n_miss, w0, w1, w2, w3 FROM e1
+UNION ALL
+SELECT 2, n_miss, w0, w1, w2, w3 FROM e2
+ORDER BY epoch
+"""
+
+
+#: q225's hashed-feature space (two-hex md5 prefix = 256 buckets) and
+#: report size — documented constants of the query
+_DSIR_TOPK = 20
+
+
+def q225_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style IMPORTANCE WEIGHTS (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by how much its hashed-bigram distribution looks like a
+    TARGET domain (here lang='en', the pipeline's quality proxy)
+    relative to the raw corpus. Per-bucket weight = the LINEARIZED
+    add-1-smoothed likelihood ratio in exact ppm, (r − 1) where
+    r = ((ct+1)/(tt+256)) / ((cr+1)/(tr+256)) — hashed-bucket ratios
+    concentrate near 1, where ln(r) ≈ r − 1, and the single exact
+    DECIMAL(38,0) integer division replays bit-for-bit in both
+    engines (a floor(ln·1e6) first cut diverged by one ulp at a
+    floor boundary — measured, hence the q213 exact-rational
+    discipline instead; DECIMAL headroom covers corpora to ~10^16
+    bigrams). Per-doc importance = sum of bucket weights over the
+    doc's bigram occurrences. Report: top-{_DSIR_TOPK} docs by
+    (importance_ppm desc, doc_id).
+
+    100 TB shape: the feature space is FIXED (256 md5-prefix buckets),
+    so both censuses partial-aggregate map-side to 256 rows, the
+    weight table BROADCASTS onto the corpus bigram stream, and the
+    corpus never shuffles except the doc-grain importance agg + the
+    per-task top-k merge — q213's LM-census discipline with a
+    hashed feature space."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .withColumn("tk", _toks())
+        .filter(F.size("tk") >= 2)
+    )
+    bg = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 1), "
+                "i -> substr(md5(concat(element_at(tk, i), ' ', "
+                "element_at(tk, i + 1))), 1, 2))"
+            )
+        ).alias("b"),
+    )
+    raw = bg.groupBy("b").agg(F.count("*").alias("cr"))
+    tgt = (
+        bg.filter(F.coalesce(F.col("lang"), F.lit("")) == "en")
+        .groupBy("b")
+        .agg(F.count("*").alias("ct"))
+    )
+    # totals ride along as 1-row broadcasts; target buckets are a
+    # subset of raw buckets, so a left join + coalesce(ct, 0) covers
+    # the full support
+    totals = raw.agg(
+        F.sum("cr").cast("long").alias("tr")
+    ).crossJoin(tgt.agg(F.sum("ct").cast("long").alias("tt")))
+    wt = (
+        raw.join(tgt, "b", "left")
+        .select("b", "cr", F.coalesce("ct", F.lit(0)).alias("ct"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.expr(
+                "CAST((1000000 * CAST(ct + 1 AS DECIMAL(38,0)) * (tr + 256)) "
+                "div (CAST(cr + 1 AS DECIMAL(38,0)) * (tt + 256)) "
+                "- 1000000 AS BIGINT)"
+            ).alias("w_ppm"),
+        )
+    )
+    return (
+        bg.join(F.broadcast(wt), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("w_ppm").cast("long").alias("importance_ppm"),
+        )
+        .orderBy(F.desc("importance_ppm"), "doc_id")
+        .limit(_DSIR_TOPK)
+    )
+
+
+O225 = f"""
+WITH d AS (
+  SELECT doc_id, lang, {TOKS} AS tk FROM documents
+  WHERE text IS NOT NULL AND len({TOKS}) >= 2
+), bg AS (
+  SELECT doc_id, lang,
+         substr(md5(tk[g.i] || ' ' || tk[g.i + 1]), 1, 2) AS b
+  FROM d, LATERAL unnest(generate_series(1, len(tk) - 1)) AS g(i)
+), raw AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM bg GROUP BY b
+), tgt AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM bg
+  WHERE COALESCE(lang, '') = 'en' GROUP BY b
+), totals AS (
+  SELECT (SELECT SUM(cr) FROM raw) AS tr, (SELECT SUM(ct) FROM tgt) AS tt
+), wt AS (
+  SELECT r.b,
+         CAST((1000000 * CAST(COALESCE(t.ct, 0) + 1 AS HUGEINT) * (tr + 256))
+              // (CAST(r.cr + 1 AS HUGEINT) * (tt + 256))
+              - 1000000 AS BIGINT) AS w_ppm
+  FROM raw r LEFT JOIN tgt t USING (b) CROSS JOIN totals
+)
+SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(w.w_ppm) AS BIGINT) AS importance_ppm
+FROM bg JOIN wt w USING (b)
+GROUP BY bg.doc_id
+ORDER BY importance_ppm DESC, bg.doc_id
+LIMIT {_DSIR_TOPK}
+"""
+
+
+def q226_source_quality_lcb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOURCE quality LEADERBOARD by Wilson LOWER confidence bound —
+    the ranking a curation pipeline uses to budget crawl/ingest across
+    sources: a source with 3/3 passing docs must NOT outrank one with
+    90/100, which the raw pass rate does and the Wilson score interval
+    (Wilson 1927; the classic z-approximate binomial LCB) fixes. Gate
+    = q84's family in exact integer form (≥ 5 tokens AND the
+    50·stops ≥ tokens English-stopword test, NULL lang folding per
+    the q221 discipline — a non-'en' doc passes the stopword leg).
+
+    EXACT-INTEGER Wilson at z = 2 (z² = 4), derivation documented as
+    spec: LB = (k + 2 − 2·√((k·(n−k) + n)/n)) / (n + 4), computed in
+    ppm as ((k+2)·10⁶ − 2·isqrt((10¹²·(k·(n−k)+n)) div n)) div (n+4)
+    — the ±1-adjusted :func:`_isqrt_sql` makes the root exact on both
+    engines, and the two floor-divisions are the pinned quantization
+    order (the q213 discipline). Intermediates: 10¹²·k·n ≤ BIGINT for
+    n ≤ ~3·10³ per source at 10⁶-doc sources move to DECIMAL — the
+    Spark side casts through DECIMAL(38,0) (oracle: HUGEINT) so the
+    bound holds to ~10¹³-doc sources.
+
+    Report: (source, n_docs, n_pass, pass_ppm, wilson_lb_ppm) ordered
+    by (wilson_lb_ppm desc, source).
+
+    100 TB shape: ONE corpus scan partial-aggregating to a
+    sources-bounded (n, k) census; the leaderboard arithmetic runs on
+    census rows; the sort is census-sized. Nothing else shuffles."""
+    d = t(spark, sf_dir, "documents").withColumn("_toks", _toks())
+    n_toks = F.size("_toks")
+    stop_n = F.size(F.filter("_toks", lambda x: x.isin(*_EN_STOP)))
+    passed = (
+        (n_toks >= 5)
+        & (
+            (F.coalesce(F.col("lang"), F.lit("")) != "en")
+            | (50 * stop_n >= n_toks)
+        )
+    ).cast("int")
+    census = d.select(F.col("source"), passed.alias("p")).groupBy(
+        "source"
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("p").cast("long").alias("n_pass"),
+    )
+    root = _isqrt_sql(
+        "(CAST(1000000000000 AS DECIMAL(38,0)) * "
+        "(n_pass * (n_docs - n_pass) + n_docs)) div n_docs"
+    )
+    return census.select(
+        "source",
+        "n_docs",
+        "n_pass",
+        F.expr("n_pass * 1000000 div n_docs").alias("pass_ppm"),
+        F.expr(
+            f"CAST(((n_pass + 2) * 1000000 - 2 * {root}) div (n_docs + 4) "
+            "AS BIGINT)"
+        ).alias("wilson_lb_ppm"),
+    ).orderBy(F.desc("wilson_lb_ppm"), "source")
+
+
+def _o226() -> str:
+    root = _isqrt_sql(
+        "(CAST(1000000000000 AS HUGEINT) * "
+        "(n_pass * (n_docs - n_pass) + n_docs)) // n_docs"
+    )
+    return f"""
+WITH d AS (
+  SELECT source, lang, {TOKS} AS tk FROM documents
+), census AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN len(tk) >= 5
+                        AND (COALESCE(lang, '') <> 'en'
+                             OR 50 * len(list_filter(tk, x -> x IN {_EN_STOP}))
+                                >= len(tk))
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+  FROM d GROUP BY source
+)
+SELECT source, n_docs, n_pass,
+       n_pass * 1000000 // n_docs AS pass_ppm,
+       CAST(((n_pass + 2) * 1000000 - 2 * {root}) // (n_docs + 4)
+            AS BIGINT) AS wilson_lb_ppm
+FROM census
+ORDER BY wilson_lb_ppm DESC, source
+"""
+
+
+O226 = _o226()
+
+
 QUERIES = [
     Query("q50_exact_dedup", q50_exact_dedup, O50, "sha256 exact dedup"),
     Query("q51_fingerprint_dedup", q51_fingerprint_dedup, O51, "normalized fingerprint dedup"),
@@ -7434,11 +7757,12 @@ QUERIES = [
           "window) -> prefix-index probe -> exact integer-square "
           "rescore; zero false negatives, pinned vs brute force"),
     Query("q219_lsh_calibration", q219_lsh_calibration, O219,
-          "LSH banding calibration: exact-Jaccard ground truth vs the "
-          "production MinHash band candidates on a deterministic "
-          "30% hash-gated sample; confusion matrix with exact-ppm "
-          "precision/recall - the measured form of the 1-(1-s^r)^b "
-          "banding curve"),
+          "LSH banding calibration GRID: exact-Jaccard ground truth "
+          "(computed once on a deterministic 30% hash-gated sample) "
+          "vs the band candidates of every (r x b) layout of one "
+          "shared 8-minhash signature pass - (1,4) is the production "
+          "q53 config; one confusion-matrix row per layout, the "
+          "measured 1-(1-s^r)^b decision table"),
     Query("q220_dim_truncation_recall", q220_dim_truncation_recall, O220,
           "Matryoshka-style dimension-truncation calibration: exact "
           "int8-cosine top-10 at 64 dims vs the first-16-dims ranking "
@@ -7461,4 +7785,23 @@ QUERIES = [
           "by-token-count distribution + global tokens-per-word and "
           "chars-per-token in exact ppm - the sentencepiece-style "
           "tokenizer evaluation"),
+    Query("q224_perceptron_quality", q224_perceptron_quality, O224,
+          "perceptron quality-classifier training: 2 unrolled batch "
+          "epochs over all-integer document features, oracle-exact - "
+          "one narrow scan + one 1-row agg per epoch, the q212 "
+          "trained-component recipe for the linear-classifier family"),
+    Query("q225_dsir_importance", q225_dsir_importance, O225,
+          "DSIR-style importance weights: hashed-bigram target/raw "
+          "censuses (fixed 256-bucket space, map-side combined), "
+          "linearized likelihood-ratio weight table in exact ppm "
+          "broadcast onto the corpus bigram stream, per-doc "
+          "importance + top-k - the data-selection scorer family of "
+          "Xie et al. 2023"),
+    Query("q226_source_quality_lcb", q226_source_quality_lcb, O226,
+          "source quality leaderboard by exact-integer Wilson lower "
+          "confidence bound (z=2, +-1-adjusted isqrt, pinned "
+          "quantization order): one corpus scan to a sources-bounded "
+          "(n, k) census, leaderboard math census-side - the "
+          "crawl-budget ranking that a raw pass rate gets wrong on "
+          "small sources"),
 ]

@@ -73,11 +73,14 @@ def test_registry_rotates_least_recently_certified_first():
     OLDEST instead of re-checking a fixed prefix forever — code drift
     in a long-certified query is caught within a few rounds. Within a
     round tier the family round-robin is preserved (stable sort)."""
-    from polla_spark.plans import _certified_rounds, _driver_certified
+    from polla_spark.plans import RECERTIFY, _certified_rounds, _driver_certified
 
     rounds = _certified_rounds()
     names = list(registry())
-    seq = [rounds.get(n, 0) for n in names]
+    # RECERTIFY entries (result shape changed after their last green
+    # round) sort as never-certified by contract
+    key = lambda n: 0 if n in RECERTIFY else rounds.get(n, 0)  # noqa: E731
+    seq = [key(n) for n in names]
     # monotone non-decreasing => never-certified first, then oldest
     # green rows, then newer; tiers are contiguous by construction
     assert seq == sorted(seq), "registry not least-recently-certified-first"
@@ -86,10 +89,11 @@ def test_registry_rotates_least_recently_certified_first():
     if rounds and max(rounds.values()) > min(rounds.values()):
         # with multi-round artifacts present (this repo: r1..r4) the
         # order must genuinely rotate: a ~50-query sweep prefix must
-        # contain NO query certified in the newest round
+        # contain NO query certified in the newest round (unless its
+        # shape changed and it is explicitly queued for re-sweep)
         newest = max(rounds.values())
         sweep = names[:50]
-        assert all(rounds.get(n, 0) < newest for n in sweep), (
+        assert all(key(n) < newest for n in sweep), (
             "sweep prefix re-checks just-certified queries"
         )
 

@@ -1,26 +1,39 @@
-"""q218 regime-crossover study: term-major vs AllPairs/L2AP prefix
-filter on a FLAT-df corpus vs a ZIPF-HEAD corpus, at 1x/20x(/100x)
-constant density — the measurement behind ``_APS_SWITCH_MEAN_DF``.
+"""q218 regime study: term-major vs AllPairs/L2AP prefix filter on a
+flat-df corpus vs a SPARSE-TAIL ZIPF corpus, at 1x/20x constant
+density — the measurements behind ``choose_aps_regime``'s
+two-condition rule (llmdata.py).
 
-Flat dirs come from scripts/scale_experiment.py (disjoint-vocabulary
-replicas: per-term df constant, postings grow linearly — mean posting
-df scale-INVARIANT). The Zipf variant prepends one shared 8-token hot
-phrase to 30% of documents (deterministic pmod(doc_id, 10) < 3 gate;
-replica offsets are multiples of 10, so the fraction holds at every
-factor): 7 bigrams whose df grows WITH the corpus — the heavy-tailed
-head real web corpora have and the AllPairs/L2AP literature targets
-(Bayardo WWW'07). The hot phrase cannot inflate the true answer: a
-pair needs cos >= 0.8, and 7 shared hot bigrams against >= 5 own
-bigrams per side caps the hot-only cosine at 7/12 < 0.8.
+What round 10 actually measured (and why the rule is an AND):
 
-Cells whose projected term-major join volume exceeds
---est-above-tuples are NOT run; they are reported as ESTIMATES from
-the measured ns/tuple of the largest term-major cell that did run
-(logged explicitly — no silent caps).
+- FLAT corpus (scripts/scale_experiment.py replicas — dense 931-term
+  base vocabulary, no head): term-major wins outright (9.5 s vs
+  134 s at 1x), and the prefix regime's pair-major rescore — which
+  materializes |candidates| x doc-length rows through exchanges —
+  **DIED ON DISK at 20x** (java.io.IOException: No space left on
+  device after >78 GB of shuffle spill; the candidate set on this
+  dense vocabulary is ~50,000x the true answer). Term-major's
+  quadratic is IN-TASK tuples consumed by the map-side partial agg;
+  its shuffle is postings-sized, so it cannot die that way. The
+  flat/20x/prefix cell is therefore recorded as a SKIP with the
+  measured failure, not re-run by default (--run-disk-killer forces
+  it).
+- SPARSE-TAIL ZIPF corpus (pair-private token vocabularies + one
+  shared 8-token hot phrase on 30% of docs): the head terms carry
+  df ~ 0.3N, so term-major's biggest term is a single-task
+  (0.3N)^2-tuple straggler, while the prefix bounds provably prune
+  the head (rare-first order puts df-heavy terms in every suffix)
+  and the doc-unique tail generates almost no candidates — the
+  regime crossover the AllPairs/L2AP literature targets (Bayardo
+  WWW'07), measured here.
+
+The hot phrase cannot inflate the true answer: a pair needs
+cos >= 0.8, and 7 shared hot bigrams against >= 5 private bigrams
+per side caps the hot-only cosine at 7/12 < 0.8.
 
 Usage:
   python scripts/scale_allpairs.py [--factors 1,20] [--reps 2] \
-      [--est-above-tuples 2e10] [--out docs/scale_allpairs_r10.json]
+      [--est-above-tuples 2e10] [--out docs/scale_allpairs_r10.json] \
+      [--run-disk-killer]
 
 Run on a QUIET box — concurrent load swings timings +-40%.
 """
@@ -44,14 +57,21 @@ TABLES = [
 ]
 HOT_PHRASE = " ".join(f"zzhot{i}" for i in range(8))
 
+#: cells whose failure mode is already measured — re-running one
+#: fills the disk and kills the box for ~no information; the recorded
+#: note IS the measurement (r10 session, this machine: 252 GB volume)
+DISK_KILLERS = {
+    ("flat", 20, "prefix"):
+        "ABORTED (measured r10): java.io.IOException: No space left on "
+        "device after >78 GB shuffle spill in the pair-major rescore — "
+        "dense-vocabulary candidates are ~50,000x the answer; this is "
+        "the regime choose_aps_regime exists to avoid on dense tails",
+}
+
 
 def flat_dir(factor: int) -> Path:
     # scale_experiment.py's layout (built on demand below)
     return Path(f"/tmp/scale_{factor}x")
-
-
-def zipf_dir(factor: int) -> Path:
-    return Path(f"/tmp/scale_aps_zipf_{factor}x")
 
 
 def ensure_flat(spark, factor: int) -> Path:
@@ -63,11 +83,16 @@ def ensure_flat(spark, factor: int) -> Path:
     return out
 
 
-def build_zipf(spark, factor: int) -> Path:
+def build_zipf_sparse(spark, factor: int) -> Path:
     """documents-only transform of the flat dir (other tables
-    symlink): 30% of docs get the SHARED hot phrase prepended."""
+    symlink): every token gets a PAIR-PRIVATE prefix (docs 2k/2k+1
+    share a vocabulary, nobody else does — the sparse tail, df <= 2),
+    then 30% of docs (deterministic pmod gate; replica offsets are
+    multiples of 10, so the fraction holds at every factor) get the
+    SHARED hot phrase prepended — the Zipf head that grows with the
+    corpus."""
     src = ensure_flat(spark, factor)
-    out = zipf_dir(factor)
+    out = Path(f"/tmp/scale_aps_zipfsparse_{factor}x")
     out.mkdir(parents=True, exist_ok=True)
     for name in TABLES:
         dst = out / f"{name}.parquet"
@@ -76,8 +101,17 @@ def build_zipf(spark, factor: int) -> Path:
         if name != "documents":
             dst.symlink_to(src / f"{name}.parquet")
             continue
+        base = spark.read.parquet(str(src / "documents.parquet"))
+        grp = F.floor(F.col("doc_id") / 2).cast("string")
+        private = F.array_join(
+            F.transform(
+                F.split("text", " "),
+                lambda w: F.concat(F.lit("g"), grp, F.lit("x"), w),
+            ),
+            " ",
+        )
         (
-            spark.read.parquet(str(src / "documents.parquet"))
+            base.withColumn("text", private)
             .withColumn(
                 "text",
                 F.when(
@@ -111,6 +145,8 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--est-above-tuples", type=float, default=2e10)
     ap.add_argument("--out", default="")
+    ap.add_argument("--run-disk-killer", action="store_true")
+    ap.add_argument("--corpora", default="flat,zipf_sparse")
     args = ap.parse_args()
 
     from polla_spark.plans.llmdata import _aps_postings, choose_aps_regime
@@ -118,11 +154,12 @@ def main() -> None:
 
     spark = get_spark("scale_allpairs")
     factors = [int(f) for f in args.factors.split(",")]
+    builders = {"flat": ensure_flat, "zipf_sparse": build_zipf_sparse}
     cells: list[dict] = []
     term_rates: list[tuple[float, float]] = []  # (tuples, sec)
-    for corpus, mk in (("flat", ensure_flat), ("zipf", build_zipf)):
+    for corpus in args.corpora.split(","):
         for f in factors:
-            d = str(mk(spark, f))
+            d = str(builders[corpus](spark, f))
             _, _, stats = _aps_postings(spark, d)
             spark.catalog.clearCache()
             auto = "prefix" if choose_aps_regime(stats) else "term"
@@ -131,11 +168,17 @@ def main() -> None:
                 "factor": f,
                 "n_postings": stats["n_postings"],
                 "sum_df2": stats["sum_df2"],
+                "sum_df2_tail": stats["sum_df2_tail"],
                 "max_df": stats["max_df"],
-                "mean_df": round(stats["sum_df2"] / stats["n_postings"], 1),
                 "auto_regime": auto,
             }
             for regime, prefix in (("term", False), ("prefix", True)):
+                skip = DISK_KILLERS.get((corpus, f, regime))
+                if skip and not args.run_disk_killer:
+                    cell[f"{regime}_skip"] = skip
+                    print(f"# {corpus} {f}x {regime}: SKIP — {skip}",
+                          file=sys.stderr)
+                    continue
                 if regime == "term" and stats["sum_df2"] > args.est_above_tuples:
                     rate = max(term_rates, key=lambda r: r[0])
                     est = stats["sum_df2"] * rate[1] / rate[0]
@@ -154,14 +197,10 @@ def main() -> None:
                 cell[f"{regime}_reps"] = ts
                 if regime == "term":
                     term_rates.append((stats["sum_df2"], med))
-                print(f"# {corpus} {f}x {regime}: {med}s {ts} "
-                      f"(mean_df {cell['mean_df']}, auto={auto})",
+                print(f"# {corpus} {f}x {regime}: {med}s {ts} (auto={auto})",
                       file=sys.stderr)
             cells.append(cell)
-    out = {"metric": "q218_regime_crossover", "cells": cells,
-           "switch_mean_df": __import__(
-               "polla_spark.plans.llmdata", fromlist=["x"]
-           )._APS_SWITCH_MEAN_DF}
+    out = {"metric": "q218_regime_crossover", "cells": cells}
     line = json.dumps(out)
     print(line)
     if args.out:

@@ -104,7 +104,7 @@ def test_auto_regime_switches_on_zipf_head(spark, tmp_path):
         choose_aps_regime,
     )
 
-    n = 3000
+    n = 4500  # head cutoff is df > 4096
     rows = [(i, f"hh hh hh u{i} v{i} w{i} x{i}") for i in range(n)]
     # one genuine near-dup pair so the qualifying set is non-empty
     rows += [(n, "aa bb cc dd ee ff"), (n + 1, "aa bb cc dd ee ff")]
@@ -116,8 +116,10 @@ def test_auto_regime_switches_on_zipf_head(spark, tmp_path):
     _, _, stats = _aps_postings(spark, d)
     spark.catalog.clearCache()
     assert stats["max_df"] == n  # the Zipf head: 'hh hh' in every doc
-    # mean posting df ~ n/5 = 600 > 512
-    assert stats["sum_df2"] / stats["n_postings"] > 512
+    # head dominance: the hot bigram's df^2 dwarfs the unique tail
+    assert stats["sum_df2"] - stats["sum_df2_tail"] > stats["sum_df2_tail"]
+    # tail sparsity: every non-hot bigram is doc-unique (df ~ 1)
+    assert stats["sum_df2_tail"] / stats["n_postings"] < 32
     assert choose_aps_regime(stats) is True
 
     auto = _rows(allpairs_cosine(spark, d))
@@ -128,17 +130,27 @@ def test_auto_regime_switches_on_zipf_head(spark, tmp_path):
 
 
 def test_choose_aps_regime_rule():
-    """The rule is mean posting df vs the calibrated constant —
-    scale-invariant on constant-density growth (sum_df2 and
-    n_postings both scale linearly), linear-in-N on a Zipf head."""
-    from polla_spark.plans.llmdata import _APS_SWITCH_MEAN_DF, choose_aps_regime
+    """The two-condition rule, against the measured census shapes
+    (docs/scale_allpairs_r10.json): prefix ONLY when the df head
+    dominates sum(df^2) AND the tail is sparse. A head over a dense
+    tail stays term-major — the prefix rescore is the plan that died
+    on disk at 20x on the dense corpus, head or no head."""
+    from polla_spark.plans.llmdata import choose_aps_regime
 
-    flat = {"n_postings": 256_477, "sum_df2": 73_200_955.0, "max_df": 338}
+    # the real sf0.1 flat census: no head, dense tail -> term-major
+    flat = {"n_postings": 256_477, "sum_df2": 73_200_955.0,
+            "sum_df2_tail": 73_200_955.0, "max_df": 338}
     assert choose_aps_regime(flat) is False
-    # 20x constant density: both grow 20x -> same decision
+    # 20x constant density: all stats grow 20x -> same decision
     flat20 = {k: v * 20 for k, v in flat.items()}
     assert choose_aps_regime(flat20) is False
-    # a term in 30% of 100k docs contributes df^2 = 9e8 alone
-    zipf = {"n_postings": 5_369_540, "sum_df2": 7.76e9, "max_df": 30_000}
-    assert zipf["sum_df2"] / zipf["n_postings"] > _APS_SWITCH_MEAN_DF
-    assert choose_aps_regime(zipf) is True
+    # DENSE-tail Zipf: a 30k-df head over the flat-20x tail. Head
+    # dominates, but the tail's own candidate volume is the measured
+    # disk-killer -> still term-major (stragglers beat disk death)
+    dense_zipf = {"n_postings": 5_369_540, "sum_df2": 7.76e9,
+                  "sum_df2_tail": 1.46e9, "max_df": 30_000}
+    assert choose_aps_regime(dense_zipf) is False
+    # SPARSE-tail Zipf: same head, doc-unique tail -> prefix
+    sparse_zipf = {"n_postings": 6_200_000, "sum_df2": 6.3e9,
+                   "sum_df2_tail": 1.3e7, "max_df": 30_000}
+    assert choose_aps_regime(sparse_zipf) is True

@@ -186,10 +186,21 @@ HEADLINE = [
     "q215_golden_records",
     "q216_soundex_blocking",
     "q217_corpus_mixer",
+    # r10 additions: perceptron training (2 narrow scans + 1-row
+    # aggs), DSIR importance (256-bucket censuses broadcast onto the
+    # bigram stream), Wilson-LCB leaderboard (one scan to a
+    # sources-bounded census)
+    "q224_perceptron_quality",
+    "q225_dsir_importance",
+    "q226_source_quality_lcb",
     "q220_dim_truncation_recall",
     "q221_funnel_ablation",
     "q222_dedup_threshold_sweep",
     "q223_tokenizer_fertility",
+    # q219 stays out of the headline: its cost IS the quadratic
+    # all-pairs ground truth on the 30% sample (the calibration
+    # budget knob, ~20 s at sf0.1), which would dominate the suite;
+    # covered by parity + the r10 grid re-certification.
     # q218 stays out of the headline: its cost IS the inverted-index
     # self-join over the corpus's unusually dense bigram overlap
     # (73M term-major tuples at sf0.1 -> ~12 s, which would dominate

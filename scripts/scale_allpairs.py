@@ -66,6 +66,10 @@ DISK_KILLERS = {
         "device after >78 GB shuffle spill in the pair-major rescore — "
         "dense-vocabulary candidates are ~50,000x the answer; this is "
         "the regime choose_aps_regime exists to avoid on dense tails",
+    ("flat", 100, "prefix"):
+        "NOT RUN: strictly dominates the measured 20x disk death "
+        "(candidate volume grows linearly in replicas, rescore rows "
+        "5x the 20x point that already exhausted the 252 GB volume)",
 }
 
 

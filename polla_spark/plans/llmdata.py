@@ -7240,12 +7240,18 @@ _PCT_EPOCHS = 2  # unrolled batch-perceptron epochs (the q212 recipe)
 
 
 def _pct_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q224's feature scan over the documents table (see
+    :func:`pct_features_from` — one definition, batch and stream)."""
+    return pct_features_from(t(spark, sf_dir, "documents"))
+
+
+def pct_features_from(docs: DataFrame) -> DataFrame:
     """q224's feature scan: one narrow pass over documents emitting
     the integer feature vector (1, n_toks, stop_n, n_chars) and the
     label y = +1 for lang='en' else -1 (NULL lang folded to -1, the
     q221 discipline). All-integer so the whole training loop is
-    engine-exact."""
-    d = t(spark, sf_dir, "documents").withColumn("_toks", _toks())
+    engine-exact. Shared by batch q224 and streaming twin #40."""
+    d = docs.withColumn("_toks", _toks())
     return d.select(
         F.when(F.coalesce(F.col("lang"), F.lit("")) == "en", 1)
         .otherwise(-1).alias("y"),

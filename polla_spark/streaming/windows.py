@@ -1576,6 +1576,37 @@ def finish_lloyd_round(updates: DataFrame, prev):
     return _lloyd_new_dims(rows, prev)
 
 
+def perceptron_epoch_partials(docs: DataFrame, w: list[int]) -> DataFrame:
+    """Streaming twin of ONE batch-perceptron epoch (40th twin): the
+    IDENTICAL ``pct_features_from`` → ``_pct_epoch_agg`` assembly
+    batch q224 unrolls, against LITERAL weights — a single global
+    (n_miss, d0..d3) census, merge-closed sums over a fixed feature
+    space. State is ONE row; update mode."""
+    from ..plans.llmdata import _pct_epoch_agg, pct_features_from
+
+    return _pct_epoch_agg(pct_features_from(docs), w)
+
+
+def finish_perceptron_epoch(updates: DataFrame, w: list[int]):
+    """Collapse the update-mode epoch census to its newest state and
+    apply the identical weight update batch q224 applies. Why
+    max(n_miss) / max_by(d_i, n_miss) is the newest state: the d-sums
+    accumulate ONLY over misclassified rows (d_i += y·x_i iff
+    miss=1), so any batch that changes a d-sum also increments
+    n_miss; a batch of all-correctly-classified rows changes no
+    column and emits no update (or an identical one — a harmless
+    max_by tie). Every state-changing update therefore strictly
+    raises n_miss — the twin #39 monotone-pairing argument
+    specialized to this census.
+
+    Returns (n_miss, new_weights) exactly as a batch epoch does."""
+    r = updates.agg(
+        F.max("n_miss").alias("n_miss"),
+        *[F.max_by(f"d{i}", "n_miss").alias(f"d{i}") for i in range(4)],
+    ).collect()[0]
+    return r["n_miss"], [w[i] + r[f"d{i}"] for i in range(4)]
+
+
 def finish_jaro_winkler(pairs: DataFrame) -> DataFrame:
     """Score the streamed SNM pairs with the IDENTICAL batch
     comparator (functions/strsim.py — one operator, two transports)."""

@@ -1400,3 +1400,56 @@ def test_kmeans_training_stream_equals_q212(spark, tmp_path):
         tuple(int(v) for v in r) for r in q212_kmeans_train(spark, SF_DIR).collect()
     )
     assert got == want
+
+
+def test_perceptron_training_stream_equals_q224(spark, tmp_path):
+    """Streamed perceptron TRAINING (40th twin) == batch q224 over a
+    multi-batch documents stream: each epoch's (n_miss, d0..d3)
+    census is a merge-closed global agg streamed through the
+    identical shared kernels (pct_features_from -> _pct_epoch_agg);
+    the identical weight update runs in the finisher. The streamed
+    epoch table equals batch q224 row-for-row."""
+    from polla_spark.plans.llmdata import _PCT_EPOCHS, q224_perceptron_quality
+    from polla_spark.session import read_table
+
+    docs = read_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    d = tmp_path / "pct_stream"
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            str(d / f"part{i}")
+        )
+
+    def _stream():
+        return (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/*/")
+        )
+
+    def _drain(df, name):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.table(name)
+
+    w = [0, 0, 0, 0]
+    rows = [(0, 0, *w)]
+    for e in range(1, _PCT_EPOCHS + 1):
+        upd = _drain(
+            SW.perceptron_epoch_partials(_stream().drop("doc_id"), w),
+            f"t40_e{e}",
+        )
+        n_miss, w = SW.finish_perceptron_epoch(upd, w)
+        rows.append((e, int(n_miss), *[int(v) for v in w]))
+    want = sorted(
+        tuple(int(v) for v in r)
+        for r in q224_perceptron_quality(spark, SF_DIR).collect()
+    )
+    assert sorted(rows) == want

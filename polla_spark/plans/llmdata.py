@@ -7504,7 +7504,15 @@ def q226_source_quality_lcb(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: ONE corpus scan partial-aggregating to a
     sources-bounded (n, k) census; the leaderboard arithmetic runs on
     census rows; the sort is census-sized. Nothing else shuffles."""
-    d = t(spark, sf_dir, "documents").withColumn("_toks", _toks())
+    return source_quality_leaderboard(
+        source_quality_census_from(t(spark, sf_dir, "documents"))
+    )
+
+
+def source_quality_census_from(docs: DataFrame) -> DataFrame:
+    """q226's (source, n_docs, n_pass) census — merge-closed counts,
+    ONE definition shared by batch q226 and streaming twin #41."""
+    d = docs.withColumn("_toks", _toks())
     n_toks = F.size("_toks")
     stop_n = F.size(F.filter("_toks", lambda x: x.isin(*_EN_STOP)))
     passed = (
@@ -7514,12 +7522,17 @@ def q226_source_quality_lcb(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (50 * stop_n >= n_toks)
         )
     ).cast("int")
-    census = d.select(F.col("source"), passed.alias("p")).groupBy(
+    return d.select(F.col("source"), passed.alias("p")).groupBy(
         "source"
     ).agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("p").cast("long").alias("n_pass"),
     )
+
+
+def source_quality_leaderboard(census: DataFrame) -> DataFrame:
+    """q226's census-side Wilson-LCB arithmetic + ordering (shared
+    with streaming twin #41's finisher)."""
     root = _isqrt_sql(
         "(CAST(1000000000000 AS DECIMAL(38,0)) * "
         "(n_pass * (n_docs - n_pass) + n_docs)) div n_docs"
@@ -7563,6 +7576,180 @@ ORDER BY wilson_lb_ppm DESC, source
 
 
 O226 = _o226()
+
+
+def q227_incremental_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL LSH candidate maintenance — the per-batch form of
+    q53 an incremental crawl dedup runs (q97's first-seen verdicts
+    and q183's bloom probe are the exact tiers; this is the NEAR-dup
+    tier): given a HISTORY snapshot (doc_id % 3 != 0) whose band
+    buckets a production pipeline keeps materialized, and a DELTA
+    batch (% 3 == 0), emit exactly the candidate pairs that involve
+    a delta doc — history×history pairs are never enumerated (they
+    were found when their batches arrived). Report: (id_a, id_b,
+    both_new) with the pair normalized id_a < id_b.
+
+    100 TB shape: the probe side of the band join is DELTA-sized
+    (4 band rows per new doc); the history side is the persisted
+    signature table a real deployment keeps bucketed BY sig (here
+    rebuilt in-plan — queries are state-free — through the identical
+    `with_minhash` kernel). Work per batch is |delta| probes +
+    |new candidates|, independent of how much history accumulates
+    except through bucket width."""
+    d = with_minhash(_spread(spark, t(spark, sf_dir, "documents"))).select(
+        "doc_id", "mh0", "mh1", "mh2", "mh3"
+    )
+    long = d.selectExpr(
+        "doc_id", "stack(4, mh0, mh1, mh2, mh3) as sig"
+    ).persist()
+    long.count()  # q53's materialize-before-self-join discipline
+    delta = long.filter(F.pmod("doc_id", F.lit(3)) == 0)
+    cand = (
+        delta.select(F.col("doc_id").alias("id_n"), "sig")
+        .join(long.select(F.col("doc_id").alias("id_o"), "sig"), "sig")
+        .filter(F.col("id_n") != F.col("id_o"))
+        .select(
+            F.least("id_n", "id_o").alias("id_a"),
+            F.greatest("id_n", "id_o").alias("id_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        (
+            (F.pmod("id_a", F.lit(3)) == 0) & (F.pmod("id_b", F.lit(3)) == 0)
+        ).cast("int").alias("both_new"),
+    ).orderBy("id_a", "id_b")
+
+
+O227 = f"""
+WITH sigs AS (
+  SELECT doc_id, {_duck_mh(0)} AS mh0, {_duck_mh(1)} AS mh1,
+         {_duck_mh(2)} AS mh2, {_duck_mh(3)} AS mh3
+  FROM documents
+), long AS (
+  SELECT doc_id, mh0 AS sig FROM sigs UNION ALL SELECT doc_id, mh1 FROM sigs
+  UNION ALL SELECT doc_id, mh2 FROM sigs UNION ALL SELECT doc_id, mh3 FROM sigs
+), cand AS (
+  SELECT DISTINCT LEAST(n.doc_id, o.doc_id) AS id_a,
+                  GREATEST(n.doc_id, o.doc_id) AS id_b
+  FROM long n JOIN long o ON n.sig = o.sig AND n.doc_id <> o.doc_id
+  WHERE n.doc_id % 3 = 0
+)
+SELECT id_a, id_b,
+       CASE WHEN id_a % 3 = 0 AND id_b % 3 = 0 THEN 1 ELSE 0 END AS both_new
+FROM cand
+ORDER BY id_a, id_b
+"""
+
+
+_REP_TOPK = 20  # q228's report size
+
+
+def q228_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document REPETITION PROFILE — the multi-gate form of
+    q88's single duplicate-shingle signal, after the published Gopher
+    repetition filters (Rae et al. 2021, table A1 family): per doc,
+    the duplicate n-gram fraction for n = 2, 3, 4 and the mass share
+    of the single most-common bigram, all in exact ppm integers.
+    Report: the top-{_REP_TOPK} most repetitive docs by
+    (dup3_ppm desc, doc_id) with every signal riding along — the
+    review queue a repetition gate's threshold is tuned against.
+
+    100 TB shape: the three duplicate fractions are WITHIN-ROW
+    (size vs array_distinct size — no explode, no shuffle); only the
+    top-bigram mass needs a (doc_id, gram) exchange (uniform
+    two-level key, count partial-aggregates map-side) followed by a
+    doc-grain agg and a per-task top-k merge."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .withColumn("tk", _toks())
+        .filter(F.size("tk") >= 4)
+    )
+
+    def grams(n: int):
+        return F.expr(
+            f"transform(sequence(1, size(tk) - {n - 1}), "
+            f"i -> concat_ws(' ', slice(tk, i, {n})))"
+        )
+
+    per_doc = (
+        d.withColumns({f"g{n}": grams(n) for n in (2, 3, 4)})
+        .select(
+            "doc_id",
+            F.size("tk").cast("long").alias("n_toks"),
+            *[
+                F.expr(
+                    f"CAST((size(g{n}) - size(array_distinct(g{n}))) * "
+                    f"1000000 div size(g{n}) AS BIGINT)"
+                ).alias(f"dup{n}_ppm")
+                for n in (2, 3, 4)
+            ],
+        )
+    )
+    top2 = (
+        d.select("doc_id", F.explode(grams(2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("mx"),
+            F.sum("c").alias("tot"),
+        )
+        .select(
+            "doc_id",
+            F.expr("CAST(mx * 1000000 div tot AS BIGINT)").alias(
+                "top_bigram_ppm"
+            ),
+        )
+    )
+    return (
+        per_doc.join(top2, "doc_id")
+        .orderBy(F.desc("dup3_ppm"), "doc_id")
+        .limit(_REP_TOPK)
+    )
+
+
+O228 = f"""
+WITH d AS (
+  SELECT doc_id, {TOKS} AS tk FROM documents
+  WHERE text IS NOT NULL AND len({TOKS}) >= 4
+), g AS (
+  SELECT doc_id, len(tk) AS n_toks,
+         list_transform(generate_series(1, len(tk) - 1),
+                        i -> concat_ws(' ', tk[i], tk[i+1])) AS g2,
+         list_transform(generate_series(1, len(tk) - 2),
+                        i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])) AS g3,
+         list_transform(generate_series(1, len(tk) - 3),
+                        i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3]))
+           AS g4
+  FROM d
+), per_doc AS (
+  SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+         CAST((len(g2) - len(list_distinct(g2))) * 1000000 // len(g2)
+              AS BIGINT) AS dup2_ppm,
+         CAST((len(g3) - len(list_distinct(g3))) * 1000000 // len(g3)
+              AS BIGINT) AS dup3_ppm,
+         CAST((len(g4) - len(list_distinct(g4))) * 1000000 // len(g4)
+              AS BIGINT) AS dup4_ppm
+  FROM g
+), ex AS (
+  SELECT doc_id, u.g AS gram FROM g, LATERAL unnest(g2) AS u(g)
+), cnt AS (
+  SELECT doc_id, gram, COUNT(*) AS c FROM ex GROUP BY doc_id, gram
+), top2 AS (
+  SELECT doc_id,
+         CAST(MAX(c) * 1000000 // SUM(c) AS BIGINT) AS top_bigram_ppm
+  FROM cnt GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_toks, p.dup2_ppm, p.dup3_ppm, p.dup4_ppm,
+       t.top_bigram_ppm
+FROM per_doc p JOIN top2 t USING (doc_id)
+ORDER BY p.dup3_ppm DESC, p.doc_id
+LIMIT {_REP_TOPK}
+"""
 
 
 QUERIES = [
@@ -7849,4 +8036,16 @@ QUERIES = [
           "(n, k) census, leaderboard math census-side - the "
           "crawl-budget ranking that a raw pass rate gets wrong on "
           "small sources"),
+    Query("q227_incremental_lsh_pairs", q227_incremental_lsh_pairs, O227,
+          "incremental LSH candidate maintenance: delta batch probes "
+          "the (history + delta) band-signature table, emitting only "
+          "pairs that touch a new doc - history x history never "
+          "enumerates; the near-dup tier of the q97/q183 incremental "
+          "crawl family, delta-sized probe work per batch"),
+    Query("q228_repetition_profile", q228_repetition_profile, O228,
+          "Gopher-style within-doc repetition profile: duplicate "
+          "n-gram fractions (n=2,3,4) within-row + top-bigram mass "
+          "share via one uniform (doc_id, gram) exchange, exact ppm; "
+          "top-20 most repetitive docs - the multi-gate review queue "
+          "behind a repetition threshold"),
 ]

@@ -1576,6 +1576,30 @@ def finish_lloyd_round(updates: DataFrame, prev):
     return _lloyd_new_dims(rows, prev)
 
 
+def source_quality_partials(docs: DataFrame) -> DataFrame:
+    """Streaming twin of q226's source census (41st twin): the
+    (source, n_docs, n_pass) counts are plain merge-closed sums —
+    ONE definition shared with the batch census
+    (``plans/llmdata.source_quality_census_from``). State is
+    sources-bounded; update mode; counts monotone."""
+    from ..plans.llmdata import source_quality_census_from
+
+    return source_quality_census_from(docs)
+
+
+def finish_source_quality(updates: DataFrame) -> DataFrame:
+    """Collapse the update-mode census (both counts monotone — the
+    newest row per source is the max) and run the IDENTICAL
+    census-side Wilson-LCB arithmetic batch q226 runs."""
+    from ..plans.llmdata import source_quality_leaderboard
+
+    census = updates.groupBy("source").agg(
+        F.max("n_docs").alias("n_docs"),
+        F.max_by("n_pass", "n_docs").alias("n_pass"),
+    )
+    return source_quality_leaderboard(census)
+
+
 def perceptron_epoch_partials(docs: DataFrame, w: list[int]) -> DataFrame:
     """Streaming twin of ONE batch-perceptron epoch (40th twin): the
     IDENTICAL ``pct_features_from`` → ``_pct_epoch_agg`` assembly

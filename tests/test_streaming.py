@@ -1453,3 +1453,39 @@ def test_perceptron_training_stream_equals_q224(spark, tmp_path):
         for r in q224_perceptron_quality(spark, SF_DIR).collect()
     )
     assert sorted(rows) == want
+
+
+def test_source_quality_stream_equals_q226(spark, tmp_path):
+    """Streamed source-quality census (41st twin) == batch q226: the
+    (source, n_docs, n_pass) counts are merge-closed, and the
+    Wilson-LCB leaderboard is a deterministic function of the merged
+    census — streamed report equals batch row-for-row through the
+    ONE shared source_quality_leaderboard."""
+    from polla_spark.plans.llmdata import q226_source_quality_lcb
+    from polla_spark.session import read_table
+
+    docs = read_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    d = tmp_path / "srcq_stream"
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            str(d / f"part{i}")
+        )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*/")
+    )
+    q = (
+        SW.source_quality_partials(stream)
+        .writeStream.format("memory")
+        .queryName("srcq_updates")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = SW.finish_source_quality(spark.table("srcq_updates"))
+    keys = ["source", "n_docs", "n_pass", "pass_ppm", "wilson_lb_ppm"]
+    assert _rows(got, keys) == _rows(q226_source_quality_lcb(spark, SF_DIR), keys)

@@ -193,6 +193,8 @@ HEADLINE = [
     "q224_perceptron_quality",
     "q225_dsir_importance",
     "q226_source_quality_lcb",
+    "q227_incremental_lsh_pairs",
+    "q228_repetition_profile",
     "q220_dim_truncation_recall",
     "q221_funnel_ablation",
     "q222_dedup_threshold_sweep",

@@ -1169,3 +1169,66 @@ def test_q218_term_major_join_no_cartesian(spark):
     assert "Join" in plan, plan
     assert "InMemoryTableScan" in plan, plan
     assert "partial_sum" in plan, plan
+
+
+def test_q224_final_epoch_narrow_scan_no_join(spark):
+    # the unrolled perceptron epoch evaluates against LITERAL weights
+    # as pure column expressions — no window, no data-sized join; the
+    # only exchange is the 1-row global agg (map-side combined) plus
+    # the literal-rows union/sort
+    from polla_spark.plans.llmdata import q224_perceptron_quality
+
+    plan = _plan(q224_perceptron_quality(spark, SF))
+    assert "Window" not in plan, plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_q225_weight_table_broadcast_no_smj(spark):
+    # the 256-bucket weight table must BROADCAST onto the corpus
+    # bigram stream (the corpus never sort-merge-joins); the doc-grain
+    # agg + per-task top-k merge are the only data-sized operators
+    from polla_spark.plans.llmdata import q225_dsir_importance
+
+    plan = _plan(q225_dsir_importance(spark, SF))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q226_census_only_no_data_join(spark):
+    # one corpus scan partial-aggregating to the sources-bounded
+    # (n, k) census; the Wilson arithmetic and sort are census-sized;
+    # no join anywhere, no Python
+    from polla_spark.plans.llmdata import q226_source_quality_lcb
+
+    plan = _plan(q226_source_quality_lcb(spark, SF))
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_q227_delta_probe_no_cartesian(spark):
+    # the incremental band join probes signatures on the sig key —
+    # never doc x doc; the persisted signature table is read from
+    # cache on both sides
+    from polla_spark.plans.llmdata import q227_incremental_lsh_pairs
+
+    plan = _plan(q227_incremental_lsh_pairs(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_q228_one_gram_exchange_then_topk(spark):
+    # duplicate fractions are WITHIN-ROW (no shuffle); the top-bigram
+    # mass pass is one uniform (doc_id, gram) exchange + the doc-grain
+    # agg, finished by a per-task top-k merge — never a global sort
+    from polla_spark.plans.llmdata import q228_repetition_profile
+
+    plan = _plan(q228_repetition_profile(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan

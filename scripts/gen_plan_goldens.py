@@ -65,6 +65,10 @@ GOLDEN_QUERIES = [
     "q215_golden_records",
     "q218_allpairs_cosine",
     "q218_allpairs_prefix",
+    # r10 session-2: the two new queries with data-sized operators
+    # (q225's broadcast-scored bigram stream, q228's gram exchange)
+    "q225_dsir_importance",
+    "q228_repetition_profile",
 ]
 
 

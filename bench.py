@@ -195,6 +195,8 @@ HEADLINE = [
     "q226_source_quality_lcb",
     "q227_incremental_lsh_pairs",
     "q228_repetition_profile",
+    "q229_embedding_drift",
+    "q230_length_drift_chi2",
     "q220_dim_truncation_recall",
     "q221_funnel_ablation",
     "q222_dedup_threshold_sweep",

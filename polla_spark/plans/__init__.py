@@ -26,10 +26,10 @@ from pyspark.sql import DataFrame, SparkSession
 # len(registry()) == DECLARED_QUERY_COUNT so an addition that forgets
 # the bump (or a bump without queries) fails fast instead of silently
 # shipping an undeclared inventory.
-# NOTE: query ids span q01–q228 with q139 intentionally unassigned
-# (a numbering skip from round 3, not a dropped query) — hence 227
-# registered queries over a 229-wide id range.
-DECLARED_QUERY_COUNT = 227
+# NOTE: query ids span q01–q230 with q139 intentionally unassigned
+# (a numbering skip from round 3, not a dropped query) — hence 229
+# registered queries over a 231-wide id range.
+DECLARED_QUERY_COUNT = 229
 
 # Rows-only queries: implemented but intentionally without a SQL
 # oracle (non-SQL-expressible semantics — q38: HLL sketch values are

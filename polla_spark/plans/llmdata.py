@@ -7644,6 +7644,165 @@ ORDER BY id_a, id_b
 """
 
 
+def q229_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding DISTRIBUTION-DRIFT census between two snapshots —
+    the monitoring pass a training pipeline runs when a new crawl or
+    a new encoder lands: per dimension, the mean of the int8-quantized
+    codes (q77/q212's shared `_quant` kernel) in the OLD snapshot
+    (vec_id % 3 != 0) vs the NEW batch (% 3 == 0), in exact ppm via
+    the q212 non-negative shift (s127 = Σ(code + 127) ≥ 0, so both
+    engines' truncating divisions agree without a negative-floor
+    convention note). Report: one row per dimension —
+    (pos, old_mean127_ppm, new_mean127_ppm, delta_ppm) ordered by
+    pos; a drifted encoder or a shifted corpus shows up as a fat
+    |delta| tail.
+
+    100 TB shape: ONE corpus scan posexploding to the (slice, pos)
+    partial agg — K·64-row output, map-side combined (exactly q212's
+    update-census exchange); the report is 64 rows."""
+    coded = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _quant(F.col("embedding")).alias("qe")
+    )
+    per = (
+        coded.select(
+            (F.pmod("vec_id", F.lit(3)) == 0).cast("int").alias("is_new"),
+            F.posexplode("qe").alias("pos", "v"),
+        )
+        .groupBy("is_new", "pos")
+        .agg(
+            F.sum(F.col("v") + F.lit(127)).cast("long").alias("s127"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "is_new", "pos",
+            F.expr("s127 * 1000000 div n").alias("mean127_ppm"),
+        )
+    )
+    old = per.filter(F.col("is_new") == 0).select(
+        "pos", F.col("mean127_ppm").alias("old_mean127_ppm")
+    )
+    new = per.filter(F.col("is_new") == 1).select(
+        "pos", F.col("mean127_ppm").alias("new_mean127_ppm")
+    )
+    return (
+        old.join(new, "pos")
+        .select(
+            F.col("pos").cast("long").alias("pos"),
+            "old_mean127_ppm",
+            "new_mean127_ppm",
+            (F.col("new_mean127_ppm") - F.col("old_mean127_ppm")).alias(
+                "delta_ppm"
+            ),
+        )
+        .orderBy("pos")
+    )
+
+
+O229 = f"""
+WITH coded AS (
+  SELECT vec_id, {_QUANT_DUCK.format(c='embedding')} AS qe FROM embeddings
+), per AS (
+  SELECT CASE WHEN vec_id % 3 = 0 THEN 1 ELSE 0 END AS is_new, g.i AS pos,
+         CAST(SUM(qe[g.i] + 127) AS BIGINT) AS s127,
+         COUNT(*) AS n
+  FROM coded CROSS JOIN generate_series(1, {_LLOYD_DIM}) g(i)
+  GROUP BY 1, 2
+), m AS (
+  SELECT is_new, pos, s127 * 1000000 // n AS mean127_ppm FROM per
+)
+SELECT CAST(o.pos - 1 AS BIGINT) AS pos,
+       o.mean127_ppm AS old_mean127_ppm,
+       n.mean127_ppm AS new_mean127_ppm,
+       n.mean127_ppm - o.mean127_ppm AS delta_ppm
+FROM m o JOIN m n ON o.pos = n.pos AND o.is_new = 0 AND n.is_new = 1
+ORDER BY pos
+"""
+
+
+_DRIFT_BUCKETS = 20  # q230's fixed-width n_chars buckets (100 chars wide)
+
+
+def q230_length_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LENGTH-DISTRIBUTION drift between snapshots, as an EXACT
+    integer chi-square census — the dataset-shift check (the PSI /
+    chi-square family every ingest monitor ships) between the OLD
+    snapshot (doc_id % 3 != 0) and the NEW batch (% 3 == 0) over
+    {_DRIFT_BUCKETS} fixed-width n_chars buckets. The per-bucket
+    statistic (ca/na − cb/nb)²/((cb+1)/nb) is cross-multiplied to
+    one exact rational, (ca·nb − cb·na)²·10⁹ div (na²·nb·(cb+1)),
+    evaluated in DECIMAL(38,0) (oracle: HUGEINT) with add-1 smoothing
+    on the reference bucket — the q151 chi-square brought under the
+    repo's exact-arithmetic discipline (q151 folds doubles; drift
+    monitoring wants bit-stable alarms). Report: one row per
+    OCCUPIED bucket — (bucket, n_old, n_new, chi2_ppb) — plus
+    per-bucket ppm shares, ordered by bucket.
+
+    100 TB shape: one corpus scan partial-aggregating to a
+    ≤{_DRIFT_BUCKETS}·2-row census; every division happens
+    census-side."""
+    d = t(spark, sf_dir, "documents").select(
+        (F.pmod("doc_id", F.lit(3)) == 0).cast("int").alias("is_new"),
+        # integer div on BOTH sides: DuckDB's CAST(float AS INTEGER)
+        # rounds where Spark's cast truncates, so a float / would
+        # shift boundary docs into different buckets per engine
+        F.expr(
+            f"least(coalesce(n_chars, 0) div 100, {_DRIFT_BUCKETS - 1})"
+        ).cast("int").alias("bucket"),
+    )
+    per = d.groupBy("bucket").agg(
+        F.sum(F.expr("1 - is_new")).cast("long").alias("ca"),
+        F.sum("is_new").cast("long").alias("cb"),
+    )
+    # totals via a census-side global window (<= _DRIFT_BUCKETS rows
+    # in a SinglePartition — data-size-independent, the q123 rule):
+    # a separate agg branch would RESCAN the corpus for the totals
+    w = Window.partitionBy()
+    per = per.withColumn("na", F.sum("ca").over(w).cast("long")).withColumn(
+        "nb", F.sum("cb").over(w).cast("long")
+    )
+    dd = "CAST(ca * nb - cb * na AS DECIMAL(38,0))"
+    return (
+        per
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("ca").alias("n_old"),
+            F.col("cb").alias("n_new"),
+            F.expr("ca * 1000000 div na").alias("old_ppm"),
+            F.expr("cb * 1000000 div nb").alias("new_ppm"),
+            F.expr(
+                f"CAST(({dd} * (ca * nb - cb * na) * 1000000000) div "
+                "(CAST(na AS DECIMAL(38,0)) * na * nb * (cb + 1)) AS BIGINT)"
+            ).alias("chi2_ppb"),
+        )
+        .orderBy("bucket")
+    )
+
+
+O230 = f"""
+WITH d AS (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS is_new,
+         LEAST(COALESCE(n_chars, 0) // 100, {_DRIFT_BUCKETS - 1}) AS bucket
+  FROM documents
+), per AS (
+  SELECT bucket, CAST(SUM(1 - is_new) AS BIGINT) AS ca,
+         CAST(SUM(is_new) AS BIGINT) AS cb
+  FROM d GROUP BY bucket
+), tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+  FROM per
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, ca AS n_old, cb AS n_new,
+       ca * 1000000 // na AS old_ppm,
+       cb * 1000000 // nb AS new_ppm,
+       CAST((CAST(ca * nb - cb * na AS HUGEINT) * (ca * nb - cb * na)
+             * 1000000000)
+            // (CAST(na AS HUGEINT) * na * nb * (cb + 1)) AS BIGINT)
+         AS chi2_ppb
+FROM per CROSS JOIN tot
+ORDER BY bucket
+"""
+
+
 _REP_TOPK = 20  # q228's report size
 
 
@@ -8048,4 +8207,15 @@ QUERIES = [
           "share via one uniform (doc_id, gram) exchange, exact ppm; "
           "top-20 most repetitive docs - the multi-gate review queue "
           "behind a repetition threshold"),
+    Query("q229_embedding_drift", q229_embedding_drift, O229,
+          "embedding distribution-drift census between snapshots: "
+          "per-dim int8-code means old vs new in exact ppm via the "
+          "q212 non-negative shift - one scan to a 2x64-row census, "
+          "the encoder/corpus monitoring pass"),
+    Query("q230_length_drift_chi2", q230_length_drift_chi2, O230,
+          "length-distribution drift as an exact-integer chi-square "
+          "census over fixed n_chars buckets (add-1-smoothed, "
+          "cross-multiplied to one DECIMAL rational) - the bit-stable "
+          "dataset-shift alarm; one scan to a buckets-bounded census, "
+          "every division census-side"),
 ]

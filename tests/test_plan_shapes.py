@@ -1232,3 +1232,27 @@ def test_q228_one_gram_exchange_then_topk(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_q229_census_only_no_join_over_data(spark):
+    # one embeddings scan posexploding into the 2x64-row partial agg;
+    # the old/new join runs on the 64-row census frames, so no
+    # sort-merge join may appear and Python never does
+    from polla_spark.plans.llmdata import q229_embedding_drift
+
+    plan = _plan(q229_embedding_drift(spark, SF))
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "partial_sum" in plan or "partial_count" in plan, plan
+
+
+def test_q230_one_bucket_exchange(spark):
+    # one corpus scan to the buckets-bounded census; the totals frame
+    # is a broadcast; exactly one data-sized hash exchange
+    from polla_spark.plans.llmdata import q230_length_drift_chi2
+
+    plan = _plan(q230_length_drift_chi2(spark, SF))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -766,7 +766,9 @@ def make_snm_sorted_kernel(window: int = 3):
         state.update((
             [None if pd.isna(v) else int(v) for v in tail["n_chars"]],
             [int(v) for v in tail["doc_id"]],
-            [str(v) for v in tail["title"]],
+            # mirror the n_chars handling: str(NaN) would corrupt a
+            # NULL title to the literal "None" across micro-batches
+            [None if pd.isna(v) else str(v) for v in tail["title"]],
         ))
         yield out
 

@@ -144,6 +144,7 @@ def registry() -> dict[str, Query]:
 
 # Queries whose RESULT SHAPE changed after their newest green round:
 # their certification record is stale, so they sort as never-certified
-# until the driver re-greens them. r10: q219 went from one production-
-# config confusion row to the 4-row (r x b) calibration grid.
-RECERTIFY = frozenset({"q219_lsh_calibration"})
+# until the driver re-greens them. r10's q219 entry (the 4-row grid
+# reshape) went hash-green in CORRECTNESS_r10 and has been removed;
+# nothing is currently stale.
+RECERTIFY = frozenset()

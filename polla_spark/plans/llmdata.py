@@ -6319,16 +6319,50 @@ _APS_TAU_PPM = 800_000
 assert _APS_TAU_PPM * 5 == 4 * 1_000_000  # tau == 4/5 exactly
 
 
-def _isqrt_sql(n2: str) -> str:
+def _isqrt_sql(n2: str, t: str = "BIGINT") -> str:
     """EXACT integer floor-sqrt of a positive integer column in
     engine-portable SQL: take floor(sqrt(double)) then adjust ±1, so
     a 1-ulp FP rounding on either engine cannot change the result —
-    the correction, not the FP value, is what both engines hash."""
-    s0 = f"CAST(floor(sqrt(CAST({n2} AS DOUBLE))) AS BIGINT)"
+    the correction, not the FP value, is what both engines hash.
+
+    ``t`` is the integer type the seed is cast to and the adjustment
+    squares multiply in — BIGINT by default; pass ``DECIMAL(38,0)``
+    (Spark) / ``HUGEINT`` (DuckDB oracle) for arguments past the
+    BIGINT range. The ±1 adjustment stays sufficient while the
+    double seed is within 1 of the true root, i.e. for arguments
+    below ~1.3e31 (conversion error ≈ sqrt(x)·2⁻⁵³ — verified
+    against math.isqrt in tests/test_allpairs.py); past that the
+    adjusted squares certify failure loudly rather than drift."""
+    s0 = f"CAST(floor(sqrt(CAST({n2} AS DOUBLE))) AS {t})"
     return (
         f"({s0} + (CASE WHEN ({s0} + 1) * ({s0} + 1) <= {n2} "
         f"THEN 1 ELSE 0 END) "
         f"- (CASE WHEN {s0} * {s0} > {n2} THEN 1 ELSE 0 END))"
+    )
+
+
+def _fdiv_dec_sql(a: str, b: str) -> str:
+    """EXACT floor-division of a non-negative DECIMAL(38,0) ``a`` by
+    a positive BIGINT-ranged ``b`` in Spark SQL, as a DECIMAL(38,0)
+    expression. Spark's ``div`` operator always RETURNS BIGINT — it
+    silently wraps once the true quotient passes 2⁶³ even under ANSI
+    (measured: ``CAST(2.5e25 AS DECIMAL(38,0)) div 5`` →
+    −8427923047675068416) — so wide quotients need this form: a
+    double-seeded estimate A0 = round(double(a)/double(b)) — cast
+    STRAIGHT to DECIMAL(38,0), never through floor(), whose BIGINT
+    return type silently wraps past 2⁶³ — then the EXACT remainder
+    correction A = A0 + floor((a − A0·b)/b), whose inner quotient is
+    seed-error-sized (≤ ~2³⁰) and therefore safe in ``div``. The
+    identity floor(a/b) = A0 + floor((a − A0·b)/b) holds for ANY
+    integer A0 (rounded up OR down), so the seed's FP error cancels
+    exactly; verified against Python ``//`` up to the certified
+    range in tests/test_allpairs.py. The DuckDB oracle needs none of
+    this — HUGEINT ``//`` is exact natively."""
+    a0 = f"CAST(CAST({a} AS DOUBLE) / CAST({b} AS DOUBLE) AS DECIMAL(38,0))"
+    r = f"(CAST({a} AS DECIMAL(38,0)) - {a0} * {b})"
+    return (
+        f"({a0} + (CASE WHEN {r} >= 0 THEN {r} div {b} "
+        f"ELSE -((-{r} + {b} - 1) div {b}) END))"
     )
 
 
@@ -6394,6 +6428,11 @@ def _aps_postings(spark: SparkSession, sf_dir: str):
         .collect()[0]
         .asDict()
     )
+    # sum() over zero postings is NULL on both engines: an empty (or
+    # all-null-text) corpus must degrade to an empty result through
+    # the term-major branch, not TypeError inside the regime rule /
+    # nparts sizing (r10 ADVICE item).
+    stats = {k: (0 if v is None else v) for k, v in stats.items()}
     return p, norms, stats
 
 
@@ -6438,6 +6477,88 @@ def _aps_report(dots: DataFrame, norms: DataFrame) -> DataFrame:
 #: term-major task — so only terms beyond it ("head" terms, the Zipf
 #: stopword class) can individually break the term-major plan.
 _APS_HEAD_DF = 4096
+
+
+def _aps_skew_dots(p: DataFrame, stats: dict, nparts: int) -> DataFrame:
+    """q218's SKEW-SPLIT term-major dot products — the third regime:
+    term-major's postings self-join with the operators/skew.py
+    hot-key discipline applied per HEAD term (df > {_APS_HEAD_DF}).
+
+    A df=D head term is D^2 tuples in ONE task under the plain
+    self-join (the measured 1301 s zipf-20x straggler,
+    docs/scale_allpairs_r10.json). Here its posting list splits into
+    c = ceil(D / {_APS_HEAD_DF}) deterministic hash chunks
+    (xxhash64(doc_id) mod c) and the join runs over the full
+    c x c chunk grid: side A carries its own chunk ``ia`` and
+    explodes over the partner chunk ``ib`` (c replicas), side B the
+    mirror, and the join key (term, ia, ib) lands every chunk pair
+    in its own reducer — per-task work is bounded at
+    ~{_APS_HEAD_DF}^2 tuples at ANY df, and each ordered (a, b) pair
+    still meets EXACTLY once, at (ia, ib) = (chunk(a), chunk(b)), so
+    the result is exact (pinned row-identical to both other regimes
+    in tests/test_allpairs.py). Replication cost: a head term's
+    postings are copied c times per side ~ D^2/{_APS_HEAD_DF} rows —
+    three orders of magnitude below the D^2 join tuples it spreads.
+
+    TAIL terms (df <= {_APS_HEAD_DF}, c = 1) keep the plain
+    term-keyed self-join — no replication, no extra exchange beyond
+    the df-tag join (term-keyed, co-partitioned with the self-join's
+    own repartition). Pairs sharing both head and tail terms merge
+    in the final (doc_a, doc_b) partial-agg union: each branch
+    map-side combines its own partial dots first."""
+    tdf = p.groupBy("term").agg(F.count("*").alias("df"))
+    pw = (
+        p.repartition(nparts, "term")
+        .join(tdf.repartition(nparts, "term"), "term")
+        .withColumn(
+            "c",
+            F.when(
+                F.col("df") > _APS_HEAD_DF,
+                F.ceil(F.col("df") / F.lit(_APS_HEAD_DF)).cast("int"),
+            ).otherwise(F.lit(1)),
+        )
+    )
+    tail = pw.filter(F.col("c") == 1)
+    ta = tail.select(F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa"))
+    tb = tail.select(F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("wb"))
+    prods_tail = (
+        ta.join(tb, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.expr("wa * wb").alias("prod"))
+    )
+    head = pw.filter(F.col("c") > 1).withColumn(
+        "bkt", F.pmod(F.xxhash64("doc_id"), F.col("c")).cast("int")
+    )
+    # size the chunk-grid join from the head's quadratic mass: its
+    # output is (sum_df2 - sum_df2_tail) tuples spread evenly over
+    # the c x c cells, so ~HEAD_DF^2 tuples per task is the budget
+    head_tuples = float(stats["sum_df2"] - stats["sum_df2_tail"])
+    hparts = int(min(4096, max(32, head_tuples // (_APS_HEAD_DF**2))))
+    grid = F.explode(F.sequence(F.lit(0), F.col("c") - 1))
+    ha = head.select(
+        F.col("doc_id").alias("doc_a"),
+        "term",
+        F.col("w").alias("wa"),
+        F.col("bkt").alias("ia"),
+        grid.alias("ib"),
+    ).repartition(hparts, "term", "ia", "ib")
+    hb = head.select(
+        F.col("doc_id").alias("doc_b"),
+        "term",
+        F.col("w").alias("wb"),
+        F.col("bkt").alias("ib"),
+        grid.alias("ia"),
+    ).repartition(hparts, "term", "ia", "ib")
+    prods_head = (
+        ha.join(hb, ["term", "ia", "ib"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.expr("wa * wb").alias("prod"))
+    )
+    return (
+        prods_tail.unionByName(prods_head)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum("prod").cast("long").alias("dot"))
+    )
 #: Tail-sparsity threshold on MEAN TAIL POSTING DF =
 #: sum_df2_tail / n_postings — what the PREFIX regime actually pays
 #: (its candidate volume is quadratic in the df of the terms that
@@ -6451,53 +6572,73 @@ _APS_HEAD_DF = 4096
 _APS_TAIL_MEAN_DF = 32.0
 
 
-def choose_aps_regime(stats: dict) -> bool:
-    """True = prefix-filter (AllPairs/L2AP) regime. Decided from the
-    postings census alone — the graph.py:116 discipline: statistics
-    pick the plan, and the choice + inputs are cheap to log.
+def choose_aps_regime(stats: dict) -> str:
+    """Returns the q218 plan regime — ``"term"`` | ``"prefix"`` |
+    ``"skew"`` — decided from the postings census alone (the
+    graph.py:116 discipline: statistics pick the plan, and the
+    choice + inputs are cheap to log).
 
-    The rule requires BOTH (measured in docs/scale_allpairs_r10.json;
-    the r9 verdict's sketch — switch on total sum(df^2) alone — is
-    falsified by the same measurements):
+    The decision tree (measured in docs/scale_allpairs_r10.json and
+    docs/scale_allpairs_r11.json; the r9 verdict's sketch — switch on
+    total sum(df^2) alone — is falsified by the same measurements):
 
     1. HEAD DOMINANCE: terms with df > {_APS_HEAD_DF} carry more than
-       half of sum(df^2). Only then does term-major genuinely break —
-       its quadratic cost is IN-TASK tuples consumed by the partial
-       agg (its shuffle is postings-sized, which is why it never
-       spills), so it fails by straggler tasks (a df=D head term is
-       D^2 tuples in ONE task) rather than by volume.
+       half of sum(df^2). Only then does plain term-major genuinely
+       break — its quadratic cost is IN-TASK tuples consumed by the
+       partial agg (its shuffle is postings-sized, which is why it
+       never spills), so it fails by straggler tasks (a df=D head
+       term is D^2 tuples in ONE task) rather than by volume. No
+       head -> ``"term"``: the per-term split machinery would tag
+       every posting with its df for zero splits.
     2. TAIL SPARSITY: mean tail posting df <= {_APS_TAIL_MEAN_DF}.
        The prefix regime's real cost is its candidate set — quadratic
        in the df of PRUNING-SURVIVING (tail) terms — and its rescore
        materializes |candidates| x doc-length rows through exchanges:
        on a dense-vocabulary corpus this is the plan that dies (the
        measured 20x disk-death), no matter what the head looks like.
-
-    Anything else — flat growth, or a head over a dense tail — stays
-    term-major."""
+       Head over a SPARSE tail -> ``"prefix"`` (the AllPairs/L2AP
+       bounds prune the head; the doc-unique tail generates almost
+       no candidates — measured scale-free 42.5 s -> 44.0 s from 20x
+       to 100x on the zipf-sparse corpus).
+    3. Head over a DENSE tail -> ``"skew"`` (new in r11): term-major
+       with the operators/skew.py hot-key discipline applied to head
+       terms — a df=D posting list splits into c = ceil(D /
+       {_APS_HEAD_DF}) hash chunks and joins chunk x chunk, so
+       per-task work is bounded at ~{_APS_HEAD_DF}^2 tuples at ANY
+       df while the dense tail keeps the plain postings self-join
+       that provably cannot spill. This was r10's one uncovered
+       corpus class: prefix dies on the dense tail, and plain
+       term-major ate a measured 1301 s of head stragglers."""
     tail = stats["sum_df2_tail"]
     head = stats["sum_df2"] - tail
-    return (
-        head > tail
-        and tail <= _APS_TAIL_MEAN_DF * max(stats["n_postings"], 1)
-    )
+    if head <= tail:
+        return "term"
+    if tail <= _APS_TAIL_MEAN_DF * max(stats["n_postings"], 1):
+        return "prefix"
+    return "skew"
 
 
 def allpairs_cosine(
-    spark: SparkSession, sf_dir: str, *, prefix_filter: bool | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    prefix_filter: bool | None = None,
+    regime: str | None = None,
 ) -> DataFrame:
     """EXACT weighted-cosine all-pairs similarity join over
-    token-BIGRAM tf vectors, tau = 0.8 — two regimes, both exact and
-    pinned equal in tests/test_allpairs.py, with the regime CHOSEN
-    FROM THE DATA by default (``prefix_filter=None``): the persisted
-    postings census yields (n_postings, sum_df2, sum_df2_tail,
-    max_df) in one vocabulary-sized agg, and :func:`choose_aps_regime`
-    picks the prefix regime only when the df HEAD dominates the
-    quadratic mass AND the tail is sparse (see its docstring for the
-    measured two-condition rule and why the obvious single-statistic
-    rule is wrong) — the r9 verdict's one weak mark (a manual,
-    documented choice) closed the graph.py way. Explicit True/False
-    pins a regime for tests and studies.
+    token-BIGRAM tf vectors, tau = 0.8 — THREE regimes, all exact and
+    pinned row-identical in tests/test_allpairs.py, with the regime
+    CHOSEN FROM THE DATA by default: the persisted postings census
+    yields (n_postings, sum_df2, sum_df2_tail, max_df) in one
+    vocabulary-sized agg, and :func:`choose_aps_regime` maps it to
+    ``"term"`` (flat df), ``"prefix"`` (head over a sparse tail) or
+    ``"skew"`` (head over a dense tail — :func:`_aps_skew_dots`,
+    term-major with head terms hot-key-split into bounded chunk
+    grids; new in r11, closing r10's one uncovered corpus class).
+    See the chooser's docstring for the measured decision tree and
+    why the obvious single-statistic rule is wrong. ``regime=`` pins
+    a plan for tests and studies (``prefix_filter=True/False`` is
+    the pre-r11 two-regime alias).
 
     - ``prefix_filter=False``: the
       inverted-index SELF-JOIN — postings joined to postings on term
@@ -6537,10 +6678,18 @@ def allpairs_cosine(
     """
     from pyspark.sql import Window
 
+    if regime is None:
+        regime = (
+            None
+            if prefix_filter is None
+            else ("prefix" if prefix_filter else "term")
+        )
+    if regime not in (None, "term", "prefix", "skew"):
+        raise ValueError(f"unknown q218 regime: {regime!r}")
     p, norms, stats = _aps_postings(spark, sf_dir)
-    if prefix_filter is None:
-        prefix_filter = choose_aps_regime(stats)
-    if not prefix_filter:
+    if regime is None:
+        regime = choose_aps_regime(stats)
+    if regime in ("term", "skew"):
         # size the self-join's partitioning from the postings stats
         # (already paid for by the regime switch — no extra action):
         # the join output is sum(df^2) rows — orders of magnitude
@@ -6555,6 +6704,8 @@ def allpairs_cosine(
         # — same plan, no spill. 4096 leaves headroom without
         # task-overhead risk.)
         nparts = int(min(4096, max(32, stats["n_postings"] // 20_000)))
+        if regime == "skew":
+            return _aps_report(_aps_skew_dots(p, stats, nparts), norms)
         pa = p.repartition(nparts, "term").select(
             F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa")
         )
@@ -6612,14 +6763,15 @@ def allpairs_cosine(
 def q218_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The registered form of :func:`allpairs_cosine` — regime
     AUTO-SELECTED from the postings census (see that docstring for
-    the rule and the measured crossover). On the flat-df test corpora
-    the rule picks the term-major inverted-index self-join (one
-    exchange on the term key, map-side partial dots); on a
-    heavy-tailed (Zipf-head) corpus it picks the prefix-filtered
-    AllPairs/L2AP path. Both regimes are pinned row-identical in
-    tests/test_allpairs.py, so the switch can never change the
-    answer — only the plan."""
-    return allpairs_cosine(spark, sf_dir, prefix_filter=None)
+    the rule and the measured crossovers). On the flat-df test
+    corpora the rule picks the term-major inverted-index self-join
+    (one exchange on the term key, map-side partial dots); on a
+    Zipf-head-over-sparse-tail corpus the prefix-filtered
+    AllPairs/L2AP path; on a Zipf-head-over-DENSE-tail corpus the
+    skew-split term-major grid. All three regimes are pinned
+    row-identical in tests/test_allpairs.py, so the switch can never
+    change the answer — only the plan."""
+    return allpairs_cosine(spark, sf_dir)
 
 
 O218 = f"""
@@ -7305,10 +7457,10 @@ def q224_perceptron_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = _pct_features(spark, sf_dir)
     w = [0, 0, 0, 0]
     rows = [(0, 0, *w)]
-    for _ in range(1, _PCT_EPOCHS):  # all but the last epoch
+    for e in range(1, _PCT_EPOCHS):  # all but the last epoch
         r = _pct_epoch_agg(feats, w).collect()[0]
         w = [w[i] + r[f"d{i}"] for i in range(4)]
-        rows.append((1, r["n_miss"], *w))
+        rows.append((e, r["n_miss"], *w))
     lit = spark.createDataFrame(
         rows,
         "epoch long, n_miss long, w_bias long, w_ntoks long, "
@@ -7493,10 +7645,14 @@ def q226_source_quality_lcb(spark: SparkSession, sf_dir: str) -> DataFrame:
     ppm as ((k+2)·10⁶ − 2·isqrt((10¹²·(k·(n−k)+n)) div n)) div (n+4)
     — the ±1-adjusted :func:`_isqrt_sql` makes the root exact on both
     engines, and the two floor-divisions are the pinned quantization
-    order (the q213 discipline). Intermediates: 10¹²·k·n ≤ BIGINT for
-    n ≤ ~3·10³ per source at 10⁶-doc sources move to DECIMAL — the
-    Spark side casts through DECIMAL(38,0) (oracle: HUGEINT) so the
-    bound holds to ~10¹³-doc sources.
+    order (the q213 discipline). EVERY wide intermediate — the
+    product, the inner floor-div (via :func:`_fdiv_dec_sql`, because
+    Spark's ``div`` returns BIGINT and silently wraps wide quotients
+    even under ANSI), the isqrt seed squares, and the (k+2)·10⁶
+    numerator — runs in DECIMAL(38,0) (oracle: HUGEINT), so the
+    certified headroom is 10¹³ docs per source, enforced by an
+    in-plan raise_error() certificate rather than claimed (see
+    :func:`source_quality_leaderboard`).
 
     Report: (source, n_docs, n_pass, pass_ppm, wilson_lb_ppm) ordered
     by (wilson_lb_ppm desc, source).
@@ -7532,27 +7688,62 @@ def source_quality_census_from(docs: DataFrame) -> DataFrame:
 
 def source_quality_leaderboard(census: DataFrame) -> DataFrame:
     """q226's census-side Wilson-LCB arithmetic + ordering (shared
-    with streaming twin #41's finisher)."""
-    root = _isqrt_sql(
-        "(CAST(1000000000000 AS DECIMAL(38,0)) * "
-        "(n_pass * (n_docs - n_pass) + n_docs)) div n_docs"
+    with streaming twin #41's finisher).
+
+    Every intermediate that can pass BIGINT runs in DECIMAL(38,0)
+    (oracle: HUGEINT) — including the floor-divisions, which on
+    Spark go through :func:`_fdiv_dec_sql` because the ``div``
+    operator RETURNS BIGINT and silently wraps wide quotients even
+    under ANSI (the r10 ADVICE item, found to be worse than filed:
+    the old quotient wrapped silently from ~3.7e7 docs/source). The
+    certified headroom is now 10¹³ docs per source — N = 10¹²·
+    (k·(n−k)+n) ≤ 2.5·10³⁷ < 10³⁸ — with an in-plan certificate
+    (A·n ≤ N < (A+1)·n) that raise_error()s loudly on any exactness
+    failure instead of drifting."""
+    c = (
+        census.withColumn(
+            "_wn",
+            F.expr(
+                "CAST(1000000000000 AS DECIMAL(38,0)) * "
+                "(CAST(n_pass AS DECIMAL(38,0)) * (n_docs - n_pass) + n_docs)"
+            ),
+        )
+        .withColumn("_wa", F.expr(_fdiv_dec_sql("_wn", "n_docs")))
+        .withColumn(
+            "_wa",
+            F.expr(
+                "CASE WHEN _wa >= 0 AND _wa * n_docs <= _wn "
+                "AND _wn - _wa * n_docs < n_docs THEN _wa "
+                "ELSE CAST(raise_error('q226: floor-div exactness "
+                "certificate failed') AS DECIMAL(38,0)) END"
+            ),
+        )
+        .withColumn("_wr", F.expr(_isqrt_sql("_wa", t="DECIMAL(38,0)")))
     )
-    return census.select(
+    return c.select(
         "source",
         "n_docs",
         "n_pass",
-        F.expr("n_pass * 1000000 div n_docs").alias("pass_ppm"),
         F.expr(
-            f"CAST(((n_pass + 2) * 1000000 - 2 * {root}) div (n_docs + 4) "
+            "CAST(CAST(n_pass AS DECIMAL(38,0)) * 1000000 div n_docs "
             "AS BIGINT)"
+        ).alias("pass_ppm"),
+        F.expr(
+            "CAST(((CAST(n_pass AS DECIMAL(38,0)) + 2) * 1000000 - 2 * _wr) "
+            "div (n_docs + 4) AS BIGINT)"
         ).alias("wilson_lb_ppm"),
     ).orderBy(F.desc("wilson_lb_ppm"), "source")
 
 
 def _o226() -> str:
+    # HUGEINT throughout: the product, the floor-div (DuckDB's // is
+    # exact natively — no _fdiv_dec_sql needed) and the isqrt seed
+    # squares, mirroring the Spark side's DECIMAL(38,0) headroom.
     root = _isqrt_sql(
-        "(CAST(1000000000000 AS HUGEINT) * "
-        "(n_pass * (n_docs - n_pass) + n_docs)) // n_docs"
+        "((CAST(1000000000000 AS HUGEINT) * "
+        "(CAST(n_pass AS HUGEINT) * (n_docs - n_pass) + n_docs)) "
+        "// n_docs)",
+        t="HUGEINT",
     )
     return f"""
 WITH d AS (
@@ -7567,9 +7758,10 @@ WITH d AS (
   FROM d GROUP BY source
 )
 SELECT source, n_docs, n_pass,
-       n_pass * 1000000 // n_docs AS pass_ppm,
-       CAST(((n_pass + 2) * 1000000 - 2 * {root}) // (n_docs + 4)
-            AS BIGINT) AS wilson_lb_ppm
+       CAST(CAST(n_pass AS HUGEINT) * 1000000 // n_docs AS BIGINT)
+           AS pass_ppm,
+       CAST(((CAST(n_pass AS HUGEINT) + 2) * 1000000 - 2 * {root})
+            // (n_docs + 4) AS BIGINT) AS wilson_lb_ppm
 FROM census
 ORDER BY wilson_lb_ppm DESC, source
 """
@@ -7599,6 +7791,12 @@ def q227_incremental_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = with_minhash(_spread(spark, t(spark, sf_dir, "documents"))).select(
         "doc_id", "mh0", "mh1", "mh2", "mh3"
     )
+    # Deliberate PLAN-LIFETIME cache (the q218/q210 discipline): the
+    # band-signature table feeds both the history and delta sides of
+    # the probe join, so it cannot be unpersisted inside this builder
+    # — the returned plan still reads it. The bench harness
+    # clearCache()s between reps; callers composing many plans in one
+    # session should do the same.
     long = d.selectExpr(
         "doc_id", "stack(4, mh0, mh1, mh2, mh3) as sig"
     ).persist()

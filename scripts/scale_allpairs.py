@@ -70,6 +70,13 @@ DISK_KILLERS = {
         "NOT RUN: strictly dominates the measured 20x disk death "
         "(candidate volume grows linearly in replicas, rescore rows "
         "5x the 20x point that already exhausted the 252 GB volume)",
+    ("zipf_dense", 20, "prefix"):
+        "NOT RUN: the zipf_dense tail IS the flat corpus, whose 20x "
+        "prefix cell is the measured disk death above — adding a head "
+        "only grows the candidate set further",
+    ("zipf_dense", 100, "prefix"):
+        "NOT RUN: dominated by the flat 20x disk death (same tail, "
+        "5x the volume, plus the head)",
 }
 
 
@@ -129,14 +136,48 @@ def build_zipf_sparse(spark, factor: int) -> Path:
     return out
 
 
-def time_cell(spark, sf_dir: str, prefix: bool, reps: int) -> tuple[float, list[float]]:
+def build_zipf_dense(spark, factor: int) -> Path:
+    """documents-only transform of the flat dir: the flat corpus's
+    DENSE base vocabulary is kept verbatim (the dense tail — mean
+    posting df far above the sparsity threshold, the corpus class
+    where the prefix rescore died on disk), and 30% of docs get the
+    SHARED hot phrase prepended (the head). This is the
+    head-dominant + dense-tail cell choose_aps_regime sends to the
+    r11 skew-split regime — r10's one uncovered class, where plain
+    term-major ate head stragglers because prefix provably dies."""
+    src = ensure_flat(spark, factor)
+    out = Path(f"/tmp/scale_aps_zipfdense_{factor}x")
+    out.mkdir(parents=True, exist_ok=True)
+    for name in TABLES:
+        dst = out / f"{name}.parquet"
+        if dst.exists() or dst.is_symlink():
+            continue
+        if name != "documents":
+            dst.symlink_to(src / f"{name}.parquet")
+            continue
+        base = spark.read.parquet(str(src / "documents.parquet"))
+        (
+            base.withColumn(
+                "text",
+                F.when(
+                    F.pmod(F.col("doc_id"), F.lit(10)) < 3,
+                    F.concat(F.lit(HOT_PHRASE + " "), F.col("text")),
+                ).otherwise(F.col("text")),
+            )
+            .write.mode("overwrite")
+            .parquet(str(dst))
+        )
+    return out
+
+
+def time_cell(spark, sf_dir: str, regime: str, reps: int) -> tuple[float, list[float]]:
     from polla_spark.plans.llmdata import allpairs_cosine
 
     ts = []
     for _ in range(reps):
         spark.catalog.clearCache()
         t0 = time.perf_counter()
-        allpairs_cosine(spark, sf_dir, prefix_filter=prefix).write.format(
+        allpairs_cosine(spark, sf_dir, regime=regime).write.format(
             "noop"
         ).mode("overwrite").save()
         ts.append(round(time.perf_counter() - t0, 2))
@@ -151,6 +192,7 @@ def main() -> None:
     ap.add_argument("--out", default="")
     ap.add_argument("--run-disk-killer", action="store_true")
     ap.add_argument("--corpora", default="flat,zipf_sparse")
+    ap.add_argument("--regimes", default="term,prefix,skew")
     args = ap.parse_args()
 
     from polla_spark.plans.llmdata import _aps_postings, choose_aps_regime
@@ -158,7 +200,11 @@ def main() -> None:
 
     spark = get_spark("scale_allpairs")
     factors = [int(f) for f in args.factors.split(",")]
-    builders = {"flat": ensure_flat, "zipf_sparse": build_zipf_sparse}
+    builders = {
+        "flat": ensure_flat,
+        "zipf_sparse": build_zipf_sparse,
+        "zipf_dense": build_zipf_dense,
+    }
     cells: list[dict] = []
     term_rates: list[tuple[float, float]] = []  # (tuples, sec)
     for corpus in args.corpora.split(","):
@@ -166,7 +212,7 @@ def main() -> None:
             d = str(builders[corpus](spark, f))
             _, _, stats = _aps_postings(spark, d)
             spark.catalog.clearCache()
-            auto = "prefix" if choose_aps_regime(stats) else "term"
+            auto = choose_aps_regime(stats)
             cell = {
                 "corpus": corpus,
                 "factor": f,
@@ -176,7 +222,7 @@ def main() -> None:
                 "max_df": stats["max_df"],
                 "auto_regime": auto,
             }
-            for regime, prefix in (("term", False), ("prefix", True)):
+            for regime in args.regimes.split(","):
                 skip = DISK_KILLERS.get((corpus, f, regime))
                 if skip and not args.run_disk_killer:
                     cell[f"{regime}_skip"] = skip
@@ -196,7 +242,7 @@ def main() -> None:
                           f"{cell['term_est_basis']} -> est {est:.0f}s",
                           file=sys.stderr)
                     continue
-                med, ts = time_cell(spark, d, prefix, args.reps)
+                med, ts = time_cell(spark, d, regime, args.reps)
                 cell[f"{regime}_sec"] = med
                 cell[f"{regime}_reps"] = ts
                 if regime == "term":

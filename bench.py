@@ -201,6 +201,18 @@ HEADLINE = [
     "q221_funnel_ablation",
     "q222_dedup_threshold_sweep",
     "q223_tokenizer_fertility",
+    # r11 additions: quality tertiles (one scan to a (lang, score)
+    # histogram), source vocab overlap (term-keyed self-join over the
+    # Heaps-sublinear distinct table), tf-idf keywords (three
+    # uniform-key exchanges + per-doc window), Zipf head census,
+    # bigram novelty (delta left-joins the history vocabulary), and
+    # the cluster-size audit histogram over q67's components
+    "q231_perplexity_buckets",
+    "q232_source_vocab_overlap",
+    "q233_tfidf_keywords",
+    "q234_zipf_head_profile",
+    "q235_bigram_novelty",
+    "q236_cluster_size_histogram",
     # q219 stays out of the headline: its cost IS the quadratic
     # all-pairs ground truth on the 30% sample (the calibration
     # budget knob, ~20 s at sf0.1), which would dominate the suite;

@@ -26,10 +26,10 @@ from pyspark.sql import DataFrame, SparkSession
 # len(registry()) == DECLARED_QUERY_COUNT so an addition that forgets
 # the bump (or a bump without queries) fails fast instead of silently
 # shipping an undeclared inventory.
-# NOTE: query ids span q01–q230 with q139 intentionally unassigned
-# (a numbering skip from round 3, not a dropped query) — hence 229
-# registered queries over a 231-wide id range.
-DECLARED_QUERY_COUNT = 229
+# NOTE: query ids span q01–q236 with q139 intentionally unassigned
+# (a numbering skip from round 3, not a dropped query) — hence 235
+# registered queries over a 237-wide id range.
+DECLARED_QUERY_COUNT = 235
 
 # Rows-only queries: implemented but intentionally without a SQL
 # oracle (non-SQL-expressible semantics — q38: HLL sketch values are
@@ -145,6 +145,7 @@ def registry() -> dict[str, Query]:
 # Queries whose RESULT SHAPE changed after their newest green round:
 # their certification record is stale, so they sort as never-certified
 # until the driver re-greens them. r10's q219 entry (the 4-row grid
-# reshape) went hash-green in CORRECTNESS_r10 and has been removed;
-# nothing is currently stale.
-RECERTIFY = frozenset()
+# reshape) went hash-green in CORRECTNESS_r10 and was removed. r11:
+# q222 gained the planted mid-similarity cohort (the knee fixture),
+# so its pair counts changed.
+RECERTIFY = frozenset({"q222_dedup_threshold_sweep"})

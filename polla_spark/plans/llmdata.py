@@ -236,7 +236,13 @@ def _minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(id_a, id_b) distinct candidate pairs from the MinHash band
     self-join — the shared front end of q53 and the in-bucket rescore
     queries (q81/q83)."""
-    d = with_minhash(_spread(spark, t(spark, sf_dir, "documents"))).select(
+    return band_candidates_from(_spread(spark, t(spark, sf_dir, "documents")))
+
+
+def band_candidates_from(docs: DataFrame) -> DataFrame:
+    """The band self-join over an arbitrary documents-shaped frame
+    (q222 feeds it the planted-variant union)."""
+    d = with_minhash(docs).select(
         "doc_id", "mh0", "mh1", "mh2", "mh3"
     )
     long = d.selectExpr("doc_id", "stack(4, mh0, mh1, mh2, mh3) as sig").persist()
@@ -315,8 +321,9 @@ def q67_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-O67 = f"""
-WITH RECURSIVE sigs AS (
+# shared recursive-closure CTE body: O67 reads the label table
+# directly; O236 aggregates it into the cluster-size histogram
+_CC_CTES = f"""sigs AS (
   SELECT doc_id, {_duck_mh(0)} AS mh0, {_duck_mh(1)} AS mh1,
          {_duck_mh(2)} AS mh2, {_duck_mh(3)} AS mh3
   FROM documents
@@ -333,8 +340,23 @@ WITH RECURSIVE sigs AS (
   SELECT doc_id, doc_id FROM documents
   UNION
   SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
-)
+)"""
+
+O67 = f"""
+WITH RECURSIVE {_CC_CTES}
 SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a ORDER BY doc_id
+"""
+
+O236 = f"""
+WITH RECURSIVE {_CC_CTES}, lbl AS (
+  SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a
+), szs AS (
+  SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM lbl GROUP BY component
+)
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+FROM szs GROUP BY cluster_size ORDER BY cluster_size
 """
 
 
@@ -6506,10 +6528,14 @@ def _aps_skew_dots(p: DataFrame, stats: dict, nparts: int) -> DataFrame:
     own repartition). Pairs sharing both head and tail terms merge
     in the final (doc_a, doc_b) partial-agg union: each branch
     map-side combines its own partial dots first."""
+    # no explicit repartition on tdf: at test scale it broadcasts
+    # (vocab-sized), and past the threshold its own agg exchange
+    # already hash-partitions it on term — an explicit one is a
+    # redundant exchange either way
     tdf = p.groupBy("term").agg(F.count("*").alias("df"))
     pw = (
         p.repartition(nparts, "term")
-        .join(tdf.repartition(nparts, "term"), "term")
+        .join(tdf, "term")
         .withColumn(
             "c",
             F.when(
@@ -7279,6 +7305,35 @@ ORDER BY u.stage
 _SWEEP_TAUS = (500_000, 600_000, 700_000, 800_000, 900_000)
 
 
+def _sweep_planted_docs(docs: DataFrame) -> DataFrame:
+    """q222's corpus + a PLANTED mid-similarity cohort, derived
+    in-plan and deterministically (the q131 planted-corruption
+    pattern): every 19th doc (~5%) gets a truncated variant keeping
+    the first 40–70% of its tokens (the kept fraction cycles with
+    the doc id), so the variant's shingle set is a prefix subset and
+    its exact Jaccard against the original lands in ~[0.38, 0.68].
+    The synthetic corpus is otherwise perfectly separable (near-dups
+    are near-copies at J > 0.9, everything else is unrelated), which
+    made the r10 sweep FLAT from τ=0.1 to 0.9 — a calibration query
+    that never shows a knee demonstrates nothing; the planted cohort
+    bends the curve while both engines derive the identical rows."""
+    base = docs.select("doc_id", "text")
+    kept = (
+        "greatest(3, (size(tk) * (40 + 5 * pmod(doc_id div 19, 7))) div 100)"
+    )
+    vari = (
+        base.filter(F.col("text").isNotNull())
+        .filter(F.pmod("doc_id", F.lit(19)) == 0)
+        .withColumn("tk", _toks())
+        .filter(F.size("tk") >= 8)
+        .select(
+            (F.col("doc_id") + F.lit(100_000_000)).alias("doc_id"),
+            F.array_join(F.expr(f"slice(tk, 1, {kept})"), " ").alias("text"),
+        )
+    )
+    return base.unionByName(vari)
+
+
 def q222_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup THRESHOLD-SENSITIVITY sweep — the tuning curve examined
     before committing a near-dup cutoff: the q81 pipeline's exact
@@ -7286,13 +7341,14 @@ def q222_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     production operators, not re-implementations) bucketed against a
     grid of thresholds, reporting per τ how many pairs a dedup pass
     at that cutoff would act on and how many docs those pairs touch.
-    A cliff between adjacent rows is the signal (pick below it); a
-    smooth curve says the corpus has no natural cutoff; a FLAT curve
-    (this synthetic corpus: 25 pairs at every τ from 0.1 to 0.9 —
-    near-dups are near-copies, everything else is unrelated) says
-    the corpus is perfectly separable and any cutoff in the range
-    behaves identically. The q219/q220 calibration discipline
-    applied to the threshold knob itself.
+    A cliff between adjacent rows is the signal (pick below it). The
+    corpus is the documents table PLUS :func:`_sweep_planted_docs`'s
+    deterministic mid-similarity cohort (r11): the raw synthetic
+    corpus is perfectly separable, so its curve was flat 0.1→0.9 and
+    the calibration never demonstrated a knee — now the pair count
+    decays monotonically through the 0.5–0.7 rows and flattens at
+    the 25 near-copy pairs above them. The q219/q220 calibration
+    discipline applied to the threshold knob itself.
 
     Report: (tau_ppm, n_pairs, n_docs_in_pairs) per grid point —
     cumulative (≥ τ), exact-ppm integer Jaccard so both engines
@@ -7300,13 +7356,12 @@ def q222_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: q81's (two keyed joins onto the band candidates, no
     cross join), then the ≤|grid|·|pairs| explode is near-dup-sparse
-    and the report is grid-sized.
+    and the report is grid-sized; the planted derivation is one
+    narrow projection over ~5% of the scan.
     """
-    cands = _minhash_band_candidates(spark, sf_dir)
-    sh = (
-        _with_shingle_sets(t(spark, sf_dir, "documents"))
-        .select("doc_id", "sh")
-    )
+    planted = _sweep_planted_docs(t(spark, sf_dir, "documents"))
+    cands = band_candidates_from(_spread(spark, planted))
+    sh = _with_shingle_sets(planted).select("doc_id", "sh")
     j = cands.join(
         sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")),
         "id_a",
@@ -7347,10 +7402,23 @@ def q222_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O222 = f"""
-WITH sigs AS (
+WITH vtoks AS (
+  SELECT doc_id, {TOKS} AS tk FROM documents
+  WHERE text IS NOT NULL AND doc_id % 19 = 0
+), vari AS (
+  SELECT doc_id + 100000000 AS doc_id,
+         array_to_string(
+           tk[1 : GREATEST(3, (len(tk) * (40 + 5 * ((doc_id // 19) % 7)))
+                              // 100)],
+           ' ') AS text
+  FROM vtoks WHERE len(tk) >= 8
+), alldocs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id, text FROM vari
+), sigs AS (
   SELECT doc_id, {_duck_mh(0)} AS mh0, {_duck_mh(1)} AS mh1,
          {_duck_mh(2)} AS mh2, {_duck_mh(3)} AS mh3
-  FROM documents
+  FROM alldocs
 ), long AS (
   SELECT doc_id, mh0 AS sig FROM sigs UNION ALL SELECT doc_id, mh1 FROM sigs
   UNION ALL SELECT doc_id, mh2 FROM sigs UNION ALL SELECT doc_id, mh3 FROM sigs
@@ -7358,7 +7426,7 @@ WITH sigs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM long a JOIN long b ON a.sig = b.sig AND a.doc_id < b.doc_id
 ), sh AS (
-  SELECT doc_id, list_distinct({_DUCK_SHINGLES}) AS sh FROM documents
+  SELECT doc_id, list_distinct({_DUCK_SHINGLES}) AS sh FROM alldocs
 ), scored AS (
   SELECT c.id_a, c.id_b,
          len(list_intersect(a.sh, b.sh)) * 1000000
@@ -7540,18 +7608,26 @@ def q225_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     (importance_ppm desc, doc_id).
 
     100 TB shape: the feature space is FIXED (256 md5-prefix buckets),
-    so both censuses partial-aggregate map-side to 256 rows, the
-    weight table BROADCASTS onto the corpus bigram stream, and the
-    corpus never shuffles except the doc-grain importance agg + the
+    so the (cr, ct) census partial-aggregates map-side to 256 rows in
+    ONE corpus pass (r11: the raw and target censuses merged into one
+    conditional-count agg — same values, half the scans), the weight
+    table BROADCASTS onto the corpus bigram stream, and the corpus
+    never shuffles except the doc-grain importance agg + the
     per-task top-k merge — q213's LM-census discipline with a
     hashed feature space."""
+    docs = t(spark, sf_dir, "documents")
+    return dsir_report(docs, dsir_weight_table(dsir_census_from(docs)))
+
+
+def dsir_bigrams_from(docs: DataFrame) -> DataFrame:
+    """q225's hashed-bigram occurrence stream (doc_id, lang, b) —
+    the shared front end of both the census and the scoring pass."""
     d = (
-        t(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull())
+        docs.filter(F.col("text").isNotNull())
         .withColumn("tk", _toks())
         .filter(F.size("tk") >= 2)
     )
-    bg = d.select(
+    return d.select(
         "doc_id",
         "lang",
         F.explode(
@@ -7562,22 +7638,31 @@ def q225_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     )
-    raw = bg.groupBy("b").agg(F.count("*").alias("cr"))
-    tgt = (
-        bg.filter(F.coalesce(F.col("lang"), F.lit("")) == "en")
-        .groupBy("b")
-        .agg(F.count("*").alias("ct"))
+
+
+def dsir_census_from(docs: DataFrame) -> DataFrame:
+    """q225's per-bucket (b, cr, ct) census — raw count + conditional
+    target count, merge-closed over the fixed 256-bucket space; ONE
+    definition shared by batch q225 and streaming twin #45 (both
+    counts monotone; no division, streaming-legal in update mode)."""
+    return dsir_bigrams_from(docs).groupBy("b").agg(
+        F.count("*").alias("cr"),
+        F.sum(
+            (F.coalesce(F.col("lang"), F.lit("")) == "en").cast("int")
+        ).cast("long").alias("ct"),
     )
-    # totals ride along as 1-row broadcasts; target buckets are a
-    # subset of raw buckets, so a left join + coalesce(ct, 0) covers
-    # the full support
-    totals = raw.agg(
-        F.sum("cr").cast("long").alias("tr")
-    ).crossJoin(tgt.agg(F.sum("ct").cast("long").alias("tt")))
-    wt = (
-        raw.join(tgt, "b", "left")
-        .select("b", "cr", F.coalesce("ct", F.lit(0)).alias("ct"))
-        .crossJoin(F.broadcast(totals))
+
+
+def dsir_weight_table(census: DataFrame) -> DataFrame:
+    """q225's census-side weight table (b, w_ppm) — totals via a
+    census-side global window (≤256 rows in a SinglePartition, the
+    q230/q123 rule: an agg branch would rescan the corpus), then the
+    exact linearized likelihood-ratio rational. Shared with twin
+    #45's finisher."""
+    w = Window.partitionBy()
+    return (
+        census.withColumn("tr", F.sum("cr").over(w).cast("long"))
+        .withColumn("tt", F.sum("ct").over(w).cast("long"))
         .select(
             "b",
             F.expr(
@@ -7587,8 +7672,16 @@ def q225_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w_ppm"),
         )
     )
+
+
+def dsir_report(docs: DataFrame, wt: DataFrame) -> DataFrame:
+    """q225's scoring pass: broadcast the 256-row weight table onto
+    the bigram stream, doc-grain importance agg, top-k. Shared with
+    twin #45's finisher (which scores the full static corpus against
+    the streamed census's weight table)."""
     return (
-        bg.join(F.broadcast(wt), "b")
+        dsir_bigrams_from(docs)
+        .join(F.broadcast(wt), "b")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_bigrams"),
@@ -7607,19 +7700,20 @@ WITH d AS (
   SELECT doc_id, lang,
          substr(md5(tk[g.i] || ' ' || tk[g.i + 1]), 1, 2) AS b
   FROM d, LATERAL unnest(generate_series(1, len(tk) - 1)) AS g(i)
-), raw AS (
-  SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM bg GROUP BY b
-), tgt AS (
-  SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM bg
-  WHERE COALESCE(lang, '') = 'en' GROUP BY b
+), census AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS cr,
+         CAST(SUM(CASE WHEN COALESCE(lang, '') = 'en' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ct
+  FROM bg GROUP BY b
 ), totals AS (
-  SELECT (SELECT SUM(cr) FROM raw) AS tr, (SELECT SUM(ct) FROM tgt) AS tt
+  SELECT CAST(SUM(cr) AS BIGINT) AS tr, CAST(SUM(ct) AS BIGINT) AS tt
+  FROM census
 ), wt AS (
-  SELECT r.b,
-         CAST((1000000 * CAST(COALESCE(t.ct, 0) + 1 AS HUGEINT) * (tr + 256))
-              // (CAST(r.cr + 1 AS HUGEINT) * (tt + 256))
+  SELECT b,
+         CAST((1000000 * CAST(ct + 1 AS HUGEINT) * (tr + 256))
+              // (CAST(cr + 1 AS HUGEINT) * (tt + 256))
               - 1000000 AS BIGINT) AS w_ppm
-  FROM raw r LEFT JOIN tgt t USING (b) CROSS JOIN totals
+  FROM census CROSS JOIN totals
 )
 SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
        CAST(SUM(w.w_ppm) AS BIGINT) AS importance_ppm
@@ -7858,10 +7952,19 @@ def q229_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: ONE corpus scan posexploding to the (slice, pos)
     partial agg — K·64-row output, map-side combined (exactly q212's
     update-census exchange); the report is 64 rows."""
-    coded = t(spark, sf_dir, "embeddings").select(
-        "vec_id", _quant(F.col("embedding")).alias("qe")
+    return embedding_drift_report(
+        embedding_drift_census_from(t(spark, sf_dir, "embeddings"))
     )
-    per = (
+
+
+def embedding_drift_census_from(vecs: DataFrame) -> DataFrame:
+    """q229's (is_new, pos, s127, n) census — merge-closed sums over
+    a fixed 2×64-key space, ONE definition shared by batch q229 and
+    streaming twin #43 (it contains no division, so it is
+    streaming-legal in update mode; n is the monotone pair of
+    s127)."""
+    coded = vecs.select("vec_id", _quant(F.col("embedding")).alias("qe"))
+    return (
         coded.select(
             (F.pmod("vec_id", F.lit(3)) == 0).cast("int").alias("is_new"),
             F.posexplode("qe").alias("pos", "v"),
@@ -7871,19 +7974,29 @@ def q229_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("v") + F.lit(127)).cast("long").alias("s127"),
             F.count("*").alias("n"),
         )
-        .select(
-            "is_new", "pos",
-            F.expr("s127 * 1000000 div n").alias("mean127_ppm"),
-        )
+    )
+
+
+def embedding_drift_report(census: DataFrame) -> DataFrame:
+    """q229's census-side means + old/new pivot + report (shared with
+    streaming twin #43's finisher): everything here runs on ≤ 2×64
+    census rows."""
+    per = census.select(
+        "is_new", "pos", F.expr("s127 * 1000000 div n").alias("mean127_ppm")
     )
     old = per.filter(F.col("is_new") == 0).select(
         "pos", F.col("mean127_ppm").alias("old_mean127_ppm")
     )
+    # distinct join-key name: both branches read the SAME relation
+    # (in the streaming twin it is one memory-sink view, whose
+    # attribute ids are identical on both sides — a bare self-join on
+    # "pos" fails analysis with conflicting references there)
     new = per.filter(F.col("is_new") == 1).select(
-        "pos", F.col("mean127_ppm").alias("new_mean127_ppm")
+        F.col("pos").alias("pos_new"),
+        F.col("mean127_ppm").alias("new_mean127_ppm"),
     )
     return (
-        old.join(new, "pos")
+        old.join(new, F.col("pos") == F.col("pos_new"))
         .select(
             F.col("pos").cast("long").alias("pos"),
             "old_mean127_ppm",
@@ -7938,7 +8051,16 @@ def q230_length_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: one corpus scan partial-aggregating to a
     ≤{_DRIFT_BUCKETS}·2-row census; every division happens
     census-side."""
-    d = t(spark, sf_dir, "documents").select(
+    return length_drift_report(
+        length_census_from(t(spark, sf_dir, "documents"))
+    )
+
+
+def length_census_from(docs: DataFrame) -> DataFrame:
+    """q230's per-bucket (ca, cb) census — merge-closed counts over
+    a fixed ≤{_DRIFT_BUCKETS}-key space, ONE definition shared by
+    batch q230 and streaming twin #44 (both counts are monotone)."""
+    d = docs.select(
         (F.pmod("doc_id", F.lit(3)) == 0).cast("int").alias("is_new"),
         # integer div on BOTH sides: DuckDB's CAST(float AS INTEGER)
         # rounds where Spark's cast truncates, so a float / would
@@ -7947,10 +8069,15 @@ def q230_length_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"least(coalesce(n_chars, 0) div 100, {_DRIFT_BUCKETS - 1})"
         ).cast("int").alias("bucket"),
     )
-    per = d.groupBy("bucket").agg(
+    return d.groupBy("bucket").agg(
         F.sum(F.expr("1 - is_new")).cast("long").alias("ca"),
         F.sum("is_new").cast("long").alias("cb"),
     )
+
+
+def length_drift_report(per: DataFrame) -> DataFrame:
+    """q230's census-side totals + exact chi-square rational (shared
+    with streaming twin #44's finisher)."""
     # totals via a census-side global window (<= _DRIFT_BUCKETS rows
     # in a SinglePartition — data-size-independent, the q123 rule):
     # a separate agg branch would RESCAN the corpus for the totals
@@ -8107,6 +8234,447 @@ FROM per_doc p JOIN top2 t USING (doc_id)
 ORDER BY p.dup3_ppm DESC, p.doc_id
 LIMIT {_REP_TOPK}
 """
+
+
+def q231_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language QUALITY TERTILES (Wenzek et al. 2020:
+    bucket each language's corpus into head/middle/tail by a per-doc
+    LM-quality score, then budget training data by bucket). The score
+    here is the exact-integer stopword-density ppm (q226's gate
+    family — the cheap proxy the tertile MACHINERY is demonstrated
+    on; swapping in q213's smoothed-LM score changes one column).
+    Tertile boundaries are EXACT and tie-stable: they are computed on
+    the per-(lang, score) HISTOGRAM (never by ntile/row_number over
+    docs, whose tie-splitting is engine-arbitrary) — a score row is
+    'head' if it STARTS inside the top third of its language's doc
+    count (3·(cum − cnt) < total, cum = docs at or above this score),
+    'middle' if inside the top two thirds, else 'tail', so every doc
+    with the same (lang, score) lands in the same bucket on both
+    engines. NULL lang folds to '' (the q221 discipline).
+
+    Report: (lang, bucket, n_docs, sum_tokens, lo_score_ppm,
+    hi_score_ppm) ordered by (lang, bucket).
+
+    100 TB shape: ONE corpus scan partial-aggregating to the
+    (lang, score) histogram (≤ 10⁶ ppm values per language), a
+    per-language window over that histogram, and a histogram-sized
+    re-agg — the q130/q131 histogram-rank discipline applied to
+    quantile bucketing; the corpus never shuffles at doc grain."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .withColumn("_toks", _toks())
+        .filter(F.size("_toks") >= 1)
+    )
+    n_toks = F.size("_toks")
+    stop_n = F.size(F.filter("_toks", lambda x: x.isin(*_EN_STOP)))
+    hist = (
+        d.select(
+            F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
+            F.expr(
+                f"CAST(size(filter(_toks, x -> x IN {_EN_STOP} )) "
+                "* 1000000 div size(_toks) AS BIGINT)"
+            ).alias("score_ppm"),
+            n_toks.cast("long").alias("ntk"),
+        )
+        .groupBy("lang", "score_ppm")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum("ntk").cast("long").alias("stoks"),
+        )
+    )
+    _ = stop_n  # (documented inline above; kept for readers)
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("score_ppm"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("lang")
+    h = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "total", F.sum("cnt").over(wt)
+    )
+    bucket = (
+        F.when(3 * (F.col("cum") - F.col("cnt")) < F.col("total"), "head")
+        .when(3 * (F.col("cum") - F.col("cnt")) < 2 * F.col("total"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        h.withColumn("bucket", bucket)
+        .groupBy("lang", "bucket")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_docs"),
+            F.sum("stoks").cast("long").alias("sum_tokens"),
+            F.min("score_ppm").alias("lo_score_ppm"),
+            F.max("score_ppm").alias("hi_score_ppm"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+O231 = f"""
+WITH d AS (
+  SELECT COALESCE(lang, '') AS lang, {TOKS} AS tk FROM documents
+  WHERE text IS NOT NULL AND len({TOKS}) >= 1
+), hist AS (
+  SELECT lang,
+         CAST(len(list_filter(tk, x -> x IN {_EN_STOP})) * 1000000
+              // len(tk) AS BIGINT) AS score_ppm,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(len(tk)) AS BIGINT) AS stoks
+  FROM d GROUP BY 1, 2
+), h AS (
+  SELECT *,
+         SUM(cnt) OVER (PARTITION BY lang ORDER BY score_ppm DESC
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY lang) AS total
+  FROM hist
+), b AS (
+  SELECT lang,
+         CASE WHEN 3 * (cum - cnt) < total THEN 'head'
+              WHEN 3 * (cum - cnt) < 2 * total THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         cnt, stoks, score_ppm
+  FROM h
+)
+SELECT lang, bucket, CAST(SUM(cnt) AS BIGINT) AS n_docs,
+       CAST(SUM(stoks) AS BIGINT) AS sum_tokens,
+       MIN(score_ppm) AS lo_score_ppm, MAX(score_ppm) AS hi_score_ppm
+FROM b GROUP BY lang, bucket ORDER BY lang, bucket
+"""
+
+
+def q232_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SOURCE vocabulary-overlap matrix — the corpus-mixing
+    diagnostic run before blending crawls: per source pair, the EXACT
+    Jaccard (in ppm) between the sources' distinct-token vocabularies.
+    High overlap says the sources duplicate each other's coverage
+    (mix budget is wasted); near-zero says they are complementary.
+    Report: (source_a, source_b, v_a, v_b, n_common, jaccard_ppm)
+    ordered by (source_a, source_b).
+
+    100 TB shape: one corpus scan to the DISTINCT (source, term)
+    table (vocabulary-grouped — Heaps-sublinear, the corpus never
+    re-shuffles), a term-keyed self-join whose output is bounded by
+    |V|·S² for S sources (S is small and fixed), and source-pair-
+    sized arithmetic. The exact-set analog of the q219 sketch
+    calibrations."""
+    sv = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .withColumn("tk", _toks())
+        .select("source", F.explode("tk").alias("term"))
+        .distinct()
+    )
+    vs = sv.groupBy("source").agg(F.count("*").cast("long").alias("v"))
+    inter = (
+        sv.select(F.col("source").alias("source_a"), "term")
+        .join(sv.select(F.col("source").alias("source_b"), "term"), "term")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    return (
+        inter.join(
+            vs.select(F.col("source").alias("source_a"), F.col("v").alias("v_a")),
+            "source_a",
+        )
+        .join(
+            vs.select(F.col("source").alias("source_b"), F.col("v").alias("v_b")),
+            "source_b",
+        )
+        .select(
+            "source_a", "source_b", "v_a", "v_b", "n_common",
+            F.expr(
+                "CAST(n_common * 1000000 div (v_a + v_b - n_common) "
+                "AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+O232 = f"""
+WITH sv AS (
+  SELECT DISTINCT source, u.t AS term
+  FROM (SELECT source, {TOKS} AS tk FROM documents WHERE text IS NOT NULL),
+       LATERAL unnest(tk) AS u(t)
+), vs AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS v FROM sv GROUP BY source
+), inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM sv a JOIN sv b ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b, va.v AS v_a, vb.v AS v_b, i.n_common,
+       CAST(i.n_common * 1000000 // (va.v + vb.v - i.n_common) AS BIGINT)
+         AS jaccard_ppm
+FROM inter i
+JOIN vs va ON va.source = i.source_a
+JOIN vs vb ON vb.source = i.source_b
+ORDER BY i.source_a, i.source_b
+"""
+
+
+def q233_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document KEYWORD EXTRACTION — top-3 terms by an exact
+    integer tf·idf surrogate (score = tf · (N div df), N = corpus doc
+    count, df = term document frequency): the metadata-enrichment
+    pass that tags every document with its most distinctive terms
+    (search facets, topic routing). Float log-idf would rank almost
+    identically but hash differently per engine; the integer rarity
+    weight N div df keeps the ranking deterministic and
+    oracle-exact, with ties broken by (score desc, term asc) —
+    q87's BM25 machinery reduced to a corpus-wide extraction (no
+    query side, every doc reported).
+
+    Report: (doc_id, rk, term, tf, df_t, score) for rk ≤ 3, ordered
+    by (doc_id, rk).
+
+    100 TB shape: the (doc, term) tf table partial-aggregates
+    map-side; the df census is vocabulary-grouped and joins back on
+    term (the tf table's own key — one exchange each side); the
+    top-3 is a per-doc window over the doc-keyed tf stream. Three
+    exchanges total, all on uniform keys, nothing driver-side."""
+    tf = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .withColumn("tk", _toks())
+        .select("doc_id", F.explode("tk").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dfc = tf.groupBy("term").agg(F.count("*").cast("long").alias("df_t"))
+    nd = tf.agg(F.countDistinct("doc_id").cast("long").alias("nd"))
+    scored = (
+        tf.join(dfc, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id", "term", "tf", "df_t",
+            F.expr("tf * (nd div df_t)").alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.col("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", F.col("rk").cast("long").alias("rk"),
+                "term", "tf", "df_t", "score")
+        .orderBy("doc_id", "rk")
+    )
+
+
+O233 = f"""
+WITH ex AS (
+  SELECT doc_id, u.t AS term
+  FROM (SELECT doc_id, {TOKS} AS tk FROM documents WHERE text IS NOT NULL),
+       LATERAL unnest(tk) AS u(t)
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM ex GROUP BY doc_id, term
+), dfc AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t FROM tf GROUP BY term
+), nd AS (
+  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd FROM tf
+), scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df_t, t.tf * (n.nd // d.df_t) AS score
+  FROM tf t JOIN dfc d USING (term) CROSS JOIN nd n
+), rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS rk
+  FROM scored
+)
+SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf, df_t, score
+FROM rk WHERE rk <= 3 ORDER BY doc_id, rk
+"""
+
+
+_ZIPF_TOPK = 50  # q234's head-profile size
+
+
+def q234_zipf_head_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus ZIPF HEAD PROFILE — the top-{_ZIPF_TOPK} terms by
+    frequency with rank, per-term share and CUMULATIVE share in exact
+    ppm: the census a pipeline reads before choosing stopword lists,
+    q218-style head cutoffs, or tokenizer special tokens (a healthy
+    natural-language corpus concentrates ~20-40% of token mass in
+    this head; a flat profile flags synthetic or templated data).
+
+    Report: (rank, term, cnt, share_ppm, cum_share_ppm) ordered by
+    rank; rank ties broken by term (deterministic on both engines).
+
+    100 TB shape: one corpus scan to the vocabulary-grouped term
+    census (map-side partial agg), a parallel TakeOrdered top-K, a
+    1-row total broadcast, and a window over the K report rows (the
+    q123 rule: single-partition windows only over report-sized
+    frames — the full-vocabulary window stays in the ORACLE, where
+    DuckDB pays it once at sf0.01)."""
+    census = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .withColumn("tk", _toks())
+        .select(F.explode("tk").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    tot = census.agg(F.sum("cnt").cast("long").alias("tot"))
+    top = (
+        census.orderBy(F.desc("cnt"), "term").limit(_ZIPF_TOPK)
+    )
+    w = Window.orderBy(F.desc("cnt"), "term").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .withColumn("rank", F.row_number().over(
+            Window.orderBy(F.desc("cnt"), "term")
+        ).cast("long"))
+        .withColumn("cum", F.sum("cnt").over(w))
+        .select(
+            "rank", "term", "cnt",
+            F.expr("cnt * 1000000 div tot").alias("share_ppm"),
+            F.expr("cum * 1000000 div tot").alias("cum_share_ppm"),
+        )
+        .orderBy("rank")
+    )
+
+
+O234 = f"""
+WITH ex AS (
+  SELECT u.t AS term
+  FROM (SELECT {TOKS} AS tk FROM documents WHERE text IS NOT NULL),
+       LATERAL unnest(tk) AS u(t)
+), census AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM ex GROUP BY term
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM census
+), rk AS (
+  SELECT term, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rank,
+         SUM(cnt) OVER (ORDER BY cnt DESC, term
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM census
+)
+SELECT CAST(rank AS BIGINT) AS rank, term, cnt,
+       CAST(cnt * 1000000 // tot AS BIGINT) AS share_ppm,
+       CAST(cum * 1000000 // tot AS BIGINT) AS cum_share_ppm
+FROM rk CROSS JOIN tot WHERE rank <= {_ZIPF_TOPK} ORDER BY rank
+"""
+
+
+_NOVELTY_TOPK = 20  # q235's report size
+
+
+def q235_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NOVELTY SCORING — per NEW doc (doc_id % 3 == 0,
+    the q227/q229/q230 delta convention), the fraction of its
+    DISTINCT token bigrams never seen in the OLD snapshot, in exact
+    ppm: the content-freshness monitor an incremental crawl runs
+    next to its dedup tiers (q97/q183/q227 ask "have I seen this
+    DOC"; this asks "how much of this doc's LANGUAGE is new" — high
+    novelty flags emerging topics or garbage, zero novelty flags a
+    crawl stuck re-reading itself). Report: the top-{_NOVELTY_TOPK}
+    most-novel docs by (novelty_ppm desc, doc_id) with
+    (n_bigrams, n_novel) riding along.
+
+    100 TB shape: the history side collapses to its DISTINCT bigram
+    VOCABULARY (Heaps-sublinear — the same never-reshuffle-history
+    contract as q183's word table), the delta's distinct bigrams
+    LEFT-join it on the bigram key, and the doc-grain agg +
+    TakeOrdered are delta-sized."""
+    bg = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .withColumn("tk", _toks())
+        .filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1), "
+                    "i -> concat(element_at(tk, i), ' ', "
+                    "element_at(tk, i + 1)))"
+                )
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    old_vocab = (
+        bg.filter(F.pmod("doc_id", F.lit(3)) != 0)
+        .select("term")
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    return (
+        bg.filter(F.pmod("doc_id", F.lit(3)) == 0)
+        .join(old_vocab, "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0))
+            .cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id", "n_bigrams", "n_novel",
+            F.expr("n_novel * 1000000 div n_bigrams").alias("novelty_ppm"),
+        )
+        .orderBy(F.desc("novelty_ppm"), "doc_id")
+        .limit(_NOVELTY_TOPK)
+    )
+
+
+O235 = f"""
+WITH d AS (
+  SELECT doc_id, {TOKS} AS tk FROM documents
+  WHERE text IS NOT NULL AND len({TOKS}) >= 2
+), bg AS (
+  SELECT DISTINCT doc_id, tk[g.i] || ' ' || tk[g.i + 1] AS term
+  FROM d, LATERAL unnest(generate_series(1, len(tk) - 1)) AS g(i)
+), old_vocab AS (
+  SELECT DISTINCT term FROM bg WHERE doc_id % 3 <> 0
+)
+SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CASE WHEN o.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(SUM(CASE WHEN o.term IS NULL THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS novelty_ppm
+FROM bg b LEFT JOIN old_vocab o USING (term)
+WHERE b.doc_id % 3 = 0
+GROUP BY b.doc_id
+ORDER BY novelty_ppm DESC, b.doc_id
+LIMIT {_NOVELTY_TOPK}
+"""
+
+
+def q236_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER-SIZE HISTOGRAM — the dedup AUDIT census read
+    after clustering (q67): how many connected components exist at
+    each size, and how many docs they hold. The curve is what a
+    curation review actually inspects: a fat tail of mega-clusters
+    means boilerplate/templates are eating the corpus (and is the
+    width-budget evidence the q53/q227 hot-bucket guards cite);
+    singletons are the uncontested docs. Report:
+    (cluster_size, n_clusters, n_docs) ordered by cluster_size.
+
+    100 TB shape: q67's operator (band join → edge-bound regime
+    switch) produces the label table; both histogram aggs are
+    label-table-sized with map-side partials — the audit adds two
+    cheap exchanges to a clustering that already ran."""
+    comp = q67_dedup_components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+        .select(
+            "cluster_size", "n_clusters",
+            F.expr("cluster_size * n_clusters").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
 
 
 QUERIES = [
@@ -8416,4 +8984,32 @@ QUERIES = [
           "cross-multiplied to one DECIMAL rational) - the bit-stable "
           "dataset-shift alarm; one scan to a buckets-bounded census, "
           "every division census-side"),
+    Query("q231_perplexity_buckets", q231_perplexity_buckets, O231,
+          "CCNet-style per-language quality tertiles (head/middle/"
+          "tail) with tie-stable boundaries computed on the "
+          "(lang, score) histogram, never by row-number over docs - "
+          "one scan to a histogram, window + re-agg census-side"),
+    Query("q232_source_vocab_overlap", q232_source_vocab_overlap, O232,
+          "cross-source vocabulary-overlap matrix: exact Jaccard ppm "
+          "between per-source distinct-token sets via one term-keyed "
+          "self-join over the Heaps-sublinear (source, term) table"),
+    Query("q233_tfidf_keywords", q233_tfidf_keywords, O233,
+          "per-doc top-3 keyword extraction by exact integer tf*(N "
+          "div df) with (score desc, term) tie-break - q87's BM25 "
+          "machinery as a corpus-wide metadata pass; three uniform-"
+          "key exchanges, nothing driver-side"),
+    Query("q234_zipf_head_profile", q234_zipf_head_profile, O234,
+          "top-50 Zipf head census with exact per-term and cumulative "
+          "token-mass shares (ppm) - stopword/head-cutoff evidence; "
+          "vocab census + parallel TakeOrdered + report-sized window"),
+    Query("q235_bigram_novelty", q235_bigram_novelty, O235,
+          "incremental novelty scoring: per new doc the ppm of its "
+          "distinct bigrams unseen in the old snapshot's bigram "
+          "vocabulary (q183's never-reshuffle-history contract); "
+          "delta-sized doc agg + TakeOrdered"),
+    Query("q236_cluster_size_histogram", q236_cluster_size_histogram, O236,
+          "near-dup cluster-size histogram over q67's connected "
+          "components - the dedup audit census (mega-cluster tail = "
+          "the hot-bucket width-budget evidence); two label-table-"
+          "sized aggs on top of the shared graph operator"),
 ]

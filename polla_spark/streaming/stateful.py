@@ -282,3 +282,131 @@ def sessionize_batch_oracle(events: DataFrame, *, gap_minutes: int = 120) -> Dat
         )
         .drop("w")
     )
+
+
+# ---------------------------------------------------------------------------
+# Stateful incremental LSH (streaming twin #42 — q227's deployment shape)
+# ---------------------------------------------------------------------------
+
+LSH_PAIR_SCHEMA = T.StructType(
+    [
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+    ]
+)
+
+_LSH_STATE_SCHEMA = T.StructType(
+    [T.StructField("ids", T.ArrayType(T.LongType()))]
+)
+
+
+def make_lsh_bucket_kernel():
+    """Build the incremental-LSH bucket kernel at module level so it
+    is directly unit-testable with a fake GroupState (the
+    make_session_kernel discipline).
+
+    Per band-signature bucket the state is the SORTED list of doc ids
+    already seen; each micro-batch's new ids emit (old, new) pairs
+    against the state plus (new, new) pairs within the batch, then
+    append to the state — every candidate pair is emitted exactly
+    once per bucket, when its LATER member arrives (history x history
+    never re-enumerates, the q227 contract). Pairs are normalized
+    id_a < id_b; cross-BAND duplicates are deduped read-side by
+    :func:`finish_lsh_pairs`, mirroring batch q227's global
+    ``distinct()``.
+
+    STATE-SIZE DISCLOSURE: unlike the sessionizer (one fixed row per
+    live key) or the census twins (fixed key spaces), a bucket's id
+    list is UNBOUNDED — it grows with every doc whose band hashes
+    there, i.e. with the true near-dup cluster size. That is inherent
+    to the operator (the pairs themselves are quadratic in bucket
+    width); a deployment caps it with the same hot-bucket width guard
+    the batch tiers document (skip or sample buckets past a width
+    budget) at the cost of recall on mega-clusters. The twin keeps it
+    uncapped so streamed ≡ batch exactly."""
+
+    def fn(key, pdfs: Iterator["pd.DataFrame"], state) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout config
+            state.remove()
+            return
+        seen = list(state.get[0]) if state.exists else []
+        seen_set = set(seen)
+        new = sorted(
+            {int(v) for batch in pdfs for v in batch["doc_id"]} - seen_set
+        )
+        if not new:
+            return
+        ida: list[int] = []
+        idb: list[int] = []
+        for i, n in enumerate(new):
+            for o in seen:
+                a, b = (o, n) if o < n else (n, o)
+                ida.append(a)
+                idb.append(b)
+            for m in new[i + 1 :]:  # new is sorted, so n < m
+                ida.append(n)
+                idb.append(m)
+        state.update((seen + new,))
+        if ida:
+            yield pd.DataFrame({"id_a": ida, "id_b": idb})
+
+    return fn
+
+
+def lsh_pairs_stateful(docs: DataFrame) -> DataFrame:
+    """Streaming twin #42: INCREMENTAL LSH candidate maintenance as a
+    keyed-state operator — the deployment shape q227 models (its
+    batch form rebuilds the history signature table in-plan because
+    queries are state-free by driver contract; a real incremental
+    crawl dedup keeps the band-signature buckets as STATE and probes
+    each micro-batch against them).
+
+    The signature kernel is the IDENTICAL ``with_minhash`` +
+    ``stack(4, ...)`` unpivot batch q53/q227 run (one definition, two
+    transports); the keyed state carries each bucket's id list and
+    the kernel emits every candidate pair exactly once, when its
+    later member arrives. Shuffle per micro-batch: ONE hash exchange
+    of the delta's 4 band rows per doc — work is |delta| probes +
+    |new candidate pairs|, independent of accumulated history size
+    (the q227 100 TB contract, now with history genuinely carried as
+    state instead of rebuilt). No watermark/timeout: buckets never
+    expire (state-size tradeoff disclosed on the kernel builder)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..plans.llmdata import with_minhash
+
+    sigs = with_minhash(docs).selectExpr(
+        "doc_id", "stack(4, mh0, mh1, mh2, mh3) as sig"
+    )
+    # null-text docs have NULL signatures: the batch tiers' equi-join
+    # drops them (nulls never match), but a streaming groupBy would
+    # GROUP them into one bucket and invent pairs — filter to match
+    sigs = sigs.filter(sigs["sig"].isNotNull())
+    return sigs.groupBy("sig").applyInPandasWithState(
+        make_lsh_bucket_kernel(),
+        outputStructType=LSH_PAIR_SCHEMA,
+        stateStructType=_LSH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def finish_lsh_pairs(pairs: DataFrame) -> DataFrame:
+    """Read-side finisher: dedupe cross-band emissions (batch q227's
+    global ``distinct()``) and decorate with q227's both_new flag."""
+    from pyspark.sql import functions as F
+
+    return (
+        pairs.distinct()
+        .select(
+            "id_a",
+            "id_b",
+            (
+                (F.pmod("id_a", F.lit(3)) == 0)
+                & (F.pmod("id_b", F.lit(3)) == 0)
+            ).cast("int").alias("both_new"),
+        )
+        .orderBy("id_a", "id_b")
+    )

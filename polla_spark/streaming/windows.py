@@ -1600,6 +1600,85 @@ def finish_source_quality(updates: DataFrame) -> DataFrame:
     return source_quality_leaderboard(census)
 
 
+def embedding_drift_partials(vecs: DataFrame) -> DataFrame:
+    """Streaming twin of q229's drift census (43rd twin): the
+    (is_new, pos, s127, n) sums are plain merge-closed counts over a
+    fixed 2×64-key space — ONE definition shared with the batch
+    census (``plans/llmdata.embedding_drift_census_from``). State is
+    128 rows; update mode; n is the monotone pair of s127.
+    Monitoring is the native streaming workload — this census is
+    what an ingest monitor keeps hot as new embedding batches land."""
+    from ..plans.llmdata import embedding_drift_census_from
+
+    return embedding_drift_census_from(vecs)
+
+
+def finish_embedding_drift(updates: DataFrame) -> DataFrame:
+    """Collapse the update-mode census (n strictly monotone per key —
+    an update row only exists when new vectors hit the key; s127 is
+    paired to it via max_by, the twin #39 argument) and run the
+    IDENTICAL census-side report batch q229 runs."""
+    from ..plans.llmdata import embedding_drift_report
+
+    census = updates.groupBy("is_new", "pos").agg(
+        F.max_by("s127", "n").alias("s127"),
+        F.max("n").alias("n"),
+    )
+    return embedding_drift_report(census)
+
+
+def length_census_partials(docs: DataFrame) -> DataFrame:
+    """Streaming twin of q230's length-bucket census (44th twin):
+    per-bucket (ca, cb) counts over a fixed ≤20-key space — ONE
+    definition shared with the batch census
+    (``plans/llmdata.length_census_from``). State is ≤20 rows;
+    update mode; both counts monotone."""
+    from ..plans.llmdata import length_census_from
+
+    return length_census_from(docs)
+
+
+def finish_length_drift(updates: DataFrame) -> DataFrame:
+    """Collapse the update-mode census — ca and cb are EACH monotone
+    per bucket, so their independent maxes are both final-state
+    values even if attained in different update rows — and run the
+    IDENTICAL census-side exact chi-square batch q230 runs."""
+    from ..plans.llmdata import length_drift_report
+
+    per = updates.groupBy("bucket").agg(
+        F.max("ca").cast("long").alias("ca"),
+        F.max("cb").cast("long").alias("cb"),
+    )
+    return length_drift_report(per)
+
+
+def dsir_census_partials(docs: DataFrame) -> DataFrame:
+    """Streaming twin of q225's hashed-bigram census (45th twin):
+    per-bucket (cr, ct) counts over the fixed 256-bucket space — ONE
+    definition shared with the batch census
+    (``plans/llmdata.dsir_census_from``). State is ≤256 rows; update
+    mode; both counts monotone."""
+    from ..plans.llmdata import dsir_census_from
+
+    return dsir_census_from(docs)
+
+
+def finish_dsir_importance(updates: DataFrame, docs: DataFrame) -> DataFrame:
+    """Collapse the update-mode census (cr and ct each monotone per
+    bucket — independent maxes are final state), then run the
+    IDENTICAL weight-table + scoring tail batch q225 runs against
+    the (static, dimension-style) docs table — the twin #37
+    golden-records pattern: the trained/estimated table comes from
+    the stream, the scoring pass is a deterministic function of it."""
+    from ..plans.llmdata import dsir_report, dsir_weight_table
+
+    census = updates.groupBy("b").agg(
+        F.max("cr").cast("long").alias("cr"),
+        F.max("ct").cast("long").alias("ct"),
+    )
+    return dsir_report(docs, dsir_weight_table(census))
+
+
 def perceptron_epoch_partials(docs: DataFrame, w: list[int]) -> DataFrame:
     """Streaming twin of ONE batch-perceptron epoch (40th twin): the
     IDENTICAL ``pct_features_from`` → ``_pct_epoch_agg`` assembly

@@ -69,6 +69,17 @@ GOLDEN_QUERIES = [
     # (q225's broadcast-scored bigram stream, q228's gram exchange)
     "q225_dsir_importance",
     "q228_repetition_profile",
+    # r11: the remaining r10-new queries (verdict task #6) + the
+    # third q218 regime (skew-split chunk grid) + the planted-knee
+    # q222 sweep
+    "q219_lsh_calibration",
+    "q222_dedup_threshold_sweep",
+    "q224_perceptron_quality",
+    "q226_source_quality_lcb",
+    "q227_incremental_lsh_pairs",
+    "q229_embedding_drift",
+    "q230_length_drift_chi2",
+    "q218_allpairs_skew",
 ]
 
 
@@ -86,11 +97,15 @@ def extra_plans() -> dict:
         "q204_semantic_dedup_planes12": (
             lambda spark, sf: semantic_dedup_clusters(spark, sf, n_planes=12)
         ),
-        # the non-registered q218 regime (AllPairs/L2AP prefix filter):
-        # on flat-df corpora the auto-switch picks term-major, so this
-        # plan would otherwise never be snapshot
+        # the non-registered q218 regimes (AllPairs/L2AP prefix
+        # filter; r11 skew-split chunk grid): on flat-df corpora the
+        # auto-switch picks term-major, so these plans would
+        # otherwise never be snapshot
         "q218_allpairs_prefix": (
             lambda spark, sf: allpairs_cosine(spark, sf, prefix_filter=True)
+        ),
+        "q218_allpairs_skew": (
+            lambda spark, sf: allpairs_cosine(spark, sf, regime="skew")
         ),
     }
 
@@ -101,7 +116,10 @@ def main() -> None:
     from polla_spark.session import get_spark
 
     names = sys.argv[1:] or GOLDEN_QUERIES
-    spark = get_spark("gen_plan_goldens")
+    # cpus=4 == the pytest session shape: shuffle-partition count
+    # decides whether a repartition collapses into an upstream agg
+    # exchange, so goldens must be cut with the test session's config
+    spark = get_spark("gen_plan_goldens", cpus=4)
     reg = registry()
     extra = extra_plans()
     GOLDEN_DIR.mkdir(parents=True, exist_ok=True)

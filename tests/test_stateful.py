@@ -1134,3 +1134,48 @@ def test_fs_pair_kernel_matches_census_kernel():
         (r.g1, r.g2, r.g3, r.g4): r.c for r in census.itertuples(index=False)
     }
     assert summed == want and len(pairs) == 6  # C(4,2) at w=3
+
+
+def _lsh_pdf(ids):
+    import pandas as pd
+
+    return pd.DataFrame({"doc_id": ids})
+
+
+def test_lsh_bucket_kernel_emits_each_pair_once():
+    """In-process incremental-LSH bucket kernel (make_lsh_bucket_kernel):
+    batch 1 seeds the bucket and emits its within-batch pairs; batch 2
+    emits old x new + new x new, never re-emitting history pairs; a
+    batch of already-seen ids emits nothing and leaves state alone."""
+    from polla_spark.streaming.stateful import make_lsh_bucket_kernel
+
+    fn = make_lsh_bucket_kernel()
+    st = _FakeState()
+    out1 = list(fn(("sig",), iter([_lsh_pdf([3, 1])]), st))
+    assert len(out1) == 1
+    assert sorted(zip(out1[0]["id_a"], out1[0]["id_b"])) == [(1, 3)]
+    assert st.get == ([1, 3],)
+
+    out2 = list(fn(("sig",), iter([_lsh_pdf([2, 5, 2])]), st))
+    got = sorted(zip(out2[0]["id_a"], out2[0]["id_b"]))
+    # old x new: (1,2),(2,3),(1,5),(3,5); new x new: (2,5)
+    assert got == [(1, 2), (1, 5), (2, 3), (2, 5), (3, 5)]
+    assert st.get == ([1, 3, 2, 5],)
+
+    out3 = list(fn(("sig",), iter([_lsh_pdf([3, 5])]), st))
+    assert out3 == []
+    assert st.get == ([1, 3, 2, 5],)
+
+
+def test_lsh_bucket_kernel_normalizes_and_dedupes_within_batch():
+    """Pairs are normalized id_a < id_b regardless of arrival order,
+    and duplicate ids inside one micro-batch collapse before pairing
+    (the batch tiers' DISTINCT doc grain)."""
+    from polla_spark.streaming.stateful import make_lsh_bucket_kernel
+
+    fn = make_lsh_bucket_kernel()
+    st = _FakeState(value=([7],))
+    out = list(fn(("sig",), iter([_lsh_pdf([9, 9, 4])]), st))
+    got = sorted(zip(out[0]["id_a"], out[0]["id_b"]))
+    assert got == [(4, 7), (4, 9), (7, 9)]
+    assert st.get == ([7, 4, 9],)

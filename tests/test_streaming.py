@@ -1489,3 +1489,139 @@ def test_source_quality_stream_equals_q226(spark, tmp_path):
     got = SW.finish_source_quality(spark.table("srcq_updates"))
     keys = ["source", "n_docs", "n_pass", "pass_ppm", "wilson_lb_ppm"]
     assert _rows(got, keys) == _rows(q226_source_quality_lcb(spark, SF_DIR), keys)
+
+
+def _doc_stream(spark, tmp_path, name, cols):
+    """Stage documents as a 3-file stream split on doc_id % 3
+    (batches 1, 2, then 0 — the q227 'delta' split last)."""
+    from polla_spark.session import read_table
+
+    docs = read_table(spark, SF_DIR, "documents").select(*cols)
+    d = tmp_path / name
+    for part, i in enumerate([1, 2, 0]):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            str(d / f"part{part}")
+        )
+    return docs, (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*/")
+    )
+
+
+def _drain_update(spark, df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+def test_embedding_drift_stream_equals_q229(spark, tmp_path):
+    """Streamed embedding-drift census (43rd twin) == batch q229: the
+    (is_new, pos, s127, n) sums are merge-closed over a fixed 128-key
+    space, and the report is a deterministic census function —
+    streamed ≡ batch through the ONE shared
+    embedding_drift_census_from / embedding_drift_report pair."""
+    from polla_spark.plans.llmdata import q229_embedding_drift
+    from polla_spark.session import read_table
+
+    vecs = read_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    d = tmp_path / "drift_stream"
+    for i in range(3):
+        vecs.filter(F.col("vec_id") % 3 == i).coalesce(1).write.parquet(
+            str(d / f"part{i}")
+        )
+    stream = (
+        spark.readStream.schema(vecs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*/")
+    )
+    upd = _drain_update(spark, SW.embedding_drift_partials(stream), "t43_updates")
+    got = SW.finish_embedding_drift(upd)
+    keys = ["pos", "old_mean127_ppm", "new_mean127_ppm", "delta_ppm"]
+    assert _rows(got, keys) == _rows(q229_embedding_drift(spark, SF_DIR), keys)
+
+
+def test_length_drift_stream_equals_q230(spark, tmp_path):
+    """Streamed length-bucket census (44th twin) == batch q230: both
+    per-bucket counts are monotone, the chi-square is census-side —
+    streamed ≡ batch through the ONE shared length_census_from /
+    length_drift_report pair."""
+    from polla_spark.plans.llmdata import q230_length_drift_chi2
+
+    _, stream = _doc_stream(spark, tmp_path, "len_stream", ["doc_id", "n_chars"])
+    upd = _drain_update(spark, SW.length_census_partials(stream), "t44_updates")
+    got = SW.finish_length_drift(upd)
+    keys = ["bucket", "n_old", "n_new", "old_ppm", "new_ppm", "chi2_ppb"]
+    assert _rows(got, keys) == _rows(q230_length_drift_chi2(spark, SF_DIR), keys)
+
+
+def test_dsir_stream_equals_q225(spark, tmp_path):
+    """Streamed DSIR census (45th twin) == batch q225: the 256-bucket
+    (cr, ct) census streams merge-closed; the finisher runs the
+    IDENTICAL weight-table + scoring tail against the static corpus
+    (the twin-#37 pattern: estimate from the stream, score as a
+    deterministic function of it)."""
+    from polla_spark.plans.llmdata import q225_dsir_importance
+    from polla_spark.session import read_table
+
+    docs, stream = _doc_stream(
+        spark, tmp_path, "dsir_stream", ["doc_id", "text", "lang"]
+    )
+    upd = _drain_update(spark, SW.dsir_census_partials(stream), "t45_updates")
+    full_docs = read_table(spark, SF_DIR, "documents")
+    got = SW.finish_dsir_importance(upd, full_docs)
+    keys = ["doc_id", "n_bigrams", "importance_ppm"]
+    assert _rows(got, keys) == _rows(q225_dsir_importance(spark, SF_DIR), keys)
+
+
+def test_stateful_lsh_stream_equals_q227(spark, tmp_path):
+    """Stateful incremental LSH (42nd twin) over a 3-batch split: the
+    keyed band-bucket state carries history across micro-batches, the
+    kernel emits every candidate pair exactly once (when its later
+    member arrives), and
+
+    1. the pairs involving a DELTA doc (% 3 == 0 — the last batch)
+       equal batch q227 row for row, and
+    2. the FULL emitted union equals the complete band-join candidate
+       set (q53's pair set over the same docs) — nothing lost,
+       nothing invented, history x history included exactly once."""
+    from polla_spark.plans.llmdata import (
+        q53_lsh_candidate_pairs,
+        q227_incremental_lsh_pairs,
+    )
+    from polla_spark.streaming.stateful import (
+        finish_lsh_pairs,
+        lsh_pairs_stateful,
+    )
+
+    _, stream = _doc_stream(
+        spark, tmp_path, "lsh_stream", ["doc_id", "text"]
+    )
+    q = (
+        lsh_pairs_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("t42_pairs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    emitted = finish_lsh_pairs(spark.table("t42_pairs"))
+
+    keys = ["id_a", "id_b", "both_new"]
+    delta_involving = emitted.filter(
+        (F.pmod("id_a", F.lit(3)) == 0) | (F.pmod("id_b", F.lit(3)) == 0)
+    )
+    want = q227_incremental_lsh_pairs(spark, SF_DIR)
+    assert _rows(delta_involving, keys) == _rows(want, keys)
+    spark.catalog.clearCache()  # q227's plan-lifetime signature cache
+
+    full = q53_lsh_candidate_pairs(spark, SF_DIR)
+    assert _rows(emitted, ["id_a", "id_b"]) == _rows(full, ["id_a", "id_b"])
+    spark.catalog.clearCache()

@@ -1256,3 +1256,91 @@ def test_q230_one_bucket_exchange(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_q231_histogram_window_no_doc_grain_sort(spark):
+    # one corpus scan to the (lang, score) histogram; the tertile
+    # window and re-agg run on histogram rows — no doc-grain window,
+    # no join, no Python anywhere
+    from polla_spark.plans.llmdata import q231_perplexity_buckets
+
+    plan = _plan(q231_perplexity_buckets(spark, SF))
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    # histogram agg + window repartition + final census agg + sort:
+    # the doc-grain data crosses exactly ONE hash exchange (the
+    # histogram partial agg); everything after is histogram-sized
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_q232_distinct_then_term_join_no_cartesian(spark):
+    # the (source, term) table is DISTINCT before the self-join, and
+    # the join key is term — never source x source over raw data
+    from polla_spark.plans.llmdata import q232_source_vocab_overlap
+
+    plan = _plan(q232_source_vocab_overlap(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_q233_topk_window_no_global_sort_of_terms(spark):
+    # per-doc top-3 must run as a windowed rank over the doc-keyed
+    # stream with the df census joined on term; the 1-row N frame is
+    # a broadcast (BroadcastNestedLoopJoin on a 1-row build side is
+    # the crossJoin's legal shape), never a CartesianProduct of data
+    from polla_spark.plans.llmdata import q233_tfidf_keywords
+
+    plan = _plan(q233_tfidf_keywords(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_q234_takeordered_head_then_report_window(spark):
+    # the top-50 extraction must be a parallel TakeOrdered over the
+    # vocab census — never a global Sort of the vocabulary; the
+    # cumulative window runs on the 50-row report frame
+    from polla_spark.plans.llmdata import q234_zipf_head_profile
+
+    plan = _plan(q234_zipf_head_profile(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_q235_vocab_join_then_delta_agg(spark):
+    # the history side collapses to its distinct bigram vocabulary
+    # before the join (never doc x doc), and the report is a
+    # TakeOrdered over the delta-grain agg
+    from polla_spark.plans.llmdata import q235_bigram_novelty
+
+    plan = _plan(q235_bigram_novelty(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_q236_histogram_over_components_no_python(spark):
+    # the audit histogram adds only label-table-sized aggs on top of
+    # the shared graph operator — no Python, no cartesian anywhere
+    from polla_spark.plans.llmdata import q236_cluster_size_histogram
+
+    plan = _plan(q236_cluster_size_histogram(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_q218_skew_regime_grid_join_and_union(spark):
+    # the skew-split regime: head terms join on (term, ia, ib) — the
+    # chunk-grid key — and the tail keeps the plain term self-join;
+    # both branches union into ONE final (doc_a, doc_b) partial agg,
+    # so pairs sharing head AND tail terms merge exactly once
+    from polla_spark.plans.llmdata import allpairs_cosine
+
+    plan = _plan(allpairs_cosine(spark, SF, regime="skew"))
+    spark.catalog.clearCache()
+    assert "Union" in plan, plan
+    assert "ia" in plan and "ib" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan

@@ -8260,22 +8260,29 @@ def q231_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-language window over that histogram, and a histogram-sized
     re-agg — the q130/q131 histogram-rank discipline applied to
     quantile bucketing; the corpus never shuffles at doc grain."""
+    return quality_tertiles_report(
+        quality_hist_from(t(spark, sf_dir, "documents"))
+    )
+
+
+def quality_hist_from(docs: DataFrame) -> DataFrame:
+    """q231's per-(lang, score_ppm) histogram — merge-closed doc and
+    token counts, ONE definition shared by batch q231 and streaming
+    twin #46 (both counts monotone; no division past the within-row
+    score, streaming-legal in update mode)."""
     d = (
-        t(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull())
+        docs.filter(F.col("text").isNotNull())
         .withColumn("_toks", _toks())
         .filter(F.size("_toks") >= 1)
     )
-    n_toks = F.size("_toks")
-    stop_n = F.size(F.filter("_toks", lambda x: x.isin(*_EN_STOP)))
-    hist = (
+    return (
         d.select(
             F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
             F.expr(
                 f"CAST(size(filter(_toks, x -> x IN {_EN_STOP} )) "
                 "* 1000000 div size(_toks) AS BIGINT)"
             ).alias("score_ppm"),
-            n_toks.cast("long").alias("ntk"),
+            F.size("_toks").cast("long").alias("ntk"),
         )
         .groupBy("lang", "score_ppm")
         .agg(
@@ -8283,7 +8290,12 @@ def q231_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ntk").cast("long").alias("stoks"),
         )
     )
-    _ = stop_n  # (documented inline above; kept for readers)
+
+
+def quality_tertiles_report(hist: DataFrame) -> DataFrame:
+    """q231's histogram-side tertile bucketing + report (shared with
+    streaming twin #46's finisher) — everything here runs on
+    histogram rows."""
     w = (
         Window.partitionBy("lang")
         .orderBy(F.desc("score_ppm"))
@@ -8511,14 +8523,28 @@ def q234_zipf_head_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     q123 rule: single-partition windows only over report-sized
     frames — the full-vocabulary window stays in the ORACLE, where
     DuckDB pays it once at sf0.01)."""
-    census = (
-        t(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull())
+    return zipf_head_report(
+        term_census_from(t(spark, sf_dir, "documents"))
+    )
+
+
+def term_census_from(docs: DataFrame) -> DataFrame:
+    """q234's unigram term census — a merge-closed count over the
+    Heaps-sublinear vocabulary, ONE definition shared by batch q234
+    and streaming twin #47 (state is vocabulary-bounded, the twin
+    #38 BPE-census disclosure class)."""
+    return (
+        docs.filter(F.col("text").isNotNull())
         .withColumn("tk", _toks())
         .select(F.explode("tk").alias("term"))
         .groupBy("term")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
+
+
+def zipf_head_report(census: DataFrame) -> DataFrame:
+    """q234's census-side top-K + shares (shared with twin #47's
+    finisher)."""
     tot = census.agg(F.sum("cnt").cast("long").alias("tot"))
     top = (
         census.orderBy(F.desc("cnt"), "term").limit(_ZIPF_TOPK)

@@ -1679,6 +1679,51 @@ def finish_dsir_importance(updates: DataFrame, docs: DataFrame) -> DataFrame:
     return dsir_report(docs, dsir_weight_table(census))
 
 
+def quality_hist_partials(docs: DataFrame) -> DataFrame:
+    """Streaming twin of q231's quality histogram (46th twin): the
+    per-(lang, score_ppm) doc/token counts are merge-closed — ONE
+    definition shared with the batch histogram
+    (``plans/llmdata.quality_hist_from``). State is bounded by the
+    (lang × distinct ppm score) space; update mode; both counts
+    monotone."""
+    from ..plans.llmdata import quality_hist_from
+
+    return quality_hist_from(docs)
+
+
+def finish_quality_tertiles(updates: DataFrame) -> DataFrame:
+    """Collapse the update-mode histogram (cnt and stoks each
+    monotone per key — independent maxes are final state) and run the
+    IDENTICAL histogram-side tertile bucketing batch q231 runs."""
+    from ..plans.llmdata import quality_tertiles_report
+
+    hist = updates.groupBy("lang", "score_ppm").agg(
+        F.max("cnt").cast("long").alias("cnt"),
+        F.max("stoks").cast("long").alias("stoks"),
+    )
+    return quality_tertiles_report(hist)
+
+
+def term_census_partials(docs: DataFrame) -> DataFrame:
+    """Streaming twin of q234's term census (47th twin): plain
+    merge-closed counts — ONE definition shared with the batch census
+    (``plans/llmdata.term_census_from``). State is
+    vocabulary-bounded (Heaps-sublinear, the twin #38 disclosure
+    class), never corpus-sized; update mode."""
+    from ..plans.llmdata import term_census_from
+
+    return term_census_from(docs)
+
+
+def finish_zipf_head(updates: DataFrame) -> DataFrame:
+    """Collapse the update-mode census (counts monotone) and run the
+    IDENTICAL census-side top-K + shares batch q234 runs."""
+    from ..plans.llmdata import zipf_head_report
+
+    census = updates.groupBy("term").agg(F.max("cnt").cast("long").alias("cnt"))
+    return zipf_head_report(census)
+
+
 def perceptron_epoch_partials(docs: DataFrame, w: list[int]) -> DataFrame:
     """Streaming twin of ONE batch-perceptron epoch (40th twin): the
     IDENTICAL ``pct_features_from`` → ``_pct_epoch_agg`` assembly

@@ -1625,3 +1625,37 @@ def test_stateful_lsh_stream_equals_q227(spark, tmp_path):
     full = q53_lsh_candidate_pairs(spark, SF_DIR)
     assert _rows(emitted, ["id_a", "id_b"]) == _rows(full, ["id_a", "id_b"])
     spark.catalog.clearCache()
+
+
+def test_quality_tertiles_stream_equals_q231(spark, tmp_path):
+    """Streamed quality histogram (46th twin) == batch q231: the
+    (lang, score_ppm) doc/token counts are merge-closed and the
+    tertile bucketing is a deterministic histogram function —
+    streamed ≡ batch through the ONE shared quality_hist_from /
+    quality_tertiles_report pair."""
+    from polla_spark.plans.llmdata import q231_perplexity_buckets
+
+    _, stream = _doc_stream(
+        spark, tmp_path, "qtert_stream", ["doc_id", "text", "lang"]
+    )
+    upd = _drain_update(spark, SW.quality_hist_partials(stream), "t46_updates")
+    got = SW.finish_quality_tertiles(upd)
+    keys = ["lang", "bucket", "n_docs", "sum_tokens",
+            "lo_score_ppm", "hi_score_ppm"]
+    assert _rows(got, keys) == _rows(q231_perplexity_buckets(spark, SF_DIR), keys)
+
+
+def test_zipf_head_stream_equals_q234(spark, tmp_path):
+    """Streamed term census (47th twin) == batch q234: vocabulary-
+    bounded merge-closed counts; the top-K + shares report is a
+    deterministic census function — streamed ≡ batch through the ONE
+    shared term_census_from / zipf_head_report pair."""
+    from polla_spark.plans.llmdata import q234_zipf_head_profile
+
+    _, stream = _doc_stream(
+        spark, tmp_path, "zipf_stream", ["doc_id", "text"]
+    )
+    upd = _drain_update(spark, SW.term_census_partials(stream), "t47_updates")
+    got = SW.finish_zipf_head(upd)
+    keys = ["rank", "term", "cnt", "share_ppm", "cum_share_ppm"]
+    assert _rows(got, keys) == _rows(q234_zipf_head_profile(spark, SF_DIR), keys)

@@ -248,13 +248,21 @@ def _flag_regressions(
     every cross-round delta in this file is machine-speed-suspect."""
     here = Path(__file__).resolve().parent
 
-    def _round_no(p: Path) -> int:
+    def _round_no(p: Path) -> tuple[int, int]:
         # parse the integer round number — lexicographic sort would
-        # mispick r99 over r100 once round numbers change width
-        m = re.search(r"BENCH_r(\d+)\.json$", p.name)
-        return int(m.group(1)) if m else -1
+        # mispick r99 over r100 once round numbers change width.
+        # Matches both root BENCH_rN.json and docs/bench_rN*_close.json
+        # (incl. the r9s2 intra-round reruns). Same round: prefer the
+        # builder close-out (1) over the driver artifact (0) — the
+        # driver's r6+ files keep only a truncated stdout tail with no
+        # per-query dict, while the close file is always complete.
+        m = re.search(r"(?:BENCH|bench)_r(\d+)", p.name)
+        return (int(m.group(1)) if m else -1, 1 if "close" in p.name else 0)
 
-    prior_files = sorted(here.glob("BENCH_r*.json"), key=_round_no)
+    prior_files = sorted(
+        list(here.glob("BENCH_r*.json")) + list(here.glob("docs/bench_r*_close.json")),
+        key=_round_no,
+    )
     if not prior_files:
         return
     # walk BACKWARDS to the newest baseline that actually carries

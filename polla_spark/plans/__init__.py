@@ -145,7 +145,9 @@ def registry() -> dict[str, Query]:
 # Queries whose RESULT SHAPE changed after their newest green round:
 # their certification record is stale, so they sort as never-certified
 # until the driver re-greens them. r10's q219 entry (the 4-row grid
-# reshape) went hash-green in CORRECTNESS_r10 and was removed. r11:
-# q222 gained the planted mid-similarity cohort (the knee fixture),
-# so its pair counts changed.
-RECERTIFY = frozenset({"q222_dedup_threshold_sweep"})
+# reshape) went hash-green in CORRECTNESS_r10 and was removed; r11's
+# q222 entry (the planted mid-similarity cohort) went hash-green in
+# CORRECTNESS_r11 and was removed. Currently empty — the rotation is
+# purely least-recently-certified, which puts the r7 tier (q77-q104,
+# q120, q125-q128, q136, q147-q150, q202-q207) at the front for r12.
+RECERTIFY: frozenset[str] = frozenset()

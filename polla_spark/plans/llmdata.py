@@ -7316,8 +7316,22 @@ def _sweep_planted_docs(docs: DataFrame) -> DataFrame:
     are near-copies at J > 0.9, everything else is unrelated), which
     made the r10 sweep FLAT from τ=0.1 to 0.9 — a calibration query
     that never shows a knee demonstrates nothing; the planted cohort
-    bends the curve while both engines derive the identical rows."""
-    base = docs.select("doc_id", "text")
+    bends the curve while both engines derive the identical rows.
+
+    COLLISION CERTIFICATE (q226 style, Spark-side): variant ids are
+    base id + 10⁸, so a real doc_id ≥ 10⁸ would silently merge a
+    variant with a real doc identically on both engines and the
+    oracle could not catch it — every base row therefore passes
+    through a raise_error() guard asserting doc_id < 10⁸ (constant
+    per-row cost inside the scan projection, no extra pass)."""
+    base = docs.select(
+        F.expr(
+            "CASE WHEN doc_id < 100000000 THEN doc_id "
+            "ELSE CAST(raise_error('q222: planted-offset collision: "
+            "doc_id >= 1e8; raise the offset') AS BIGINT) END"
+        ).alias("doc_id"),
+        "text",
+    )
     kept = (
         "greatest(3, (size(tk) * (40 + 5 * pmod(doc_id div 19, 7))) div 100)"
     )
@@ -7405,13 +7419,19 @@ O222 = f"""
 WITH vtoks AS (
   SELECT doc_id, {TOKS} AS tk FROM documents
   WHERE text IS NOT NULL AND doc_id % 19 = 0
-), vari AS (
-  SELECT doc_id + 100000000 AS doc_id,
+), vkept AS (
+  -- kept-fraction computed against the BASE doc_id in its own CTE so
+  -- the +1e8 alias below can never shadow it (alias-precedence rules
+  -- differ across engines; the old single-SELECT form depended on
+  -- DuckDB resolving the base column over the lateral alias)
+  SELECT doc_id,
          array_to_string(
            tk[1 : GREATEST(3, (len(tk) * (40 + 5 * ((doc_id // 19) % 7)))
                               // 100)],
            ' ') AS text
   FROM vtoks WHERE len(tk) >= 8
+), vari AS (
+  SELECT doc_id + 100000000 AS doc_id, text FROM vkept
 ), alldocs AS (
   SELECT doc_id, text FROM documents
   UNION ALL SELECT doc_id, text FROM vari
@@ -8396,9 +8416,14 @@ def q232_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "source_a", "source_b", "v_a", "v_b", "n_common",
+            # wide-intermediate rule (q226 discipline): n_common*1e6
+            # is safe to ~9.2e12 shared terms as bare BIGINT, but
+            # Spark's div wraps silently on overflow, so route the
+            # product through DECIMAL(38,0) anyway — one cast, zero
+            # ambiguity at any vocabulary size.
             F.expr(
-                "CAST(n_common * 1000000 div (v_a + v_b - n_common) "
-                "AS BIGINT)"
+                "CAST(CAST(n_common AS DECIMAL(38,0)) * 1000000 "
+                "div (v_a + v_b - n_common) AS BIGINT)"
             ).alias("jaccard_ppm"),
         )
         .orderBy("source_a", "source_b")
@@ -8419,7 +8444,8 @@ WITH sv AS (
   GROUP BY 1, 2
 )
 SELECT i.source_a, i.source_b, va.v AS v_a, vb.v AS v_b, i.n_common,
-       CAST(i.n_common * 1000000 // (va.v + vb.v - i.n_common) AS BIGINT)
+       CAST(CAST(i.n_common AS HUGEINT) * 1000000
+            // (va.v + vb.v - i.n_common) AS BIGINT)
          AS jaccard_ppm
 FROM inter i
 JOIN vs va ON va.source = i.source_a

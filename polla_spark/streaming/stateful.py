@@ -300,30 +300,39 @@ _LSH_STATE_SCHEMA = T.StructType(
 )
 
 
-def make_lsh_bucket_kernel():
+def make_lsh_bucket_kernel(max_bucket: int | None = None):
     """Build the incremental-LSH bucket kernel at module level so it
     is directly unit-testable with a fake GroupState (the
     make_session_kernel discipline).
 
     Per band-signature bucket the state is the SORTED list of doc ids
-    already seen; each micro-batch's new ids emit (old, new) pairs
-    against the state plus (new, new) pairs within the batch, then
-    append to the state — every candidate pair is emitted exactly
-    once per bucket, when its LATER member arrives (history x history
-    never re-enumerates, the q227 contract). Pairs are normalized
-    id_a < id_b; cross-BAND duplicates are deduped read-side by
-    :func:`finish_lsh_pairs`, mirroring batch q227's global
-    ``distinct()``.
+    already seen (re-sorted on every update, so the invariant holds
+    regardless of arrival order); each micro-batch's new ids emit
+    (old, new) pairs against the state plus (new, new) pairs within
+    the batch, then merge into the state — every candidate pair is
+    emitted exactly once per bucket, when its LATER member arrives
+    (history x history never re-enumerates, the q227 contract). Pairs
+    are normalized id_a < id_b; cross-BAND duplicates are deduped
+    read-side by :func:`finish_lsh_pairs`, mirroring batch q227's
+    global ``distinct()``.
 
-    STATE-SIZE DISCLOSURE: unlike the sessionizer (one fixed row per
-    live key) or the census twins (fixed key spaces), a bucket's id
-    list is UNBOUNDED — it grows with every doc whose band hashes
-    there, i.e. with the true near-dup cluster size. That is inherent
-    to the operator (the pairs themselves are quadratic in bucket
-    width); a deployment caps it with the same hot-bucket width guard
-    the batch tiers document (skip or sample buckets past a width
-    budget) at the cost of recall on mega-clusters. The twin keeps it
-    uncapped so streamed ≡ batch exactly."""
+    STATE-SIZE DISCLOSURE + THE CAP: unlike the sessionizer (one
+    fixed row per live key) or the census twins (fixed key spaces), a
+    bucket's id list grows with the true near-dup cluster size —
+    inherent to the operator (the pairs themselves are quadratic in
+    bucket width). ``max_bucket`` makes the documented hot-bucket
+    width guard real: once a bucket holds ``max_bucket`` ids it
+    FREEZES — later arrivals emit no pairs and are not stored (skip
+    policy; within the batch that crosses the cap, the smallest new
+    ids fill the remaining room, deterministically). Guarantees,
+    pinned in tests/test_stateful.py: (a) the capped pair set is a
+    subset of the uncapped one; (b) buckets whose total width never
+    exceeds the cap emit IDENTICAL pairs — no false negatives below
+    the budget; (c) on a planted mega-cluster of width W the recall
+    is exactly C(min(W, max_bucket), 2) / C(W, 2) — the state/recall
+    tradeoff a deployment tunes with q236's cluster-size histogram.
+    ``max_bucket=None`` (the twin default) keeps the bucket unbounded
+    so streamed ≡ batch exactly."""
 
     def fn(key, pdfs: Iterator["pd.DataFrame"], state) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -336,6 +345,11 @@ def make_lsh_bucket_kernel():
         new = sorted(
             {int(v) for batch in pdfs for v in batch["doc_id"]} - seen_set
         )
+        if max_bucket is not None:
+            room = max_bucket - len(seen)
+            if room <= 0:
+                return  # frozen bucket: skip, never grow past the cap
+            new = new[:room]
         if not new:
             return
         ida: list[int] = []
@@ -348,14 +362,14 @@ def make_lsh_bucket_kernel():
             for m in new[i + 1 :]:  # new is sorted, so n < m
                 ida.append(n)
                 idb.append(m)
-        state.update((seen + new,))
+        state.update((sorted(seen + new),))
         if ida:
             yield pd.DataFrame({"id_a": ida, "id_b": idb})
 
     return fn
 
 
-def lsh_pairs_stateful(docs: DataFrame) -> DataFrame:
+def lsh_pairs_stateful(docs: DataFrame, max_bucket: int | None = None) -> DataFrame:
     """Streaming twin #42: INCREMENTAL LSH candidate maintenance as a
     keyed-state operator — the deployment shape q227 models (its
     batch form rebuilds the history signature table in-plan because
@@ -372,7 +386,9 @@ def lsh_pairs_stateful(docs: DataFrame) -> DataFrame:
     |new candidate pairs|, independent of accumulated history size
     (the q227 100 TB contract, now with history genuinely carried as
     state instead of rebuilt). No watermark/timeout: buckets never
-    expire (state-size tradeoff disclosed on the kernel builder)."""
+    expire; ``max_bucket`` bounds per-bucket state via the kernel's
+    freeze-at-cap policy (tradeoffs disclosed on the kernel builder —
+    None keeps the twin exactly ≡ batch)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from ..plans.llmdata import with_minhash
@@ -385,7 +401,7 @@ def lsh_pairs_stateful(docs: DataFrame) -> DataFrame:
     # GROUP them into one bucket and invent pairs — filter to match
     sigs = sigs.filter(sigs["sig"].isNotNull())
     return sigs.groupBy("sig").applyInPandasWithState(
-        make_lsh_bucket_kernel(),
+        make_lsh_bucket_kernel(max_bucket),
         outputStructType=LSH_PAIR_SCHEMA,
         stateStructType=_LSH_STATE_SCHEMA,
         outputMode="append",

@@ -1160,11 +1160,12 @@ def test_lsh_bucket_kernel_emits_each_pair_once():
     got = sorted(zip(out2[0]["id_a"], out2[0]["id_b"]))
     # old x new: (1,2),(2,3),(1,5),(3,5); new x new: (2,5)
     assert got == [(1, 2), (1, 5), (2, 3), (2, 5), (3, 5)]
-    assert st.get == ([1, 3, 2, 5],)
+    # state is re-sorted on update (the kernel's documented invariant)
+    assert st.get == ([1, 2, 3, 5],)
 
     out3 = list(fn(("sig",), iter([_lsh_pdf([3, 5])]), st))
     assert out3 == []
-    assert st.get == ([1, 3, 2, 5],)
+    assert st.get == ([1, 2, 3, 5],)
 
 
 def test_lsh_bucket_kernel_normalizes_and_dedupes_within_batch():
@@ -1178,4 +1179,62 @@ def test_lsh_bucket_kernel_normalizes_and_dedupes_within_batch():
     out = list(fn(("sig",), iter([_lsh_pdf([9, 9, 4])]), st))
     got = sorted(zip(out[0]["id_a"], out[0]["id_b"]))
     assert got == [(4, 7), (4, 9), (7, 9)]
-    assert st.get == ([7, 4, 9],)
+    assert st.get == ([4, 7, 9],)
+
+
+def _drain_lsh(fn, batches, st):
+    """Run a batch sequence through an LSH bucket kernel, returning
+    the flattened normalized pair set."""
+    pairs = set()
+    for b in batches:
+        for out in fn(("sig",), iter([_lsh_pdf(b)]), st):
+            pairs |= set(zip(out["id_a"], out["id_b"]))
+    return pairs
+
+
+def test_lsh_bucket_kernel_cap_subset_and_freeze():
+    """max_bucket pin (a): the capped pair set is a strict subset of
+    the uncapped one on the same batch sequence, and a frozen bucket
+    (state at cap) neither emits nor grows on later arrivals."""
+    from polla_spark.streaming.stateful import make_lsh_bucket_kernel
+
+    batches = [[3, 1], [2], [8, 4], [10]]
+    uncapped = _drain_lsh(make_lsh_bucket_kernel(), batches, _FakeState())
+    st = _FakeState()
+    capped = _drain_lsh(make_lsh_bucket_kernel(max_bucket=4), batches, st)
+    assert capped < uncapped  # strict: the cap dropped something
+    # batch 3 had room for one of {4, 8}: smallest id fills it
+    assert st.get == ([1, 2, 3, 4],)
+    # frozen: a further batch emits nothing and leaves state alone
+    fn = make_lsh_bucket_kernel(max_bucket=4)
+    assert list(fn(("sig",), iter([_lsh_pdf([99])]), st)) == []
+    assert st.get == ([1, 2, 3, 4],)
+
+
+def test_lsh_bucket_kernel_cap_no_false_negatives_below_budget():
+    """max_bucket pin (b): a bucket whose total width never exceeds
+    the cap emits pairs IDENTICAL to the uncapped kernel — the cap
+    only ever bites past the budget."""
+    from polla_spark.streaming.stateful import make_lsh_bucket_kernel
+
+    batches = [[3, 1], [2, 5]]  # width 4 == cap
+    uncapped = _drain_lsh(make_lsh_bucket_kernel(), batches, _FakeState())
+    st = _FakeState()
+    capped = _drain_lsh(make_lsh_bucket_kernel(max_bucket=4), batches, st)
+    assert capped == uncapped == {(1, 3), (1, 2), (2, 3), (1, 5), (2, 5), (3, 5)}
+    assert st.get == ([1, 2, 3, 5],)
+
+
+def test_lsh_bucket_kernel_cap_megacluster_recall():
+    """max_bucket pin (c): on a planted mega-cluster of width W=20
+    with cap 5 the kernel keeps exactly C(5,2)=10 of C(20,2)=190
+    pairs — recall C(cap,2)/C(W,2), the state/recall tradeoff the
+    q236 cluster-size histogram tunes (SCALE.md)."""
+    from polla_spark.streaming.stateful import make_lsh_bucket_kernel
+
+    batches = [list(range(100, 110)), list(range(110, 120))]
+    uncapped = _drain_lsh(make_lsh_bucket_kernel(), batches, _FakeState())
+    capped = _drain_lsh(make_lsh_bucket_kernel(max_bucket=5), batches, _FakeState())
+    assert len(uncapped) == 190 and len(capped) == 10
+    assert capped == {(a, b) for a in range(100, 105) for b in range(a + 1, 105)}
+    assert capped < uncapped

@@ -118,6 +118,103 @@ def connected_components(
     return _distributed_propagation(nodes, edges, max_rounds=max_rounds)
 
 
+def merge_components(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    new_nodes: DataFrame | None = None,
+    *,
+    local_threshold: int = 100_000,
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Fold a DELTA edge set into an existing component labeling —
+    the incremental-maintenance tier downstream of the stateful LSH
+    pair stream (twin #42): batch ``connected_components`` recomputes
+    the clustering from scratch; a real incremental crawl folds each
+    micro-batch's new candidate pairs into the standing label table.
+
+    ``labels``: (node, label) with label = component min, valid for
+    the already-seen graph. ``new_edges``: (src, dst) delta pairs —
+    endpoints may be new nodes or old ones. ``new_nodes``: optional
+    (node) rows for delta docs with no pairs at all (isolated
+    singletons never appear in an edge stream). Returns the (node,
+    label) table of the UNION graph — pinned hash-equal to a full
+    recompute (q237's oracle; the q147/q227 incremental == full
+    discipline).
+
+    Correctness: contracting a graph by its exact components then
+    adding the delta edges yields the same components as recomputing
+    over the union — each old component is already represented by its
+    min label, so only LABELS need merging, and the sub-problem's own
+    min-label result needs no transitive chase (a contracted
+    component's new label maps to itself).
+
+    100 TB shape — label-table work is SCAN-ONLY, never shuffled:
+    the delta's endpoint set broadcasts against the corpus-sized
+    label table (map-side probe) to contract the delta edges to
+    label space; the merge sub-problem is then bounded by |delta
+    edges| and runs through :func:`connected_components`' own regime
+    switch (driver union-find under ``local_threshold``, distributed
+    propagation past it); the resulting remap — touched labels only —
+    broadcasts back over one more scan. No corpus-sized shuffle, no
+    history re-enumeration."""
+    eps = (
+        new_edges.select(F.col("src").alias("node"))
+        .unionByName(new_edges.select(F.col("dst").alias("node")))
+    )
+    if new_nodes is not None:
+        eps = eps.unionByName(new_nodes.select("node"))
+    eps = eps.distinct().persist()
+    # old labels of touched endpoints: broadcast the delta-sized
+    # endpoint set and probe the label table map-side
+    known = labels.join(F.broadcast(eps), "node").persist()
+    ep_labels = (
+        eps.join(F.broadcast(known.withColumnRenamed("label", "_kl")), "node", "left")
+        .select("node", F.coalesce("_kl", F.col("node")).alias("label"))
+        .persist()
+    )
+    contracted_edges = (
+        new_edges.join(
+            F.broadcast(
+                ep_labels.select(
+                    F.col("node").alias("src"), F.col("label").alias("_ls")
+                )
+            ),
+            "src",
+        )
+        .join(
+            F.broadcast(
+                ep_labels.select(
+                    F.col("node").alias("dst"), F.col("label").alias("_ld")
+                )
+            ),
+            "dst",
+        )
+        .filter(F.col("_ls") != F.col("_ld"))
+        .select(F.col("_ls").alias("src"), F.col("_ld").alias("dst"))
+        .distinct()
+    )
+    contracted_nodes = ep_labels.select(F.col("label").alias("node")).distinct()
+    sub = connected_components(
+        contracted_nodes,
+        contracted_edges,
+        local_threshold=local_threshold,
+        max_rounds=max_rounds,
+    )
+    remap = (
+        sub.filter(F.col("node") != F.col("label"))
+        .select(F.col("node").alias("_old"), F.col("label").alias("_new"))
+    )
+    old_rows = labels.join(
+        F.broadcast(remap), labels["label"] == remap["_old"], "left"
+    ).select("node", F.coalesce("_new", "label").alias("label"))
+    added = (
+        ep_labels.join(known.select("node"), "node", "left_anti")
+        .join(F.broadcast(remap), ep_labels["label"] == remap["_old"], "left")
+        .select("node", F.coalesce("_new", "label").alias("label"))
+    )
+    return old_rows.unionByName(added)
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Exact triangle count of an undirected simple graph via DEGREE
     ORIENTATION (compact-forward — Latapy 2008; Suri & Vassilvitskii

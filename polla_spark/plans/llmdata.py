@@ -8729,6 +8729,72 @@ def q236_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q237_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL component maintenance — the deployment tier
+    downstream of q227's pair stream: batch q67/q236 recluster from
+    scratch; a real incremental crawl folds each batch's new
+    candidate pairs into the STANDING label table. History (doc_id %
+    3 != 0, the q227 snapshot convention) is clustered once with the
+    shared ``connected_components`` operator; the delta batch's
+    pairs (delta×all band probes — exactly the stateful-LSH twin-#42
+    emission) then fold in through
+    ``operators/graph.merge_components``, which contracts the delta
+    edges to LABEL space and merges labels only. The ORACLE is the
+    FULL recompute (O67's recursive transitive closure over the
+    whole corpus): hash equality proves incremental == full — the
+    q147/q227 incremental-equals-batch discipline applied to
+    clustering itself.
+
+    100 TB shape: history×history edges are never re-enumerated; the
+    label table is scanned (broadcast endpoint probe + broadcast
+    remap), never shuffled; the merge sub-problem is bounded by
+    |delta pairs| and reuses the edge-count regime switch. Report:
+    (doc_id, component) — identical shape to q67."""
+    from ..operators.graph import connected_components, merge_components
+
+    d = with_minhash(_spread(spark, t(spark, sf_dir, "documents"))).select(
+        "doc_id", "mh0", "mh1", "mh2", "mh3"
+    )
+    # plan-lifetime signature cache (the q227/q218 discipline): both
+    # the history band join and the delta probe read it
+    long = d.selectExpr(
+        "doc_id", "stack(4, mh0, mh1, mh2, mh3) as sig"
+    ).persist()
+    long.count()  # materialize before self-join
+    hist = long.filter(F.pmod("doc_id", F.lit(3)) != 0)
+    hist_edges = (
+        hist.select(F.col("doc_id").alias("src"), "sig")
+        .join(hist.select(F.col("doc_id").alias("dst"), "sig"), "sig")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    docs = t(spark, sf_dir, "documents")
+    hist_nodes = docs.filter(F.pmod("doc_id", F.lit(3)) != 0).select(
+        F.col("doc_id").alias("node")
+    )
+    labels = connected_components(hist_nodes, hist_edges)
+    delta_edges = (
+        long.filter(F.pmod("doc_id", F.lit(3)) == 0)
+        .select(F.col("doc_id").alias("id_n"), "sig")
+        .join(long.select(F.col("doc_id").alias("id_o"), "sig"), "sig")
+        .filter(F.col("id_n") != F.col("id_o"))
+        .select(F.col("id_n").alias("src"), F.col("id_o").alias("dst"))
+        .distinct()
+    )
+    new_nodes = docs.filter(F.pmod("doc_id", F.lit(3)) == 0).select(
+        F.col("doc_id").alias("node")
+    )
+    merged = merge_components(labels, delta_edges, new_nodes)
+    return merged.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
+    ).orderBy("doc_id")
+
+
+# oracle = the FULL recompute: equality proves incremental == full
+O237 = O67
+
+
 QUERIES = [
     Query("q50_exact_dedup", q50_exact_dedup, O50, "sha256 exact dedup"),
     Query("q51_fingerprint_dedup", q51_fingerprint_dedup, O51, "normalized fingerprint dedup"),
@@ -9064,4 +9130,10 @@ QUERIES = [
           "components - the dedup audit census (mega-cluster tail = "
           "the hot-bucket width-budget evidence); two label-table-"
           "sized aggs on top of the shared graph operator"),
+    Query("q237_incremental_components", q237_incremental_components, O237,
+          "incremental connected-components maintenance: fold the "
+          "delta batch's pairs into the standing label table via "
+          "merge_components (label-space contraction, broadcast "
+          "remap); oracle = full recompute, hash equality proves "
+          "incremental == full"),
 ]

@@ -409,6 +409,43 @@ def lsh_pairs_stateful(docs: DataFrame, max_bucket: int | None = None) -> DataFr
     )
 
 
+def fold_component_labels(
+    labels: DataFrame, pairs: DataFrame, new_nodes: DataFrame | None = None
+) -> DataFrame:
+    """Streaming twin #48: incremental CLUSTER maintenance over the
+    twin-#42 pair stream — the deployment tier batch q237 models.
+    Each micro-batch's emitted candidate pairs fold into the standing
+    (node, label) table via ``operators/graph.merge_components``
+    (label-space contraction + broadcast remap; the corpus is never
+    reshuffled and history pairs are never re-enumerated). Run from a
+    ``foreachBatch`` sink, checkpointing the returned table per batch
+    (tests/test_streaming.py drives the 3-batch pin: folded ≡ batch
+    q67's from-scratch clustering). Shares ONE kernel definition with
+    batch q237 — this wrapper only renames the pair columns."""
+    from pyspark.sql import functions as F
+
+    from ..operators.graph import merge_components
+
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    return merge_components(labels, edges, new_nodes)
+
+
+def finish_component_labels(labels: DataFrame, docs: DataFrame) -> DataFrame:
+    """Read-side finisher for twin #48 (the er_entities pattern):
+    docs that never appeared in any candidate pair are singletons —
+    left-join the static corpus against the (pair-touched-docs-sized,
+    broadcastable) label table and default each miss to itself."""
+    from pyspark.sql import functions as F
+
+    return (
+        docs.select(F.col("doc_id").alias("node"))
+        .join(F.broadcast(labels), "node", "left")
+        .select("node", F.coalesce("label", F.col("node")).alias("label"))
+    )
+
+
 def finish_lsh_pairs(pairs: DataFrame) -> DataFrame:
     """Read-side finisher: dedupe cross-band emissions (batch q227's
     global ``distinct()``) and decorate with q227's both_new flag."""

@@ -80,6 +80,16 @@ GOLDEN_QUERIES = [
     "q229_embedding_drift",
     "q230_length_drift_chi2",
     "q218_allpairs_skew",
+    # r12: the six r11-new queries (verdict task #6) + the
+    # incremental-components fold (merge_components' broadcast-remap
+    # shape must stay visible in review)
+    "q231_perplexity_buckets",
+    "q232_source_vocab_overlap",
+    "q233_tfidf_keywords",
+    "q234_zipf_head_profile",
+    "q235_bigram_novelty",
+    "q236_cluster_size_histogram",
+    "q237_incremental_components",
 ]
 
 

@@ -69,3 +69,79 @@ def test_no_edges(spark):
     edges = spark.createDataFrame([], "src long, dst long")
     out = connected_components(nodes, edges, local_threshold=1_000)
     assert {r["node"]: r["label"] for r in out.collect()} == {n: n for n in NODES}
+
+
+# ---------------------------------------------------------------------------
+# merge_components: incremental fold == full recompute
+# ---------------------------------------------------------------------------
+
+
+def _labels_df(spark, mapping):
+    return spark.createDataFrame(
+        [(n, l) for n, l in mapping.items()], "node long, label long"
+    )
+
+
+def _merge(spark, mapping, delta_edges, new_nodes=(), threshold=1_000):
+    from polla_spark.operators.graph import merge_components
+
+    labels = _labels_df(spark, mapping)
+    edges = spark.createDataFrame(delta_edges, "src long, dst long")
+    nn = (
+        spark.createDataFrame([(n,) for n in new_nodes], "node long")
+        if new_nodes
+        else None
+    )
+    out = merge_components(labels, edges, nn, local_threshold=threshold)
+    return {r["node"]: r["label"] for r in out.collect()}
+
+
+def test_merge_components_equals_full_recompute(spark):
+    """Fold the EDGES graph in as one history half + one delta batch:
+    the merged labeling equals the from-scratch labeling of the full
+    graph (the q237 contract), on both merge regimes."""
+    hist_edges = [(1, 2), (2, 3), (10, 11), (30, 31)]
+    delta = [(3, 4), (11, 12), (10, 12)]
+    nodes = spark.createDataFrame([(n,) for n in NODES], "node long")
+    hist = {
+        r["node"]: r["label"]
+        for r in connected_components(
+            nodes, spark.createDataFrame(hist_edges, "src long, dst long")
+        ).collect()
+    }
+    for thr in (1_000, 0):  # union-find endgame AND distributed merge
+        assert _merge(spark, hist, delta, threshold=thr) == EXPECTED
+
+
+def test_merge_components_bridges_two_old_components(spark):
+    """A single delta edge joining two standing components remaps the
+    larger label everywhere — including members NOT touched by the
+    delta (the broadcast remap over the full label table)."""
+    hist = {1: 1, 2: 1, 3: 3, 4: 3, 9: 9}
+    assert _merge(spark, hist, [(2, 4)]) == {1: 1, 2: 1, 3: 1, 4: 1, 9: 9}
+
+
+def test_merge_components_new_nodes_and_singletons(spark):
+    """Delta endpoints unseen by the labeling join as themselves; an
+    isolated new doc (new_nodes row with no edges) lands a singleton;
+    a new node can LOWER an old component's label (min semantics)."""
+    hist = {5: 5, 6: 5}
+    got = _merge(spark, hist, [(2, 5)], new_nodes=[2, 99])
+    assert got == {2: 2, 5: 2, 6: 2, 99: 99}
+
+
+def test_merge_components_empty_labeling_bootstraps(spark):
+    """First batch: an empty standing labeling is just a full
+    clustering of the delta graph."""
+    got = _merge(spark, {}, [(1, 2), (2, 3)], new_nodes=[1, 2, 3, 7])
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7}
+
+
+def test_merge_components_empty_delta_is_identity(spark):
+    hist = {1: 1, 2: 1, 9: 9}
+    from polla_spark.operators.graph import merge_components
+
+    labels = _labels_df(spark, hist)
+    edges = spark.createDataFrame([], "src long, dst long")
+    out = merge_components(labels, edges, None)
+    assert {r["node"]: r["label"] for r in out.collect()} == hist

@@ -1331,6 +1331,20 @@ def test_q236_histogram_over_components_no_python(spark):
     assert "partial_count" in plan, plan
 
 
+def test_q237_merge_is_broadcast_remap_never_label_shuffle(spark):
+    # the incremental fold's label-table work must be scan + broadcast
+    # joins only: the endpoint probe and the remap both broadcast the
+    # delta-sized side, so the standing label table is never hashed
+    # into an exchange — and no Python anywhere
+    from polla_spark.plans.llmdata import q237_incremental_components
+
+    plan = _plan(q237_incremental_components(spark, SF))
+    spark.catalog.clearCache()  # plan-lifetime signature cache
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_q218_skew_regime_grid_join_and_union(spark):
     # the skew-split regime: head terms join on (term, ia, ib) — the
     # chunk-grid key — and the tail keeps the plain term self-join;

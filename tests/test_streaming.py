@@ -1627,6 +1627,48 @@ def test_stateful_lsh_stream_equals_q227(spark, tmp_path):
     spark.catalog.clearCache()
 
 
+def test_incremental_components_stream_equals_q67(spark, tmp_path):
+    """Streamed incremental clustering (48th twin) over the twin-#42
+    pair stream: a foreachBatch sink folds each micro-batch's emitted
+    candidate pairs into the standing label table via
+    fold_component_labels (merge_components — label-space contraction
+    + broadcast remap, history never re-enumerated); after the
+    3-batch split the finished labeling equals batch q67's
+    from-scratch clustering row for row — incremental == full,
+    streamed (the q237 contract as a live fold)."""
+    from polla_spark.plans.llmdata import q67_dedup_components
+    from polla_spark.streaming.stateful import (
+        finish_component_labels,
+        fold_component_labels,
+        lsh_pairs_stateful,
+    )
+
+    docs, stream = _doc_stream(spark, tmp_path, "cc_stream", ["doc_id", "text"])
+    state = {"labels": spark.createDataFrame([], "node long, label long")}
+
+    def fold(batch_df, _epoch):
+        # localCheckpoint: materialize the fold so the next batch's
+        # merge doesn't replay every prior batch's lineage
+        state["labels"] = fold_component_labels(
+            state["labels"], batch_df
+        ).localCheckpoint()
+
+    q = (
+        lsh_pairs_stateful(stream)
+        .writeStream.foreachBatch(fold)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = finish_component_labels(state["labels"], docs).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
+    )
+    keys = ["doc_id", "component"]
+    assert _rows(got, keys) == _rows(q67_dedup_components(spark, SF_DIR), keys)
+    spark.catalog.clearCache()
+
+
 def test_quality_tertiles_stream_equals_q231(spark, tmp_path):
     """Streamed quality histogram (46th twin) == batch q231: the
     (lang, score_ppm) doc/token counts are merge-closed and the

@@ -7318,20 +7318,18 @@ def _sweep_planted_docs(docs: DataFrame) -> DataFrame:
     that never shows a knee demonstrates nothing; the planted cohort
     bends the curve while both engines derive the identical rows.
 
-    COLLISION CERTIFICATE (q226 style, Spark-side): variant ids are
-    base id + 10⁸, so a real doc_id ≥ 10⁸ would silently merge a
-    variant with a real doc identically on both engines and the
-    oracle could not catch it — every base row therefore passes
-    through a raise_error() guard asserting doc_id < 10⁸ (constant
-    per-row cost inside the scan projection, no extra pass)."""
-    base = docs.select(
-        F.expr(
-            "CASE WHEN doc_id < 100000000 THEN doc_id "
-            "ELSE CAST(raise_error('q222: planted-offset collision: "
-            "doc_id >= 1e8; raise the offset') AS BIGINT) END"
-        ).alias("doc_id"),
-        "text",
-    )
+    COLLISION-FREE OFFSET (r12, the ADVICE alternative to a fixed
+    10⁸): variant ids are base id + (max(doc_id) + 1), derived from
+    the corpus on BOTH engines — a variant id exceeds every real id
+    by construction at ANY scale (the fixed offset would have
+    aborted/collided on the 20×/100× scale dirs, whose replica ids
+    reach 5·10¹¹), and variants stay distinct because base ids are.
+    The sweep's output is pure counts, so it is invariant to the
+    offset value itself. The 1-row max rides a broadcast nested-loop
+    crossJoin (the q233 1-row-frame shape — legal, never a data
+    cartesian)."""
+    base = docs.select("doc_id", "text")
+    voff = base.agg((F.max("doc_id") + F.lit(1)).alias("_voff"))
     kept = (
         "greatest(3, (size(tk) * (40 + 5 * pmod(doc_id div 19, 7))) div 100)"
     )
@@ -7340,8 +7338,9 @@ def _sweep_planted_docs(docs: DataFrame) -> DataFrame:
         .filter(F.pmod("doc_id", F.lit(19)) == 0)
         .withColumn("tk", _toks())
         .filter(F.size("tk") >= 8)
+        .crossJoin(F.broadcast(voff))
         .select(
-            (F.col("doc_id") + F.lit(100_000_000)).alias("doc_id"),
+            (F.col("doc_id") + F.col("_voff")).alias("doc_id"),
             F.array_join(F.expr(f"slice(tk, 1, {kept})"), " ").alias("text"),
         )
     )
@@ -7431,7 +7430,10 @@ WITH vtoks AS (
            ' ') AS text
   FROM vtoks WHERE len(tk) >= 8
 ), vari AS (
-  SELECT doc_id + 100000000 AS doc_id, text FROM vkept
+  -- collision-free planted offset: strictly above every real id at
+  -- any scale (mirrors the Spark-side max-derived offset)
+  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents) AS doc_id, text
+  FROM vkept
 ), alldocs AS (
   SELECT doc_id, text FROM documents
   UNION ALL SELECT doc_id, text FROM vari
@@ -8389,14 +8391,37 @@ def q232_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-shuffles), a term-keyed self-join whose output is bounded by
     |V|·S² for S sources (S is small and fixed), and source-pair-
     sized arithmetic. The exact-set analog of the q219 sketch
-    calibrations."""
-    sv = (
-        t(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull())
+    calibrations. Kernel shared ONE-definition with streaming twin
+    #49 (``source_term_census_from`` / ``vocab_overlap_report``)."""
+    return vocab_overlap_report(
+        source_term_census_from(t(spark, sf_dir, "documents")).select(
+            "source", "term"
+        )
+    )
+
+
+def source_term_census_from(docs: DataFrame) -> DataFrame:
+    """q232's per-(source, term) census — merge-closed counts, ONE
+    definition shared by batch q232 and streaming twin #49 (the
+    count makes the streamed distinct merge-closed: a key exists iff
+    its cnt > 0, and cnt is monotone). State disclosure for the
+    twin: |sources| × vocabulary keys — Heaps-sublinear in the
+    corpus (the twin-#38 word-table class), never doc-sized."""
+    return (
+        docs.filter(F.col("text").isNotNull())
         .withColumn("tk", _toks())
         .select("source", F.explode("tk").alias("term"))
-        .distinct()
+        .groupBy("source", "term")
+        .agg(F.count("*").cast("long").alias("cnt"))
     )
+
+
+def vocab_overlap_report(sv: DataFrame) -> DataFrame:
+    """q232's report tail over the DISTINCT (source, term) table —
+    shared verbatim by batch q232 and twin #49's finisher (which
+    must localCheckpoint its memory-sink-backed input first — Spark
+    4's self-join attribute dedup fails on a shared View leaf; the
+    rename-before-join below handles the ordinary ambiguity)."""
     vs = sv.groupBy("source").agg(F.count("*").cast("long").alias("v"))
     inter = (
         sv.select(F.col("source").alias("source_a"), "term")
@@ -8635,32 +8660,55 @@ def q235_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     VOCABULARY (Heaps-sublinear — the same never-reshuffle-history
     contract as q183's word table), the delta's distinct bigrams
     LEFT-join it on the bigram key, and the doc-grain agg +
-    TakeOrdered are delta-sized."""
-    bg = (
-        t(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull())
-        .withColumn("tk", _toks())
-        .filter(F.size("tk") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(tk) - 1), "
-                    "i -> concat(element_at(tk, i), ' ', "
-                    "element_at(tk, i + 1)))"
-                )
-            ).alias("term"),
-        )
-        .distinct()
-    )
+    TakeOrdered are delta-sized. Per-doc bigram dedup is ROW-LOCAL
+    (array_distinct before the explode — r12: replaces the old
+    corpus-wide DISTINCT exchange with per-row work, and is what
+    makes streaming twin #50 stateless-joinable). Kernels shared
+    ONE-definition with the twin (``bigram_rows_from`` /
+    ``novelty_partials_from`` / ``novelty_report``)."""
+    docs = t(spark, sf_dir, "documents")
+    bg = bigram_rows_from(docs)
     old_vocab = (
         bg.filter(F.pmod("doc_id", F.lit(3)) != 0)
         .select("term")
         .distinct()
         .withColumn("seen", F.lit(1))
     )
+    delta = docs.filter(F.pmod("doc_id", F.lit(3)) == 0)
+    return novelty_report(novelty_partials_from(delta, old_vocab))
+
+
+def bigram_rows_from(docs: DataFrame) -> DataFrame:
+    """q235's per-doc DISTINCT bigram rows — dedup is row-local
+    (array_distinct inside the row, then explode), so the table
+    needs no corpus-wide exchange and streams stateless. ONE
+    definition shared by batch q235 and streaming twin #50."""
     return (
-        bg.filter(F.pmod("doc_id", F.lit(3)) == 0)
+        docs.filter(F.col("text").isNotNull())
+        .withColumn("tk", _toks())
+        .filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(sequence(1, size(tk) - 1), "
+                    "i -> concat(element_at(tk, i), ' ', "
+                    "element_at(tk, i + 1))))"
+                )
+            ).alias("term"),
+        )
+    )
+
+
+def novelty_partials_from(delta_docs: DataFrame, old_vocab: DataFrame) -> DataFrame:
+    """q235's per-doc (n_bigrams, n_novel) partials: the delta's
+    distinct bigrams LEFT-join the (static, Heaps-sublinear) history
+    vocabulary on the bigram key, then aggregate per doc. Shared by
+    batch q235 and twin #50 (where it is a stream-static join — the
+    history vocabulary is static by construction; a doc's bigrams
+    all arrive in its one row, so both counts land in one update)."""
+    return (
+        bigram_rows_from(delta_docs)
         .join(old_vocab, "term", "left")
         .groupBy("doc_id")
         .agg(
@@ -8668,7 +8716,14 @@ def q235_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0))
             .cast("long").alias("n_novel"),
         )
-        .select(
+    )
+
+
+def novelty_report(partials: DataFrame) -> DataFrame:
+    """q235's report tail — exact-ppm novelty + deterministic top-K;
+    shared verbatim by batch q235 and twin #50's finisher."""
+    return (
+        partials.select(
             "doc_id", "n_bigrams", "n_novel",
             F.expr("n_novel * 1000000 div n_bigrams").alias("novelty_ppm"),
         )

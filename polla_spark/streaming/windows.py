@@ -1724,6 +1724,66 @@ def finish_zipf_head(updates: DataFrame) -> DataFrame:
     return zipf_head_report(census)
 
 
+def source_vocab_partials(docs: DataFrame) -> DataFrame:
+    """Streaming twin of q232's (source, term) vocabulary census
+    (49th twin): merge-closed counts — ONE definition shared with the
+    batch census (``plans/llmdata.source_term_census_from``); a key
+    EXISTS iff its monotone cnt > 0, which is what makes the streamed
+    distinct merge-closed. STATE DISCLOSURE: |sources| × vocabulary
+    keys — Heaps-sublinear in the corpus (the twin-#38 word-table
+    class), never doc-sized; update mode. The live form of the
+    corpus-mixing diagnostic: the overlap matrix stays current as
+    crawl batches land."""
+    from ..plans.llmdata import source_term_census_from
+
+    return source_term_census_from(docs)
+
+
+def finish_vocab_overlap(updates: DataFrame) -> DataFrame:
+    """Collapse the update-mode census to its KEY SET (existence is
+    the distinct — cnt is monotone, so any update row proves the key)
+    and run the IDENTICAL Jaccard-matrix report batch q232 runs.
+
+    The localCheckpoint IS the state collapse (vocab-bounded, the
+    disclosed twin-#38 class) — and it is also load-bearing: the
+    report self-joins its input, and Spark 4's self-join attribute
+    dedup fails with INTERNAL_ERROR conflicting-references when both
+    sides reach the same memory-sink View leaf; checkpointing
+    rebases the key set onto a fresh LogicalRDD first."""
+    from ..plans.llmdata import vocab_overlap_report
+
+    sv = updates.select("source", "term").distinct().localCheckpoint()
+    return vocab_overlap_report(sv)
+
+
+def novelty_partials(docs: DataFrame, old_vocab: DataFrame) -> DataFrame:
+    """Streaming twin of q235's per-doc novelty partials (50th twin):
+    the delta STREAM's row-local distinct bigrams left-join the
+    STATIC history vocabulary (stream-static join — the history
+    vocabulary is static by construction: q235 scores a delta against
+    a frozen snapshot) and aggregate per doc — ONE definition shared
+    with batch q235 (``plans/llmdata.novelty_partials_from``). State
+    is delta-doc-keyed; both counts land in a single update because a
+    doc's text arrives whole in one row; update mode."""
+    from ..plans.llmdata import novelty_partials_from
+
+    return novelty_partials_from(docs, old_vocab)
+
+
+def finish_novelty(updates: DataFrame) -> DataFrame:
+    """Collapse the update-mode partials (n_bigrams and n_novel are
+    each monotone per doc — and in fact final after the doc's single
+    update) and run the IDENTICAL ppm + top-K report batch q235
+    runs."""
+    from ..plans.llmdata import novelty_report
+
+    per = updates.groupBy("doc_id").agg(
+        F.max("n_bigrams").cast("long").alias("n_bigrams"),
+        F.max("n_novel").cast("long").alias("n_novel"),
+    )
+    return novelty_report(per)
+
+
 def perceptron_epoch_partials(docs: DataFrame, w: list[int]) -> DataFrame:
     """Streaming twin of ONE batch-perceptron epoch (40th twin): the
     IDENTICAL ``pct_features_from`` → ``_pct_epoch_agg`` assembly

@@ -1627,6 +1627,56 @@ def test_stateful_lsh_stream_equals_q227(spark, tmp_path):
     spark.catalog.clearCache()
 
 
+def test_vocab_overlap_stream_equals_q232(spark, tmp_path):
+    """Streamed (source, term) vocabulary census (49th twin) == batch
+    q232: the merge-closed counts prove key existence, the finisher's
+    distinct is state-collapse not re-derivation, and the Jaccard
+    matrix is the IDENTICAL shared report — streamed ≡ batch through
+    the ONE source_term_census_from / vocab_overlap_report pair."""
+    from polla_spark.plans.llmdata import q232_source_vocab_overlap
+
+    _, stream = _doc_stream(
+        spark, tmp_path, "vocab_stream", ["doc_id", "text", "source"]
+    )
+    upd = _drain_update(spark, SW.source_vocab_partials(stream), "t49_updates")
+    got = SW.finish_vocab_overlap(upd)
+    keys = ["source_a", "source_b", "v_a", "v_b", "n_common", "jaccard_ppm"]
+    assert _rows(got, keys) == _rows(
+        q232_source_vocab_overlap(spark, SF_DIR), keys
+    )
+
+
+def test_novelty_stream_equals_q235(spark, tmp_path):
+    """Streamed per-doc novelty (50th twin) == batch q235: the delta
+    stream's row-local distinct bigrams join the STATIC history
+    vocabulary (stream-static left join) and the finisher runs the
+    identical ppm + top-K report — streamed ≡ batch through the ONE
+    novelty_partials_from / novelty_report pair."""
+    from polla_spark.plans.llmdata import (
+        bigram_rows_from,
+        q235_bigram_novelty,
+    )
+    from polla_spark.session import read_table
+
+    docs, stream = _doc_stream(
+        spark, tmp_path, "novelty_stream", ["doc_id", "text"]
+    )
+    full = read_table(spark, SF_DIR, "documents")
+    old_vocab = (
+        bigram_rows_from(full.filter(F.pmod("doc_id", F.lit(3)) != 0))
+        .select("term")
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    delta_stream = stream.filter(F.pmod("doc_id", F.lit(3)) == 0)
+    upd = _drain_update(
+        spark, SW.novelty_partials(delta_stream, old_vocab), "t50_updates"
+    )
+    got = SW.finish_novelty(upd)
+    keys = ["doc_id", "n_bigrams", "n_novel", "novelty_ppm"]
+    assert _rows(got, keys) == _rows(q235_bigram_novelty(spark, SF_DIR), keys)
+
+
 def test_incremental_components_stream_equals_q67(spark, tmp_path):
     """Streamed incremental clustering (48th twin) over the twin-#42
     pair stream: a foreachBatch sink folds each micro-batch's emitted

@@ -26,10 +26,10 @@ from pyspark.sql import DataFrame, SparkSession
 # len(registry()) == DECLARED_QUERY_COUNT so an addition that forgets
 # the bump (or a bump without queries) fails fast instead of silently
 # shipping an undeclared inventory.
-# NOTE: query ids span q01–q237 with q139 intentionally unassigned
-# (a numbering skip from round 3, not a dropped query) — hence 236
-# registered queries over a 238-wide id range.
-DECLARED_QUERY_COUNT = 236
+# NOTE: query ids span q01–q239 with q139 intentionally unassigned
+# (a numbering skip from round 3, not a dropped query) — hence 238
+# registered queries over a 240-wide id range.
+DECLARED_QUERY_COUNT = 238
 
 # Rows-only queries: implemented but intentionally without a SQL
 # oracle (non-SQL-expressible semantics — q38: HLL sketch values are

@@ -8805,6 +8805,18 @@ def q237_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     remap), never shuffled; the merge sub-problem is bounded by
     |delta pairs| and reuses the edge-count regime switch. Report:
     (doc_id, component) — identical shape to q67."""
+    _, merged = _incremental_labels(spark, sf_dir)
+    return merged.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
+    ).orderBy("doc_id")
+
+
+def _incremental_labels(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """q237/q239's shared construction: (history labeling, merged
+    labeling after the delta fold). History = doc_id % 3 != 0 (the
+    q227 snapshot convention), delta = % 3 == 0."""
     from ..operators.graph import connected_components, merge_components
 
     d = with_minhash(_spread(spark, t(spark, sf_dir, "documents"))).select(
@@ -8841,13 +8853,208 @@ def q237_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("node")
     )
     merged = merge_components(labels, delta_edges, new_nodes)
-    return merged.select(
-        F.col("node").alias("doc_id"), F.col("label").alias("component")
-    ).orderBy("doc_id")
+    return labels, merged
 
 
 # oracle = the FULL recompute: equality proves incremental == full
 O237 = O67
+
+
+#: q238's bucket-width budget grid — candidate max_bucket caps
+_CAP_GRID = (2, 4, 8, 16)
+
+
+def q238_capped_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped-LSH RECALL AUDIT — prices the ``max_bucket`` knob the
+    stateful twin-#42 kernel exposes (freeze-at-cap hot-bucket
+    guard): for each candidate cap, how many of the FULL band-join
+    candidate pairs survive when every band bucket keeps only its
+    first ``cap`` members (doc_id arrival order — exactly the
+    kernel's policy on an ordered stream, pinned equivalent in
+    tests/test_stateful.py). A pair survives at cap c iff SOME
+    shared bucket holds both members at rank ≤ c, so the per-pair
+    statistic is mincap = MIN over shared buckets of
+    GREATEST(rank_a, rank_b), computed once — the cap grid then
+    reads off counts without re-joining. Report: (cap, n_pairs_kept,
+    n_pairs_lost, recall_ppm). Read next to q236's cluster-size
+    histogram: q236 shows WHERE the width budget bites, this shows
+    WHAT each budget costs in candidate recall.
+
+    100 TB shape: the same band self-join as q53 (near-dup-sparse
+    output), a bucket-keyed rank window (partition width = bucket
+    width — the audited quantity itself), one pairs-grain agg, and a
+    constant-size cap grid on a broadcast frame."""
+    from pyspark.sql.window import Window
+
+    d = with_minhash(_spread(spark, t(spark, sf_dir, "documents"))).select(
+        "doc_id", "mh0", "mh1", "mh2", "mh3"
+    )
+    ranked = (
+        d.selectExpr("doc_id", "stack(4, mh0, mh1, mh2, mh3) as sig")
+        .filter(F.col("sig").isNotNull())
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("sig").orderBy("doc_id")),
+        )
+    )
+    pairs = (
+        ranked.select(F.col("doc_id").alias("id_a"), "sig", F.col("rn").alias("rn_a"))
+        .join(
+            ranked.select(
+                F.col("doc_id").alias("id_b"), "sig", F.col("rn").alias("rn_b")
+            ),
+            "sig",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.min(F.greatest("rn_a", "rn_b")).alias("mincap"))
+    )
+    caps = spark.createDataFrame([(c,) for c in _CAP_GRID], "cap long")
+    return (
+        pairs.crossJoin(F.broadcast(caps))
+        .groupBy("cap")
+        .agg(
+            F.sum(F.when(F.col("mincap") <= F.col("cap"), 1).otherwise(0))
+            .cast("long").alias("n_pairs_kept"),
+            F.sum(F.when(F.col("mincap") > F.col("cap"), 1).otherwise(0))
+            .cast("long").alias("n_pairs_lost"),
+        )
+        .select(
+            "cap", "n_pairs_kept", "n_pairs_lost",
+            # wide-intermediate rule: the kept*1e6 product rides
+            # DECIMAL(38,0); the quotient is ≤ 1e6 so BIGINT is exact
+            F.expr(
+                "CAST(CAST(n_pairs_kept AS DECIMAL(38,0)) * 1000000 "
+                "div (n_pairs_kept + n_pairs_lost) AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("cap")
+    )
+
+
+O238 = f"""
+WITH sigs AS (
+  SELECT doc_id, {_duck_mh(0)} AS mh0, {_duck_mh(1)} AS mh1,
+         {_duck_mh(2)} AS mh2, {_duck_mh(3)} AS mh3
+  FROM documents
+), long AS (
+  SELECT doc_id, mh0 AS sig FROM sigs UNION ALL SELECT doc_id, mh1 FROM sigs
+  UNION ALL SELECT doc_id, mh2 FROM sigs UNION ALL SELECT doc_id, mh3 FROM sigs
+), ranked AS (
+  SELECT doc_id, sig,
+         ROW_NUMBER() OVER (PARTITION BY sig ORDER BY doc_id) AS rn
+  FROM long WHERE sig IS NOT NULL
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         MIN(GREATEST(a.rn, b.rn)) AS mincap
+  FROM ranked a JOIN ranked b ON a.sig = b.sig AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), caps AS (
+  SELECT * FROM (VALUES {", ".join(f"({c})" for c in _CAP_GRID)}) AS c(cap)
+)
+SELECT c.cap,
+       CAST(COUNT(*) FILTER (p.mincap <= c.cap) AS BIGINT) AS n_pairs_kept,
+       CAST(COUNT(*) FILTER (p.mincap > c.cap) AS BIGINT) AS n_pairs_lost,
+       CAST(CAST(COUNT(*) FILTER (p.mincap <= c.cap) AS HUGEINT) * 1000000
+            // COUNT(*) AS BIGINT) AS recall_ppm
+FROM pairs p CROSS JOIN caps c
+GROUP BY c.cap ORDER BY c.cap
+"""
+
+
+def q239_component_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-clustering CHURN AUDIT — the operational readout
+    after a q237 fold: how much did the delta batch reshape the
+    standing clustering? Reports one row: history/delta doc counts,
+    how many HISTORY docs changed component label (the blast radius —
+    what downstream survivorship must re-evaluate), component counts
+    before/after, and how many delta docs landed as singletons
+    (pure-new content). Zero relabels + all-singleton deltas says the
+    crawl is fresh; heavy relabeling says the delta is stitching old
+    clusters together (re-dedup the affected components). Oracle:
+    BOTH closures recomputed from scratch (recursive CTEs over the
+    history-only and full edge sets) — so the audit's every number is
+    hash-checked against first-principles recomputation.
+
+    100 TB shape: rides q237's shared construction (one signature
+    cache, label tables never shuffled — the relabel join is
+    node-keyed between two label tables, the size census is
+    label-table-sized); the report is six 1-row aggs crossJoined on
+    broadcast frames."""
+    labels, merged = _incremental_labels(spark, sf_dir)
+    a = labels.agg(
+        F.count("*").cast("long").alias("n_hist_docs"),
+        F.countDistinct("label").cast("long").alias("n_comp_hist"),
+    )
+    b = merged.agg(F.countDistinct("label").cast("long").alias("n_comp_full"))
+    nd = merged.filter(F.pmod("node", F.lit(3)) == 0).agg(
+        F.count("*").cast("long").alias("n_delta_docs")
+    )
+    rel = (
+        labels.select("node", F.col("label").alias("_hl"))
+        .join(merged.select("node", F.col("label").alias("_fl")), "node")
+        .agg(
+            F.sum(F.when(F.col("_hl") != F.col("_fl"), 1).otherwise(0))
+            .cast("long").alias("n_relabeled_hist")
+        )
+    )
+    sizes = merged.groupBy("label").agg(F.count("*").alias("_sz"))
+    sing = (
+        merged.join(sizes, "label")
+        .filter((F.pmod("node", F.lit(3)) == 0) & (F.col("_sz") == 1))
+        .agg(F.count("*").cast("long").alias("n_delta_singletons"))
+    )
+    return (
+        a.crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(rel))
+        .crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(sing))
+        .select(
+            "n_hist_docs", "n_delta_docs", "n_relabeled_hist",
+            "n_comp_hist", "n_comp_full", "n_delta_singletons",
+        )
+    )
+
+
+O239 = f"""
+WITH RECURSIVE sigs AS (
+  SELECT doc_id, {_duck_mh(0)} AS mh0, {_duck_mh(1)} AS mh1,
+         {_duck_mh(2)} AS mh2, {_duck_mh(3)} AS mh3
+  FROM documents
+), long AS (
+  SELECT doc_id, mh0 AS sig FROM sigs UNION ALL SELECT doc_id, mh1 FROM sigs
+  UNION ALL SELECT doc_id, mh2 FROM sigs UNION ALL SELECT doc_id, mh3 FROM sigs
+), edges AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM long a JOIN long b ON a.sig = b.sig AND a.doc_id <> b.doc_id
+), hedges AS MATERIALIZED (
+  SELECT src, dst FROM edges WHERE src % 3 <> 0 AND dst % 3 <> 0
+), hreach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents WHERE doc_id % 3 <> 0
+  UNION
+  SELECT r.a, e.dst FROM hreach r JOIN hedges e ON r.b = e.src
+), hlbl AS (
+  SELECT a AS doc_id, MIN(b) AS component FROM hreach GROUP BY a
+), freach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, e.dst FROM freach r JOIN edges e ON r.b = e.src
+), flbl AS (
+  SELECT a AS doc_id, MIN(b) AS component FROM freach GROUP BY a
+), fsz AS (
+  SELECT component, COUNT(*) AS sz FROM flbl GROUP BY component
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM hlbl) AS BIGINT) AS n_hist_docs,
+  CAST((SELECT COUNT(*) FROM flbl WHERE doc_id % 3 = 0) AS BIGINT)
+    AS n_delta_docs,
+  CAST((SELECT COUNT(*) FROM hlbl h JOIN flbl f USING (doc_id)
+        WHERE h.component <> f.component) AS BIGINT) AS n_relabeled_hist,
+  CAST((SELECT COUNT(DISTINCT component) FROM hlbl) AS BIGINT) AS n_comp_hist,
+  CAST((SELECT COUNT(DISTINCT component) FROM flbl) AS BIGINT) AS n_comp_full,
+  CAST((SELECT COUNT(*) FROM flbl l JOIN fsz s ON l.component = s.component
+        WHERE l.doc_id % 3 = 0 AND s.sz = 1) AS BIGINT) AS n_delta_singletons
+"""
 
 
 QUERIES = [
@@ -9191,4 +9398,15 @@ QUERIES = [
           "merge_components (label-space contraction, broadcast "
           "remap); oracle = full recompute, hash equality proves "
           "incremental == full"),
+    Query("q238_capped_lsh_recall", q238_capped_lsh_recall, O238,
+          "capped-LSH recall audit: per width-budget cap, the "
+          "candidate pairs kept/lost when every band bucket keeps "
+          "its first cap members (the twin-#42 max_bucket policy, "
+          "kernel-pinned); per-pair mincap computed once, the grid "
+          "reads off counts"),
+    Query("q239_component_churn", q239_component_churn, O239,
+          "incremental-clustering churn audit: relabeled-history "
+          "blast radius, component counts before/after the fold, "
+          "delta singletons; oracle recomputes BOTH closures from "
+          "scratch"),
 ]

@@ -90,6 +90,7 @@ GOLDEN_QUERIES = [
     "q235_bigram_novelty",
     "q236_cluster_size_histogram",
     "q237_incremental_components",
+    "q238_capped_lsh_recall",
 ]
 
 

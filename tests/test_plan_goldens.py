@@ -50,4 +50,4 @@ def test_goldens_cover_the_declared_set():
     from scripts.gen_plan_goldens import GOLDEN_QUERIES  # type: ignore
 
     assert sorted(GOLDEN_QUERIES) == _golden_names()
-    assert len(GOLDEN_QUERIES) == 50
+    assert len(GOLDEN_QUERIES) == 51

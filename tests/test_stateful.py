@@ -1225,6 +1225,50 @@ def test_lsh_bucket_kernel_cap_no_false_negatives_below_budget():
     assert st.get == ([1, 2, 3, 5],)
 
 
+def test_capped_kernel_matches_q238_audit(spark):
+    """COHERENCE pin between the streaming knob and its batch audit:
+    driving the capped kernel over the real corpus's band buckets in
+    doc_id order (the ordered-stream deployment) emits EXACTLY the
+    pair set q238 counts as kept at that cap — the audit query
+    measures the policy the kernel implements, not an approximation
+    of it."""
+    from pyspark.sql import functions as F
+
+    from polla_spark.plans.llmdata import (
+        _spread,
+        q238_capped_lsh_recall,
+        with_minhash,
+    )
+    from polla_spark.streaming.stateful import make_lsh_bucket_kernel
+
+    sf = "/root/testdata/sf0.001"
+    docs = _spread(spark, spark.read.parquet(f"{sf}/documents.parquet"))
+    long = (
+        with_minhash(docs)
+        .selectExpr("doc_id", "stack(4, mh0, mh1, mh2, mh3) as sig")
+        .filter(F.col("sig").isNotNull())
+    )
+    buckets: dict[str, list[int]] = {}
+    for r in long.collect():  # test-only materialization
+        buckets.setdefault(r["sig"], []).append(r["doc_id"])
+    for cap in (2, 8):
+        kernel_pairs = set()
+        for ids in buckets.values():
+            st = _FakeState()
+            # one doc per micro-batch, ascending doc_id = ordered stream
+            kernel_pairs |= _drain_lsh(
+                make_lsh_bucket_kernel(max_bucket=cap),
+                [[i] for i in sorted(ids)],
+                st,
+            )
+        audit = {
+            r["cap"]: (r["n_pairs_kept"], r["n_pairs_lost"])
+            for r in q238_capped_lsh_recall(spark, sf).collect()
+        }
+        assert len(kernel_pairs) == audit[cap][0]
+    spark.catalog.clearCache()
+
+
 def test_lsh_bucket_kernel_cap_megacluster_recall():
     """max_bucket pin (c): on a planted mega-cluster of width W=20
     with cap 5 the kernel keeps exactly C(5,2)=10 of C(20,2)=190

@@ -213,6 +213,16 @@ HEADLINE = [
     "q234_zipf_head_profile",
     "q235_bigram_novelty",
     "q236_cluster_size_histogram",
+    # r12 addition: the capped-LSH recall audit (q53's band join + a
+    # bucket-keyed rank window + one pairs-grain agg; ~2.6-4 s warm)
+    "q238_capped_lsh_recall",
+    # q237/q239 stay out of the headline: their cost IS the
+    # from-scratch HISTORY clustering both share (~16 s at sf0.1 —
+    # the very recompute the incremental fold exists to amortize
+    # away; the merge itself is delta-bounded), which would dominate
+    # the suite; covered by parity (incremental == full recompute
+    # hash equality), the twin-#48 3-batch pin, the q237 plan-shape
+    # pin, and their SCALE.md rows (6.1/17.2 at 20x/100x).
     # q219 stays out of the headline: its cost IS the quadratic
     # all-pairs ground truth on the 30% sample (the calibration
     # budget knob, ~20 s at sf0.1), which would dominate the suite;

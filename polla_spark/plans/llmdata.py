@@ -8769,7 +8769,14 @@ def q236_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     switch) produces the label table; both histogram aggs are
     label-table-sized with map-side partials — the audit adds two
     cheap exchanges to a clustering that already ran."""
-    comp = q67_dedup_components(spark, sf_dir)
+    return cluster_size_report(q67_dedup_components(spark, sf_dir))
+
+
+def cluster_size_report(comp: DataFrame) -> DataFrame:
+    """q236's histogram tail over a (doc_id, component) labeling —
+    two label-table-sized aggs, ONE definition shared by batch q236
+    and streaming twin #51's finisher (which feeds it the standing
+    label table twin #48 maintains)."""
     sizes = comp.groupBy("component").agg(
         F.count("*").cast("long").alias("cluster_size")
     )

@@ -446,6 +446,25 @@ def finish_component_labels(labels: DataFrame, docs: DataFrame) -> DataFrame:
     )
 
 
+def finish_cluster_histogram(labels: DataFrame, docs: DataFrame) -> DataFrame:
+    """Streaming twin #51: the LIVE cluster-size audit — q236's
+    histogram read off the standing label table twin #48 maintains
+    (finish_component_labels adds the pair-less singletons, then the
+    IDENTICAL shared ``plans/llmdata.cluster_size_report`` tail
+    runs). This is the monitor that re-prices the twin-#42
+    ``max_bucket`` cap per epoch (SCALE.md audit→knob loop) without
+    ever re-clustering: fold pairs (#48), read the histogram (#51),
+    choose the cap (q238's grid)."""
+    from pyspark.sql import functions as F
+
+    from ..plans.llmdata import cluster_size_report
+
+    comp = finish_component_labels(labels, docs).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
+    )
+    return cluster_size_report(comp)
+
+
 def finish_lsh_pairs(pairs: DataFrame) -> DataFrame:
     """Read-side finisher: dedupe cross-band emissions (batch q227's
     global ``distinct()``) and decorate with q227's both_new flag."""

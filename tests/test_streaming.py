@@ -1718,6 +1718,18 @@ def test_incremental_components_stream_equals_q67(spark, tmp_path):
     assert _rows(got, keys) == _rows(q67_dedup_components(spark, SF_DIR), keys)
     spark.catalog.clearCache()
 
+    # twin #51 rides the same standing labels: the live cluster-size
+    # histogram == batch q236 through the shared cluster_size_report
+    from polla_spark.plans.llmdata import q236_cluster_size_histogram
+    from polla_spark.streaming.stateful import finish_cluster_histogram
+
+    hist = finish_cluster_histogram(state["labels"], docs)
+    hkeys = ["cluster_size", "n_clusters", "n_docs"]
+    assert _rows(hist, hkeys) == _rows(
+        q236_cluster_size_histogram(spark, SF_DIR), hkeys
+    )
+    spark.catalog.clearCache()
+
 
 def test_quality_tertiles_stream_equals_q231(spark, tmp_path):
     """Streamed quality histogram (46th twin) == batch q231: the

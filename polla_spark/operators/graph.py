@@ -193,6 +193,17 @@ def merge_components(
         .select(F.col("_ls").alias("src"), F.col("_ld").alias("dst"))
         .distinct()
     )
+    # symmetrize: the min-label PROPAGATION regime walks directed
+    # edges, so a one-orientation delta pair (e.g. q237's delta→all
+    # probe emits hist neighbors in one direction only) must appear
+    # both ways — the union-find endgame is direction-blind, which
+    # masked this below local_threshold (caught by the random-split
+    # property test at threshold 0)
+    contracted_edges = contracted_edges.unionByName(
+        contracted_edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    )
     contracted_nodes = ep_labels.select(F.col("label").alias("node")).distinct()
     sub = connected_components(
         contracted_nodes,

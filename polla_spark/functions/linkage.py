@@ -248,13 +248,19 @@ def fs_em_report(spark, census: DataFrame, rounds: int = 2) -> DataFrame:
     rounds over ``census``. ONE assembly shared by batch q207 and the
     streaming twin's finisher (a hardcoded column list in either
     would silently drop fields when a comparator is added — r8 review
-    finding)."""
+    finding).
+
+    r12: the census (≤2^N rows by construction) is materialized
+    DRIVER-side first — the fs_classify discipline — so the whole EM
+    recursion and the report union run over LocalRelations: one
+    engine action total instead of a persisted-census + persisted-
+    intermediate chain that scheduled 13 jobs / 42 stages for ≤16
+    rows of state (measured r12; guide §1.2 — the data-sized work is
+    exactly one census pass, everything after it is driver-tiny)."""
+    census = spark.createDataFrame(census.collect(), schema=census.schema)
     frames = [fs_init_params(spark)]
     for _ in range(rounds):
-        nxt = fs_em_round(census, frames[-1])
-        if len(frames) < rounds:  # intermediates feed two consumers
-            nxt = nxt.persist()
-        frames.append(nxt)
+        frames.append(fs_em_round(census, frames[-1]))
     cols = fs_param_cols()
     rep = frames[0].select(F.lit(0).alias("round"), *cols)
     for i, df in enumerate(frames[1:], start=1):
@@ -271,10 +277,28 @@ def fs_classify(spark, flags: DataFrame) -> DataFrame:
     both paths together).
 
     The census is ≤16 rows and is materialized DRIVER-side (one
-    deliberate action, the q205/q208 disclosure) so nothing
-    data-sized is ever persisted; the final broadcast join recomputes
-    the pair stream once, which at 100 TB beats caching it."""
+    deliberate action, the q205/q208 disclosure). The ``flags`` frame
+    itself is LOCAL-CHECKPOINTED first (r12, guide §1.2/§3.3/§5):
+    it is the pairs-grain NARROW projection — (doc_a, doc_b, w_dist,
+    g1..g4), seven small ints per candidate pair, one-to-two orders
+    of magnitude under the corpus text bytes at any scale — while
+    recomputing it costs the full scan → shingle-set → SNM-window
+    pipeline (the heavy text pass AND its shingle-array exchange).
+    Before r12 the census collect and the final classification each
+    ran that pipeline once per consumer (q208 2×, q214/q215 3-4×
+    via the component collects), and — the locally dominant cost —
+    every one of those actions re-ran Catalyst + codegen over the
+    full SNM tree. The eager checkpoint computes the pipeline ONCE
+    and truncates the lineage, so every downstream action (census
+    collect, component edge collects, the final classification) both
+    reads materialized rows and plans against a LogicalRDD leaf.
+    Tradeoff, disclosed: checkpointed partitions are not recomputable
+    on executor loss (the operators/graph.py per-round caveat) — for
+    a lost-task-restarts-the-query batch report that is the right
+    trade at any scale. Read-side streaming finishers (#35-#37) pass
+    state-table-sized frames where the checkpoint is equally safe."""
     gcols = fs_census_flag_cols()
+    flags = flags.localCheckpoint()
     census_lazy = flags.groupBy(*gcols).agg(F.count("*").alias("c"))
     census = spark.createDataFrame(
         census_lazy.collect(), schema=census_lazy.schema

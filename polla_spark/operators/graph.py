@@ -27,9 +27,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _local_union_find(nodes: DataFrame, edges: DataFrame) -> DataFrame:
-    """Driver-side union-find over a bounded edge list; returns
-    (node, label) with label = min member of the component."""
+def _local_union_find(nodes: DataFrame, edge_rows: list) -> DataFrame:
+    """Driver-side union-find over a bounded, already-collected edge
+    list; returns (node, label) with label = min member of the
+    component."""
     parent: dict = {}
 
     def find(x):
@@ -40,9 +41,7 @@ def _local_union_find(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    # bounded by local_threshold (caller-checked) — one collect, not
-    # toLocalIterator's job-per-partition sequential walk
-    for src, dst in edges.select("src", "dst").collect():
+    for src, dst in edge_rows:
         ra, rb = find(src), find(dst)
         if ra != rb:
             # union by min so the root IS the component label
@@ -110,11 +109,20 @@ def connected_components(
     or under it are resolved with local union-find (exact, no shuffle
     rounds); larger graphs run the distributed propagation loop.
     Set it to 0 to force the distributed path (tests do).
+
+    The regime probe is ONE action (r12, guide §1.2): a
+    ``limit(threshold + 1).collect()`` — when the edge list fits, the
+    probe already IS the union-find input, replacing the old
+    persist → count → collect pair (two full-plan actions plus a
+    cache of rows that were never read again); only the oversized
+    case pays the persist, where the propagation rounds genuinely
+    re-read the edges. The decision boundary (≤ threshold → local) is
+    unchanged.
     """
+    probe = edges.select("src", "dst").limit(local_threshold + 1).collect()
+    if len(probe) <= local_threshold:
+        return _local_union_find(nodes, probe)
     edges = edges.persist()
-    n_edges = edges.count()
-    if n_edges <= local_threshold:
-        return _local_union_find(nodes, edges)
     return _distributed_propagation(nodes, edges, max_rounds=max_rounds)
 
 

@@ -5429,7 +5429,10 @@ def q207_fs_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     parameter frame — iteration cost is independent of corpus size.
     Report: (round, p_ppm, m/u per field) for init + 2 rounds.
     """
-    census = _fs_census(_fs_neighbors(spark, sf_dir)).persist()
+    # one data-sized pass total: fs_em_report materializes this ≤16-row
+    # census driver-side (r12), so no persist and no re-scan — the EM
+    # recursion and report union run over LocalRelations
+    census = _fs_census(_fs_neighbors(spark, sf_dir))
     return LK.fs_em_report(spark, census, rounds=2)
 
 
@@ -5471,7 +5474,10 @@ def q208_fs_trained_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     EM on census × broadcast params (corpus-independent), then the
     classification is a BROADCAST join of the ≤16-row posterior table
     back onto the pair stream — per-pair work is a hash probe, no
-    second data-sized shuffle.
+    second data-sized shuffle. The pair stream itself is persisted
+    inside ``fs_classify`` (r12): the census collect materializes the
+    narrow flags frame once and the classification re-reads the cache
+    instead of re-running the scan → shingle → SNM pipeline.
     """
     neigh = _fs_neighbors(spark, sf_dir)
     flags = neigh.select(
@@ -7325,11 +7331,17 @@ def _sweep_planted_docs(docs: DataFrame) -> DataFrame:
     aborted/collided on the 20×/100× scale dirs, whose replica ids
     reach 5·10¹¹), and variants stay distinct because base ids are.
     The sweep's output is pure counts, so it is invariant to the
-    offset value itself. The 1-row max rides a broadcast nested-loop
-    crossJoin (the q233 1-row-frame shape — legal, never a data
-    cartesian)."""
+    offset value itself. The max is materialized DRIVER-side (one
+    narrow doc_id-column scan, the q208/q212 discipline) and embedded
+    as a literal: the first r12 form rode a broadcast crossJoin, but
+    q222 references the planted frame THREE times (signature pass +
+    both shingle join sides), so the 1-row agg subtree and its
+    exchange were replanned and re-run in every copy — measured 23
+    jobs / 45 stages and ~2.3× q81's wall-clock for the same shape
+    (guide §1.2: don't recompute what one tiny action provides)."""
     base = docs.select("doc_id", "text")
-    voff = base.agg((F.max("doc_id") + F.lit(1)).alias("_voff"))
+    max_id = base.agg(F.max("doc_id")).collect()[0][0]
+    voff = (max_id if max_id is not None else 0) + 1
     kept = (
         "greatest(3, (size(tk) * (40 + 5 * pmod(doc_id div 19, 7))) div 100)"
     )
@@ -7338,9 +7350,8 @@ def _sweep_planted_docs(docs: DataFrame) -> DataFrame:
         .filter(F.pmod("doc_id", F.lit(19)) == 0)
         .withColumn("tk", _toks())
         .filter(F.size("tk") >= 8)
-        .crossJoin(F.broadcast(voff))
         .select(
-            (F.col("doc_id") + F.col("_voff")).alias("doc_id"),
+            (F.col("doc_id") + F.lit(voff)).alias("doc_id"),
             F.array_join(F.expr(f"slice(tk, 1, {kept})"), " ").alias("text"),
         )
     )
@@ -8163,11 +8174,17 @@ def q228_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dup3_ppm desc, doc_id) with every signal riding along — the
     review queue a repetition gate's threshold is tuned against.
 
-    100 TB shape: the three duplicate fractions are WITHIN-ROW
-    (size vs array_distinct size — no explode, no shuffle); only the
-    top-bigram mass needs a (doc_id, gram) exchange (uniform
-    two-level key, count partial-aggregates map-side) followed by a
-    doc-grain agg and a per-task top-k merge."""
+    100 TB shape (r12): EVERY signal is WITHIN-ROW — the duplicate
+    fractions via size vs array_distinct size, and the top-bigram
+    mass as the longest run in the doc's SORTED bigram array (max
+    run length of a sorted multiset == max multiplicity, and the
+    denominator is just size(g2)); one in-row sort + one linear
+    fold per doc replaces the r10 (doc_id, gram) exchange + doc-grain
+    agg + doc-grain join (guide §2.4: the shuffle carried every
+    corpus token to compute a per-row statistic). The whole query is
+    ONE scan finished by a per-task top-k merge — zero data-sized
+    exchanges; per-task cost goes n → n·log n per doc, the classic
+    CPU-for-network trade."""
     d = (
         t(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
@@ -8181,6 +8198,17 @@ def q228_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"i -> concat_ws(' ', slice(tk, i, {n})))"
         )
 
+    # max multiplicity of any bigram, computed in-row: sort the gram
+    # array, then fold once tracking the current and best run length
+    _is_run = "s.prev IS NOT NULL AND x = s.prev"
+    top_mult_sql = (
+        "aggregate(array_sort(g2), "
+        "struct(CAST(NULL AS STRING) AS prev, 0L AS run, 0L AS best), "
+        f"(s, x) -> struct(x AS prev, "
+        f"IF({_is_run}, s.run + 1L, 1L) AS run, "
+        f"greatest(s.best, IF({_is_run}, s.run + 1L, 1L)) AS best), "
+        "s -> s.best)"
+    )
     per_doc = (
         d.withColumns({f"g{n}": grams(n) for n in (2, 3, 4)})
         .select(
@@ -8193,27 +8221,12 @@ def q228_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias(f"dup{n}_ppm")
                 for n in (2, 3, 4)
             ],
-        )
-    )
-    top2 = (
-        d.select("doc_id", F.explode(grams(2)).alias("g"))
-        .groupBy("doc_id", "g")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.max("c").alias("mx"),
-            F.sum("c").alias("tot"),
-        )
-        .select(
-            "doc_id",
-            F.expr("CAST(mx * 1000000 div tot AS BIGINT)").alias(
-                "top_bigram_ppm"
-            ),
+            F.expr(f"CAST(({top_mult_sql}) * 1000000 div size(g2) AS BIGINT)")
+            .alias("top_bigram_ppm"),
         )
     )
     return (
-        per_doc.join(top2, "doc_id")
-        .orderBy(F.desc("dup3_ppm"), "doc_id")
+        per_doc.orderBy(F.desc("dup3_ppm"), "doc_id")
         .limit(_REP_TOPK)
     )
 

@@ -1222,14 +1222,16 @@ def test_q227_delta_probe_no_cartesian(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
 
 
-def test_q228_one_gram_exchange_then_topk(spark):
-    # duplicate fractions are WITHIN-ROW (no shuffle); the top-bigram
-    # mass pass is one uniform (doc_id, gram) exchange + the doc-grain
-    # agg, finished by a per-task top-k merge — never a global sort
+def test_q228_within_row_zero_exchange_then_topk(spark):
+    # r12: EVERY signal is within-row (the top-bigram mass is the max
+    # run of the sorted gram array — no gram explode, no exchange, no
+    # doc-grain join); one scan finished by a per-task top-k merge
     from polla_spark.plans.llmdata import q228_repetition_profile
 
     plan = _plan(q228_repetition_profile(spark, SF))
     assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
 

@@ -2266,10 +2266,11 @@ def q199_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape at 100 TB: ONLY the word census touches the corpus
     (one partial-agged shuffle); every merge round runs on the
-    ≤100-row vocabulary table with the 1-row argmax broadcast into
-    the rewrite — the classic tokenizer-training loop where corpus
-    scale and training-loop scale are decoupled. Each round's repr
-    table persists (feeds its census AND the next round).
+    ≤100-row vocabulary table with the 1-row argmax COLLECTED and
+    applied as a literal rewrite (r12 — the q212 round-collect
+    discipline) — the classic tokenizer-training loop where corpus
+    scale and training-loop scale are decoupled. The base repr slice
+    persists once; rounds re-scan only that cache.
 
     Merge application = ONE left-to-right non-overlapping
     regexp_replace pass with CONSUMED delimiters — deterministic and
@@ -2284,10 +2285,9 @@ def q199_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests/test_r6_math_properties.py.
     """
     merges = _bpe_train(spark, sf_dir)
-    rep = merges[0]
-    for m in merges[1:]:
-        rep = rep.unionByName(m)
-    return rep.select("round", "a", "b", "n").orderBy("round")
+    return spark.createDataFrame(
+        merges, "round int, a string, b string, n long"
+    ).orderBy("round")
 
 
 def bpe_word_census_from(docs: DataFrame) -> DataFrame:
@@ -2323,17 +2323,23 @@ def _bpe_reprs(words: DataFrame, *cols) -> DataFrame:
     )
 
 
-def _bpe_apply_merge(r: DataFrame, merge: DataFrame) -> DataFrame:
+def _bpe_apply_merge(r: DataFrame, a: str, b: str) -> DataFrame:
     """One left-to-right consumed-delimiter merge pass (q199's
-    documented single-pass contract) of the broadcast 1-row (a, b)
-    ``merge`` over a repr frame — shared by training rounds and q210's
-    corpus tokenization so the two cannot drift."""
+    documented single-pass contract) of the trained (a, b) pair over
+    a repr frame — shared by training rounds and q210's corpus
+    tokenization so the two cannot drift. r12: the pair arrives as
+    two LITERALS (collected by ``_bpe_train``, the q212
+    round-collect discipline) instead of a broadcast 1-row frame —
+    the replace is a plain projection, so the apply chain adds zero
+    joins, zero persists and zero exchanges per merge (measured:
+    q223 scheduled 27 jobs / 74 stages through the old
+    crossJoin+persist chain, 7 / 16 after). Symbols are
+    lowercase-alpha chars or ``</w>``, none of which is a regex
+    metacharacter, so the literal pattern is exact."""
     others = [c for c in r.columns if c != "repr"]
-    return r.crossJoin(F.broadcast(merge.select("a", "b"))).select(
+    return r.select(
         F.regexp_replace(
-            "repr",
-            F.concat(F.lit(" "), F.col("a"), F.lit(" "), F.col("b"), F.lit(" ")),
-            F.concat(F.lit(" "), F.col("a"), F.col("b"), F.lit(" ")),
+            "repr", f" {a} {b} ", f" {a}{b} "
         ).alias("repr"),
         *others,
     )
@@ -2341,11 +2347,19 @@ def _bpe_apply_merge(r: DataFrame, merge: DataFrame) -> DataFrame:
 
 def _bpe_train(
     spark: SparkSession, sf_dir: str, census: DataFrame | None = None
-) -> list[DataFrame]:
+) -> list[tuple[int, str, str, int]]:
     """q199's 3 unrolled training rounds over the top-{_BPE_VOCAB}
-    word census; returns the per-round 1-row merge frames
-    (round, a, b, n). Pass an already-persisted ``census`` to share
-    the corpus scan with a downstream consumer (q210)."""
+    word census; returns the per-round argmax merges as
+    (round, a, b, n) tuples. Pass an already-persisted ``census`` to
+    share the corpus scan with a downstream consumer (q210).
+
+    r12: each round's 1-row argmax is COLLECTED driver-side (the
+    q212 round-collect discipline — K·1 values per round) and the
+    merge applied as a literal rewrite over the persisted base
+    reprs, replacing the per-round persisted-frame + broadcast-
+    crossJoin chain; the corpus is still touched exactly once (the
+    census), rounds re-scan only the ≤{_BPE_VOCAB}-row cached repr
+    slice."""
     words = (
         (census if census is not None else _bpe_word_census(spark, sf_dir))
         .orderBy(F.desc("cnt"), "w")
@@ -2374,9 +2388,9 @@ def _bpe_train(
 
     merges = []
     for rnd in (1, 2, 3):
-        top = top_pair(r, rnd).persist()
-        merges.append(top)
-        r = _bpe_apply_merge(r, top).persist()
+        row = top_pair(r, rnd).collect()[0]
+        merges.append((rnd, row["a"], row["b"], row["n"]))
+        r = _bpe_apply_merge(r, row["a"], row["b"])
     return merges
 
 
@@ -2432,14 +2446,15 @@ def q210_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     training rounds run on the ≤{_BPE_VOCAB}-row vocabulary;
     application rewrites the DISTINCT-WORD census (sublinear in
     corpus size — Heaps' law), weighted by counts, with each merge a
-    broadcast 1-row crossJoin — so tokenizing 100 TB costs one census
+    literal projection (r12 — the trained pairs are collected, so the
+    apply chain has no joins) — so tokenizing 100 TB costs one census
     plus vocabulary-sized work, never a second corpus pass.
     """
     census = _bpe_word_census(spark, sf_dir).persist()
     merges = _bpe_train(spark, sf_dir, census=census)
     r = _bpe_reprs(census, "w")
-    for top in merges:
-        r = _bpe_apply_merge(r, top)
+    for _, a, b, _n in merges:
+        r = _bpe_apply_merge(r, a, b)
     toks = r.select(
         "w",
         "cnt",
@@ -2534,8 +2549,8 @@ def bpe_fertility_report(spark: SparkSession, census: DataFrame) -> DataFrame:
     census = census.persist()
     merges = _bpe_train(spark, "", census=census)
     r = _bpe_reprs(census, "w")
-    for top in merges:
-        r = _bpe_apply_merge(r, top)
+    for _, a, b, _n in merges:
+        r = _bpe_apply_merge(r, a, b)
     wt = r.select(
         "w", "cnt",
         F.size(F.split(F.trim("repr"), " ")).cast("long").alias("n_tok"),

@@ -7414,7 +7414,17 @@ def q222_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(size(array_intersect(sh_a, sh_b)) * 1000000 "
             f"div size(array_union(sh_a, sh_b)) AS BIGINT)"
         ).alias("jacc_ppm"),
-    )
+    ).persist()
+    # materialize the pairs-grain scores ONCE before the grid tail:
+    # `hits` is referenced THREE times below (pairs_per + both arms of
+    # docs_long), and Spark does not share common subtrees across
+    # branches — without this the band join + both shingle joins +
+    # the intersect/union scoring ran 3x in one action, as concurrent
+    # stages fighting for execution memory (measured 7-52 s/run at
+    # sf0.1; 3 persisted-score reps sit at ~2.5-3.5 s). Pairs-grain
+    # is near-dup-sparse — orders below the corpus at any scale (the
+    # band_candidates_from/fs_classify materialization discipline).
+    scored.count()
     taus = spark.createDataFrame(
         [(t,) for t in _SWEEP_TAUS], "tau_ppm long"
     )

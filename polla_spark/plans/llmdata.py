@@ -5660,6 +5660,95 @@ def _lloyd_update_plan(assigned: DataFrame) -> DataFrame:
     )
 
 
+def _lloyd_update_arrow(
+    coded: DataFrame, cents: list[tuple[int, list[int]]]
+) -> DataFrame:
+    """The whole Lloyd round (assignment + update census) as ONE
+    Arrow kernel — the r12 shared definition behind batch q212 and
+    streaming twin #39 (``_lloyd_assign`` → ``_lloyd_update_plan``
+    stays as the expression-level reference the kernel is pinned
+    against in tests/test_lloyd.py).
+
+    Why (guide §1.2/§4.2, measured r12): the unrolled JVM assignment
+    builds K zip_with+aggregate lambda trees over 64-element arrays —
+    at sf0.1 (2,000 vectors!) each Lloyd action spent ~2-3 s in
+    Catalyst + codegen of that expression forest and re-compiled it
+    per round (the literals change every round), then posexploded
+    64× before the partial agg. Per-batch NumPy does the same exact
+    integer math as one (N×64)·(64×K) product and emits the
+    per-task (cid, pos, s, n) PARTIALS directly — K·64 rows per
+    task, no 64× explode, a trivial plan to compile. At 100 TB the
+    kernel is the textbook layout: one narrow scan, GEMM per batch,
+    only K·64·tasks partial rows ever shuffle.
+
+    Exactness: scores are int64 (|2·⟨x,c⟩ − ⟨c,c⟩| ≤ 2·64·127² ≈
+    2.1e6 — no overflow, no floats); ``np.argmax`` returns the FIRST
+    maximal index and the centroid matrix rows are sorted by cid, so
+    ties break to the LOWEST centroid id exactly like the unrolled
+    first-match CASE; per-task sums are int64 partials reduced by
+    the same commutative sum agg (empty clusters emit no partial,
+    matching the explode→groupBy shape). The downstream reducer is
+    unchanged, so the streaming twin's merge-closure argument
+    (finish_lloyd_round) holds verbatim."""
+    import numpy as np
+
+    ordered = sorted(cents)
+    cmat = np.array([d for _, d in ordered], dtype=np.int64)
+    cid_arr = np.array([cid for cid, _ in ordered], dtype=np.int64)
+    cc = (cmat * cmat).sum(axis=1)
+    k, dim = cmat.shape
+
+    def upd(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        sums = np.zeros((k, dim), dtype=np.int64)
+        counts = np.zeros(k, dtype=np.int64)
+        for b in batches:
+            col = b.column(0)
+            n = len(col)
+            if not n:
+                continue
+            x = (
+                col.flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(n, dim)
+                .astype(np.int64, copy=False)
+            )
+            scores = 2 * (x @ cmat.T) - cc
+            assign = scores.argmax(axis=1)
+            counts += np.bincount(assign, minlength=k)
+            for j in range(k):
+                m = assign == j
+                if m.any():
+                    sums[j] += x[m].sum(axis=0)
+        nz = counts > 0
+        if nz.any():
+            kept = int(nz.sum())
+            yield pa.record_batch(
+                [
+                    pa.array(
+                        np.repeat(cid_arr[nz], dim).astype(np.int32),
+                        type=pa.int32(),
+                    ),
+                    pa.array(
+                        np.tile(np.arange(dim, dtype=np.int32), kept),
+                        type=pa.int32(),
+                    ),
+                    pa.array(sums[nz].reshape(-1), type=pa.int64()),
+                    pa.array(np.repeat(counts[nz], dim), type=pa.int64()),
+                ],
+                names=["cid", "pos", "s", "n"],
+            )
+
+    return (
+        coded.select("qe")
+        .mapInArrow(upd, "cid int, pos int, s long, n long")
+        .groupBy("cid", "pos")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+    )
+
+
 def _lloyd_new_dims(
     upd_rows, prev: list[tuple[int, list[int]]]
 ) -> tuple[list[tuple[int, list[int]]], dict[int, int]]:
@@ -5735,9 +5824,11 @@ def q212_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     k×64 partial agg → join vs the literal previous dims — so the
     driver's materialization performs a real Lloyd round.
 
-    100 TB shape per round: one corpus scan (int8 codes, 25 TB), K·D
-    multiply-adds per row JVM-side, ONE exchange of K·64 rows
-    (map-side combined). Iteration count is unrolled and fixed;
+    100 TB shape per round: one corpus scan (int8 codes, 25 TB), the
+    assignment + update census fused into one Arrow/NumPy GEMM kernel
+    (``_lloyd_update_arrow``, r12 — exact int64, ties to lowest cid),
+    ONE exchange of K·64·tasks partial rows. Iteration count is
+    unrolled and fixed;
     centroid state is O(K·D) on the driver — the textbook scalable
     k-means layout.
 
@@ -5756,7 +5847,7 @@ def q212_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = sorted((r["stratum"], list(r["qe"])) for r in seed_rows)
     stats = [_lloyd_stats_row(0, cid, 0, d, d) for cid, d in cents]
     for rnd in range(1, _LLOYD_ROUNDS):  # all but the last round
-        upd_rows = _lloyd_update_plan(_lloyd_assign(coded, cents)).collect()
+        upd_rows = _lloyd_update_arrow(coded, cents).collect()
         new, members = _lloyd_new_dims(upd_rows, cents)
         stats.extend(
             _lloyd_stats_row(rnd, cid, members[cid], nd, pd)
@@ -5769,7 +5860,7 @@ def q212_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(cid, pos, d[pos]) for cid, d in cents for pos in range(_LLOYD_DIM)],
         "cid int, pos int, pv long",
     )
-    upd = _lloyd_update_plan(_lloyd_assign(coded, cents))
+    upd = _lloyd_update_arrow(coded, cents)
     newdim = F.when(F.col("n").isNull(), F.col("pv")).otherwise(
         F.expr("(s + 127 * n) div n - 127")
     )

@@ -1546,15 +1546,17 @@ def finish_lloyd_seeds(updates: DataFrame) -> list[tuple[int, list[int]]]:
 
 def lloyd_census_partials(vecs: DataFrame, cents) -> DataFrame:
     """Streaming twin of ONE Lloyd training round's update census
-    (39th twin): the IDENTICAL ``_lloyd_assign`` →
-    ``_lloyd_update_plan`` assembly batch q212 unrolls — unrolled
-    literal-centroid assignment (narrow scan, no join/window, legal
-    in a stream) feeding the per-(cid, pos) sum/count agg. State is
-    K·64 rows; update mode. Nothing re-implemented."""
-    from ..plans.llmdata import _lloyd_assign, _lloyd_update_plan, _quant
+    (39th twin): the IDENTICAL ``_lloyd_update_arrow`` kernel batch
+    q212 unrolls (r12 — literal-centroid NumPy assignment, a
+    stateless map legal in a stream) feeding the per-(cid, pos)
+    sum/count agg. The kernel emits per-task partials reduced by the
+    same commutative sum, so the merge-closure argument in
+    :func:`finish_lloyd_round` is unchanged. State is K·64 rows;
+    update mode. Nothing re-implemented."""
+    from ..plans.llmdata import _lloyd_update_arrow, _quant
 
     coded = vecs.select("vec_id", _quant(F.col("embedding")).alias("qe"))
-    return _lloyd_update_plan(_lloyd_assign(coded, cents))
+    return _lloyd_update_arrow(coded, cents)
 
 
 def finish_lloyd_round(updates: DataFrame, prev):

@@ -108,6 +108,42 @@ def test_q212_matches_independent_python_lloyd(spark):
     assert any(r[5] > 0 for r in got if r[0] == 1)
 
 
+def test_lloyd_arrow_kernel_matches_jvm_assembly(spark):
+    """The r12 Arrow update kernel (``_lloyd_update_arrow``) is pinned
+    row-identical to the expression-level reference it replaced
+    (``_lloyd_assign`` → ``_lloyd_update_plan``) — including ties:
+    centroid 2 duplicates centroid 0, so every vector scores the two
+    equally and the argmax must break to the LOWEST cid on both
+    paths (the unrolled CASE's first-match rule vs np.argmax-first)."""
+    from polla_spark.plans.llmdata import (
+        _lloyd_assign,
+        _lloyd_update_arrow,
+        _lloyd_update_plan,
+        _quant,
+    )
+    from pyspark.sql import functions as F
+
+    vecs = spark.createDataFrame(
+        [(i, [((i * 7 + p * 3) % 255 - 127) / 127.0 for p in range(DIM)])
+         for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    coded = vecs.select("vec_id", _quant(F.col("embedding")).alias("qe"))
+    c0 = [((p * 5) % 255 - 127) for p in range(DIM)]
+    cents = [(0, c0), (1, [-c for c in c0]), (2, list(c0))]
+    want = sorted(
+        tuple(r)
+        for r in _lloyd_update_plan(_lloyd_assign(coded, cents)).collect()
+    )
+    got = sorted(
+        tuple(r) for r in _lloyd_update_arrow(coded, cents).collect()
+    )
+    assert got == want
+    # the tie actually exercised: duplicate centroid 2 got nothing
+    assert not any(cid == 2 for cid, *_ in got)
+    assert any(cid == 0 for cid, *_ in got)
+
+
 def test_lloyd_empty_cluster_keeps_previous_centroid():
     """Unit pin of the documented empty-cluster convention on the
     collected-sums updater: a centroid absent from the update rows

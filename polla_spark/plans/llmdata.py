@@ -6357,13 +6357,26 @@ def q217_corpus_mixer(spark: SparkSession, sf_dir: str) -> DataFrame:
     thing you'd persist), each reducing map-side to a
     sources-bounded census; the solved rate table is BROADCAST back
     onto the corpus, so nothing data-sized ever shuffles.
+
+    r12: the sources-bounded census is materialized DRIVER-side (the
+    fs_classify/q207 discipline). Before, ``rates`` — which embeds
+    the census subtree — was referenced twice (the gated pass and the
+    final report join) and ``totals`` re-embedded it again, so the
+    final plan re-planned and re-ran the corpus tokenize census up to
+    4× (10 parquet scans in plans/r12/q217_corpus_mixer_before.txt)
+    for a query whose contract is TWO corpus passes. With the census
+    a LocalRelation, the solver is driver-tiny and the plan scans the
+    corpus exactly twice (guide §1.2).
     """
     d = t(spark, sf_dir, "documents").select(
         "doc_id", "source", F.size(_toks()).alias("toks")
     )
-    census = d.groupBy("source").agg(
+    census_lazy = d.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("toks").cast("long").alias("src_toks"),
+    )
+    census = spark.createDataFrame(
+        census_lazy.collect(), schema=census_lazy.schema
     )
     totals = census.agg(
         F.sum("src_toks").cast("long").alias("tot_toks"),

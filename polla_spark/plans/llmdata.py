@@ -6358,25 +6358,31 @@ def q217_corpus_mixer(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources-bounded census; the solved rate table is BROADCAST back
     onto the corpus, so nothing data-sized ever shuffles.
 
-    r12: the sources-bounded census is materialized DRIVER-side (the
-    fs_classify/q207 discipline). Before, ``rates`` — which embeds
-    the census subtree — was referenced twice (the gated pass and the
-    final report join) and ``totals`` re-embedded it again, so the
-    final plan re-planned and re-ran the corpus tokenize census up to
-    4× (10 parquet scans in plans/r12/q217_corpus_mixer_before.txt)
-    for a query whose contract is TWO corpus passes. With the census
-    a LocalRelation, the solver is driver-tiny and the plan scans the
-    corpus exactly twice (guide §1.2).
+    r12: the tokenized projection is PERSISTED — the docstring's own
+    "at scale this is the thing you'd persist", now done. ``rates``
+    (which embeds the census subtree) is referenced twice and
+    ``totals`` re-embeds it again, so the one final action used to
+    re-run the corpus tokenize up to 5× as concurrent duplicate
+    stages (10 parquet scans in
+    plans/r12/q217_corpus_mixer_before.txt) — free-looking at sf0.1
+    where the copies overlap on idle cores, pure waste at 100 TB
+    where the scan is throughput-bound. With ``d`` cached
+    (plan-lifetime, 3 small ints per doc — the narrow-projection
+    class of fs_classify's checkpoint), every copy after the first
+    reads the cache and the corpus is tokenized exactly ONCE. An
+    interleaved r12 A/B rejected the alternative (collecting the
+    census driver-side): that serialized two full scans into
+    sequential actions and cost ~1 s at sf0.1 (guide §1.2 both
+    times — but measure, don't assume which shape wins).
     """
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.size(_toks()).alias("toks")
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.size(_toks()).alias("toks"))
+        .persist()
     )
-    census_lazy = d.groupBy("source").agg(
+    census = d.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("toks").cast("long").alias("src_toks"),
-    )
-    census = spark.createDataFrame(
-        census_lazy.collect(), schema=census_lazy.schema
     )
     totals = census.agg(
         F.sum("src_toks").cast("long").alias("tot_toks"),

@@ -1147,13 +1147,16 @@ def test_q217_rates_broadcast_back_no_smj(spark):
     # the solved rate table is sources-bounded and must BROADCAST
     # back onto the corpus for the gated pass; the census/achieved
     # reductions partial-aggregate map-side — nothing data-sized
-    # shuffles and no sort-merge join appears
+    # shuffles and no sort-merge join appears. r12: the tokenized
+    # projection is persisted, so every census/rates subtree copy
+    # must read the cache — the corpus is tokenized exactly once
     from polla_spark.plans.llmdata import q217_corpus_mixer
 
     plan = _plan(q217_corpus_mixer(spark, SF))
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert "InMemoryTableScan" in plan, plan
 
 
 def test_q218_term_major_join_no_cartesian(spark):

@@ -67,6 +67,26 @@ def cm_sketch(toks: DataFrame) -> DataFrame:
     )
 
 
+def cm_sketch_from_census(census: DataFrame, weight_col: str = "n_true") -> DataFrame:
+    """(term, count) census frame → the same (r, pos, counter) sketch
+    ``cm_sketch`` builds from the raw occurrence stream. Counters are
+    sums, so Σ_term count(term)·[term hits cell] == the occurrence
+    count — fanning the AGGREGATED census and summing its counts is
+    bit-identical to fanning every occurrence (pinned in
+    tests/test_cmsketch_census.py). Use when a query already pays the
+    exact census (q188's verify/report shape): the sketch then costs
+    one vocab-bounded pass over the census instead of a second full
+    corpus tokenize. Production sketch-only builds keep using
+    ``cm_sketch`` — its fixed-keyspace shuffle never depends on
+    distinct-token cardinality, which this variant (by construction)
+    does."""
+    return (
+        cm_positions(census.select("term", weight_col))
+        .groupBy("r", "pos")
+        .agg(F.sum(weight_col).cast("long").alias("counter"))
+    )
+
+
 def cm_estimate(probes: DataFrame, sketch: DataFrame) -> DataFrame:
     """Point-query a (term)-unique probe frame against a sketch:
     broadcast the ≤8192-row counter table, min over the CM_D rows.

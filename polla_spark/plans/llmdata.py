@@ -2085,6 +2085,17 @@ def q97_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the text never moves; per check the shuffle carries one hash
     column. Verdict classes: ``exact`` ⊂ ``normalized`` ⊂
     ``near`` precedence — a doc gets its strongest match.
+
+    r12: ``keyed`` is PERSISTED (plan-lifetime, the q217 discipline).
+    It is referenced four times (three hist key tables + the new
+    batch), and Spark shares no subtrees across branches, so the one
+    action used to re-scan the corpus and recompute sha256 + fp-md5 +
+    MinHash 4× (4 parquet scans, each under its own spread Exchange,
+    in plans/r12/q97_incremental_dedup_before.txt). The cached row is
+    the compact key index itself — doc_id, source, three hashes,
+    ~100 B/doc, orders under the text it replaces — which is exactly
+    the state table the docstring says a real ingest would keep; with
+    it the corpus is scanned and hashed exactly once.
     """
     d = with_minhash(_spread(spark, t(spark, sf_dir, "documents")))
     keyed = d.select(
@@ -2093,7 +2104,7 @@ def q97_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2("text", 256).alias("sha"),
         F.md5(F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")).alias("fp"),
         "mh0",
-    )
+    ).persist()
     hist = keyed.filter(F.col("doc_id") < _HIST_SPLIT)
     new = keyed.filter(F.col("doc_id") >= _HIST_SPLIT)
     sha_hit = hist.select("sha").distinct().withColumn("sha_dup", F.lit(True))
@@ -4394,15 +4405,32 @@ def q188_countmin_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     builds the sketch alone. Kernels in ``functions/cmsketch.py`` —
     shared with the streaming twin (counters are merge-closed sums,
     so the streamed sketch equals this batch one EXACTLY).
+
+    r12: this verify/report query pays the exact census ANYWAY, so
+    the census is persisted (vocab-bounded — the BPE word-census
+    class) and the sketch derives from it via
+    ``cm_sketch_from_census`` (sums of per-term counts ≡ counts of
+    occurrences, pinned in tests/test_cmsketch_census.py). Before,
+    the one action tokenized the corpus 3× — census for the probe
+    broadcast, census again under the probe positions, and the
+    sketch's own occurrence fan-out (3 parquet scans + 3 Generate
+    explodes in plans/r12/q188_countmin_frequency_before.txt); now
+    the corpus is tokenized exactly once and everything downstream
+    is vocab-grain cache reads. The production sketch-only path
+    (``cm_sketch``, the streaming twin) is untouched — its
+    cardinality-independent shuffle story is the kernel's, not this
+    report's.
     """
-    from ..functions.cmsketch import cm_estimate, cm_sketch
+    from ..functions.cmsketch import cm_estimate, cm_sketch_from_census
 
     tok = t(spark, sf_dir, "documents").select(
         F.explode(_toks()).alias("term")
     )
-    census = tok.groupBy("term").agg(F.count("*").alias("n_true"))
+    census = (
+        tok.groupBy("term").agg(F.count("*").alias("n_true")).persist()
+    )
     probes = census.orderBy(F.desc("n_true"), "term").limit(20)
-    est = cm_estimate(probes.select("term"), cm_sketch(tok))
+    est = cm_estimate(probes.select("term"), cm_sketch_from_census(census))
     return (
         probes.join(est, "term")
         .filter(

@@ -4696,68 +4696,99 @@ def q194_inclusion_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the cross-domain links (events.user_id → customer,
     documents → embeddings).
 
-    Plan shape at 100 TB (r12): each pair reads exactly ONE column
-    per side (column pruning to the scan), tags rows with side flags
-    and collapses the UNION with a single value-keyed group-by — the
-    shuffle is bounded by the union's DISTINCT count and partial
-    aggregation dedups map-side — then one 1-row agg reads off
-    n_lhs = Σ l-flag and n_matched = Σ (l∧r). The pre-r12 form ran
-    each side through its own ``distinct`` exchange and LEFT-joined
-    the two distinct sets (2 exchanges + a join per pair, and the
-    measured local cost was 41 scheduled jobs / 72 stages for the
-    8-pair report); the union form halves the exchanges and removes
-    every join (guide §2.4) while computing identical counts — a
-    NULL lhs value still counts in n_lhs and never in n_matched.
-    Pairs are independent subplans unioned into the 8-row report; a
-    production profiler batches same-lhs pairs onto one scan, which
-    this shape composes to (each subplan already prunes to its
-    single column).
+    Plan shape at 100 TB (r12, SINDY's single-pass form): every table
+    is scanned exactly ONCE (pruned to just its profiled columns) and
+    fans within-row into (value, attr-bit) rows; one value-keyed
+    group-by ``bit_or``s the 13 attr bits into a mask per distinct
+    value — partial aggregation dedups map-side, so the single
+    exchange is bounded by the cross-attr distinct count (SMALLER
+    than the per-pair distinct sets summed, since shared columns like
+    c_custkey ship once, not once per pair) — and ALL 16 report
+    counts read off one 1-row agg over the mask table:
+    n_lhs = Σ lhs-bit, n_matched = Σ (lhs-bit ∧ rhs-bit ∧ v NOT NULL).
+    NULL semantics unchanged from the join form: each attr's NULLs
+    collapse into the one NULL group whose mask records exactly which
+    attrs held a NULL, so a NULL lhs value still counts once in n_lhs
+    and never in n_matched. Earlier forms, both measured: per-pair
+    distinct+LEFT-join (41 jobs / 72 stages), then per-pair
+    union+group-by (27 jobs / 51 stages, 16 scans, 16 value
+    exchanges); this form is one scan per table, ONE value exchange,
+    zero joins.
     """
-    def ind(label: str, lhs: DataFrame, lcol: str, rhs: DataFrame, rcol: str) -> DataFrame:
-        L = lhs.select(
-            F.col(lcol).cast("long").alias("v"),
-            F.lit(1).alias("l"), F.lit(0).alias("r"),
-        )
-        R = rhs.select(
-            F.col(rcol).cast("long").alias("v"),
-            F.lit(0).alias("l"), F.lit(1).alias("r"),
-        )
-        both = (
-            L.unionByName(R)
-            .groupBy("v")
-            .agg(F.max("l").alias("l"), F.max("r").alias("r"))
-        )
-        return both.agg(
-            F.lit(label).alias("pair"),
-            F.sum("l").cast("long").alias("n_lhs"),
-            F.sum(
-                F.when(F.col("v").isNotNull(), F.col("l") * F.col("r"))
-                .otherwise(F.lit(0))
-            ).cast("long").alias("n_matched"),
-        )
-    li = t(spark, sf_dir, "lineitem")
-    o = t(spark, sf_dir, "orders")
-    c = t(spark, sf_dir, "customer")
-    pairs = [
-        ind("customer.c_custkey<=events.user_id", c, "c_custkey",
-            t(spark, sf_dir, "events"), "user_id"),
-        ind("customer.c_nationkey<=nation.n_nationkey", c, "c_nationkey",
-            t(spark, sf_dir, "nation"), "n_nationkey"),
-        ind("documents.doc_id<=embeddings.vec_id",
-            t(spark, sf_dir, "documents"), "doc_id",
-            t(spark, sf_dir, "embeddings"), "vec_id"),
-        ind("events.user_id<=customer.c_custkey",
-            t(spark, sf_dir, "events"), "user_id", c, "c_custkey"),
-        ind("lineitem.l_partkey<=part.p_partkey", li, "l_partkey",
-            t(spark, sf_dir, "part"), "p_partkey"),
-        ind("lineitem.l_suppkey<=supplier.s_suppkey", li, "l_suppkey",
-            t(spark, sf_dir, "supplier"), "s_suppkey"),
-        ind("orders.o_custkey<=customer.c_custkey", o, "o_custkey", c, "c_custkey"),
-        ind("orders.o_orderkey<=lineitem.l_orderkey", o, "o_orderkey", li, "l_orderkey"),
+    # attr registry: bit position in the mask, table column it profiles
+    A = {
+        "c_custkey": 0, "c_nationkey": 1, "n_nationkey": 2,
+        "user_id": 3, "doc_id": 4, "vec_id": 5,
+        "l_partkey": 6, "l_suppkey": 7, "l_orderkey": 8,
+        "p_partkey": 9, "s_suppkey": 10,
+        "o_custkey": 11, "o_orderkey": 12,
+    }
+
+    def attr_rows(df: DataFrame, cols: list[str]) -> DataFrame:
+        return df.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.col(c).cast("long").alias("v"),
+                        F.lit(1 << A[c]).cast("long").alias("m"),
+                    )
+                    for c in cols
+                ])
+            ).alias("s")
+        ).select("s.v", "s.m")
+
+    allv = (
+        attr_rows(t(spark, sf_dir, "customer"), ["c_custkey", "c_nationkey"])
+        .unionByName(attr_rows(t(spark, sf_dir, "nation"), ["n_nationkey"]))
+        .unionByName(attr_rows(t(spark, sf_dir, "events"), ["user_id"]))
+        .unionByName(attr_rows(t(spark, sf_dir, "documents"), ["doc_id"]))
+        .unionByName(attr_rows(t(spark, sf_dir, "embeddings"), ["vec_id"]))
+        .unionByName(attr_rows(
+            t(spark, sf_dir, "lineitem"),
+            ["l_partkey", "l_suppkey", "l_orderkey"],
+        ))
+        .unionByName(attr_rows(t(spark, sf_dir, "part"), ["p_partkey"]))
+        .unionByName(attr_rows(t(spark, sf_dir, "supplier"), ["s_suppkey"]))
+        .unionByName(attr_rows(t(spark, sf_dir, "orders"), ["o_custkey", "o_orderkey"]))
+    )
+    masks = allv.groupBy("v").agg(F.bit_or("m").alias("mask"))
+    PAIRS = [
+        ("customer.c_custkey<=events.user_id", "c_custkey", "user_id"),
+        ("customer.c_nationkey<=nation.n_nationkey", "c_nationkey", "n_nationkey"),
+        ("documents.doc_id<=embeddings.vec_id", "doc_id", "vec_id"),
+        ("events.user_id<=customer.c_custkey", "user_id", "c_custkey"),
+        ("lineitem.l_partkey<=part.p_partkey", "l_partkey", "p_partkey"),
+        ("lineitem.l_suppkey<=supplier.s_suppkey", "l_suppkey", "s_suppkey"),
+        ("orders.o_custkey<=customer.c_custkey", "o_custkey", "c_custkey"),
+        ("orders.o_orderkey<=lineitem.l_orderkey", "o_orderkey", "l_orderkey"),
     ]
-    rep = pairs[0]
-    for p in pairs[1:]:
-        rep = rep.unionByName(p)
+
+    def bit(col_bit: int):
+        return F.shiftright(F.col("mask"), col_bit).bitwiseAND(F.lit(1))
+
+    aggs = []
+    for i, (_, lc, rc) in enumerate(PAIRS):
+        aggs.append(F.sum(bit(A[lc])).cast("long").alias(f"nl{i}"))
+        aggs.append(
+            F.sum(
+                F.when(
+                    F.col("v").isNotNull(), bit(A[lc]) * bit(A[rc])
+                ).otherwise(F.lit(0))
+            ).cast("long").alias(f"nm{i}")
+        )
+    wide = masks.agg(*aggs)
+    rep = wide.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(label).alias("pair"),
+                    F.col(f"nl{i}").alias("n_lhs"),
+                    F.col(f"nm{i}").alias("n_matched"),
+                )
+                for i, (label, _, _) in enumerate(PAIRS)
+            ])
+        ).alias("s")
+    ).select("s.*")
     ppm = F.expr("(1000000 * n_matched) div n_lhs")
     verdict = (
         F.when(F.col("n_matched") == F.col("n_lhs"), F.lit("ind"))

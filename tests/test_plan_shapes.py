@@ -1044,17 +1044,21 @@ def test_q191_kmv_minima_window_group_limit(spark):
 
 
 def test_q194_inclusion_profile_prunes_to_single_columns(spark):
-    # each candidate pair must reach its scans with ONE pruned column
-    # (profiling reads columns, not tables) and collapse via
-    # partial-agged distincts; nothing may cartesian
+    # single-pass SINDY shape: every table scanned ONCE, pruned to
+    # exactly its profiled key columns (profiling reads columns, not
+    # tables), attr bits collapsed by ONE value-keyed bit_or group-by;
+    # no joins anywhere, nothing may cartesian
     from polla_spark.plans.relational import q194_inclusion_profile
 
     plan = _plan(q194_inclusion_profile(spark, SF))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoop" not in plan, plan
-    # single-column pruned scans visible for the fact-side columns
-    assert "struct<l_partkey" in plan, plan
-    assert "struct<o_orderkey" in plan, plan
+    assert "Join" not in plan, plan
+    # one multi-column pruned scan per fact table, in schema order
+    assert plan.count("struct<l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint>") == 1, plan
+    assert plan.count("struct<o_orderkey:bigint,o_custkey:bigint>") == 1, plan
+    # the mask collapse is a bit_or aggregate keyed on the value
+    assert "bit_or" in plan, plan
 
 
 def test_q197_lateral_decorrelates_no_per_row_subquery(spark):

@@ -1464,6 +1464,13 @@ def q87_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").alias("tfreq"))
+        # NOT persisted, deliberately (r12): the postings frame feeds
+        # both the df census and the scoring join, but a paired A/B at
+        # 32 AND 8 cores showed the persist consistently slower here
+        # (~+0.5 s — the materialization barrier costs more than the
+        # duplicate tokenize saves on a query this small); q179, whose
+        # bigger plan overlaps other work across the barrier, keeps
+        # the persist with the same postings-sized cache argument
     )
     df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
@@ -1625,6 +1632,17 @@ def q90_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins on the word key, which AQE decides from the actual size).
     Corpus totals ride a 1-row broadcast; top-30 is TakeOrdered.
 
+    r12: ``totals`` is computed from one NARROW size() pass instead
+    of re-aggregating the two censuses — t_tokens = Σ size(toks) and
+    b_bigrams = Σ max(size−1, 0) are exact identities of the explode
+    sums, so the corpus pays two explodes (uni for c_x, uni for c_y
+    riding the same broadcast build, big for the spine) plus one
+    cheap length-only scan, instead of five explodes. Persisting the
+    censuses was tried and REJECTED by a paired A/B at 32 and 8
+    cores: the materialization barrier cost more than the duplicate
+    explodes at this scale (the duplicates pipeline concurrently),
+    while the narrow-totals form is a strict subtraction of work.
+
     Determinism: PMI is floor-quantized to micro-units per row (no
     accumulation), so the only float op is one ln over exact integer
     ratios — identical in both engines.
@@ -1645,9 +1663,10 @@ def q90_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bg")
         .agg(F.count("*").alias("c_xy"))
     )
-    totals = uni.agg(
-        F.sum("c_w").alias("t_tokens")
-    ).crossJoin(big.agg(F.sum("c_xy").alias("b_bigrams")))
+    totals = d.agg(
+        F.sum(n.cast("long")).alias("t_tokens"),
+        F.sum(F.greatest(n - 1, F.lit(0)).cast("long")).alias("b_bigrams"),
+    )
     x = F.split(F.col("bg"), " ").getItem(0)
     y = F.split(F.col("bg"), " ").getItem(1)
     pmi = F.log(
@@ -3693,6 +3712,16 @@ def q179_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q58's plan; swap in the IVF probe of operators/ann.py when the
     corpus outgrows brute force); the fusion joins two ≤ 20-row-per-
     query tables — report-sized.
+
+    r12: ``tf`` is PERSISTED (plan-lifetime, the q217 discipline). It
+    feeds both the df census and the scoring join, so the one action
+    used to run the corpus tokenize+filter+explode twice (plus scal's
+    own length-only pass — three corpus tokenizes total). The cached
+    frame is the query-term POSTINGS list — rows only for docs
+    containing one of the ≤6 query terms, orders below the corpus at
+    any scale (exactly the postings a search engine materializes as
+    its index); with it the corpus pays one tokenize+explode pass
+    plus scal's narrow size() pass.
     """
     d = t(spark, sf_dir, "documents").withColumn("_toks", _toks())
     all_terms = sorted({t_ for ts in _RRF_QUERIES.values() for t_ in ts})
@@ -3710,6 +3739,7 @@ def q179_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").alias("tfreq"))
+        .persist()
     )
     df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)

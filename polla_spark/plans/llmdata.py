@@ -6086,7 +6086,9 @@ def q213_smoothed_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("g.*")
     uni = ref.select(F.explode("_toks").alias("w"))
 
-    n_total = uni.groupBy().agg(F.count("*").alias("n"))
+    # r12: N is Σ size(_toks) over the slice — a NARROW length-only
+    # pass (the q90 totals identity), not a second unigram explode
+    n_total = ref.agg(F.sum(F.size("_toks").cast("long")).alias("n"))
     t1 = (
         uni.groupBy("w")
         .agg(F.count("*").alias("c1"))
@@ -6096,7 +6098,13 @@ def q213_smoothed_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the context censuses are exact derivatives of the n-gram
     # censuses (c12 = Σc23, n1p2 = COUNT over t2 grouped by a; same
     # for c12t/n1p3 from t3) — aggregate the vocab-bounded census,
-    # never re-explode the reference slice (r9 review finding)
+    # never re-explode the reference slice (r9 review finding).
+    # t2/t3 are each referenced twice (context derivative + broadcast
+    # into the scored stream) and deliberately NOT persisted: a paired
+    # r12 A/B measured the persist form consistently ~0.5-1.0 s slower
+    # at sf0.1 (the materialization barrier beats the duplicate
+    # ref-slice explode, which pipelines concurrently — the q87
+    # finding); the duplicates are slice-sized, not corpus-sized
     t2 = big.groupBy("a", "b").agg(F.count("*").alias("c23"))
     c2 = t2.groupBy("a").agg(
         F.sum("c23").alias("c12"), F.count("*").alias("n1p2")

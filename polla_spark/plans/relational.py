@@ -1714,28 +1714,37 @@ def q111_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both engines use the default RANGE frame, so tied edges are peers
     sharing one cumulative value — order within ties can't matter.
 
-    Plan shape at 100 TB: union of two projections of ONE scan, one
-    exchange on the sweep key, zero joins — vs the O(n^2) interval
-    self-join it replaces. The partition key bounds parallelism
-    (5 priorities here), which is the honest constraint of any
-    per-key sweep; a single GLOBAL sweep instead uses the two-level
-    prefix-sum decomposition demonstrated by q95_pack_sequences
-    (per-bucket partial sums + broadcast bucket offsets).
+    Plan shape at 100 TB: both edges of every interval fan out
+    WITHIN-ROW (one explode over a 2-element array), so the scan runs
+    ONCE — the r12 fix: the previous union-of-two-projections form
+    read the table twice, since Spark shares no subtrees across union
+    branches — then one exchange on the sweep key, zero joins — vs
+    the O(n^2) interval self-join it replaces. The partition key
+    bounds parallelism (5 priorities here), which is the honest
+    constraint of any per-key sweep; a single GLOBAL sweep instead
+    uses the two-level prefix-sum decomposition demonstrated by
+    q95_pack_sequences (per-bucket partial sums + broadcast bucket
+    offsets).
     """
     o = t(spark, sf_dir, "orders")
-    starts = o.select(
+    edges = o.select(
         F.col("o_orderpriority").alias("prio"),
-        F.col("o_orderdate").alias("edge_t"),
-        F.lit(1).alias("delta"),
-    )
-    ends = o.select(
-        F.col("o_orderpriority").alias("prio"),
-        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("edge_t"),
-        F.lit(-1).alias("delta"),
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("o_orderdate").alias("edge_t"),
+                    F.lit(1).alias("delta"),
+                ),
+                F.struct(
+                    (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("edge_t"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("e"),
+    ).select("prio", "e.edge_t", "e.delta")
     w = Window.partitionBy("prio").orderBy("edge_t", "delta")
     return (
-        starts.unionByName(ends)
+        edges
         .withColumn("conc", F.sum("delta").over(w))
         .groupBy("prio")
         .agg(

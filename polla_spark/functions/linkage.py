@@ -216,6 +216,76 @@ def fs_em_round(census: DataFrame, params: DataFrame) -> DataFrame:
     )
 
 
+def fs_em_params_py(
+    census_rows: list[tuple], rounds: int = 2
+) -> list[dict[str, int]]:
+    """DRIVER-side twin of the :func:`fs_em_round` recursion: the same
+    Winkler EM in exact ppm integers over an already-collected census,
+    in pure Python (r13, guide §1.2). Python ints are arbitrary
+    precision, every operand is non-negative, and ``//`` (floor) equals
+    Spark's DECIMAL ``div`` (truncate) on non-negatives, so the params
+    are BIT-identical to the LocalRelation recursion — pinned against
+    :func:`fs_em_round` on crafted and corpus censuses in
+    tests/test_fs_em_py.py. Why it exists: the LocalRelation form
+    re-embedded ~14 exchanges of BroadcastNestedLoopJoin/HashAggregate
+    plan per EM round into EVERY downstream action (measured r13:
+    q215's final plan carried 110 Exchange mentions, 6 copies of the
+    EM chain), all to reduce ≤2^N rows the driver already holds.
+
+    ``census_rows``: (g1..gN, c) tuples/Rows. Returns the param dicts
+    (keys ``p``, ``m1..mN``, ``u1..uN``) for init + each round. A zero
+    divisor yields ``None`` for that field, mirroring Spark's NULL on
+    decimal div-by-zero (degenerate censuses only)."""
+    census = [
+        (tuple(int(r[k]) for k in range(_N)), int(r[_N])) for r in census_rows
+    ]
+    params: dict[str, int] = {
+        "p": EM_INIT["p"],
+        **{f"m{k}": EM_INIT["m"] for k in range(1, _N + 1)},
+        **{f"u{k}": EM_INIT["u"] for k in range(1, _N + 1)},
+    }
+    out = [dict(params)]
+    for _ in range(rounds):
+        sw = snw = n = 0
+        swg = [0] * _N
+        snwg = [0] * _N
+        for gs, c in census:
+            w = fs_posterior_ppm_py(gs, params)
+            sw += w * c
+            snw += (PPM - w) * c
+            n += c
+            for i, g in enumerate(gs):
+                if g:
+                    swg[i] += w * c
+                    snwg[i] += (PPM - w) * c
+        params = {
+            "p": sw // n if n else None,
+            **{
+                f"m{k}": (swg[k - 1] * PPM // sw if sw else None)
+                for k in range(1, _N + 1)
+            },
+            **{
+                f"u{k}": (snwg[k - 1] * PPM // snw if snw else None)
+                for k in range(1, _N + 1)
+            },
+        }
+        out.append(dict(params))
+    return out
+
+
+def fs_posterior_ppm_py(gs: tuple, params: dict[str, int]) -> int:
+    """DRIVER-side twin of :func:`fs_posterior_expr`: the pattern's
+    ppm match posterior w = p·Πm·10^6 // (p·Πm + (1−p)·Πu) in exact
+    Python ints (same non-negative floor-div argument as
+    :func:`fs_em_params_py`, pinned by the same test)."""
+    pm = params["p"]
+    pu = PPM - params["p"]
+    for k in range(1, _N + 1):
+        pm *= params[f"m{k}"] if gs[k - 1] == 1 else PPM - params[f"m{k}"]
+        pu *= params[f"u{k}"] if gs[k - 1] == 1 else PPM - params[f"u{k}"]
+    return pm * PPM // (pm + pu)
+
+
 def fs_init_params(spark) -> DataFrame:
     """The 1-row ppm prior frame (:data:`EM_INIT`)."""
     cols = "p long, " + ", ".join(
@@ -250,25 +320,28 @@ def fs_em_report(spark, census: DataFrame, rounds: int = 2) -> DataFrame:
     would silently drop fields when a comparator is added — r8 review
     finding).
 
-    r12: the census (≤2^N rows by construction) is materialized
-    DRIVER-side first — the fs_classify discipline — so the whole EM
-    recursion and the report union run over LocalRelations: one
-    engine action total instead of a persisted-census + persisted-
-    intermediate chain that scheduled 13 jobs / 42 stages for ≤16
-    rows of state (measured r12; guide §1.2 — the data-sized work is
-    exactly one census pass, everything after it is driver-tiny)."""
-    census = spark.createDataFrame(census.collect(), schema=census.schema)
-    frames = [fs_init_params(spark)]
-    for _ in range(rounds):
-        frames.append(fs_em_round(census, frames[-1]))
+    r12 materialized the census (≤2^N rows by construction)
+    DRIVER-side so the EM recursion ran over LocalRelations; r13 runs
+    the recursion ITSELF on the driver (:func:`fs_em_params_py`,
+    bit-pinned against the :func:`fs_em_round` expression form): the
+    LocalRelation recursion still planned ~2 exchanges + a
+    BroadcastNestedLoopJoin per round into the report action — ~8
+    scheduled stages for ≤16 rows of state (measured r13: q207 11
+    jobs / 22 stages, 1.5 s of plan construction at sf0.1). Now the
+    one data-sized action is the census collect and the report is a
+    LocalRelation (guide §1.2)."""
     cols = fs_param_cols()
-    rep = frames[0].select(F.lit(0).alias("round"), *cols)
-    for i, df in enumerate(frames[1:], start=1):
-        rep = rep.unionByName(df.select(F.lit(i).alias("round"), *cols))
-    return rep.orderBy("round")
+    rows = [
+        (i, *[None if p[c] is None else int(p[c]) for c in cols])
+        for i, p in enumerate(
+            fs_em_params_py(census.collect(), rounds=rounds)
+        )
+    ]
+    schema = "round int, " + ", ".join(f"{c} long" for c in cols)
+    return spark.createDataFrame(rows, schema).orderBy("round")
 
 
-def fs_classify(spark, flags: DataFrame) -> DataFrame:
+def fs_classify(spark, flags: DataFrame, *, ordered: bool = True) -> DataFrame:
     """q208's trained-classification tail over a ``(doc_a, doc_b,
     w_dist, g1..g4)`` frame: census → 2 exact-ppm EM rounds →
     posterior table → broadcast classification. ONE assembly shared
@@ -277,47 +350,70 @@ def fs_classify(spark, flags: DataFrame) -> DataFrame:
     both paths together).
 
     The census is ≤16 rows and is materialized DRIVER-side (one
-    deliberate action, the q205/q208 disclosure). The ``flags`` frame
-    itself is LOCAL-CHECKPOINTED first (r12, guide §1.2/§3.3/§5):
-    it is the pairs-grain NARROW projection — (doc_a, doc_b, w_dist,
-    g1..g4), seven small ints per candidate pair, one-to-two orders
-    of magnitude under the corpus text bytes at any scale — while
-    recomputing it costs the full scan → shingle-set → SNM-window
-    pipeline (the heavy text pass AND its shingle-array exchange).
-    Before r12 the census collect and the final classification each
-    ran that pipeline once per consumer (q208 2×, q214/q215 3-4×
-    via the component collects), and — the locally dominant cost —
-    every one of those actions re-ran Catalyst + codegen over the
-    full SNM tree. The eager checkpoint computes the pipeline ONCE
-    and truncates the lineage, so every downstream action (census
-    collect, component edge collects, the final classification) both
-    reads materialized rows and plans against a LogicalRDD leaf.
-    Tradeoff, disclosed: checkpointed partitions are not recomputable
-    on executor loss (the operators/graph.py per-round caveat) — for
-    a lost-task-restarts-the-query batch report that is the right
+    deliberate action, the q205/q208 disclosure); the EM rounds and
+    the per-pattern posteriors run in exact-integer Python on those
+    rows (r13, :func:`fs_em_params_py` — bit-pinned against the
+    expression form in tests/test_fs_em_py.py), so the posterior
+    table downstream actions broadcast is a plain ≤16-row
+    LocalRelation instead of a re-planned BroadcastNestedLoopJoin +
+    HashAggregate chain per plan reference (measured r13: the chain
+    put 32/110 Exchange mentions into q214/q215's final plans).
+
+    The ``flags`` frame itself is LOCAL-CHECKPOINTED (r12, guide
+    §1.2/§3.3/§5): it is the pairs-grain NARROW projection —
+    (doc_a, doc_b, w_dist, g1..g4), seven small ints per candidate
+    pair, one-to-two orders of magnitude under the corpus text bytes
+    at any scale — while recomputing it costs the full scan →
+    shingle-set → SNM-window pipeline (the heavy text pass AND its
+    shingle-array exchange). Before r12 the census collect and the
+    final classification each ran that pipeline once per consumer
+    (q208 2×, q214/q215 3-4× via the component collects), and every
+    one of those actions re-ran Catalyst + codegen over the full SNM
+    tree; the checkpoint computes the pipeline ONCE and truncates
+    the lineage to a LogicalRDD leaf. r13 makes it LAZY
+    (``eager=False``, VERDICT r12 #1): identical truncation, but the
+    materialization rides the census collect's own job instead of a
+    separate prior action — one barrier, not two. Tradeoff,
+    disclosed: checkpointed partitions are not recomputable on
+    executor loss (the operators/graph.py per-round caveat) — for a
+    lost-task-restarts-the-query batch report that is the right
     trade at any scale. Read-side streaming finishers (#35-#37) pass
-    state-table-sized frames where the checkpoint is equally safe."""
+    state-table-sized frames where the checkpoint is equally safe.
+
+    ``ordered=False`` skips the report ORDER BY for composing
+    consumers (the q214/q215 er tier): their filter → components →
+    aggregate tail is order-independent, while the sort is a global
+    pairs-grain range exchange that rode along once per plan
+    reference (measured r13: two copies inside q214's final union
+    plus one under the component probe). The REPORT queries (q208,
+    twin #35) keep the ordered output contract — their result is the
+    ordered pair table itself."""
     gcols = fs_census_flag_cols()
-    flags = flags.localCheckpoint()
+    flags = flags.localCheckpoint(eager=False)
     census_lazy = flags.groupBy(*gcols).agg(F.count("*").alias("c"))
-    census = spark.createDataFrame(
-        census_lazy.collect(), schema=census_lazy.schema
-    )
-    r2 = fs_em_round(census, fs_em_round(census, fs_init_params(spark)))
-    post = census.crossJoin(F.broadcast(r2)).select(
-        *gcols, F.expr(fs_posterior_expr()).alias("w_ppm")
+    census_rows = census_lazy.collect()
+    r2 = fs_em_params_py(census_rows, rounds=2)[-1]
+    post_rows = [
+        tuple(
+            [int(r[k]) for k in range(_N)]
+            + [fs_posterior_ppm_py(tuple(r[k] for k in range(_N)), r2)]
+        )
+        for r in census_rows
+    ]
+    post = spark.createDataFrame(
+        post_rows, ", ".join(f"{g} long" for g in gcols) + ", w_ppm long"
     )
     verdict = (
         F.when(F.col("w_ppm") >= LINK_PPM, "link")
         .when(F.col("w_ppm") >= POSSIBLE_PPM, "possible")
         .otherwise("non_link")
     )
-    return (
+    out = (
         flags.join(F.broadcast(post), gcols)
         .select("doc_a", "doc_b", "w_dist", "w_ppm")
         .withColumn("verdict", verdict)
-        .orderBy("doc_a", "doc_b", "w_dist")
     )
+    return out.orderBy("doc_a", "doc_b", "w_dist") if ordered else out
 
 
 def er_entities(classified: DataFrame) -> DataFrame:

@@ -5552,6 +5552,18 @@ def q208_fs_trained_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow flags frame once and the classification re-reads the cache
     instead of re-running the scan → shingle → SNM pipeline.
     """
+    return _fs_trained_classified(spark, sf_dir, ordered=True)
+
+
+def _fs_trained_classified(
+    spark: SparkSession, sf_dir: str, *, ordered: bool
+) -> DataFrame:
+    """q208's classified pair table, with or without its report ORDER
+    BY — the er tier (q214/q215) consumes it unordered because its
+    filter → components → aggregate tail never reads the order, while
+    the sort is a global pairs-grain range exchange replayed once per
+    plan reference (r13, guide §2.4 'an orderBy used only to make
+    output deterministic')."""
     neigh = _fs_neighbors(spark, sf_dir)
     flags = neigh.select(
         "doc_a",
@@ -5563,7 +5575,7 @@ def q208_fs_trained_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     # functions/linkage.fs_classify — ONE assembly shared with
     # streaming twin #35's finisher (census materialized driver-side,
     # ≤16 rows: nothing data-sized is ever persisted — ADVICE r8)
-    return LK.fs_classify(spark, flags)
+    return LK.fs_classify(spark, flags, ordered=ordered)
 
 
 O208 = f"""{_O_FS_COMMON}, wf AS (
@@ -6238,7 +6250,9 @@ def q214_er_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``functions/linkage.er_entities``, shared with streaming twin
     #36's finisher.
     """
-    return LK.er_entities(q208_fs_trained_classify(spark, sf_dir))
+    return LK.er_entities(
+        _fs_trained_classified(spark, sf_dir, ordered=False)
+    )
 
 
 O214 = _O_FS_COMMON.replace("WITH docs AS", "WITH RECURSIVE docs AS", 1) + f""", wf AS (
@@ -6284,7 +6298,7 @@ def q215_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared with streaming twin #37's finisher.
     """
     return LK.er_golden_records(
-        q208_fs_trained_classify(spark, sf_dir),
+        _fs_trained_classified(spark, sf_dir, ordered=False),
         t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars"),
     )
 

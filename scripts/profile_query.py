@@ -27,7 +27,9 @@ from polla_spark.plans import registry  # noqa: E402
 from polla_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-PLAN_DIR = Path(__file__).resolve().parent.parent / "plans" / "r12"
+PLAN_DIR = Path(__file__).resolve().parent.parent / "plans" / os.environ.get(
+    "PROFILE_PLAN_ROUND", "r13"
+)
 REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
 

@@ -2295,12 +2295,11 @@ def q199_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     The report is the learned merge table: (round, a, b, pair_count).
 
     Plan shape at 100 TB: ONLY the word census touches the corpus
-    (one partial-agged shuffle); every merge round runs on the
-    ≤100-row vocabulary table with the 1-row argmax COLLECTED and
-    applied as a literal rewrite (r12 — the q212 round-collect
-    discipline) — the classic tokenizer-training loop where corpus
-    scale and training-loop scale are decoupled. The base repr slice
-    persists once; rounds re-scan only that cache.
+    (one partial-agged shuffle); the top-vocab slice — bounded by a
+    constant — is collected ONCE and every merge round runs in
+    Python on the driver (r13; ``_bpe_train``), so the whole query
+    is one engine action — the classic tokenizer-training loop where
+    corpus scale and training-loop scale are decoupled.
 
     Merge application = ONE left-to-right non-overlapping
     regexp_replace pass with CONSUMED delimiters — deterministic and
@@ -2383,44 +2382,48 @@ def _bpe_train(
     (round, a, b, n) tuples. Pass an already-persisted ``census`` to
     share the corpus scan with a downstream consumer (q210).
 
-    r12: each round's 1-row argmax is COLLECTED driver-side (the
-    q212 round-collect discipline — K·1 values per round) and the
-    merge applied as a literal rewrite over the persisted base
-    reprs, replacing the per-round persisted-frame + broadcast-
-    crossJoin chain; the corpus is still touched exactly once (the
-    census), rounds re-scan only the ≤{_BPE_VOCAB}-row cached repr
-    slice."""
+    r12 collected each round's 1-row argmax (3 sequential actions
+    whose round-trip latency the r12 verdict measured at ~2× q199's
+    r11 time); r13 collects the top-{_BPE_VOCAB} (w, cnt) SLICE once
+    — bounded by a constant, never data-sized — and runs the whole
+    training loop in Python on the driver: ONE engine action total,
+    and the only data-sized work is the word census inside it (guide
+    §1.2 — O(K) training state belongs on the driver, the corpus
+    pass belongs in the engine; the q207/q212 discipline). Round
+    semantics are unchanged and engine-exact: integer pair counts
+    summed per adjacent symbol pair (argmax by count desc then (a,
+    b) — Python tuple order == the engine's binary string order on
+    these lowercase-ASCII symbols), and the merge rewrite is
+    ``str.replace`` whose left-to-right non-overlapping
+    consumed-delimiter semantics equal the single-pass
+    ``regexp_replace`` contract documented on q199 (both pinned
+    against the independent reference in
+    tests/test_r6_math_properties.py). When ``census`` is a caller's
+    persisted frame (q210/q223), the slice collect doubles as its
+    cache materialization, exactly like the old round-1 collect."""
     words = (
         (census if census is not None else _bpe_word_census(spark, sf_dir))
         .orderBy(F.desc("cnt"), "w")
         .limit(_BPE_VOCAB)
     )
-    r = _bpe_reprs(words).persist()
-
-    def top_pair(rr: DataFrame, rnd: int) -> DataFrame:
-        pairs = rr.select(
-            "cnt",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(split(trim(repr), ' ')) - 2), "
-                    "i -> struct(split(trim(repr), ' ')[i] AS a, "
-                    "split(trim(repr), ' ')[i+1] AS b))"
-                )
-            ).alias("p"),
-        )
-        return (
-            pairs.groupBy("p.a", "p.b")
-            .agg(F.sum("cnt").alias("n"))
-            .orderBy(F.desc("n"), "a", "b")
-            .limit(1)
-            .select(F.lit(rnd).alias("round"), "a", "b", "n")
-        )
-
+    reprs = [
+        (" " + " ".join(r["w"]) + " </w> ", int(r["cnt"]))
+        for r in words.collect()
+    ]
     merges = []
     for rnd in (1, 2, 3):
-        row = top_pair(r, rnd).collect()[0]
-        merges.append((rnd, row["a"], row["b"], row["n"]))
-        r = _bpe_apply_merge(r, row["a"], row["b"])
+        counts: dict[tuple[str, str], int] = {}
+        for rep, cnt in reprs:
+            syms = rep.strip().split(" ")
+            for i in range(len(syms) - 1):
+                key = (syms[i], syms[i + 1])
+                counts[key] = counts.get(key, 0) + cnt
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rnd, a, b, n))
+        reprs = [
+            (rep.replace(f" {a} {b} ", f" {a}{b} "), cnt)
+            for rep, cnt in reprs
+        ]
     return merges
 
 

@@ -1,12 +1,19 @@
 """Benchmark: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
 
-STDOUT CONTRACT — exactly TWO JSON lines (everything else goes to
-stderr):
+STDOUT CONTRACT — JSON lines only (everything else goes to stderr):
 
   line 1 (full):    {"metric": "headline_suite_seconds", "value": <total
                      sec>, "unit": "sec", "queries": {<per-query sec>},
                      "reps": N, "sf": ..., "noise_ratio": R}
-  line 2 (compact): {"metric": "headline_total", "value": <total sec>,
+  middle (chunks):  {"metric": "headline_part_<i>of<k>", "part": i,
+                     "of": k, "sf": ..., "queries": {<subset>}} — the
+                     per-query map re-emitted as ≤1500-char lines
+                     (r13, additions-only: the driver's BENCH artifact
+                     keeps a ~2000-char stdout tail that truncates
+                     line 1, so the tail now always carries at least
+                     the last chunk intact, and all chunks together
+                     reconstruct the full map; values in centiseconds)
+  last (compact):   {"metric": "headline_total", "value": <total sec>,
                      "unit": "sec", "n": <query count>, "reps": N,
                      "sf": ..., "noise_ratio": R}
 
@@ -427,6 +434,40 @@ def main() -> None:
             }
         )
     )
+    # r13 (VERDICT r12 #2): the driver's BENCH artifact keeps only a
+    # ~2000-char stdout tail, so the full line above is truncated and
+    # the driver's PERF per-query table came back empty two rounds
+    # running. Re-emit the per-query map as CHUNKED JSON lines, each
+    # well under the tail budget (≤1500 chars, so the LAST chunk plus
+    # the compact total line always fit the tail together), at the
+    # end of stdout just before the total. All chunks concatenated
+    # reconstruct the full dict: {"metric": "headline_part_<i>of<k>",
+    # "part": i, "of": k, "queries": {...}}. Values are rounded to
+    # centiseconds here (the full line above keeps milliseconds).
+    # ADDITIONS-ONLY: line 1 and the final compact line are unchanged.
+    chunk_budget = 1500
+    chunks: list[dict[str, float]] = [{}]
+    base_overhead = 80  # metric/part/of/sf framing
+    for name in HEADLINE:
+        if name not in times:
+            continue
+        entry_len = len(name) + 12
+        cur_len = base_overhead + sum(len(k) + 12 for k in chunks[-1])
+        if chunks[-1] and cur_len + entry_len > chunk_budget:
+            chunks.append({})
+        chunks[-1][name] = round(times[name], 2)
+    for i, ch in enumerate(chunks, start=1):
+        print(
+            json.dumps(
+                {
+                    "metric": f"headline_part_{i}of{len(chunks)}",
+                    "part": i,
+                    "of": len(chunks),
+                    "sf": sf_val,
+                    "queries": ch,
+                }
+            )
+        )
     # LAST line, compact (<200 chars): the driver's BENCH artifact keeps
     # only a 2000-char tail, and with 80 inline per-query timings the
     # full JSON line overflows it — this summary always survives.

@@ -2114,7 +2114,11 @@ def q97_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the compact key index itself — doc_id, source, three hashes,
     ~100 B/doc, orders under the text it replaces — which is exactly
     the state table the docstring says a real ingest would keep; with
-    it the corpus is scanned and hashed exactly once.
+    it the corpus is scanned and hashed exactly once. Composing
+    callers running many plans should ``spark.catalog.clearCache()``
+    when done (the bench does between reps) — the persist is
+    plan-lifetime and cannot be unpersisted here because the
+    returned plan still reads it (ADVICE r12).
     """
     d = with_minhash(_spread(spark, t(spark, sf_dir, "documents")))
     keyed = d.select(
@@ -3724,7 +3728,19 @@ def q179_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     containing one of the ≤6 query terms, orders below the corpus at
     any scale (exactly the postings a search engine materializes as
     its index); with it the corpus pays one tokenize+explode pass
-    plus scal's narrow size() pass.
+    plus scal's narrow size() pass. Composing callers running many
+    plans should ``spark.catalog.clearCache()`` when done (the bench
+    does between reps) — the persist is plan-lifetime and cannot be
+    unpersisted here because the returned plan still reads it.
+
+    r13 re-adjudication (VERDICT r12 #4): 6 paired stash-in/out
+    cycles at 32 cores (persist median 2.80 s vs 2.33 s without) and
+    3 at 8 cores (2.83 vs 2.94) — FLAT, no reproducible local
+    difference in either direction; r12's claimed 5/6-cycle win was
+    contention. The persist is kept on the SCALE argument alone: the
+    duplicated subtree is a full corpus tokenize pass (the
+    q97/q188/q217 corpus-heavy class, where one throughput-bound
+    scan replaces two), not for local speed.
     """
     d = t(spark, sf_dir, "documents").withColumn("_toks", _toks())
     all_terms = sorted({t_ for ts in _RRF_QUERIES.values() for t_ in ts})
@@ -4452,7 +4468,10 @@ def q188_countmin_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     is vocab-grain cache reads. The production sketch-only path
     (``cm_sketch``, the streaming twin) is untouched — its
     cardinality-independent shuffle story is the kernel's, not this
-    report's.
+    report's. Composing callers running many plans should
+    ``spark.catalog.clearCache()`` when done (the bench does between
+    reps) — the persist is plan-lifetime and cannot be unpersisted
+    here because the returned plan still reads it (ADVICE r12).
     """
     from ..functions.cmsketch import cm_estimate, cm_sketch_from_census
 

@@ -94,6 +94,26 @@ FROM documents GROUP BY source ORDER BY source
 _shingles_expr = shingles.shingles_expr
 _with_shingle_sets = shingles.with_shingle_sets
 
+#: session conf opting into the CLUSTER-SCALE subtree
+#: materializations (r13, VERDICT r12 #8). Several duplicate-subtree
+#: persists / candidate prefilters were measured LOSING on the local
+#: sf0.1 bench by paired stash-in/out A/Bs (q87 postings, q90 unigram
+#: census, q213 t2/t3 n-gram censuses, q81's candidate-prefiltered
+#: rescore — numbers in SCALE.md): at this scale the duplicated
+#: subtrees pipeline concurrently on idle cores, so the
+#: materialization barrier costs more than the duplicate work it
+#: removes. On a throughput-bound cluster the same duplicates each
+#: cost a full corpus pass and the calculus flips. Default FALSE so
+#: the local bench keeps the measured-faster shapes; a cluster
+#: deployment sets it true. Every gated site computes IDENTICAL
+#: results either way (pinned in tests/test_subtree_persist_conf.py).
+SUBTREE_PERSIST_CONF = "spark.polla_spark.subtreePersist"
+
+
+def _subtree_persist(spark: SparkSession) -> bool:
+    v = spark.conf.get(SUBTREE_PERSIST_CONF, "false")
+    return (v or "false").lower() == "true"
+
 
 def _snm_neighbors(d, extra_fields: tuple[str, ...] = (), *,
                    include_sh: bool = True):
@@ -1161,15 +1181,53 @@ def q81_lsh_rescored_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic step is inside LSH buckets (candidate count ~ O(dups)),
     and the shingle sets are joined to the candidate list — two keyed
     joins, no cross join anywhere in the plan (pinned by
-    tests/test_plan_shapes.py)."""
+    tests/test_plan_shapes.py).
+
+    r13, examined + measured: the guide-§3.2 shape — persist the
+    candidate pairs, broadcast-semi-join their distinct doc ids onto
+    the corpus scan BEFORE the shingle fan-out, broadcast the now
+    candidate-grain shingle table into the rescore joins — was built
+    and profiled at sf0.1: 1.52 s → 3.39 s, 11 → 19 jobs
+    (plans/r13/q81_lsh_rescored_jaccard_prefilter_rejected.txt). The
+    extra materialization barrier and broadcast builds cost more
+    locally than the two full-corpus shingle subtrees, which pipeline
+    concurrently on idle cores (the persist-paradox class). At
+    throughput-bound cluster scale the calculus flips — the default
+    form tokenizes every doc twice and either broadcasts a
+    corpus-grain table or degrades to two corpus-grain shuffles — so
+    the prefilter shape is kept behind SUBTREE_PERSIST_CONF
+    (results pinned identical in tests/test_subtree_persist_conf.py).
+    """
     cands = _minhash_band_candidates(spark, sf_dir)
-    sh = (
-        _with_shingle_sets(t(spark, sf_dir, "documents"))
-        .select("doc_id", "sh")
-    )
+    docs = t(spark, sf_dir, "documents")
+    if _subtree_persist(spark):
+        cands = cands.persist()
+        cands.count()  # materialize: 3 references below (ids twice +
+        # the join spine) would otherwise race the cold cache and
+        # re-run the band self-join per branch
+        ids = (
+            cands.select(F.col("id_a").alias("doc_id"))
+            .unionByName(cands.select(F.col("id_b").alias("doc_id")))
+            .distinct()
+        )
+        sh = (
+            _with_shingle_sets(docs.join(F.broadcast(ids), "doc_id"))
+            .select("doc_id", "sh")
+        )
+        wrap = F.broadcast  # candidate-grain by construction
+    else:
+        sh = _with_shingle_sets(docs).select("doc_id", "sh")
+
+        def wrap(df):
+            return df  # planner's choice (broadcasts at local scale)
+
     j = cands.join(
-        sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
-    ).join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        wrap(sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))),
+        "id_a",
+    ).join(
+        wrap(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))),
+        "id_b",
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (
@@ -1464,14 +1522,19 @@ def q87_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").alias("tfreq"))
-        # NOT persisted, deliberately (r12): the postings frame feeds
+        # NOT persisted by default (r12): the postings frame feeds
         # both the df census and the scoring join, but a paired A/B at
         # 32 AND 8 cores showed the persist consistently slower here
         # (~+0.5 s — the materialization barrier costs more than the
         # duplicate tokenize saves on a query this small); q179, whose
         # bigger plan overlaps other work across the barrier, keeps
-        # the persist with the same postings-sized cache argument
+        # the persist with the same postings-sized cache argument.
+        # r13: cluster sessions opt in via SUBTREE_PERSIST_CONF — at
+        # throughput-bound scale the duplicate is a full corpus
+        # tokenize pass
     )
+    if _subtree_persist(spark):
+        tf = tf.persist()
     df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     tf_norm = (F.col("tfreq") * (_BM25_K1 + 1)) / (
@@ -1658,6 +1721,11 @@ def q90_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     toks_long = d.select(F.explode("_toks").alias("w"))
     uni = toks_long.groupBy("w").agg(F.count("*").alias("c_w"))
+    if _subtree_persist(spark):
+        # cluster opt-in (SUBTREE_PERSIST_CONF): uni feeds both
+        # broadcast builds below — one corpus explode instead of two
+        # at throughput-bound scale; locally the rejected-by-A/B form
+        uni = uni.persist()
     big = (
         d.select(F.explode(bigrams_expr).alias("bg"))
         .groupBy("bg")
@@ -6134,16 +6202,21 @@ def q213_smoothed_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # for c12t/n1p3 from t3) — aggregate the vocab-bounded census,
     # never re-explode the reference slice (r9 review finding).
     # t2/t3 are each referenced twice (context derivative + broadcast
-    # into the scored stream) and deliberately NOT persisted: a paired
+    # into the scored stream) and NOT persisted by default: a paired
     # r12 A/B measured the persist form consistently ~0.5-1.0 s slower
     # at sf0.1 (the materialization barrier beats the duplicate
     # ref-slice explode, which pipelines concurrently — the q87
-    # finding); the duplicates are slice-sized, not corpus-sized
+    # finding); the duplicates are slice-sized, not corpus-sized.
+    # r13: cluster sessions opt in via SUBTREE_PERSIST_CONF (the
+    # duplicate is a reference-slice explode pass at scale)
     t2 = big.groupBy("a", "b").agg(F.count("*").alias("c23"))
+    t3 = tri(ref).groupBy("w1", "w2", "w3").agg(F.count("*").alias("c123"))
+    if _subtree_persist(spark):
+        t2 = t2.persist()
+        t3 = t3.persist()
     c2 = t2.groupBy("a").agg(
         F.sum("c23").alias("c12"), F.count("*").alias("n1p2")
     )
-    t3 = tri(ref).groupBy("w1", "w2", "w3").agg(F.count("*").alias("c123"))
     c3 = t3.groupBy("w1", "w2").agg(
         F.sum("c123").alias("c12t"), F.count("*").alias("n1p3")
     )

@@ -325,7 +325,11 @@ def q67_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = with_minhash(_spread(spark, t(spark, sf_dir, "documents"))).select(
         "doc_id", "mh0", "mh1", "mh2", "mh3"
     )
-    long = d.selectExpr("doc_id", "stack(4, mh0, mh1, mh2, mh3) as sig")
+    long = d.selectExpr("doc_id", "stack(4, mh0, mh1, mh2, mh3) as sig").persist()
+    long.count()  # materialize BEFORE the self-join (the q53 lesson,
+    # applied here in r13 — q67 predated it): otherwise both join
+    # branches race the cold cache and compute the expensive
+    # shingle+md5 signature projection twice inside the regime probe
     a = long.select(F.col("doc_id").alias("src"), "sig")
     b = long.select(F.col("doc_id").alias("dst"), "sig")
     edges = (
